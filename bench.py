@@ -1,0 +1,52 @@
+"""Benchmark harness: times the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed by materializing its result count (forces the full
+plan; avoids driver-side toPandas transfer noise). A warm-up run of the
+flagship query absorbs JVM/codegen startup so numbers reflect steady-state
+execution, matching how a long-lived cluster behaves.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from ppdb_parser_spark.queries import REGISTRY
+from ppdb_parser_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="ppdb-parser-spark-bench")
+
+    bench_specs = [s for s in REGISTRY.values() if s.bench]
+    # Warm-up: JVM + codegen + parquet footer caches.
+    bench_specs[0].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for spec in bench_specs:
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).count()
+        timings[spec.name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,54 @@
+"""Order-independent ("exact") floating aggregates for oracle parity.
+
+Why this exists: Spark and DuckDB both sum doubles in whatever order their
+partitioning produces, so two correct engines disagree in the last few ulps
+— enough to break an order-insensitive *value-hash* comparison. The fixture
+measures (`l_extendedprice`, `l_discount`, `o_totalprice`, `events.value`,
+…) all live on a fixed decimal grid (cents / basis points), so the sums are
+exactly representable if accumulated as integers.
+
+Pattern: scale each row value to the grid, ``round``-cast to ``long``,
+sum as a 64-bit integer (associative, order-independent, overflow-safe for
+anything the fixtures or a 100 TB run produce while values stay < 2^53 /
+rowcount), then divide back once. Both engines then produce *bit-identical*
+doubles. The same expression is mirrored in the oracle SQL:
+
+    CAST(SUM(CAST(ROUND(expr * 10000) AS BIGINT)) AS BIGINT) / 10000.0
+
+This is an engine-level determinism technique, not a benchmark trick: the
+scaled sum compiles to the same two-phase partial/final HashAggregate as a
+plain ``sum`` and costs the same at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: 1e4 grid: exact for values with <= 4 decimal places (price * (1-discount)
+#: style expressions over cent-grid inputs).
+DEFAULT_SCALE = 10_000
+
+
+def money_sum(col: Column | str, scale: int = DEFAULT_SCALE) -> Column:
+    """Order-independent SUM for decimal-grid doubles. Returns double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(F.round(c * scale).cast("long")) / float(scale)
+
+
+def money_avg(col: Column | str, scale: int = DEFAULT_SCALE) -> Column:
+    """Order-independent AVG: exact integer sum / exact count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(F.round(c * scale).cast("long")) / float(scale) / F.count(c)
+    )
+
+
+def money_sum_sql(expr: str, scale: int = DEFAULT_SCALE) -> str:
+    """DuckDB-side mirror of :func:`money_sum` (DuckDB SUM(BIGINT)→HUGEINT,
+    hence the outer cast back to BIGINT before the float division)."""
+    return f"CAST(SUM(CAST(ROUND(({expr}) * {scale}) AS BIGINT)) AS BIGINT) / {scale}.0"
+
+
+def money_avg_sql(expr: str, scale: int = DEFAULT_SCALE) -> str:
+    return f"{money_sum_sql(expr, scale)} / COUNT({expr})"

@@ -1,0 +1,36 @@
+"""Mirror of the driver's t2 gate (SURVEY.md §5.3 layer 4).
+
+Every registered query runs at sf0.001 against its DuckDB oracle with a
+comparison stricter than the driver's (exact cell equality, not a hash) —
+so the driver's sf0.01 run is never the first execution of a query.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ppdb_parser_spark.plans.oracle import check_query
+from ppdb_parser_spark.queries import REGISTRY
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_oracle_parity(spark, sf_dir, name):
+    result = check_query(spark, sf_dir, name)
+    assert result.ok, f"{name}: {result.detail}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert len(df.schema) >= 2
+
+
+def test_contract_shape():
+    import __spark_entry__ as e
+
+    qs, osql = e.queries(), e.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 10
