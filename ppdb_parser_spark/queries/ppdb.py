@@ -1,0 +1,253 @@
+"""PPDB parse-kernel queries (SURVEY.md §2.2 P1–P6, plus W1/A4/J6/X5 over
+the parsed relation).
+
+Every query reads the deterministic gzipped pack through the real S1 path
+(``spark.read.text`` over ``*.txt.gz`` shards) and parses with the built-in
+kernel; the oracle parses the *identical* lines (inlined as a VALUES
+relation) with DuckDB string functions — so the whole gzip → split → type →
+query pipeline is hash-checked end-to-end, not just the final aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import money_sum, money_sum_sql
+from ..operators.ppdb import ENTAILMENT_ENUM, parse_ppdb
+from ..sources.ppdb_pack import ensure_pack, lines_values_sql
+from ..sources.text import read_text_lines
+from .registry import query
+
+_ENUM_SQL = ", ".join(f"'{e}'" for e in ENTAILMENT_ENUM)
+
+#: DuckDB twin of the parse kernel. `p` is 1-indexed; ` ||| ` is literal.
+_PARSE_CTE = f"""
+    WITH raw AS (SELECT value FROM {{values_rel}} r),
+    split_lines AS (
+      SELECT value, str_split(value, ' ||| ') AS p,
+             len(str_split(value, ' ||| ')) AS n
+      FROM raw
+    ),
+    parsed AS (
+      SELECT trim(p[1]) AS lhs,
+             trim(p[2]) AS phrase,
+             trim(p[3]) AS paraphrase,
+             trim(p[4]) AS feats,
+             trim(p[5]) AS align,
+             CASE WHEN trim(p[6]) IN ({_ENUM_SQL}) THEN trim(p[6]) END AS entailment,
+             try_cast(regexp_extract(p[4] || ' ', 'PPDB2.0Score=([^ ]*) ', 1) AS DOUBLE)
+               AS ppdb2score,
+             CASE WHEN trim(p[4]) = '' THEN 0
+                  ELSE len(str_split(trim(p[4]), ' ')) END AS n_feats,
+             CASE WHEN trim(p[5]) = '' THEN 0
+                  ELSE len(str_split(trim(p[5]), ' ')) END AS n_aligns
+      FROM split_lines WHERE n IN (5, 6)
+    )
+"""
+
+
+def _parse_cte() -> str:
+    return _PARSE_CTE.format(values_rel=lines_values_sql())
+
+
+def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pack = ensure_pack()
+    return parse_ppdb(read_text_lines(spark, pack + "/*.txt.gz"))
+
+
+# --------------------------------------------------------------------------
+# P1/P2/P3/P4 + A1: per-LHS parse statistics. n_feats/n_aligns exercise the
+# map and array parses in an oracle-checkable scalar form.
+# --------------------------------------------------------------------------
+@query(
+    "ppdb_parse_stats",
+    oracle=_parse_cte()
+    + f"""
+    SELECT lhs,
+           COUNT(*) AS n_rules,
+           COUNT(DISTINCT phrase) AS n_phrases,
+           {money_sum_sql("COALESCE(ppdb2score, 0)")} AS sum_score,
+           SUM(n_feats) AS total_feats,
+           SUM(n_aligns) AS total_aligns
+    FROM parsed GROUP BY lhs
+    """,
+    tags=("S1", "P1", "P2", "P3", "P4", "A1"),
+    bench=True,
+)
+def ppdb_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _parsed(spark, sf_dir).filter(F.col("is_valid"))
+    return df.groupBy("lhs").agg(
+        F.count(F.lit(1)).alias("n_rules"),
+        F.countDistinct("phrase").alias("n_phrases"),
+        money_sum(F.coalesce(F.col("ppdb2score"), F.lit(0.0))).alias("sum_score"),
+        F.sum(F.size("features")).cast("long").alias("total_feats"),
+        F.sum(F.coalesce(F.size("alignment"), F.lit(0))).cast("long").alias(
+            "total_aligns"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# P6: malformed-line quarantine — the parser must count, not crash.
+# --------------------------------------------------------------------------
+@query(
+    "ppdb_quarantine",
+    oracle=f"""
+    WITH raw AS (SELECT value FROM {{values_rel}} r)
+    SELECT len(str_split(value, ' ||| ')) AS n_fields,
+           len(str_split(value, ' ||| ')) IN (5, 6) AS is_valid,
+           COUNT(*) AS n_lines
+    FROM raw GROUP BY 1, 2
+    """.format(values_rel=lines_values_sql()),
+    tags=("S1", "P6"),
+)
+def ppdb_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _parsed(spark, sf_dir)
+    return df.groupBy(
+        F.col("n_fields").cast("long").alias("n_fields"), "is_valid"
+    ).agg(F.count(F.lit(1)).alias("n_lines"))
+
+
+# --------------------------------------------------------------------------
+# P5: entailment-relation distribution (PPDB 2.0 vs 1.0 lines).
+# --------------------------------------------------------------------------
+@query(
+    "ppdb_entailment_dist",
+    oracle=_parse_cte()
+    + """
+    SELECT COALESCE(entailment, 'none') AS entailment, COUNT(*) AS n_rules
+    FROM parsed GROUP BY 1
+    """,
+    tags=("P5",),
+)
+def ppdb_entailment_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _parsed(spark, sf_dir).filter(F.col("is_valid"))
+    return df.groupBy(
+        F.coalesce(F.col("entailment"), F.lit("none")).alias("entailment")
+    ).agg(F.count(F.lit(1)).alias("n_rules"))
+
+
+# --------------------------------------------------------------------------
+# W1 over the parsed relation: ranked paraphrase lookup — the reference's
+# headline query verb (dict.get + sort by score), as a window top-k.
+# --------------------------------------------------------------------------
+@query(
+    "ppdb_top_paraphrases",
+    oracle=_parse_cte()
+    + """
+    SELECT phrase, paraphrase, ppdb2score, rk FROM (
+      SELECT phrase, paraphrase, ppdb2score,
+             ROW_NUMBER() OVER (PARTITION BY phrase
+                                ORDER BY ppdb2score DESC, paraphrase) AS rk
+      FROM (SELECT DISTINCT phrase, paraphrase, ppdb2score
+            FROM parsed WHERE ppdb2score IS NOT NULL)
+    ) WHERE rk <= 2
+    """,
+    tags=("W1", "P3"),
+    bench=True,
+)
+def ppdb_top_paraphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = (
+        _parsed(spark, sf_dir)
+        .filter(F.col("is_valid") & F.col("ppdb2score").isNotNull())
+        .select("phrase", "paraphrase", "ppdb2score")
+        .distinct()
+    )
+    w = Window.partitionBy("phrase").orderBy(
+        F.desc("ppdb2score"), F.asc("paraphrase")
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 2)
+    )
+
+
+# --------------------------------------------------------------------------
+# A4: the reference's output shape — phrase → ordered paraphrase list —
+# serialized to a string so the oracle comparison stays scalar.
+# --------------------------------------------------------------------------
+@query(
+    "ppdb_collect_paraphrases",
+    oracle=_parse_cte()
+    + """
+    SELECT phrase,
+           COUNT(DISTINCT paraphrase) AS n_paraphrases,
+           string_agg(DISTINCT paraphrase, ',' ORDER BY paraphrase) AS paraphrases
+    FROM parsed GROUP BY phrase
+    """,
+    tags=("A4",),
+)
+def ppdb_collect_paraphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _parsed(spark, sf_dir).filter(F.col("is_valid"))
+    return df.groupBy("phrase").agg(
+        F.countDistinct("paraphrase").alias("n_paraphrases"),
+        F.array_join(F.array_sort(F.collect_set("paraphrase")), ",").alias(
+            "paraphrases"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# J6: paraphrase symmetry — rules present in both directions (self join).
+# --------------------------------------------------------------------------
+@query(
+    "ppdb_symmetric_pairs",
+    oracle=_parse_cte()
+    + """
+    SELECT DISTINCT a.phrase AS phrase, a.paraphrase AS paraphrase
+    FROM parsed a JOIN parsed b
+      ON a.phrase = b.paraphrase AND a.paraphrase = b.phrase
+    WHERE a.phrase < a.paraphrase
+    """,
+    tags=("J6",),
+)
+def ppdb_symmetric_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = (
+        _parsed(spark, sf_dir)
+        .filter(F.col("is_valid"))
+        .select("phrase", "paraphrase")
+    )
+    a, b = df.alias("a"), df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.phrase") == F.col("b.paraphrase"))
+            & (F.col("a.paraphrase") == F.col("b.phrase")),
+        )
+        .filter(F.col("a.phrase") < F.col("a.paraphrase"))
+        .select(
+            F.col("a.phrase").alias("phrase"),
+            F.col("a.paraphrase").alias("paraphrase"),
+        )
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# X5: map functions over the open feature set — per-key frequency and mean.
+# --------------------------------------------------------------------------
+@query(
+    "ppdb_feature_keys",
+    oracle=_parse_cte()
+    + f"""
+    , kv AS (
+      SELECT split_part(f, '=', 1) AS key,
+             try_cast(split_part(f, '=', 2) AS DOUBLE) AS val
+      FROM parsed, unnest(str_split(feats, ' ')) AS t(f)
+      WHERE feats <> ''
+    )
+    SELECT key,
+           COUNT(*) AS n_occurrences,
+           {money_sum_sql("COALESCE(val, 0)")} AS sum_value
+    FROM kv GROUP BY key
+    """,
+    tags=("X5", "P2"),
+)
+def ppdb_feature_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _parsed(spark, sf_dir).filter(F.col("is_valid"))
+    kv = df.select(F.explode("features").alias("key", "val"))
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        money_sum(F.coalesce(F.col("val"), F.lit(0.0))).alias("sum_value"),
+    )
