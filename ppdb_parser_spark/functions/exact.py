@@ -45,9 +45,16 @@ def money_avg(col: Column | str, scale: int = DEFAULT_SCALE) -> Column:
 
 
 def money_sum_sql(expr: str, scale: int = DEFAULT_SCALE) -> str:
-    """DuckDB-side mirror of :func:`money_sum` (DuckDB SUM(BIGINT)→HUGEINT,
-    hence the outer cast back to BIGINT before the float division)."""
-    return f"CAST(SUM(CAST(ROUND(({expr}) * {scale}) AS BIGINT)) AS BIGINT) / {scale}.0"
+    """SQL mirror of :func:`money_sum`, valid in BOTH DuckDB and Spark SQL.
+
+    The inner cast back to BIGINT neutralizes DuckDB's SUM(BIGINT)→HUGEINT
+    widening; the outer CAST AS DOUBLE neutralizes Spark SQL parsing
+    ``10000.0`` as a DECIMAL literal (BIGINT/DECIMAL→DECIMAL there, while
+    DuckDB's division already yields DOUBLE)."""
+    return (
+        f"CAST(CAST(SUM(CAST(ROUND(({expr}) * {scale}) AS BIGINT)) AS BIGINT)"
+        f" / {scale}.0 AS DOUBLE)"
+    )
 
 
 def money_avg_sql(expr: str, scale: int = DEFAULT_SCALE) -> str:

@@ -1,0 +1,164 @@
+"""Embedding similarity-search operators (SURVEY.md §2.9 L1/L2).
+
+- :func:`with_cosine` — cosine similarity against a probe vector as a pure
+  SQL higher-order-function expression (zip_with product + aggregate sum):
+  JVM-side, codegen'd, no Python boundary. The per-row reduction is a
+  fixed-length (dim-64) loop — at 100 TB this is a narrow map over the
+  scan, embarrassingly parallel, no shuffle at all until the top-k.
+- :func:`cosine_topk` — brute-force exact top-k: map + TakeOrderedAndProject
+  (no global sort materialization).
+- :func:`lsh_similarity_join` — the sub-quadratic scale path: seeded
+  random-hyperplane LSH implemented relationally (doc ⋈ hyperplanes →
+  signature → band bucket join), avoiding O(n²) for all-pairs search.
+
+Cross-engine float note: cosine values are rounded to 6 decimals before any
+threshold/ranking — the dot-product accumulation order differs between
+engines (ulp-level), while true cosines of random vectors are continuous,
+so a 1e-6 grid is both safe and stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def with_cosine(
+    df: DataFrame,
+    probe: list[float],
+    vec_col: str = "embedding",
+    out_col: str = "cosine",
+) -> DataFrame:
+    """Attach round(cosine(vec, probe), 6) for a constant probe vector."""
+    p = F.array(*[F.lit(float(v)) for v in probe])
+    c = _dot(F.col(vec_col), p) / (_norm(F.col(vec_col)) * _norm(p))
+    return df.withColumn(out_col, F.round(c, 6))
+
+
+def cosine_topk(
+    df: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine (desc, id asc tie-break) — orderBy+limit shape
+    so Catalyst plans TakeOrderedAndProject (per-partition heaps, no global
+    sort)."""
+    return (
+        with_cosine(df, probe, vec_col)
+        .select(id_col, "label", "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def pairwise_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold (brute force O(n²) — correctness
+    baseline; use :func:`lsh_similarity_join` at scale)."""
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    return (
+        pairs.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def lsh_similarity_join(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH near-neighbor join, fully relational.
+
+    signature bit i = sign(v · h_i) for seeded hyperplanes h_i; the
+    n_planes bits split into n_bands bands; candidate pairs share ≥1 band
+    value (equi join on (band, band_sig) — sub-quadratic); refined with the
+    exact cosine. Deterministic given the seed, but recall is approximate →
+    rows-only driver check.
+    """
+    import random
+
+    rng = random.Random(seed)
+    dim = len(df.select(vec_col).first()[0])
+    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+    bits_per_band = n_planes // n_bands
+
+    sig_bits = [
+        F.when(_dot(F.col(vec_col), F.array(*[F.lit(x) for x in p])) >= 0, 1)
+        .otherwise(0)
+        .alias(f"bit{i}")
+        for i, p in enumerate(planes)
+    ]
+    sig = df.select(F.col(id_col), F.col(vec_col), *sig_bits)
+    band_cols = [
+        F.concat_ws(
+            "",
+            *[F.col(f"bit{b * bits_per_band + j}") for j in range(bits_per_band)],
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    sig = sig.select(id_col, vec_col, *band_cols)
+    banded = sig.select(
+        id_col,
+        vec_col,
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias(
+            "band", "band_sig"
+        ),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "band", "band_sig"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "band", "band_sig"
+    )
+    cand = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .distinct()
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    return (
+        cand.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

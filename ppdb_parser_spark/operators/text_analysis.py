@@ -1,0 +1,218 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY.md §2.9 L3–L6 and
+the north-star extensions: language-ID, quality scoring, token counting,
+fingerprinting, sentiment, TF-IDF).
+
+All operators are pure DataFrame compositions (explode → broadcast join →
+aggregate; no Python UDFs), so they scale as hash aggregates over the token
+stream: ~#tokens rows shuffled, map-side partial aggregation, broadcast
+lexicons. Constants below are the single source of truth for both the Spark
+implementations and the DuckDB oracle VALUES relations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Minimal stopword list over the fixture vocabulary.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+#: Per-language marker words (synthetic language-ID profiles — the fixture
+#: corpus is same-vocabulary word soup, so markers are arbitrary but fixed;
+#: the operator shape — explode ⋈ broadcast profile → argmax — is the real
+#: deliverable).
+LANG_MARKERS = {
+    "en": ("the", "fast", "key"),
+    "fr": ("table", "merge", "row"),
+    "es": ("data", "scan", "order"),
+    "de": ("group", "filter", "window"),
+    "zh": ("spark", "query", "small"),
+}
+
+#: Signed unit-polarity sentiment lexicon over the fixture vocabulary.
+SENTIMENT_LEXICON = {
+    "fast": 1,
+    "small": 1,
+    "merge": 1,
+    "cache": 1,
+    "index": 1,
+    "slow": -1,
+    "error": -1,
+    "block": -1,
+    "shift": -1,
+    "disk": -1,
+}
+
+
+def tokens(df: DataFrame, text_col: str = "text") -> Column:
+    """Whitespace tokenizer as a column expression (fixture text is
+    single-space separated)."""
+    return F.split(F.col(text_col), " ")
+
+
+def exploded_tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, token, pos) token stream — the fan-out primitive every other
+    operator aggregates over."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(tokens(df, text_col)).alias("pos", "token"),
+    )
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document token counting + stopword/uniqueness ratios (exact
+    rational doubles: int/int division is deterministic cross-engine)."""
+    toks = tokens(df, text_col)
+    n_tok = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long").alias(
+            "n_stopwords"
+        ),
+        (
+            F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n_tok
+        ).alias("stopword_ratio"),
+        (F.size(F.array_distinct(toks)) / n_tok).alias("unique_ratio"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1]: length saturation, uniqueness, and
+    stopword-presence terms with fixed weights. Fixed expression order keeps
+    the double arithmetic bit-identical across engines."""
+    toks = tokens(df, text_col)
+    n_tok = F.size(toks)
+    len_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    uniq_term = F.size(F.array_distinct(toks)) / n_tok
+    stop_term = F.least(
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / F.lit(5.0),
+        F.lit(1.0),
+    )
+    return df.select(
+        F.col(id_col),
+        F.col("lang"),
+        len_term.alias("len_term"),
+        uniq_term.alias("uniq_term"),
+        stop_term.alias("stop_term"),
+        (
+            len_term * 0.4 + uniq_term * 0.4 + stop_term * 0.2
+        ).alias("quality"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text.
+    md5 hex output is identical in Spark and DuckDB → strong oracle."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fingerprint"),
+    )
+
+
+def _markers_df(spark) -> DataFrame:
+    rows = [
+        (lang, word) for lang, words in sorted(LANG_MARKERS.items()) for word in words
+    ]
+    return spark.createDataFrame(rows, "cand_lang string, marker string")
+
+
+def markers_values_sql() -> str:
+    rows = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang, words in sorted(LANG_MARKERS.items())
+        for w in words
+    )
+    return f"(SELECT * FROM (VALUES {rows}) AS m(cand_lang, marker))"
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language-ID: count marker-word hits per candidate language,
+    pick the argmax (ties → alphabetically first candidate; docs with zero
+    hits across all languages → 'und')."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    hits = (
+        exploded_tokens(df, id_col, text_col)
+        .join(F.broadcast(_markers_df(spark)), F.col("token") == F.col("marker"))
+        .groupBy(id_col, "cand_lang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("n_hits"), F.asc("cand_lang"))
+    best = (
+        hits.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(F.col(id_col), F.col("cand_lang").alias("pred_lang"),
+                F.col("n_hits").alias("marker_hits"))
+    )
+    return (
+        df.select(id_col, "lang")
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            "lang",
+            F.coalesce(F.col("pred_lang"), F.lit("und")).alias("pred_lang"),
+            F.coalesce(F.col("marker_hits"), F.lit(0)).cast("long").alias(
+                "marker_hits"
+            ),
+        )
+    )
+
+
+def _lexicon_df(spark) -> DataFrame:
+    rows = sorted(SENTIMENT_LEXICON.items())
+    return spark.createDataFrame(rows, "word string, polarity long")
+
+
+def lexicon_values_sql() -> str:
+    rows = ", ".join(f"('{w}', {p})" for w, p in sorted(SENTIMENT_LEXICON.items()))
+    return f"(SELECT * FROM (VALUES {rows}) AS lx(word, polarity))"
+
+
+def sentiment(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Lexicon sentiment: integer polarity sum + hit count per document
+    (explode ⋈ broadcast lexicon → hash aggregate; all-integer arithmetic)."""
+    toks = exploded_tokens(df, id_col, text_col)
+    scored = toks.join(
+        F.broadcast(_lexicon_df(df.sparkSession)), F.col("token") == F.col("word")
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.sum("polarity").cast("long").alias("polarity_sum"),
+        F.count(F.lit(1)).alias("n_sentiment_tokens"),
+    )
+    return (
+        df.select(id_col, "lang")
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            "lang",
+            F.coalesce(F.col("polarity_sum"), F.lit(0)).cast("long").alias(
+                "polarity_sum"
+            ),
+            F.coalesce(F.col("n_sentiment_tokens"), F.lit(0)).cast("long").alias(
+                "n_sentiment_tokens"
+            ),
+        )
+    )
+
+
+def tf_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Relational TF-IDF over the token stream: tf = in-doc count, df =
+    #docs containing token, idf = ln(N/df) rounded to 8 decimals (the only
+    transcendental — rounded so both engines agree bit-for-bit), tfidf =
+    tf * idf. Returns (doc_id, token, tf, doc_freq, tfidf)."""
+    n_docs = df.count()  # scalar driver-side count: one cheap job, cached plan
+    toks = exploded_tokens(df, id_col, text_col)
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return (
+        tf.join(docfreq, "token")
+        .withColumn("idf", F.round(F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 8))
+        .withColumn("tfidf", F.col("tf") * F.col("idf"))
+        .select(id_col, "token", F.col("tf").cast("long").alias("tf"),
+                F.col("doc_freq").cast("long").alias("doc_freq"), "tfidf")
+    )

@@ -1,6 +1,15 @@
 """Query library: importing this package populates the registry."""
 
-from . import ppdb, relational  # noqa: F401
+from . import (  # noqa: F401
+    aggregates,
+    dedup,
+    ppdb,
+    relational,
+    scalars,
+    similarity,
+    text_analysis,
+    windows,
+)
 from .registry import REGISTRY, oracle_sql, queries
 
 __all__ = ["REGISTRY", "queries", "oracle_sql"]

@@ -1,0 +1,263 @@
+"""Aggregation-completeness queries (SURVEY.md §2.5 A1–A7).
+
+The TPC-H-Q1-shaped ``agg_pricing_summary`` is the headline hash-aggregate;
+rollup/cube/grouping-sets go through both the DataFrame API and the SQL
+entry point (§3.3). Sums stay on the exact integer grid (see
+``functions/exact.py``); ``sum_charge`` is a 6-decimal product so it scales
+by 1e6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import money_sum, money_sum_sql
+from ..sources.tables import load_table, register_views
+from .registry import query
+
+
+# --------------------------------------------------------------------------
+# A1 (full shape): TPC-H Q1-style pricing summary.
+# --------------------------------------------------------------------------
+@query(
+    "agg_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {money_sum_sql("l_quantity")} AS sum_qty,
+           {money_sum_sql("l_extendedprice")} AS sum_base_price,
+           {money_sum_sql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+           {money_sum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 1_000_000)} AS sum_charge,
+           {money_sum_sql("l_quantity")} / COUNT(*) AS avg_qty,
+           {money_sum_sql("l_discount")} / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("A1", "F2"),
+    bench=True,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    cnt = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        money_sum("l_quantity").alias("sum_qty"),
+        money_sum("l_extendedprice").alias("sum_base_price"),
+        money_sum(disc_price).alias("sum_disc_price"),
+        money_sum(charge, 1_000_000).alias("sum_charge"),
+        (money_sum("l_quantity") / cnt).alias("avg_qty"),
+        (money_sum("l_discount") / cnt).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A2: exact distinct counts (multiple in one aggregate → Spark expand).
+# --------------------------------------------------------------------------
+@query(
+    "agg_distinct_counts",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("A2",),
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A3: approximate distinct (HLL). Estimates are engine-specific → rows-only;
+# the relative-error contract is asserted in tests instead.
+# --------------------------------------------------------------------------
+@query("agg_approx_distinct", oracle=None, tags=("A3",))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A5: rollup with grouping_id.
+# --------------------------------------------------------------------------
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT r_name, n_name,
+           GROUPING(r_name, n_name) AS gid,
+           COUNT(*) AS n_customers,
+           {money_sum_sql("c_acctbal")} AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("A5",),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_customers"),
+            money_sum("c_acctbal").alias("sum_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A5: cube.
+# --------------------------------------------------------------------------
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           {money_sum_sql("l_quantity")} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("A5",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        money_sum("l_quantity").alias("sum_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A5 via the SQL entry point: GROUPING SETS (§3.3 — ANTLR → same Catalyst
+# pipeline; also exercises S6 view registration).
+# --------------------------------------------------------------------------
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {money_sum_sql("o_totalprice")} AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("A5", "S6"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               {money_sum_sql("o_totalprice")} AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# A6: pivot (conditional aggregation spread over columns).
+# --------------------------------------------------------------------------
+@query(
+    "agg_pivot_status",
+    oracle="""
+    SELECT o_orderpriority,
+           COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS n_open,
+           COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS n_finished,
+           COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS n_pending
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("A6",),
+)
+def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_finished"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_pending"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A6: filtered aggregation (sum over CASE) — revenue split by return status.
+# --------------------------------------------------------------------------
+@query(
+    "agg_filtered",
+    oracle=f"""
+    SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           {money_sum_sql("CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END")}
+             AS returned_value,
+           {money_sum_sql("CASE WHEN l_returnflag <> 'R' THEN l_extendedprice ELSE 0 END")}
+             AS kept_value,
+           COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned
+    FROM lineitem GROUP BY 1
+    """,
+    tags=("A6", "X2"),
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    is_r = F.col("l_returnflag") == "R"
+    return li.groupBy(
+        F.year("l_shipdate").cast("long").alias("ship_year")
+    ).agg(
+        money_sum(F.when(is_r, F.col("l_extendedprice")).otherwise(0.0)).alias(
+            "returned_value"
+        ),
+        money_sum(F.when(~is_r, F.col("l_extendedprice")).otherwise(0.0)).alias(
+            "kept_value"
+        ),
+        F.count(F.when(is_r, F.lit(1))).alias("n_returned"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A7: exact median / percentiles (interpolating, on grid values).
+# --------------------------------------------------------------------------
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           median(l_quantity) AS med_qty,
+           quantile_cont(l_quantity, 0.25) AS p25_qty,
+           quantile_cont(l_quantity, 0.75) AS p75_qty,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("A7",),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.percentile("l_quantity", 0.25).alias("p25_qty"),
+        F.percentile("l_quantity", 0.75).alias("p75_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )

@@ -1,0 +1,141 @@
+"""Dedup queries over `documents` (SURVEY.md §2.7 O5/O6 + north-star dedup
+family). The MinHash-LSH variant is approximate (seeded) → rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as DD
+from ..sources.tables import load_table
+from .registry import query
+
+_TOKS_CTE = """
+    toks AS (
+      SELECT DISTINCT doc_id, t.tok AS token
+      FROM documents, unnest(str_split(text, ' ')) AS t(tok)
+    )
+"""
+
+
+# --------------------------------------------------------------------------
+# O5: exact dedup via content hash.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    tags=("O5", "L7"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Near-dup via exact word-bigram Jaccard (candidate join on shared
+# shingles + rational refinement — the oracle-able baseline for O6).
+# --------------------------------------------------------------------------
+@query(
+    "dedup_jaccard_pairs",
+    oracle="""
+    WITH pos_toks AS (
+      SELECT doc_id,
+             unnest(str_split(text, ' ')) AS token,
+             generate_subscripts(str_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS shingle
+      FROM pos_toks
+    ),
+    shn AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL
+            AND len(str_split(shingle, ' ')) = 2),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shn GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM shn a JOIN shn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common,
+           sa.n_shingles AS n_a, sb.n_shingles AS n_b,
+           n_common / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.id_a = sa.doc_id
+    JOIN sizes sb ON inter.id_b = sb.doc_id
+    WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.3
+    """,
+    tags=("O6", "J2", "A1"),
+    bench=True,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.3, n=2
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash signatures (integer bit votes from md5 — deterministic sketch,
+# fully oracle-checkable).
+# --------------------------------------------------------------------------
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h
+      FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, b.b AS b, ((h >> b.b) % 2) * 2 - 1 AS vote
+      FROM hashed, (SELECT unnest(range(0, {DD.SIMHASH_BITS})) AS b) b
+    ),
+    votes AS (SELECT doc_id, b, SUM(vote) AS v FROM bits GROUP BY doc_id, b)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+    tags=("O6", "X3"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# O6: MinHash-LSH approximate near-dup join (pyspark.ml, fixed seed).
+# Approximate candidate recall is engine-specific → rows-only check; the
+# "every reported pair really exceeds the Jaccard threshold" property is
+# asserted in tests against the exact operator.
+# --------------------------------------------------------------------------
+@query("dedup_minhash_lsh", oracle=None, tags=("O6",))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        DD.word_shingles(docs, n=2)
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("shingles"))
+    )
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18
+    ).transform(sh)
+    mh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=8, seed=42)
+    model = mh.fit(tf)
+    pairs = model.approxSimilarityJoin(tf, tf, 0.7, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.col("jaccard_dist"),
+        )
+    )

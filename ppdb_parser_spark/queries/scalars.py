@@ -1,0 +1,207 @@
+"""Scalar function surface (SURVEY.md §2.8 X1–X6).
+
+Row-level function batteries over the fixture tables, one query per family.
+Cross-engine float discipline: transcendental results (ln/exp) are rounded
+to 8 decimals — their true values are continuous, so the probability of a
+rounding-boundary straddle is ~1e-8/value, while sqrt/pow on small integer
+grids are IEEE-exact and stay unrounded. Derived ints are cast to long.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.tables import load_table
+from .registry import query
+
+
+# --------------------------------------------------------------------------
+# X1: string functions over part.
+# --------------------------------------------------------------------------
+@query(
+    "scalar_strings",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           upper(p_brand) AS brand_upper,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           substring(p_type, 1, 5) AS type_prefix,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           CAST(levenshtein(p_brand, 'Brand#33') AS BIGINT) AS brand_dist,
+           regexp_extract(p_type, '^([A-Z]+)', 1) AS type_first_word,
+           replace(p_name, ' ', '_') AS name_snake,
+           CAST(instr(p_type, 'ED') AS BIGINT) AS ed_pos,
+           CAST(len(str_split(p_type, ' ')) AS BIGINT) AS type_words
+    FROM part
+    """,
+    tags=("X1",),
+)
+def scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#33")).cast("long").alias(
+            "brand_dist"
+        ),
+        F.regexp_extract("p_type", r"^([A-Z]+)", 1).alias("type_first_word"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.instr(F.col("p_type"), "ED").cast("long").alias("ed_pos"),
+        F.size(F.split("p_type", " ")).cast("long").alias("type_words"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X2: date/time functions over orders.
+# --------------------------------------------------------------------------
+@query(
+    "scalar_dates",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           CAST(day(o_orderdate) AS BIGINT) AS order_day,
+           CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow_sun1,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS BIGINT)
+             AS days_to_y2k,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_day
+    FROM orders
+    """,
+    tags=("X2",),
+)
+def scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("order_year"),
+        F.quarter(d).cast("long").alias("order_quarter"),
+        F.month(d).cast("long").alias("order_month"),
+        F.dayofmonth(d).cast("long").alias("order_day"),
+        F.dayofweek(d).cast("long").alias("dow_sun1"),  # Spark: 1=Sunday
+        F.date_trunc("month", d).alias("month_start"),
+        F.datediff(
+            F.lit("2000-01-01").cast("timestamp_ntz"), d
+        ).cast("long").alias("days_to_y2k"),
+        F.expr("timestampadd(DAY, 30, o_orderdate)").alias("due_date"),
+        F.date_format(d, "yyyy-MM-dd").alias("iso_day"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X3: math functions over a deterministic lineitem sample.
+# --------------------------------------------------------------------------
+@query(
+    "scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_quantity - 25) AS qty_dev,
+           floor(l_extendedprice) AS price_floor,
+           ceil(l_extendedprice) AS price_ceil,
+           round(ln(l_extendedprice), 8) AS price_ln,
+           sqrt(l_quantity) AS qty_sqrt,
+           pow(l_quantity, 2) AS qty_sq,
+           greatest(l_tax, l_discount) AS max_rate,
+           least(l_tax, l_discount) AS min_rate,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod7
+    FROM lineitem
+    WHERE l_orderkey % 97 = 0
+    """,
+    tags=("X3", "F4"),
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 97 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.floor("l_extendedprice").cast("double").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("double").alias("price_ceil"),
+        F.round(F.log("l_extendedprice"), 8).alias("price_ln"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        (F.col("l_orderkey") % 7).cast("long").alias("key_mod7"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X4: array functions incl. higher-order lambdas, over document tokens.
+# --------------------------------------------------------------------------
+@query(
+    "scalar_arrays",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+           list_contains(str_split(text, ' '), 'spark') AS has_spark,
+           array_to_string(list_slice(str_split(text, ' '), 1, 3), ' ') AS first3,
+           CAST(len(list_filter(str_split(text, ' '), x -> length(x) > 4)) AS BIGINT)
+             AS n_long_tokens,
+           CAST(list_aggregate(list_transform(str_split(text, ' '), x -> length(x)),
+                               'sum') AS BIGINT) AS total_token_chars,
+           list_sort(str_split(text, ' '))[1] AS alpha_first
+    FROM documents
+    """,
+    tags=("X4",),
+)
+def scalar_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).cast("long").alias(
+            "n_long_tokens"
+        ),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_token_chars"),
+        F.element_at(F.array_sort(toks), 1).alias("alpha_first"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X6: JSON extraction from events.props — both the path API and the typed
+# from_json API on the Spark side, one scalar answer for the oracle.
+# --------------------------------------------------------------------------
+@query(
+    "scalar_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                 THEN 1 END) AS n_high
+    FROM events GROUP BY event_type
+    """,
+    tags=("X6",),
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k_path = F.get_json_object("props", "$.k").cast("long")
+    k_typed = F.from_json(
+        "props", T.StructType([T.StructField("k", T.LongType())])
+    ).getField("k")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k_path).alias("sum_k"),
+        F.max(k_typed).cast("long").alias("max_k"),
+        F.count(F.when(k_path > 50, F.lit(1))).alias("n_high"),
+    )

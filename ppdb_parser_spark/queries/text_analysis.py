@@ -1,0 +1,216 @@
+"""Text-analysis queries over `documents` (SURVEY.md §2.9 + north-star
+text ops: token stats, quality scoring, language-ID, fingerprinting,
+sentiment, TF-IDF, language routing).
+
+Oracle twins re-express the same token-stream relational algebra in DuckDB
+(str_split + unnest + joins on inline VALUES lexicons built from the same
+Python constants — single source of truth in operators/text_analysis.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import text_analysis as TA
+from ..sources.tables import load_table
+from .registry import query
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in TA.STOPWORDS)
+
+
+# --------------------------------------------------------------------------
+# Token counting + ratios (per document; exact int/int rationals).
+# --------------------------------------------------------------------------
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS n_distinct,
+           CAST(len(list_filter(str_split(text, ' '), t -> t IN ({_STOP_SQL})))
+                AS BIGINT) AS n_stopwords,
+           len(list_filter(str_split(text, ' '), t -> t IN ({_STOP_SQL})))
+             / len(str_split(text, ' ')) AS stopword_ratio,
+           len(list_distinct(str_split(text, ' ')))
+             / len(str_split(text, ' ')) AS unique_ratio,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    tags=("X1", "X4", "L6"),
+    bench=True,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Quality scoring (fixed-weight composite; fixed evaluation order).
+# --------------------------------------------------------------------------
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(str_split(text, ' ')) AS n_tok,
+             len(list_distinct(str_split(text, ' '))) AS n_uniq,
+             len(list_filter(str_split(text, ' '), x -> x IN ({_STOP_SQL}))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           least(n_tok / 100.0, 1.0) AS len_term,
+           n_uniq / n_tok AS uniq_term,
+           least(n_stop / 5.0, 1.0) AS stop_term,
+           least(n_tok / 100.0, 1.0) * 0.4
+             + (n_uniq / n_tok) * 0.4
+             + least(n_stop / 5.0, 1.0) * 0.2 AS quality
+    FROM t
+    """,
+    tags=("L6", "F3"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Language-ID: marker-hit argmax (explode ⋈ broadcast profile → window).
+# --------------------------------------------------------------------------
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, t.tok AS token
+      FROM documents, unnest(str_split(text, ' ')) AS t(tok)
+    ),
+    hits AS (
+      SELECT doc_id, cand_lang, COUNT(*) AS n_hits
+      FROM toks JOIN {TA.markers_values_sql()} m ON token = marker
+      GROUP BY doc_id, cand_lang
+    ),
+    best AS (
+      SELECT doc_id, cand_lang AS pred_lang, n_hits FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY n_hits DESC, cand_lang) AS rk
+        FROM hits
+      ) WHERE rk = 1
+    )
+    SELECT d.doc_id AS doc_id, d.lang AS lang,
+           COALESCE(b.pred_lang, 'und') AS pred_lang,
+           COALESCE(b.n_hits, 0) AS marker_hits
+    FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+    """,
+    tags=("L6", "J1", "W1"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting (md5 of normalized text — identical hex both
+# engines) + per-lang distinct-content rollup.
+# --------------------------------------------------------------------------
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+    tags=("L7", "X1"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Sentiment: broadcast-lexicon polarity sum (all-integer).
+# --------------------------------------------------------------------------
+@query(
+    "text_sentiment",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, t.tok AS token
+      FROM documents, unnest(str_split(text, ' ')) AS t(tok)
+    ),
+    agg AS (
+      SELECT doc_id, SUM(polarity) AS polarity_sum, COUNT(*) AS n_sentiment_tokens
+      FROM toks JOIN {TA.lexicon_values_sql()} lx ON token = word
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id AS doc_id, d.lang AS lang,
+           CAST(COALESCE(a.polarity_sum, 0) AS BIGINT) AS polarity_sum,
+           COALESCE(a.n_sentiment_tokens, 0) AS n_sentiment_tokens
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+    tags=("L5", "J1"),
+)
+def text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.sentiment(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# TF-IDF: top-5 characteristic tokens per document.
+# --------------------------------------------------------------------------
+@query(
+    "text_tfidf_top5",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.tok AS token
+      FROM documents, unnest(str_split(text, ' ')) AS t(tok)
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.doc_freq,
+             tf.tf * round(ln(CAST(n.n_docs AS DOUBLE) / df.doc_freq), 8) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, doc_freq, tfidf, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+    tags=("L4", "A1", "W1"),
+    bench=True,
+)
+def text_tfidf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scored = TA.tf_idf(d)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+# --------------------------------------------------------------------------
+# L6: language routing — filter + per-partition counts (write-side
+# partitionBy is exercised in the sink tests).
+# --------------------------------------------------------------------------
+@query(
+    "text_lang_route",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE lang IN ('en', 'fr', 'es')
+    GROUP BY lang, source
+    """,
+    tags=("L6", "A1"),
+)
+def text_lang_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("lang").isin("en", "fr", "es"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
