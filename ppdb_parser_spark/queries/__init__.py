@@ -3,11 +3,15 @@
 from . import (  # noqa: F401
     aggregates,
     dedup,
+    multimodal,
     ppdb,
     relational,
     scalars,
     similarity,
+    sources_io,
+    streaming_queries,
     text_analysis,
+    udf_surface,
     windows,
 )
 from .registry import REGISTRY, oracle_sql, queries

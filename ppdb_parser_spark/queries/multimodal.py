@@ -1,0 +1,73 @@
+"""Multimodal queries (SURVEY.md §2.1 S4, §2.9 L7): binary columns read
+through the real binaryFile source, JVM-side content hashing, and the
+Arrow-batched metadata decoder — all checked against hashlib-precomputed
+ground truth inlined as a VALUES relation."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import multimodal as MM
+from .registry import query
+
+
+# --------------------------------------------------------------------------
+# S4 + L7: binaryFile scan + JVM-side sha2/length — no Python in the plan.
+# --------------------------------------------------------------------------
+@query(
+    "mm_binary_hash",
+    oracle=f"""
+    SELECT file_name, n_bytes, sha256 FROM {MM.blobs_values_sql()} b
+    """,
+    tags=("S4", "L7"),
+)
+def mm_binary_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blobs = MM.read_blobs(spark)
+    return blobs.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.lower(F.sha2(F.col("content"), 256)).alias("sha256"),
+    )
+
+
+# --------------------------------------------------------------------------
+# U4 + L7: Arrow-batched decode of typed metadata from binary content
+# (the stand-in for image decode; real-codec branch is a marked stub).
+# --------------------------------------------------------------------------
+@query(
+    "mm_decode_meta",
+    oracle=f"""
+    SELECT file_name, n_bytes, width, height, sha256 FROM {MM.blobs_values_sql()} b
+    """,
+    tags=("S4", "L7", "U4"),
+)
+def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.decode_meta(MM.read_blobs(spark))
+
+
+# --------------------------------------------------------------------------
+# L7 rollup: metadata aggregation over decoded blobs (join decoder output
+# against the relational world — blobs behave like any other table).
+# --------------------------------------------------------------------------
+@query(
+    "mm_meta_stats",
+    oracle=f"""
+    SELECT CAST(width // 64 AS BIGINT) AS width_bucket,
+           COUNT(*) AS n_blobs,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(MAX(height) AS BIGINT) AS max_height
+    FROM {MM.blobs_values_sql()} b
+    GROUP BY 1
+    """,
+    tags=("L7", "A1"),
+)
+def mm_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    meta = MM.decode_meta(MM.read_blobs(spark))
+    return meta.groupBy(
+        F.floor(F.col("width") / 64).cast("long").alias("width_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.max("height").cast("long").alias("max_height"),
+    )

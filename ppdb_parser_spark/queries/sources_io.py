@@ -1,0 +1,105 @@
+"""Source/sink queries (SURVEY.md §2.1 S3/S5): CSV and JSON-lines scans
+with explicit schemas, and the parquet sink round-trip (partitioned write →
+read-back). Oracles are VALUES relations built from the same deterministic
+row-generator functions, so the scan+parse path itself is hash-checked."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import money_sum, money_sum_sql
+from ..operators.ppdb import parse_ppdb_clean
+from ..sources import files as FS
+from ..sources.ppdb_pack import ensure_pack, lines_values_sql, pack_dir
+from ..sources.text import read_text_lines
+from .registry import query
+
+
+def _csv_values_sql() -> str:
+    rows = ", ".join(f"('{s}', {q}, {p})" for s, q, p in FS.csv_rows())
+    return f"(SELECT * FROM (VALUES {rows}) AS c(sku, qty, price))"
+
+
+def _json_values_sql() -> str:
+    rows = ", ".join(
+        f"({r['id']}, {len(r['tags'])}, {r['score']})" for r in FS.json_rows()
+    )
+    return f"(SELECT * FROM (VALUES {rows}) AS j(id, n_tags, score))"
+
+
+# --------------------------------------------------------------------------
+# S3a: CSV scan with explicit schema → aggregate.
+# --------------------------------------------------------------------------
+@query(
+    "src_csv_scan",
+    oracle=f"""
+    SELECT CAST(qty % 3 AS BIGINT) AS qty_mod3,
+           COUNT(*) AS n_items,
+           {money_sum_sql("price", 100)} AS total_price
+    FROM {_csv_values_sql()} c
+    GROUP BY 1
+    """,
+    tags=("S3", "A1"),
+)
+def src_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = FS.read_csv_items(spark)
+    return df.groupBy((F.col("qty") % 3).cast("long").alias("qty_mod3")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        money_sum("price", 100).alias("total_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# S3b: JSON-lines scan with explicit nested schema (array field).
+# --------------------------------------------------------------------------
+@query(
+    "src_json_scan",
+    oracle=f"""
+    SELECT id, n_tags, CAST(ROUND(score * 100) AS BIGINT) AS score_cents
+    FROM {_json_values_sql()} j
+    """,
+    tags=("S3", "X4"),
+)
+def src_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = FS.read_json_docs(spark)
+    return df.select(
+        "id",
+        F.size("tags").cast("long").alias("n_tags"),
+        F.round(F.col("score") * 100).cast("long").alias("score_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# S5: parquet sink round-trip — parse the gzip pack, write parquet
+# partitioned by lhs (the reference's "parse once, serialize, reload"
+# lifecycle done the Spark way), read it back and aggregate. The oracle is
+# the same VALUES parse, proving the sink+scan is lossless.
+# --------------------------------------------------------------------------
+@query(
+    "snk_parquet_roundtrip",
+    oracle=f"""
+    WITH raw AS (SELECT value FROM {lines_values_sql()} r),
+    split_lines AS (
+      SELECT str_split(value, ' ||| ') AS p, len(str_split(value, ' ||| ')) AS n
+      FROM raw
+    )
+    SELECT trim(p[1]) AS lhs, COUNT(*) AS n_rules,
+           COUNT(DISTINCT trim(p[2])) AS n_phrases
+    FROM split_lines WHERE n IN (5, 6)
+    GROUP BY 1
+    """,
+    tags=("S5", "S1"),
+)
+def snk_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = os.path.join(os.path.dirname(pack_dir()), "ppdb_parquet_v1")
+    parsed = parse_ppdb_clean(read_text_lines(spark, ensure_pack() + "/*.txt.gz"))
+    # partitionBy(lhs): downstream per-LHS queries prune partitions at scan
+    parsed.write.mode("overwrite").partitionBy("lhs").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("lhs").agg(
+        F.count(F.lit(1)).alias("n_rules"),
+        F.countDistinct("phrase").alias("n_phrases"),
+    )

@@ -1,0 +1,243 @@
+"""Streaming queries (SURVEY.md §2.10 T1–T7) with batch twins.
+
+Parity architecture: each windowed aggregation is one function applied to
+either the batch table or the file stream (streaming/ops.py). The batch
+twins carry full DuckDB oracles; the live runs re-execute the *same plan*
+incrementally. Where the incremental output is itself deterministic
+(complete-mode aggs, in-batch dedup, single-batch stateful counters) the
+live query carries the SAME oracle — hash-checking actual streaming
+execution, not just its batch shadow. Watermark-gated append output
+(T4, live sessions) depends on no-data-batch emission timing → rows-only.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.ppdb_pack import pack_dir
+from ..sources.tables import load_table
+from ..streaming import ops as ST
+from .registry import query
+
+_TUMBLING_ORACLE = """
+    SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 600000000) * 600000000
+             AS window_start_us,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS sum_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+_SLIDING_ORACLE = """
+    WITH offsets AS (SELECT unnest([0, 1]) AS k),
+    windowed AS (
+      SELECT ((epoch_us(CAST(ts AS TIMESTAMP)) // 300000000) - k) * 300000000
+               AS window_start_us,
+             event_type
+      FROM events, offsets
+    )
+    SELECT window_start_us, event_type, COUNT(*) AS n_events
+    FROM windowed GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# T1 batch twin (oracle) + live complete-mode run (same oracle).
+# --------------------------------------------------------------------------
+@query("stream_tumbling_batch", oracle=_TUMBLING_ORACLE, tags=("T1", "X2"), bench=True)
+def stream_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.tumbling_agg(load_table(spark, sf_dir, "events"))
+
+
+@query("stream_tumbling_live", oracle=_TUMBLING_ORACLE, tags=("T1", "S7", "T7"))
+def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.run_stream_to_table(
+        ST.tumbling_agg(ST.events_stream(spark, sf_dir)), "complete"
+    )
+
+
+# --------------------------------------------------------------------------
+# T2 batch twin (oracle) + live run.
+# --------------------------------------------------------------------------
+@query("stream_sliding_batch", oracle=_SLIDING_ORACLE, tags=("T2",))
+def stream_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.sliding_agg(load_table(spark, sf_dir, "events"))
+
+
+@query("stream_sliding_live", oracle=_SLIDING_ORACLE, tags=("T2", "S7"))
+def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.run_stream_to_table(
+        ST.sliding_agg(ST.events_stream(spark, sf_dir)), "complete"
+    )
+
+
+# --------------------------------------------------------------------------
+# T3 batch analog: gap-based sessionization via lag + cumulative sum
+# (oracle-checkable; the live session_window query is rows-only below).
+# --------------------------------------------------------------------------
+@query(
+    "stream_session_batch",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER w > 300000000
+                       OR LAG(ts_us) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS is_new
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    ),
+    sessions AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) + 300000000 AS session_end_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS sum_value
+    FROM sessions GROUP BY user_id, session_no
+    """,
+    tags=("T3", "W3", "W4"),
+)
+def stream_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    flagged = e.withColumn(
+        "is_new",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w) > 300_000_000)
+            | F.lag("ts_us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_no",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.min("ts_us").alias("session_start_us"),
+        (F.max("ts_us") + 300_000_000).alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+            "sum_value"
+        ),
+    )
+
+
+@query("stream_session_live", oracle=None, tags=("T3", "T4", "S7"))
+def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live session_window with watermark: append emission is gated on the
+    no-data-batch watermark advance → deterministic-ish but emission-timing
+    coupled, so rows-only; tests assert consistency vs the batch analog."""
+    return ST.run_stream_to_table(
+        ST.session_agg_stream(ST.events_stream(spark, sf_dir, tz_typed=True)),
+        "append",
+    )
+
+
+# --------------------------------------------------------------------------
+# T5: stateful dedup within watermark — duplicate stream (self-union), in
+# the same micro-batch → complete dedup, oracle = the distinct base table.
+# --------------------------------------------------------------------------
+@query(
+    "stream_dedup_live",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+    FROM events
+    """,
+    tags=("T5", "S7"),
+)
+def stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = ST.events_stream(spark, sf_dir, tz_typed=True)
+    doubled = s.unionByName(s)  # every event arrives twice
+    deduped = (
+        doubled.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+    return ST.run_stream_to_table(deduped, "append")
+
+
+# --------------------------------------------------------------------------
+# T6: arbitrary stateful op — per-user counters via applyInPandasWithState.
+# Single input batch → emitted state equals the global aggregate → oracle.
+# --------------------------------------------------------------------------
+@query(
+    "stream_stateful_counter",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events GROUP BY user_id
+    """,
+    tags=("T6", "S7", "U6"),
+)
+def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def count_state(
+        key, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in batches:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    stream = ST.events_stream(spark, sf_dir).select("user_id", "value")
+    result = stream.groupBy("user_id").applyInPandasWithState(
+        count_state,
+        outputStructType="user_id long, n_events long, total_cents long",
+        stateStructType="n long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return ST.run_stream_to_table(result, "update")
+
+
+# --------------------------------------------------------------------------
+# T7: foreachBatch exactly-once-style sink → parquet, then read back.
+# Sink mechanics are side-effecting → rows-only.
+# --------------------------------------------------------------------------
+@query("stream_foreach_batch_sink", oracle=None, tags=("T7", "S5", "S7"))
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = os.path.join(os.path.dirname(pack_dir()), "stream_sink_v1")
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out)
+
+    agg = ST.tumbling_agg(ST.events_stream(spark, sf_dir))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(out)

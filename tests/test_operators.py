@@ -1,0 +1,112 @@
+"""Operator-level unit tests (SURVEY.md §5.3 layer 3): edge semantics that
+the oracle-parity sweep can't isolate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ppdb_parser_spark.operators.joins import asof_join, band_join
+from ppdb_parser_spark.queries import REGISTRY
+
+
+def test_asof_join_tie_and_missing(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 50, "p2"), (2, 10, "p3")], "uid long, t long, pid string"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "exact-tie"), (1, 40, "older"), (3, 5, "other-key")],
+        "uid long, rt long, tag string",
+    )
+    out = {
+        r["pid"]: r["tag"]
+        for r in asof_join(
+            left, right, by=["uid"], left_on="t", right_on="rt",
+            right_cols=["rt", "tag"], how="left",
+        ).collect()
+    }
+    assert out["p1"] == "exact-tie"  # right row at equal t IS visible
+    assert out["p2"] == "older"      # takes latest at-or-before, not newest
+    assert out["p3"] is None         # no right row for uid=2 -> NULL
+
+    inner = asof_join(
+        left, right, by=["uid"], left_on="t", right_on="rt",
+        right_cols=["rt", "tag"], how="inner",
+    )
+    assert {r["pid"] for r in inner.collect()} == {"p1", "p2"}
+
+
+def test_band_join_boundaries(spark):
+    fact = spark.createDataFrame(
+        [(1, 0.0), (2, 499.99), (3, 500.0), (4, -0.01)], "id long, v double"
+    )
+    bands = spark.createDataFrame(
+        [("neg", -100.0, 0.0), ("lo", 0.0, 500.0), ("hi", 500.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    got = {
+        r["id"]: r["band"]
+        for r in band_join(fact, "v", bands, bucket_width=500.0).collect()
+    }
+    # [lo, hi) semantics: 0.0 in 'lo' not 'neg'; 500.0 rolls to 'hi'
+    assert got == {1: "lo", 2: "lo", 3: "hi", 4: "neg"}
+
+
+def test_lsh_precision_subset(spark, sf_dir):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in REGISTRY["sim_pairwise_cosine"].fn(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in REGISTRY["sim_lsh_pairs"].fn(spark, sf_dir).collect()
+    }
+    assert lsh <= exact          # 100% precision (refinement is exact)
+    assert len(lsh) > 0          # and it actually finds pairs
+
+
+def test_minhash_matches_exact_jaccard(spark, sf_dir):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in REGISTRY["dedup_jaccard_pairs"].fn(spark, sf_dir).collect()
+    }
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    # approx-join pairs at distance<=0.7 must cover the exact j>=0.3 pairs
+    assert exact <= mh or len(exact - mh) <= max(1, len(exact) // 10)
+
+
+def test_session_live_subset_of_batch(spark, sf_dir):
+    batch = REGISTRY["stream_session_batch"].fn(spark, sf_dir)
+    live = REGISTRY["stream_session_live"].fn(spark, sf_dir)
+    bkeys = {
+        (r["user_id"], r["session_start_us"], r["n_events"])
+        for r in batch.collect()
+    }
+    lkeys = {
+        (r["user_id"], r["session_start_us"], r["n_events"])
+        for r in live.collect()
+    }
+    # append-mode emits only watermark-closed sessions: subset, near-complete
+    assert lkeys <= bkeys
+    assert len(lkeys) >= len(bkeys) - 25
+
+
+def test_approx_distinct_rsd(spark, sf_dir):
+    rows = REGISTRY["agg_approx_distinct"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert abs(r["approx_parts"] - r["exact_parts"]) <= 0.1 * r["exact_parts"]
+
+
+def test_multimodal_decode_stub_raises(spark):
+    import pandas as pd
+
+    from ppdb_parser_spark.operators.multimodal import decode_meta
+
+    bad = spark.createDataFrame(
+        pd.DataFrame({"path": ["/x/fake.jpg"], "content": [b"\xff\xd8JPEGDATA"]})
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_meta(bad).collect()
