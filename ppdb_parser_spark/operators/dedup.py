@@ -42,16 +42,24 @@ def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def word_shingles(df: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
-    from pyspark.sql import Window
+    """Distinct word n-gram shingles per document: (id, shingle).
 
-    toks = exploded_tokens(df, id_col, text_col)
-    w = Window.partitionBy(id_col).orderBy("pos")
-    cols = [F.col("token")] + [F.lead("token", i).over(w) for i in range(1, n)]
+    Built with array higher-order functions (slice over the token array),
+    not a window over exploded tokens — shingling is a narrow per-row map
+    with zero shuffles; the explode happens after the shingles exist.
+    """
+    toks = F.split(F.col(text_col), " ")
+    # guard: sequence(1, 0) would step DOWNWARD; docs shorter than n
+    # tokens have no shingles
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
-        toks.withColumn("shingle", F.concat_ws(" ", *cols))
-        .filter(F.size(F.split(F.col("shingle"), " ")) == n)
-        .select(id_col, "shingle")
+        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
         .distinct()
     )
 
@@ -62,14 +70,26 @@ def jaccard_pairs(
     n: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All document pairs with shingle-Jaccard ≥ threshold (exact).
 
     candidate pairs = equi join on shared shingles (never a cross join);
     jaccard = |A∩B| / (|A|+|B|-|A∩B|) — an int/int rational, so the
     threshold comparison is deterministic cross-engine.
+
+    ``max_doc_freq``: drop shingles appearing in more than this many
+    documents BEFORE pairing (and before set sizes are computed — the
+    Jaccard is then over the filtered shingle sets, mirrored identically
+    in the oracle). The candidate join costs Σ_shingle df² — ubiquitous
+    shingles contribute quadratically while carrying no dedup signal, so
+    a DF ceiling is the standard scale control (same role as LSH banding).
     """
     sh = word_shingles(df, n, id_col, text_col)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        keep = freq.filter(F.col("df") <= max_doc_freq).select("shingle")
+        sh = sh.join(keep, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -1,0 +1,64 @@
+"""Physical-plan shape assertions (SURVEY.md §4.2/§4.3, §5.3 layer 6).
+
+A query that is correct but plans a BroadcastNestedLoopJoin, loses its
+parquet filter pushdown, or falls out of whole-stage codegen will pass the
+oracle and still die at 100 TB. These helpers turn the intended plan shape
+into regression tests.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import DataFrame
+
+
+def plan_string(df: DataFrame, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def assert_no_nested_loop(df: DataFrame, name: str = "") -> str:
+    plan = plan_string(df)
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, f"{name}: {bad} in physical plan\n{plan}"
+    return plan
+
+
+def assert_broadcast_join(df: DataFrame, name: str = "") -> str:
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan, f"{name}: expected BroadcastHashJoin\n{plan}"
+    return plan
+
+
+def assert_pushed_filters(df: DataFrame, *fragments: str, name: str = "") -> str:
+    """Assert the parquet scan received pushdown filters mentioning each
+    fragment (column name)."""
+    plan = plan_string(df)
+    assert "PushedFilters: [" in plan, f"{name}: no pushed filters\n{plan}"
+    pushed = [
+        line for line in plan.splitlines() if "PushedFilters" in line and "[]" not in line
+    ]
+    joined = "\n".join(pushed)
+    for frag in fragments:
+        assert frag in joined, f"{name}: filter on {frag!r} not pushed\n{plan}"
+    return plan
+
+
+def assert_codegen(df: DataFrame, name: str = "") -> str:
+    # "codegen" mode compiles the plan immediately (AQE's pre-execution
+    # "simple" output hides codegen spans until the first run).
+    plan = plan_string(df, "codegen")
+    assert "WholeStageCodegen" in plan, f"{name}: no WholeStageCodegen span\n{plan[:2000]}"
+    return plan
+
+
+def assert_take_ordered(df: DataFrame, name: str = "") -> str:
+    plan = plan_string(df)
+    assert "TakeOrderedAndProject" in plan, (
+        f"{name}: expected TakeOrderedAndProject (orderBy+limit)\n{plan}"
+    )
+    return plan

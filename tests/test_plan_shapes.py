@@ -1,0 +1,63 @@
+"""Plan-shape regression tests: the plans we'd want at 100 TB, asserted at
+sf0.001 (plan shape is scale-invariant for these patterns — broadcast
+sides are dimension/dictionary relations by construction)."""
+
+from __future__ import annotations
+
+from ppdb_parser_spark.plans import checks as C
+from ppdb_parser_spark.queries import REGISTRY
+
+
+def _df(spark, sf_dir, name):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_flagship_broadcasts_dims_no_bnlj(spark, sf_dir):
+    df = _df(spark, sf_dir, "flagship")
+    C.assert_no_nested_loop(df, "flagship")
+    C.assert_broadcast_join(df, "flagship")
+    C.assert_codegen(df, "flagship")
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = _df(spark, sf_dir, "filter_project")
+    C.assert_pushed_filters(
+        df, "o_orderstatus", "o_totalprice", name="filter_project"
+    )
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    C.assert_broadcast_join(_df(spark, sf_dir, "broadcast_join"), "broadcast_join")
+
+
+def test_range_join_is_hash_not_bnlj(spark, sf_dir):
+    df = _df(spark, sf_dir, "range_join_bands")
+    C.assert_no_nested_loop(df, "range_join_bands")
+    C.assert_broadcast_join(df, "range_join_bands")
+
+
+def test_asof_join_no_cartesian(spark, sf_dir):
+    C.assert_no_nested_loop(
+        _df(spark, sf_dir, "asof_purchase_click"), "asof_purchase_click"
+    )
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    C.assert_take_ordered(_df(spark, sf_dir, "sim_cosine_topk"), "sim_cosine_topk")
+    C.assert_take_ordered(_df(spark, sf_dir, "order_limit"), "order_limit")
+
+
+def test_lookup_join_broadcasts_dictionary(spark, sf_dir):
+    df = _df(spark, sf_dir, "lookup_paraphrase_coverage")
+    C.assert_no_nested_loop(df, "lookup_paraphrase_coverage")
+    C.assert_broadcast_join(df, "lookup_paraphrase_coverage")
+
+
+def test_jaccard_candidate_join_no_cartesian(spark, sf_dir):
+    C.assert_no_nested_loop(
+        _df(spark, sf_dir, "dedup_jaccard_capped"), "dedup_jaccard_capped"
+    )
+
+
+def test_pricing_summary_codegen(spark, sf_dir):
+    C.assert_codegen(_df(spark, sf_dir, "agg_pricing_summary"), "agg_pricing_summary")
