@@ -1,6 +1,7 @@
 """Query library: importing this package populates the registry."""
 
 from . import (  # noqa: F401
+    advanced,
     aggregates,
     dedup,
     lookup,

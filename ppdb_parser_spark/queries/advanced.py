@@ -1,0 +1,272 @@
+"""Advanced / scale-path queries: skew-salted aggregation, IVF-style ANN,
+nested collect shapes, map-function battery, statistical aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.ppdb import parse_ppdb_clean
+from ..operators.similarity import _dot, _norm
+from ..operators.skew import salted_agg_sum_count
+from ..sources.ppdb_pack import ensure_pack, lines_values_sql
+from ..sources.tables import load_table
+from ..sources.text import read_text_lines
+from .registry import query
+
+
+# --------------------------------------------------------------------------
+# Skew-salted aggregation (§4.3): documents.lang is en-heavy; the salted
+# two-phase plan must produce byte-identical results to the plain GROUP BY.
+# --------------------------------------------------------------------------
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+    FROM documents GROUP BY lang
+    """,
+    tags=("A1", "F4"),
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return salted_agg_sum_count(
+        d, "lang", F.col("n_chars").cast("long"), salt_from="doc_id", n_salts=16
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-style ANN (the task's named scale path for similarity search):
+# coarse cells seeded by fixed vectors (vec_id 0..7 — deterministic, no
+# kmeans iteration), every vector assigned to its argmax-cosine cell, the
+# probe searched only in its top-2 cells. Fully relational → the oracle
+# runs the identical math; recall vs brute force is test-asserted.
+# --------------------------------------------------------------------------
+_N_CELLS = 8
+_PROBE_ID = 1  # not a seed, so cell search is non-trivial
+
+_IVF_ORACLE = f"""
+    WITH seeds AS (
+      SELECT vec_id AS cell_id, embedding FROM embeddings WHERE vec_id < {_N_CELLS}
+    ),
+    vflat AS (
+      SELECT vec_id, label, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    sflat AS (
+      SELECT cell_id, unnest(embedding) AS s, generate_subscripts(embedding, 1) AS i
+      FROM seeds
+    ),
+    cell_scores AS (
+      SELECT v.vec_id, s.cell_id,
+             round(SUM(CAST(v.x AS DOUBLE) * CAST(s.s AS DOUBLE))
+                   / (sqrt(SUM(CAST(v.x AS DOUBLE) * CAST(v.x AS DOUBLE)))
+                      * sqrt(SUM(CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE)))), 6)
+               AS cos
+      FROM vflat v JOIN sflat s ON v.i = s.i
+      GROUP BY v.vec_id, s.cell_id
+    ),
+    assign AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, cell_id) AS rk
+        FROM cell_scores
+      ) WHERE rk = 1
+    ),
+    probe_cells AS (
+      SELECT cell_id FROM (
+        SELECT cell_id, ROW_NUMBER() OVER (ORDER BY cos DESC, cell_id) AS rk
+        FROM cell_scores WHERE vec_id = {_PROBE_ID}
+      ) WHERE rk <= 2
+    ),
+    candidates AS (
+      SELECT a.vec_id FROM assign a JOIN probe_cells p ON a.cell_id = p.cell_id
+      WHERE a.vec_id <> {_PROBE_ID}
+    ),
+    pflat AS (SELECT * FROM vflat WHERE vec_id = {_PROBE_ID}),
+    scored AS (
+      SELECT v.vec_id, any_value(v.label) AS label,
+             round(SUM(CAST(v.x AS DOUBLE) * CAST(p.x AS DOUBLE))
+                   / (sqrt(SUM(CAST(v.x AS DOUBLE) * CAST(v.x AS DOUBLE)))
+                      * sqrt(SUM(CAST(p.x AS DOUBLE) * CAST(p.x AS DOUBLE)))), 6)
+               AS cosine
+      FROM vflat v JOIN candidates c ON v.vec_id = c.vec_id
+      JOIN pflat p ON v.i = p.i
+      GROUP BY v.vec_id
+    )
+    SELECT vec_id, label, cosine FROM scored
+    ORDER BY cosine DESC, vec_id LIMIT 5
+"""
+
+
+@query("sim_ivf_topk", oracle=_IVF_ORACLE, tags=("L1", "L2", "W1"), bench=True)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    seeds = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.filter(F.col("vec_id") < _N_CELLS).collect()
+    ]
+    probe = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == _PROBE_ID).first()["embedding"]
+    ]
+
+    def cos_to(vec: list[float]):
+        arr = F.array(*[F.lit(v) for v in vec])
+        return F.round(
+            _dot(F.col("embedding"), arr) / (_norm(F.col("embedding")) * _norm(arr)),
+            6,
+        )
+
+    # cell assignment: argmax over the 8 seed cosines — a fixed-width
+    # greatest-of expression tree, no join, no shuffle
+    scored = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        *[cos_to(vec).alias(f"c{cid}") for cid, vec in seeds],
+    )
+    assign_expr = None
+    for cid, _ in seeds:
+        cond_best = F.lit(True)
+        for other, _ in seeds:
+            if other == cid:
+                continue
+            cond_best = cond_best & (
+                (F.col(f"c{cid}") > F.col(f"c{other}"))
+                | ((F.col(f"c{cid}") == F.col(f"c{other}")) & (F.lit(cid) < F.lit(other)))
+            )
+        assign_expr = (
+            F.when(cond_best, F.lit(cid))
+            if assign_expr is None
+            else assign_expr.when(cond_best, F.lit(cid))
+        )
+    assigned = scored.withColumn("cell_id", assign_expr)
+
+    probe_scores = sorted(
+        (
+            (cid, r)
+            for cid, r in zip(
+                [cid for cid, _ in seeds],
+                assigned.filter(F.col("vec_id") == _PROBE_ID)
+                .select(*[f"c{cid}" for cid, _ in seeds])
+                .first(),
+            )
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )
+    top_cells = [cid for cid, _ in probe_scores[:2]]
+
+    cand = assigned.filter(
+        F.col("cell_id").isin(top_cells) & (F.col("vec_id") != _PROBE_ID)
+    )
+    return (
+        cand.select("vec_id", "label", cos_to(probe).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+# --------------------------------------------------------------------------
+# A4 (true nested shape): phrase → array of (paraphrase, score) structs,
+# deterministically ordered. Nested types aren't DuckDB-hash-comparable →
+# rows-only; the string-serialized twin (ppdb_collect_paraphrases) carries
+# the oracle for the same aggregation.
+# --------------------------------------------------------------------------
+@query("ppdb_collect_nested", oracle=None, tags=("A4",))
+def ppdb_collect_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = parse_ppdb_clean(read_text_lines(spark, ensure_pack() + "/*.txt.gz"))
+    return (
+        parsed.filter(F.col("ppdb2score").isNotNull())
+        .groupBy("phrase")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("paraphrase", "ppdb2score"))
+            ).alias("paraphrases")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X5 battery: map_filter / map_concat / map_keys / map_values over the
+# parsed feature maps, reduced to oracle-able scalars.
+# --------------------------------------------------------------------------
+_MAP_OPS_ORACLE = f"""
+    WITH raw AS (SELECT lhs, feats FROM (
+      SELECT trim(str_split(value, ' ||| ')[1]) AS lhs,
+             trim(str_split(value, ' ||| ')[4]) AS feats,
+             len(str_split(value, ' ||| ')) AS n
+      FROM {{values_rel}} r
+    ) WHERE n IN (5, 6)),
+    kv AS (
+      SELECT lhs, split_part(f, '=', 1) AS key,
+             try_cast(split_part(f, '=', 2) AS DOUBLE) AS val
+      FROM raw, unnest(str_split(feats, ' ')) AS t(f)
+      WHERE feats <> ''
+    )
+    SELECT lhs,
+           COUNT(*) AS n_entries,
+           COUNT(CASE WHEN val >= 0.5 THEN 1 END) AS n_high,
+           COUNT(DISTINCT key) AS n_distinct_keys
+    FROM kv GROUP BY lhs
+"""
+
+
+@query(
+    "ppdb_map_ops",
+    oracle=_MAP_OPS_ORACLE.format(values_rel=lines_values_sql()),
+    tags=("X5", "P2"),
+)
+def ppdb_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = parse_ppdb_clean(read_text_lines(spark, ensure_pack() + "/*.txt.gz"))
+    with_maps = parsed.filter(F.size("features") > 0).select(
+        "lhs",
+        "features",
+        F.map_filter("features", lambda k, v: v >= 0.5).alias("high_feats"),
+    )
+    exploded = with_maps.select(
+        "lhs",
+        F.size("features").alias("n_entries_row"),
+        F.size("high_feats").alias("n_high_row"),
+        F.explode(F.map_keys("features")).alias("key"),
+    )
+    return exploded.groupBy("lhs").agg(
+        F.sum(F.lit(1)).cast("long").alias("n_entries"),
+        F.countDistinct("key").alias("n_distinct_keys"),
+        # n_high: each row contributes n_high_row once; dividing by row's
+        # n_entries_row compensates the key-explosion fan-out exactly.
+        # round() before the cast — the rational sum can land at N−1e-15
+        # and a bare long cast truncates.
+        F.round(F.sum(F.col("n_high_row") / F.col("n_entries_row")))
+        .cast("long")
+        .alias("n_high"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Statistical aggregates: stddev/variance/corr/covar (continuous inputs →
+# round to absorb accumulation-order ulps).
+# --------------------------------------------------------------------------
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(var_samp(l_discount), 8) AS var_disc,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("A7", "X3"),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 8).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
+    )

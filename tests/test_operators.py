@@ -110,3 +110,48 @@ def test_multimodal_decode_stub_raises(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         decode_meta(bad).collect()
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF searches 2 of 8 cells — recall@5 vs brute force should still be
+    high for a probe whose neighbors concentrate in its own cells."""
+    from ppdb_parser_spark.operators.similarity import cosine_topk
+    from ppdb_parser_spark.queries import REGISTRY
+    from ppdb_parser_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ivf = [r["vec_id"] for r in REGISTRY["sim_ivf_topk"].fn(spark, sf_dir).collect()]
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 1)
+    probe = [
+        float(x)
+        for x in load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 1)
+        .first()["embedding"]
+    ]
+    brute = [r["vec_id"] for r in cosine_topk(e, probe, k=5).collect()]
+    assert len(ivf) == 5
+    assert len(set(ivf) & set(brute)) >= 2  # isotropic data: partial recall OK
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    from ppdb_parser_spark.operators.skew import salted_agg_sum_count
+    from ppdb_parser_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    salted = {
+        r["lang"]: (r["n_rows"], r["total_value"])
+        for r in salted_agg_sum_count(
+            d, "lang", F.col("n_chars").cast("long"), "doc_id", 16
+        ).collect()
+    }
+    plain = {
+        r["lang"]: (r["n"], r["v"])
+        for r in d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.col("n_chars").cast("long")) / 100.0).alias("v"),
+        )
+        .collect()
+    }
+    assert salted == plain
