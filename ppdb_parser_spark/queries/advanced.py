@@ -114,21 +114,39 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in e.filter(F.col("vec_id") == _PROBE_ID).first()["embedding"]
     ]
 
-    def cos_to(vec: list[float]):
+    # probe → cell routing is a dim×n_cells dot product over two LOCAL
+    # vectors: computed driver-side, zero Spark jobs
+    import math
+
+    def _py_cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 6)
+
+    probe_scores = sorted(
+        ((cid, _py_cos(probe, vec)) for cid, vec in seeds),
+        key=lambda t: (-t[1], t[0]),
+    )
+    top_cells = [cid for cid, _ in probe_scores[:2]]
+
+    # row norm computed ONCE and shared by all seed cosines (the naive
+    # per-seed norm re-derivation doubles the codegen'd expression tree)
+    def cos_with_norm(vec: list[float]):
         arr = F.array(*[F.lit(v) for v in vec])
         return F.round(
-            _dot(F.col("embedding"), arr) / (_norm(F.col("embedding")) * _norm(arr)),
-            6,
+            _dot(F.col("embedding"), arr) / (F.col("__nrm") * _norm(arr)), 6
         )
 
-    # cell assignment: argmax over the 8 seed cosines — a fixed-width
-    # greatest-of expression tree, no join, no shuffle
-    scored = e.select(
+    scored = e.withColumn("__nrm", _norm(F.col("embedding"))).select(
         "vec_id",
         "label",
         "embedding",
-        *[cos_to(vec).alias(f"c{cid}") for cid, vec in seeds],
+        "__nrm",
+        *[cos_with_norm(vec).alias(f"c{cid}") for cid, vec in seeds],
     )
+    # cell assignment: argmax over the 8 seed cosines — a fixed-width
+    # greatest-of expression tree, no join, no shuffle
     assign_expr = None
     for cid, _ in seeds:
         cond_best = F.lit(True)
@@ -146,25 +164,11 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     assigned = scored.withColumn("cell_id", assign_expr)
 
-    probe_scores = sorted(
-        (
-            (cid, r)
-            for cid, r in zip(
-                [cid for cid, _ in seeds],
-                assigned.filter(F.col("vec_id") == _PROBE_ID)
-                .select(*[f"c{cid}" for cid, _ in seeds])
-                .first(),
-            )
-        ),
-        key=lambda t: (-t[1], t[0]),
-    )
-    top_cells = [cid for cid, _ in probe_scores[:2]]
-
     cand = assigned.filter(
         F.col("cell_id").isin(top_cells) & (F.col("vec_id") != _PROBE_ID)
     )
     return (
-        cand.select("vec_id", "label", cos_to(probe).alias("cosine"))
+        cand.select("vec_id", "label", cos_with_norm(probe).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(5)
     )

@@ -72,6 +72,72 @@ def src_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cache_dir(name: str) -> str:
+    return os.path.join(os.path.dirname(pack_dir()), name)
+
+
+# --------------------------------------------------------------------------
+# S2b/S5b: ORC round-trip — second columnar format, same pushdown story.
+# --------------------------------------------------------------------------
+@query(
+    "snk_orc_roundtrip",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           {money_sum_sql("o_totalprice")} AS sum_price
+    FROM orders WHERE o_totalprice > 150000
+    GROUP BY o_orderstatus
+    """,
+    tags=("S2", "S5"),
+)
+def snk_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    out = _cache_dir("orders_orc_v1")
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.filter(F.col("o_totalprice") > 150000)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# S5c: JSON-lines sink round-trip (schema carried explicitly on re-read).
+# --------------------------------------------------------------------------
+@query(
+    "snk_json_roundtrip",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    tags=("S3", "S5"),
+)
+def snk_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from ..sources.tables import load_table
+
+    out = _cache_dir("docs_json_v1")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs.write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
 # --------------------------------------------------------------------------
 # S5: parquet sink round-trip — parse the gzip pack, write parquet
 # partitioned by lhs (the reference's "parse once, serialize, reload"

@@ -39,9 +39,15 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
 
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # keep catalog artifacts (bucketed tables) out of the repo root
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(repo_root, ".cache", "warehouse"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

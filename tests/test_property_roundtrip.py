@@ -1,0 +1,69 @@
+"""Hypothesis property tests (SURVEY.md §5.3 layer 2): random PPDB rules
+format → parse → exact round-trip. Each example is a LIST of rules parsed
+in one Spark job to keep runtime bounded."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ppdb_parser_spark.operators.ppdb import parse_ppdb
+
+_token = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzéüñ0123456789",
+    min_size=1,
+    max_size=10,
+)
+_phrase = st.lists(_token, min_size=1, max_size=6).map(" ".join)
+_feat_key = st.sampled_from(
+    ["PPDB2.0Score", "AGigaSim", "p(e|f)", "p(f|e)", "Rarity", "WordLen"]
+)
+_feat_val = st.floats(
+    min_value=-99, max_value=99, allow_nan=False, allow_infinity=False
+).map(lambda x: round(x, 4))
+_entailment = st.sampled_from(
+    [None, "Equivalence", "ForwardEntailment", "ReverseEntailment",
+     "Exclusion", "Independent", "OtherRelated"]
+)
+
+
+@st.composite
+def _rule(draw):
+    lhs = f"[{draw(st.sampled_from(['NN', 'VP', 'JJ', 'S', 'NP']))}]"
+    phrase = draw(_phrase)
+    para = draw(_phrase)
+    feats = draw(
+        st.dictionaries(_feat_key, _feat_val, min_size=1, max_size=4)
+    )
+    n_tgt = len(para.split())
+    align = [(i, draw(st.integers(0, n_tgt - 1))) for i in range(len(phrase.split()))]
+    ent = draw(_entailment)
+    line = (
+        f"{lhs} ||| {phrase} ||| {para} ||| "
+        + " ".join(f"{k}={v}" for k, v in feats.items())
+        + " ||| "
+        + " ".join(f"{s}-{t}" for s, t in align)
+    )
+    if ent:
+        line += f" ||| {ent}"
+    return (line, lhs, phrase, para, feats, align, ent)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rules=st.lists(_rule(), min_size=1, max_size=25))
+def test_parse_roundtrip_property(spark, rules):
+    df = spark.createDataFrame([(r[0],) for r in rules], "value string")
+    parsed = {r["_raw_line"]: r for r in parse_ppdb(df).collect()}
+    for line, lhs, phrase, para, feats, align, ent in rules:
+        r = parsed[line]
+        assert r["is_valid"], line
+        assert r["lhs"] == lhs
+        assert r["phrase"] == phrase
+        assert r["paraphrase"] == para
+        assert r["features"] == feats
+        assert [(a["src"], a["tgt"]) for a in r["alignment"]] == align
+        assert r["entailment"] == ent
