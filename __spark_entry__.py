@@ -14,9 +14,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import ppdb_parser_spark.queries  # noqa: F401 — importing populates the registry
 from ppdb_parser_spark.queries import registry as _registry
-from ppdb_parser_spark.queries import relational as _relational  # noqa: F401 — populates registry
-import ppdb_parser_spark.queries  # noqa: F401 — populates registry
 
 
 def entry(spark: SparkSession) -> DataFrame:
