@@ -114,3 +114,54 @@ def sim_pairwise_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return SIM.lsh_similarity_join(e, threshold=0.35, n_planes=16, n_bands=4, seed=42)
+
+
+# --------------------------------------------------------------------------
+# Cross-modal join: embedding-space neighbors of a probe joined back to the
+# document relation (vec_id ↔ doc_id) — retrieval feeding a relational
+# pipeline, the standard RAG-ingest shape.
+# --------------------------------------------------------------------------
+@query(
+    "sim_neighbors_docs",
+    oracle="""
+    WITH probe AS (
+      SELECT unnest(embedding) AS pv, generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id = 0
+    ),
+    probe_norm AS (
+      SELECT sqrt(SUM(CAST(pv AS DOUBLE) * CAST(pv AS DOUBLE))) AS np FROM probe
+    ),
+    cand AS (
+      SELECT vec_id, unnest(embedding) AS cv, generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id <> 0
+    ),
+    scored AS (
+      SELECT c.vec_id,
+             SUM(CAST(c.cv AS DOUBLE) * CAST(p.pv AS DOUBLE)) AS dot,
+             sqrt(SUM(CAST(c.cv AS DOUBLE) * CAST(c.cv AS DOUBLE))) AS nc
+      FROM cand c JOIN probe p ON c.i = p.i
+      GROUP BY c.vec_id
+    ),
+    topk AS (
+      SELECT vec_id, round(dot / (nc * np), 6) AS cosine
+      FROM scored, probe_norm
+      ORDER BY cosine DESC, vec_id LIMIT 20
+    )
+    SELECT t.vec_id AS doc_id, d.lang AS lang, t.cosine AS cosine,
+           CAST(len(str_split(d.text, ' ')) AS BIGINT) AS n_tokens
+    FROM topk t JOIN documents d ON t.vec_id = d.doc_id
+    """,
+    tags=("L1", "L6", "J1"),
+)
+def sim_neighbors_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    topk = SIM.cosine_topk(e, _probe_vector(spark, sf_dir), k=20).select(
+        "vec_id", "cosine"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return topk.join(docs, topk.vec_id == docs.doc_id).select(
+        "doc_id",
+        "lang",
+        "cosine",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )

@@ -214,3 +214,47 @@ def text_lang_route(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Token counting, BPE-ish: regex word/punct tokens plus a subword estimate
+# (ceil(len/4) pieces per word — the classic chars-per-token heuristic for
+# LLM budget accounting). Pure regexp + integer arithmetic on both engines.
+# --------------------------------------------------------------------------
+_TOKEN_RE = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
+
+
+@query(
+    "text_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT)
+             AS n_regex_tokens,
+           CAST(list_aggregate(
+                  list_transform(regexp_extract_all(text, '{_TOKEN_RE}'),
+                                 t -> (length(t) + 3) // 4),
+                  'sum') AS BIGINT) AS n_subword_est,
+           CAST(len(list_filter(regexp_extract_all(text, '{_TOKEN_RE}'),
+                                t -> t ~ '^[0-9]+$')) AS BIGINT) AS n_numeric
+    FROM documents
+    """,
+    tags=("X1", "X4", "L4"),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # Spark SQL string literals process backslash escapes ('\s' -> 's'),
+    # unlike DuckDB's — escape for the expr() path only
+    spark_re = _TOKEN_RE.replace("\\", "\\\\")
+    toks = F.expr(f"regexp_extract_all(text, '{spark_re}', 0)")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_regex_tokens"),
+        F.aggregate(
+            F.transform(toks, lambda t: ((F.length(t) + 3) / 4).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_subword_est"),
+        F.size(
+            F.filter(toks, lambda t: t.rlike("^[0-9]+$"))
+        ).cast("long").alias("n_numeric"),
+    )
