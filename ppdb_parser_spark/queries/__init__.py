@@ -6,6 +6,7 @@ from . import (  # noqa: F401
     dedup,
     lookup,
     multimodal,
+    patterns,
     ppdb,
     relational,
     scalars,

@@ -17,6 +17,14 @@ from ppdb_parser_spark.queries import REGISTRY
 def test_oracle_parity(spark, sf_dir, name):
     result = check_query(spark, sf_dir, name)
     assert result.ok, f"{name}: {result.detail}"
+    # degenerate (empty) results pass a hash-compare trivially — require
+    # every registered query to produce rows at fixture scale
+    import re
+
+    m = re.search(r"(\d+) rows", result.detail)
+    assert m and int(m.group(1)) > 0, (
+        f"{name} is degenerate at {sf_dir}: {result.detail}"
+    )
 
 
 def test_entry_smoke(spark):
