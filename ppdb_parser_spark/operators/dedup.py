@@ -149,3 +149,56 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
             .otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
     )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 8,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs at scale: signatures split into ``n_bands``
+    bit-bands; candidates must share at least one exact band (equi join on
+    (band_idx, band_bits) — sub-quadratic, like MinHash banding); refined
+    with the true hamming distance via xor + bit_count. All integer ops →
+    deterministic and oracle-checkable, unlike probabilistic LSH recall.
+
+    Note the usual banding guarantee: a pair is a candidate iff some band
+    matches exactly, which (pigeonhole) covers every pair with hamming <
+    n_bands; beyond that recall is partial — the point of the sketch.
+    """
+    bits_per_band = SIMHASH_BITS // n_bands
+    sig = simhash(df, id_col, text_col)
+    banded = sig.select(
+        id_col,
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band_idx"),
+    ).withColumn(
+        "band_bits",
+        F.expr(
+            f"(simhash >> (band_idx * {bits_per_band}))"
+            f" % shiftleft(CAST(1 AS BIGINT), {bits_per_band})"
+        ),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),
+        "band_idx", "band_bits",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
+        "band_idx", "band_bits",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.expr("sig_a ^ sig_b")).cast("long")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

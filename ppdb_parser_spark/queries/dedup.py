@@ -166,6 +166,57 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SimHash banded near-dup pairs: band equi-join candidates + exact hamming
+# refinement (xor + bit_count) — integer-deterministic, so unlike
+# probabilistic LSH this sketch join is fully oracle-checked.
+# --------------------------------------------------------------------------
+_SIMHASH_PAIRS_ORACLE = f"""
+    WITH {_TOKS_CTE},
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h
+      FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, b.b AS b, ((h >> b.b) % 2) * 2 - 1 AS vote
+      FROM hashed, (SELECT unnest(range(0, {DD.SIMHASH_BITS})) AS b) b
+    ),
+    votes AS (SELECT doc_id, b, SUM(vote) AS v FROM bits GROUP BY doc_id, b),
+    sigs AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, simhash, k.k AS band_idx,
+             (simhash >> (k.k * 15)) % (CAST(1 AS BIGINT) << 15) AS band_bits
+      FROM sigs, (SELECT unnest(range(0, 4)) AS k) k
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=_SIMHASH_PAIRS_ORACLE,
+    tags=("O6", "J2", "X3"),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=3, n_bands=4
+    )
+
+
+# --------------------------------------------------------------------------
 # O6: MinHash-LSH approximate near-dup join (pyspark.ml, fixed seed).
 # Approximate candidate recall is engine-specific → rows-only check; the
 # "every reported pair really exceeds the Jaccard threshold" property is
