@@ -44,7 +44,7 @@ SENTIMENT_LEXICON = {
 }
 
 
-def tokens(df: DataFrame, text_col: str = "text") -> Column:
+def tokens(text_col: str = "text") -> Column:
     """Whitespace tokenizer as a column expression (fixture text is
     single-space separated)."""
     return F.split(F.col(text_col), " ")
@@ -55,14 +55,14 @@ def exploded_tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     operator aggregates over."""
     return df.select(
         F.col(id_col),
-        F.posexplode(tokens(df, text_col)).alias("pos", "token"),
+        F.posexplode(tokens(text_col)).alias("pos", "token"),
     )
 
 
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document token counting + stopword/uniqueness ratios (exact
     rational doubles: int/int division is deterministic cross-engine)."""
-    toks = tokens(df, text_col)
+    toks = tokens(text_col)
     n_tok = F.size(toks)
     return df.select(
         F.col(id_col),
@@ -83,7 +83,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     """Composite quality score in [0,1]: length saturation, uniqueness, and
     stopword-presence terms with fixed weights. Fixed expression order keeps
     the double arithmetic bit-identical across engines."""
-    toks = tokens(df, text_col)
+    toks = tokens(text_col)
     n_tok = F.size(toks)
     len_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
     uniq_term = F.size(F.array_distinct(toks)) / n_tok
