@@ -220,6 +220,14 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.run_stream_to_table(result, "update")
 
 
+# NOTE (T6 API coverage): Spark 4's transformWithStateInPandas
+# (StatefulProcessor + RocksDB state store) was attempted and is
+# *environment-gated*: its state-server protocol requires a working
+# google.protobuf, which this container lacks (driver worker fails with
+# "cannot import name 'descriptor' from 'google.protobuf'"). The
+# applyInPandasWithState query above covers arbitrary-state semantics and
+# is the supported path here; swap to transformWithStateInPandas on
+# clusters with protobuf present.
 # --------------------------------------------------------------------------
 # T7: foreachBatch exactly-once-style sink → parquet, then read back.
 # Sink mechanics are side-effecting → rows-only.
