@@ -3,6 +3,7 @@
 from . import (  # noqa: F401
     advanced,
     aggregates,
+    analytics,
     dedup,
     lookup,
     multimodal,

@@ -1,0 +1,198 @@
+"""Classic analytic query shapes over the star schema and event stream:
+TPC-H-style shipping priority / local-supplier volume / promo share, and a
+window-based signup→purchase funnel. All pure built-ins, all oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import money_sum, money_sum_sql
+from ..sources.tables import load_table
+from .registry import query
+
+REVENUE = money_sum_sql("l_extendedprice * (1 - l_discount)")
+
+
+# --------------------------------------------------------------------------
+# Q3 shape: top-10 undelivered orders by revenue for one market segment.
+# --------------------------------------------------------------------------
+@query(
+    "analytics_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {REVENUE} AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("J2", "A1", "O2", "F2"),
+)
+def analytics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5 shape: revenue from sales where supplier and customer share a nation
+# ("local supplier volume"), per nation.
+# --------------------------------------------------------------------------
+@query(
+    "analytics_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, {REVENUE} AS revenue, COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("J2", "A1"),
+    bench=True,
+)
+def analytics_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14 shape: promo revenue share — ratio of two exact sums (deterministic
+# double division).
+# --------------------------------------------------------------------------
+@query(
+    "analytics_promo_share",
+    oracle=f"""
+    SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           {money_sum_sql("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+             AS promo_revenue,
+           {REVENUE} AS total_revenue,
+           {money_sum_sql("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+             / {REVENUE} AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+    tags=("J1", "A6", "X1"),
+)
+def analytics_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(0.0)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            money_sum(promo).alias("promo_revenue"),
+            money_sum(disc).alias("total_revenue"),
+            (money_sum(promo) / money_sum(disc)).alias("promo_share"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Funnel: users whose first signup is later followed by a purchase —
+# per-user min-timestamps compared, conversion counts per cohort day.
+# --------------------------------------------------------------------------
+@query(
+    "analytics_signup_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup'
+                 THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS first_signup_us,
+             MIN(CASE WHEN event_type = 'purchase'
+                 THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS first_purchase_us
+      FROM events GROUP BY user_id
+    )
+    SELECT (first_signup_us // 86400000000) AS cohort_day,
+           COUNT(*) AS n_signed_up,
+           COUNT(CASE WHEN first_purchase_us > first_signup_us THEN 1 END)
+             AS n_converted
+    FROM per_user
+    WHERE first_signup_us IS NOT NULL
+    GROUP BY 1
+    """,
+    tags=("W3", "A6", "X2"),
+)
+def analytics_signup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        ),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).alias(
+            "first_signup_us"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_us"))).alias(
+            "first_purchase_us"
+        ),
+    )
+    return (
+        per_user.filter(F.col("first_signup_us").isNotNull())
+        .groupBy(
+            F.floor(F.col("first_signup_us") / 86_400_000_000).alias("cohort_day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_signed_up"),
+            F.count(
+                F.when(
+                    F.col("first_purchase_us") > F.col("first_signup_us"), F.lit(1)
+                )
+            ).alias("n_converted"),
+        )
+    )
