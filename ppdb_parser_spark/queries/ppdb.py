@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import money_sum, money_sum_sql
 from ..operators.ppdb import ENTAILMENT_ENUM, parse_ppdb
-from ..sources.ppdb_pack import ensure_pack, lines_values_sql
+from ..sources.ppdb_pack import ensure_big_pack, ensure_pack, lines_values_sql
 from ..sources.text import read_text_lines
 from .registry import query
 
@@ -85,6 +85,24 @@ def ppdb_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce(F.size("alignment"), F.lit(0))).cast("long").alias(
             "total_aligns"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Parse throughput at bench scale: 100k-line 16-shard gzip pack through the
+# full kernel (the reference's core loop, head-to-head). Content is
+# generator-verified elsewhere (same generator as the oracle-checked pack);
+# here the driver's rows-only check guards shape while bench.py measures
+# lines/sec.
+# --------------------------------------------------------------------------
+@query("ppdb_parse_throughput", oracle=None, tags=("S1", "P1", "P2", "P3", "P4"), bench=True)
+def ppdb_parse_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pack = ensure_big_pack()
+    df = parse_ppdb(read_text_lines(spark, pack + "/*.txt.gz"))
+    return df.filter(F.col("is_valid")).groupBy("lhs").agg(
+        F.count(F.lit(1)).alias("n_rules"),
+        money_sum(F.coalesce(F.col("ppdb2score"), F.lit(0.0))).alias("sum_score"),
+        F.sum(F.size("features")).cast("long").alias("total_feats"),
     )
 
 

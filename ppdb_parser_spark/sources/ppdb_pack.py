@@ -121,6 +121,31 @@ def ensure_pack(root: str | None = None, n_lines: int = 600, seed: int = 42, sha
     return d
 
 
+def ensure_big_pack(root: str | None = None, n_lines: int = 100_000, seed: int = 7, shards: int = 16) -> str:
+    """Bench-scale pack (separate from the oracle-checked 600-line pack):
+    used to measure raw parse throughput against the reference's
+    single-process line loop. 16 shards ⇒ 16-way parallel gzip decode."""
+    d = os.path.join(
+        root
+        or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".cache"
+        ),
+        f"ppdb_pack_big_{n_lines}",
+    )
+    marker = os.path.join(d, "_SUCCESS")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    lines = generate_lines(n_lines, seed)
+    for s in range(shards):
+        shard_lines = [ln for i, ln in enumerate(lines) if i % shards == s]
+        with gzip.open(os.path.join(d, f"part-{s:04d}.txt.gz"), "wt", encoding="utf-8") as f:
+            f.write("\n".join(shard_lines) + "\n")
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return d
+
+
 def _sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
