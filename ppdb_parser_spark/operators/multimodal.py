@@ -52,17 +52,14 @@ def blobs_dir(root: str | None = None) -> str:
 
 
 def ensure_blobs(root: str | None = None) -> str:
-    d = blobs_dir(root)
-    marker = os.path.join(d, "_SUCCESS")
-    if os.path.exists(marker):
-        return d
-    os.makedirs(d, exist_ok=True)
-    for i in range(N_BLOBS):
-        with open(os.path.join(d, f"blob-{i:04d}.fake"), "wb") as f:
-            f.write(blob_bytes(i))
-    with open(marker, "w") as f:
-        f.write("ok\n")
-    return d
+    from ..sources._cache import ensure_cached_dir
+
+    def build(d: str) -> None:
+        for i in range(N_BLOBS):
+            with open(os.path.join(d, f"blob-{i:04d}.fake"), "wb") as f:
+                f.write(blob_bytes(i))
+
+    return ensure_cached_dir(blobs_dir(root), build)
 
 
 def blobs_values_sql() -> str:

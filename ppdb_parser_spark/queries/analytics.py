@@ -143,6 +143,49 @@ def analytics_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q18 shape: large-quantity orders — HAVING-filtered aggregate driving a
+# semi join back into the fact chain.
+# --------------------------------------------------------------------------
+@query(
+    "analytics_large_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING {money_sum_sql("l_quantity", 100)} > 120
+    )
+    SELECT c_mktsegment,
+           COUNT(DISTINCT o_orderkey) AS n_orders,
+           {money_sum_sql("o_totalprice")} AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_mktsegment
+    """,
+    tags=("A1", "J4", "A2"),
+)
+def analytics_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(money_sum("l_quantity", 100).alias("qty"))
+        .filter(F.col("qty") > 120)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            money_sum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Funnel: users whose first signup is later followed by a purchase —
 # per-user min-timestamps compared, conversion counts per cohort day.
 # --------------------------------------------------------------------------

@@ -41,30 +41,26 @@ def _cache_root() -> str:
 
 
 def ensure_csv(root: str | None = None) -> str:
-    d = os.path.join(root or _cache_root(), "csv_v1")
-    marker = os.path.join(d, "_SUCCESS")
-    if not os.path.exists(marker):
-        os.makedirs(d, exist_ok=True)
+    from ._cache import ensure_cached_dir
+
+    def build(d: str) -> None:
         with open(os.path.join(d, "items.csv"), "w") as f:
             f.write("sku,qty,price\n")
             for sku, qty, price in csv_rows():
                 f.write(f"{sku},{qty},{price}\n")
-        with open(marker, "w") as f:
-            f.write("ok\n")
-    return d
+
+    return ensure_cached_dir(os.path.join(root or _cache_root(), "csv_v1"), build)
 
 
 def ensure_json(root: str | None = None) -> str:
-    d = os.path.join(root or _cache_root(), "json_v1")
-    marker = os.path.join(d, "_SUCCESS")
-    if not os.path.exists(marker):
-        os.makedirs(d, exist_ok=True)
+    from ._cache import ensure_cached_dir
+
+    def build(d: str) -> None:
         with open(os.path.join(d, "docs.jsonl"), "w") as f:
             for row in json_rows():
                 f.write(json.dumps(row) + "\n")
-        with open(marker, "w") as f:
-            f.write("ok\n")
-    return d
+
+    return ensure_cached_dir(os.path.join(root or _cache_root(), "json_v1"), build)
 
 
 CSV_SCHEMA = T.StructType(

@@ -104,27 +104,31 @@ def pack_dir(root: str | None = None) -> str:
     return os.path.join(root, "ppdb_pack_v1")
 
 
-def ensure_pack(root: str | None = None, n_lines: int = 600, seed: int = 42, shards: int = 4) -> str:
-    """Write the pack as ``shards`` gzipped text files (idempotent)."""
-    d = pack_dir(root)
-    marker = os.path.join(d, "_SUCCESS")
-    if os.path.exists(marker):
-        return d
-    os.makedirs(d, exist_ok=True)
-    lines = generate_lines(n_lines, seed)
+def _write_shards(d: str, lines: list[str], shards: int) -> None:
     for s in range(shards):
         shard_lines = [ln for i, ln in enumerate(lines) if i % shards == s]
-        with gzip.open(os.path.join(d, f"part-{s:04d}.txt.gz"), "wt", encoding="utf-8") as f:
+        with gzip.open(
+            os.path.join(d, f"part-{s:04d}.txt.gz"), "wt", encoding="utf-8"
+        ) as f:
             f.write("\n".join(shard_lines) + "\n")
-    with open(marker, "w") as f:
-        f.write("ok\n")
-    return d
+
+
+def ensure_pack(root: str | None = None, n_lines: int = 600, seed: int = 42, shards: int = 4) -> str:
+    """Write the pack as ``shards`` gzipped text files (idempotent, atomic
+    under concurrent callers)."""
+    from ._cache import ensure_cached_dir
+
+    return ensure_cached_dir(
+        pack_dir(root), lambda d: _write_shards(d, generate_lines(n_lines, seed), shards)
+    )
 
 
 def ensure_big_pack(root: str | None = None, n_lines: int = 100_000, seed: int = 7, shards: int = 16) -> str:
     """Bench-scale pack (separate from the oracle-checked 600-line pack):
     used to measure raw parse throughput against the reference's
     single-process line loop. 16 shards ⇒ 16-way parallel gzip decode."""
+    from ._cache import ensure_cached_dir
+
     d = os.path.join(
         root
         or os.path.join(
@@ -132,18 +136,9 @@ def ensure_big_pack(root: str | None = None, n_lines: int = 100_000, seed: int =
         ),
         f"ppdb_pack_big_{n_lines}",
     )
-    marker = os.path.join(d, "_SUCCESS")
-    if os.path.exists(marker):
-        return d
-    os.makedirs(d, exist_ok=True)
-    lines = generate_lines(n_lines, seed)
-    for s in range(shards):
-        shard_lines = [ln for i, ln in enumerate(lines) if i % shards == s]
-        with gzip.open(os.path.join(d, f"part-{s:04d}.txt.gz"), "wt", encoding="utf-8") as f:
-            f.write("\n".join(shard_lines) + "\n")
-    with open(marker, "w") as f:
-        f.write("ok\n")
-    return d
+    return ensure_cached_dir(
+        d, lambda t: _write_shards(t, generate_lines(n_lines, seed), shards)
+    )
 
 
 def _sql_quote(s: str) -> str:
