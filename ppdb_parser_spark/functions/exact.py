@@ -8,10 +8,13 @@ measures (`l_extendedprice`, `l_discount`, `o_totalprice`, `events.value`,
 exactly representable if accumulated as integers.
 
 Pattern: scale each row value to the grid, ``round``-cast to ``long``,
-sum as a 64-bit integer (associative, order-independent, overflow-safe for
-anything the fixtures or a 100 TB run produce while values stay < 2^53 /
-rowcount), then divide back once. Both engines then produce *bit-identical*
-doubles. The same expression is mirrored in the oracle SQL:
+sum as a 64-bit integer (associative, order-independent), then divide back
+once. Both engines then produce *bit-identical* doubles. Overflow bound:
+per aggregation group, ``n_rows × max|value| × scale`` must stay below
+2^63 ≈ 9.2e18 — e.g. 1e4-magnitude values at scale=1e6 are safe to ~9e8
+rows per group; beyond that (full 100 TB groups) switch the accumulator to
+``DECIMAL(38,0)`` on both engines or pre-aggregate per partition. The same
+expression is mirrored in the oracle SQL:
 
     CAST(SUM(CAST(ROUND(expr * 10000) AS BIGINT)) AS BIGINT) / 10000.0
 
@@ -36,14 +39,6 @@ def money_sum(col: Column | str, scale: int = DEFAULT_SCALE) -> Column:
     return F.sum(F.round(c * scale).cast("long")) / float(scale)
 
 
-def money_avg(col: Column | str, scale: int = DEFAULT_SCALE) -> Column:
-    """Order-independent AVG: exact integer sum / exact count."""
-    c = F.col(col) if isinstance(col, str) else col
-    return (
-        F.sum(F.round(c * scale).cast("long")) / float(scale) / F.count(c)
-    )
-
-
 def money_sum_sql(expr: str, scale: int = DEFAULT_SCALE) -> str:
     """SQL mirror of :func:`money_sum`, valid in BOTH DuckDB and Spark SQL.
 
@@ -57,5 +52,3 @@ def money_sum_sql(expr: str, scale: int = DEFAULT_SCALE) -> str:
     )
 
 
-def money_avg_sql(expr: str, scale: int = DEFAULT_SCALE) -> str:
-    return f"{money_sum_sql(expr, scale)} / COUNT({expr})"

@@ -50,7 +50,11 @@ def asof_join(
         F.struct(*left.columns).alias("__lpay"),
         F.lit(None).cast(rpay_t).alias("__rpay"),
     )
-    r2 = right.select(
+    # NULL right timestamps can never be "at or before" anything (DuckDB's
+    # ASOF evaluates l.t >= NULL as no-match) — and under ascending
+    # NULLS-FIRST they would otherwise sort before everything and match
+    # spuriously. Drop them up front.
+    r2 = right.filter(F.col(right_on).isNotNull()).select(
         *[F.col(c).alias(f"__by_{i}") for i, c in enumerate(by)],
         F.col(right_on).alias("__t"),
         F.lit(0).alias("__is_left"),
@@ -58,10 +62,12 @@ def asof_join(
         F.struct(*right_cols).alias("__rpay"),
     )
     # Right rows sort before left rows at equal __t, so an exact-tie right
-    # row is already visible to the left row's running last().
+    # row is already visible to the left row's running last(). Among right
+    # rows tied on __t the payload struct is the final tie-break, making
+    # the selected match deterministic rather than partition-order luck.
     w = (
         Window.partitionBy(*[f"__by_{i}" for i in range(len(by))])
-        .orderBy(F.asc("__t"), F.asc("__is_left"))
+        .orderBy(F.asc("__t"), F.asc("__is_left"), F.asc_nulls_first("__rpay"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     u = l2.unionByName(r2).withColumn(

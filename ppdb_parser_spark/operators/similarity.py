@@ -59,13 +59,14 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = ("label",),
 ) -> DataFrame:
     """Exact top-k by cosine (desc, id asc tie-break) — orderBy+limit shape
     so Catalyst plans TakeOrderedAndProject (per-partition heaps, no global
-    sort)."""
+    sort). ``keep_cols``: extra columns carried into the result."""
     return (
         with_cosine(df, probe, vec_col)
-        .select(id_col, "label", "cosine")
+        .select(id_col, *keep_cols, "cosine")
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
@@ -104,6 +105,7 @@ def lsh_similarity_join(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH near-neighbor join, fully relational.
 
@@ -112,11 +114,23 @@ def lsh_similarity_join(
     value (equi join on (band, band_sig) — sub-quadratic); refined with the
     exact cosine. Deterministic given the seed, but recall is approximate →
     rows-only driver check.
+
+    ``dim``: embedding dimensionality. Pass it explicitly to keep plan
+    construction lazy; when omitted it is probed from the first row (one
+    small job), and an empty input returns an empty pair relation.
     """
     import random
 
     rng = random.Random(seed)
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        first = df.select(vec_col).first()
+        if first is None:  # empty input -> no pairs, keep the output schema
+            return df.sparkSession.createDataFrame(
+                [], f"id_a {df.schema[id_col].dataType.simpleString()},"
+                    f" id_b {df.schema[id_col].dataType.simpleString()},"
+                    " cosine double"
+            )
+        dim = len(first[0])
     planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
     bits_per_band = n_planes // n_bands
 

@@ -99,9 +99,16 @@ def generate_lines(n_lines: int = 600, seed: int = 42) -> list[str]:
     return lines
 
 
-def pack_dir(root: str | None = None) -> str:
-    root = root or os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".cache")
-    return os.path.join(root, "ppdb_pack_v1")
+def _cache_root(root: str | None = None) -> str:
+    return root or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".cache"
+    )
+
+
+def pack_dir(root: str | None = None, n_lines: int = 600, seed: int = 42, shards: int = 4) -> str:
+    # generator params are part of the cache key: a pack built with
+    # different params must never be served from a stale directory
+    return os.path.join(_cache_root(root), f"ppdb_pack_{n_lines}_{seed}_{shards}")
 
 
 def _write_shards(d: str, lines: list[str], shards: int) -> None:
@@ -119,7 +126,8 @@ def ensure_pack(root: str | None = None, n_lines: int = 600, seed: int = 42, sha
     from ._cache import ensure_cached_dir
 
     return ensure_cached_dir(
-        pack_dir(root), lambda d: _write_shards(d, generate_lines(n_lines, seed), shards)
+        pack_dir(root, n_lines, seed, shards),
+        lambda d: _write_shards(d, generate_lines(n_lines, seed), shards),
     )
 
 
@@ -129,13 +137,7 @@ def ensure_big_pack(root: str | None = None, n_lines: int = 100_000, seed: int =
     single-process line loop. 16 shards ⇒ 16-way parallel gzip decode."""
     from ._cache import ensure_cached_dir
 
-    d = os.path.join(
-        root
-        or os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".cache"
-        ),
-        f"ppdb_pack_big_{n_lines}",
-    )
+    d = os.path.join(_cache_root(root), f"ppdb_pack_big_{n_lines}_{seed}_{shards}")
     return ensure_cached_dir(
         d, lambda t: _write_shards(t, generate_lines(n_lines, seed), shards)
     )

@@ -44,6 +44,10 @@ def ensure_session_confs(spark: SparkSession) -> None:
     for k, v in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
+        # P6 contract: a malformed line (duplicate feature keys, doubled
+        # separators producing empty-string keys) must never crash the
+        # parse job — ANSI default EXCEPTION would.
+        ("spark.sql.mapKeyDedupPolicy", "LAST_WIN"),
     ):
         try:
             spark.conf.set(k, v)

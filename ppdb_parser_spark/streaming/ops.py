@@ -30,17 +30,29 @@ def _epoch_us(col: str):
 
 def _stream_dir(sf_dir: str) -> str:
     """The file streaming source requires a *directory*; expose the events
-    parquet file through a symlink dir under .cache (idempotent)."""
+    parquet file through a symlink dir under .cache (idempotent).
+
+    Keyed by a hash of the ABSOLUTE source path (two different sf_dirs with
+    the same basename must not collide), and re-linked via lexists (a
+    dangling symlink from a regenerated fixture must not wedge the cache).
+    """
+    import hashlib
     import os
 
     from ..sources.ppdb_pack import pack_dir
 
+    target = os.path.abspath(table_path(sf_dir, "events"))
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    d = os.path.join(os.path.dirname(pack_dir()), f"events_stream_{sf_tag}")
+    key = hashlib.md5(target.encode()).hexdigest()[:8]
+    d = os.path.join(
+        os.path.dirname(pack_dir()), f"events_stream_{sf_tag}_{key}"
+    )
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(table_path(sf_dir, "events"), link)
+    if os.path.lexists(link) and os.readlink(link) != target:
+        os.remove(link)
+    if not os.path.lexists(link):
+        os.symlink(target, link)
     return d
 
 
