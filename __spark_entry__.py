@@ -10,12 +10,20 @@ module is a thin adapter.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-import ppdb_parser_spark.queries  # noqa: F401 — importing populates the registry
-from ppdb_parser_spark.queries import registry as _registry
+# the driver may import this file by path with an arbitrary CWD — make the
+# sibling package importable regardless
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+import ppdb_parser_spark.queries  # noqa: F401,E402 — importing populates the registry
+from ppdb_parser_spark.queries import registry as _registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
