@@ -217,6 +217,83 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Dedup clustering: near-dup pairs (exact Jaccard >= 0.5, DF-capped)
+# collapsed into duplicate groups via connected components; one canonical
+# (min-id) doc per group. Spark side iterates min-label propagation; the
+# oracle computes the same fixpoint with a recursive-CTE transitive
+# closure — min-label components are a unique fixpoint, so both agree.
+# --------------------------------------------------------------------------
+_COMPONENTS_ORACLE = """
+    WITH RECURSIVE pos_toks AS (
+      SELECT doc_id,
+             unnest(str_split(text, ' ')) AS token,
+             generate_subscripts(str_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    sh_all AS (
+      SELECT DISTINCT doc_id,
+             token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS shingle
+      FROM pos_toks
+    ),
+    sh_valid AS (SELECT doc_id, shingle FROM sh_all WHERE shingle IS NOT NULL
+                 AND len(str_split(shingle, ' ')) = 2),
+    keep AS (SELECT shingle FROM sh_valid GROUP BY shingle
+             HAVING COUNT(*) <= 40),
+    shn AS (SELECT s.doc_id, s.shingle FROM sh_valid s JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shn GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM shn a JOIN shn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON inter.id_a = sa.doc_id
+      JOIN sizes sb ON inter.id_b = sb.doc_id
+      WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5
+    ),
+    bidir AS (SELECT id_a AS a, id_b AS b FROM edges
+              UNION SELECT id_b, id_a FROM edges),
+    reach(a, b) AS (
+      SELECT a, b FROM bidir
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a
+    ),
+    labeled AS (
+      SELECT a AS node, LEAST(a, MIN(b)) AS component
+      FROM reach GROUP BY a
+    )
+    SELECT node, component, CAST(group_size AS BIGINT) AS group_size
+    FROM labeled
+    JOIN (SELECT component AS comp, COUNT(*) AS group_size
+          FROM labeled GROUP BY component) sizes2
+      ON labeled.component = sizes2.comp
+"""
+
+
+@query(
+    "dedup_components",
+    oracle=_COMPONENTS_ORACLE,
+    tags=("O6", "J2", "A1"),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    pairs = DD.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.5,
+        n=2,
+        max_doc_freq=40,
+    ).select("id_a", "id_b")
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
+    return labels.join(sizes, "component").select(
+        "node", "component", F.col("group_size").cast("long").alias("group_size")
+    )
+
+
+# --------------------------------------------------------------------------
 # O6: MinHash-LSH approximate near-dup join (pyspark.ml, fixed seed).
 # Approximate candidate recall is engine-specific → rows-only check; the
 # "every reported pair really exceeds the Jaccard threshold" property is

@@ -155,3 +155,18 @@ def test_salted_agg_equals_plain(spark, sf_dir):
         .collect()
     }
     assert salted == plain
+
+
+def test_connected_components_chain(spark):
+    """A 5-node chain needs multiple propagation rounds; two disjoint
+    components must keep distinct labels."""
+    from ppdb_parser_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
