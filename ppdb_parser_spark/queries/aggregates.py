@@ -261,3 +261,16 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
     )
+
+
+# --------------------------------------------------------------------------
+# A7 (approx variant): percentile_approx — estimates are engine-specific →
+# rows-only; the error-vs-exact contract is asserted in tests.
+# --------------------------------------------------------------------------
+@query("agg_approx_percentile", oracle=None, tags=("A7", "A3"))
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+        F.median("l_extendedprice").alias("exact_median"),
+    )

@@ -205,3 +205,44 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k_typed).cast("long").alias("max_k"),
         F.count(F.when(k_path > 50, F.lit(1))).alias("n_high"),
     )
+
+
+# --------------------------------------------------------------------------
+# NULL-handling battery: coalesce / nullif / null-safe equality over the
+# left-join shape that actually produces NULLs.
+# --------------------------------------------------------------------------
+@query(
+    "scalar_null_handling",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(o_orderkey, -1) AS order_or_sentinel,
+           NULLIF(c_mktsegment, 'BUILDING') AS segment_nullified,
+           (o_orderkey IS NOT DISTINCT FROM NULL) AS has_no_order,
+           CASE WHEN o_totalprice IS NULL THEN 'none'
+                WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS order_class
+    FROM customer
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 150000) o
+           ON c_custkey = o_custkey AND o_orderkey % 7 = 0
+    """,
+    tags=("F3", "J3", "X3"),
+)
+def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    joined = c.join(
+        o,
+        (c.c_custkey == o.o_custkey) & (o.o_orderkey % 7 == 0),
+        "left",
+    )
+    return joined.select(
+        "c_custkey",
+        F.coalesce(F.col("o_orderkey"), F.lit(-1)).alias("order_or_sentinel"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias(
+            "segment_nullified"
+        ),
+        F.col("o_orderkey").eqNullSafe(F.lit(None)).alias("has_no_order"),
+        F.when(F.col("o_totalprice").isNull(), "none")
+        .when(F.col("o_totalprice") > 200000, "big")
+        .otherwise("small")
+        .alias("order_class"),
+    )

@@ -292,3 +292,26 @@ def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         (F.sum(cents) / 100.0).alias("sum_acctbal"),
     )
+
+
+# --------------------------------------------------------------------------
+# W2b: cume_dist — tie-aware cumulative distribution (exact rational).
+# --------------------------------------------------------------------------
+@query(
+    "window_cume_dist",
+    oracle="""
+    SELECT p_partkey, p_brand, p_size,
+           CUME_DIST() OVER (PARTITION BY p_brand ORDER BY p_size) AS size_cume
+    FROM part
+    """,
+    tags=("W2",),
+)
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.asc("p_size"))
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.cume_dist().over(w).alias("size_cume"),
+    )

@@ -170,3 +170,9 @@ def test_connected_components_chain(spark):
         for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    rows = REGISTRY["agg_approx_percentile"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert abs(r["approx_median"] - r["exact_median"]) <= 0.05 * r["exact_median"]
