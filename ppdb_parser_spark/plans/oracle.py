@@ -67,6 +67,18 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -
         return CompareResult(name, False, f"columns differ: spark={list(a.columns)} duck={list(b.columns)}")
     if len(a) != len(b):
         return CompareResult(name, False, f"row count differs: spark={len(a)} duck={len(b)}")
+    # Dtype-strict gate: the driver's value-hash distinguishes 1 from 1.0, so a
+    # Spark int64 column against a DuckDB float64/object column (e.g. an uncast
+    # HUGEINT SUM) must FAIL here even when the values compare equal.
+    for c in a.columns:
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if ka != kb:
+            return CompareResult(
+                name,
+                False,
+                f"dtype kind mismatch on col {c!r}: spark={a[c].dtype} duck={b[c].dtype} "
+                "(driver value-hash would differ — cast the oracle SQL or the Spark column)",
+            )
     for c in a.columns:
         sa, sb = a[c], b[c]
         if pd.api.types.is_float_dtype(sa) and pd.api.types.is_float_dtype(sb):

@@ -182,9 +182,9 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pivot_status",
     oracle="""
     SELECT o_orderpriority,
-           COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS n_open,
-           COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS n_finished,
-           COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS n_pending
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS n_open,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS n_finished,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS n_pending
     FROM orders GROUP BY o_orderpriority
     """,
     tags=("A6",),

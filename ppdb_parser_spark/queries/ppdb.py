@@ -68,8 +68,8 @@ def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_rules,
            COUNT(DISTINCT phrase) AS n_phrases,
            {money_sum_sql("COALESCE(ppdb2score, 0)")} AS sum_score,
-           SUM(n_feats) AS total_feats,
-           SUM(n_aligns) AS total_aligns
+           CAST(SUM(n_feats) AS BIGINT) AS total_feats,
+           CAST(SUM(n_aligns) AS BIGINT) AS total_aligns
     FROM parsed GROUP BY lhs
     """,
     tags=("S1", "P1", "P2", "P3", "P4", "A1"),

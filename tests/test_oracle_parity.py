@@ -27,6 +27,20 @@ def test_oracle_parity(spark, sf_dir, name):
     )
 
 
+@pytest.mark.parametrize(
+    "name", sorted(n for n, s in REGISTRY.items() if s.oracle is None)
+)
+def test_rows_only_driver_sortable(spark, sf_dir, name):
+    """The driver's rows-only canonicalizer does a pandas sort_values over
+    every column; nested array/struct columns are unhashable there and
+    crashed ppdb_collect_nested in round 1. Every rows-only query must emit
+    only scalar (sortable) columns."""
+    pdf = REGISTRY[name].fn(spark, sf_dir).toPandas()
+    # mimics the driver: this must not raise
+    if len(pdf.columns):
+        pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
