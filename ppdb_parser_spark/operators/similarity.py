@@ -72,6 +72,103 @@ def cosine_topk(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    n_cells: int = 8,
+    probe_id: int = 1,
+    n_probe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """IVF-style ANN top-k, fully relational — zero driver-side jobs.
+
+    Coarse cells are seeded by the vectors with ``id < n_cells``
+    (deterministic, no k-means iteration). The whole index state — the
+    seeds array (with precomputed norms), the probe embedding, and the
+    probe's top-``n_probe`` cells — is computed IN-PLAN as one broadcast
+    context row (two 1-row aggregates cross-joined); the main scan then
+    cross-join-broadcasts that row and does per-row argmax cell assignment
+    with JVM higher-order functions over the seeds array.
+
+    Scale shape: narrow map over the scan (O(n_cells) work per row, an
+    array ``transform``/``array_sort`` — linear in cells, unlike a
+    pairwise-comparison expression tree which is O(cells²) and caps at
+    tens of cells), then candidate filter, then TakeOrderedAndProject.
+    The only exchange in the plan is the broadcast of the 1-row context;
+    no shuffle until the final top-k reduce. At 1000 executors this is a
+    single pass over the data with a tiny broadcast — the same shape a
+    production IVF probe uses.
+    """
+    seeds = df.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).cast("int").alias("cell_id"),
+        F.col(vec_col).alias("semb"),
+    )
+    # one row: all seeds as an array of (cell_id, embedding, norm) structs.
+    # collect_list order is nondeterministic, but every consumer below is
+    # an order-independent argmax/sort with a full tie-break.
+    seeds_row = seeds.agg(
+        F.collect_list(
+            F.struct(
+                F.col("cell_id"), F.col("semb"), _norm(F.col("semb")).alias("snorm")
+            )
+        ).alias("seeds")
+    )
+    probe_row = df.filter(F.col(id_col) == probe_id).select(
+        F.col(vec_col).alias("probe_emb"), _norm(F.col(vec_col)).alias("probe_nrm")
+    )
+
+    def _seed_cos(emb: Column, nrm: Column):
+        """array<struct<negcos,cell_id>> sorted asc = cosine desc, id asc."""
+        return F.array_sort(
+            F.transform(
+                F.col("seeds"),
+                lambda s: F.struct(
+                    (-F.round(_dot(emb, s["semb"]) / (nrm * s["snorm"]), 6)).alias(
+                        "negcos"
+                    ),
+                    s["cell_id"].alias("cell_id"),
+                ),
+            )
+        )
+
+    ctx = (
+        probe_row.crossJoin(seeds_row)
+        .withColumn(
+            "probe_cells",
+            F.slice(
+                F.transform(
+                    _seed_cos(F.col("probe_emb"), F.col("probe_nrm")),
+                    lambda s: s["cell_id"],
+                ),
+                1,
+                n_probe,
+            ),
+        )
+        .select("probe_emb", "probe_nrm", "seeds", "probe_cells")
+    )
+
+    j = df.withColumn("__nrm", _norm(F.col(vec_col))).crossJoin(F.broadcast(ctx))
+    assigned = j.withColumn(
+        "cell_id",
+        F.element_at(_seed_cos(F.col(vec_col), F.col("__nrm")), 1)["cell_id"],
+    )
+    cand = assigned.filter(
+        F.array_contains(F.col("probe_cells"), F.col("cell_id"))
+        & (F.col(id_col) != probe_id)
+    )
+    cosine = F.round(
+        _dot(F.col(vec_col), F.col("probe_emb")) / (F.col("__nrm") * F.col("probe_nrm")),
+        6,
+    )
+    return (
+        cand.select(id_col, *keep_cols, cosine.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def pairwise_cosine_pairs(
     df: DataFrame,
     threshold: float = 0.8,

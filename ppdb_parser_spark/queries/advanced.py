@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.ppdb import parse_ppdb_clean
-from ..operators.similarity import _dot, _norm
+from ..operators.similarity import ivf_topk
 from ..operators.skew import salted_agg_sum_count
 from ..sources.ppdb_pack import ensure_pack, lines_values_sql
 from ..sources.tables import load_table
@@ -105,72 +105,8 @@ _IVF_ORACLE = f"""
 @query("sim_ivf_topk", oracle=_IVF_ORACLE, tags=("L1", "L2", "W1"), bench=True)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    seeds = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in e.filter(F.col("vec_id") < _N_CELLS).collect()
-    ]
-    probe = [
-        float(x)
-        for x in e.filter(F.col("vec_id") == _PROBE_ID).first()["embedding"]
-    ]
-
-    # probe → cell routing is a dim×n_cells dot product over two LOCAL
-    # vectors: computed driver-side, zero Spark jobs
-    import math
-
-    def _py_cos(a: list[float], b: list[float]) -> float:
-        dot = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return round(dot / (na * nb), 6)
-
-    probe_scores = sorted(
-        ((cid, _py_cos(probe, vec)) for cid, vec in seeds),
-        key=lambda t: (-t[1], t[0]),
-    )
-    top_cells = [cid for cid, _ in probe_scores[:2]]
-
-    # row norm computed ONCE and shared by all seed cosines (the naive
-    # per-seed norm re-derivation doubles the codegen'd expression tree)
-    def cos_with_norm(vec: list[float]):
-        arr = F.array(*[F.lit(v) for v in vec])
-        return F.round(
-            _dot(F.col("embedding"), arr) / (F.col("__nrm") * _norm(arr)), 6
-        )
-
-    scored = e.withColumn("__nrm", _norm(F.col("embedding"))).select(
-        "vec_id",
-        "label",
-        "embedding",
-        "__nrm",
-        *[cos_with_norm(vec).alias(f"c{cid}") for cid, vec in seeds],
-    )
-    # cell assignment: argmax over the 8 seed cosines — a fixed-width
-    # greatest-of expression tree, no join, no shuffle
-    assign_expr = None
-    for cid, _ in seeds:
-        cond_best = F.lit(True)
-        for other, _ in seeds:
-            if other == cid:
-                continue
-            cond_best = cond_best & (
-                (F.col(f"c{cid}") > F.col(f"c{other}"))
-                | ((F.col(f"c{cid}") == F.col(f"c{other}")) & (F.lit(cid) < F.lit(other)))
-            )
-        assign_expr = (
-            F.when(cond_best, F.lit(cid))
-            if assign_expr is None
-            else assign_expr.when(cond_best, F.lit(cid))
-        )
-    assigned = scored.withColumn("cell_id", assign_expr)
-
-    cand = assigned.filter(
-        F.col("cell_id").isin(top_cells) & (F.col("vec_id") != _PROBE_ID)
-    )
-    return (
-        cand.select("vec_id", "label", cos_with_norm(probe).alias("cosine"))
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(5)
+    return ivf_topk(
+        e, n_cells=_N_CELLS, probe_id=_PROBE_ID, n_probe=2, k=5
     )
 
 

@@ -59,5 +59,23 @@ def test_jaccard_candidate_join_no_cartesian(spark, sf_dir):
     )
 
 
+def test_ivf_topk_single_pass_no_driver_jobs(spark, sf_dir):
+    """sim_ivf_topk must be one lineage: no driver-side seed collect before
+    the action (round-1 verdict #4), no shuffle of the big table — the only
+    exchanges are the 1-row context broadcast and the 8-row seeds
+    aggregation — and a TakeOrderedAndProject top-k."""
+    sc = spark.sparkContext
+    before = len(sc.statusTracker().getJobIdsForGroup() or [])
+    df = _df(spark, sf_dir, "sim_ivf_topk")
+    after = len(sc.statusTracker().getJobIdsForGroup() or [])
+    # allow ≤1 job for parquet file-index listing; the old implementation
+    # ran 2 eager jobs (seed collect + probe first) ON TOP of the listing
+    assert after - before <= 1, "plan construction ran eager driver jobs"
+    plan = C.assert_take_ordered(df, "sim_ivf_topk")
+    assert "hashpartitioning" not in plan, (
+        f"sim_ivf_topk: unexpected hash-partition shuffle\n{plan}"
+    )
+
+
 def test_pricing_summary_codegen(spark, sf_dir):
     C.assert_codegen(_df(spark, sf_dir, "agg_pricing_summary"), "agg_pricing_summary")
