@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import money_sum, money_sum_sql
+from ..operators.topk import global_topk_ranked
 from ..sources.tables import load_table
 from .registry import query
 
@@ -77,10 +78,14 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("n_name"), F.asc("order_month"))
-    return (
-        rev.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 10)
+    # top-k FIRST (TakeOrderedAndProject: per-partition heaps, no global
+    # sort, no single-partition WindowExec over the full aggregate), THEN
+    # rank only the 10 survivors — see operators/topk.py.
+    return global_topk_ranked(
+        rev,
+        [F.desc("revenue"), F.asc("n_name"), F.asc("order_month")],
+        10,
+        anchor="n_name",
     )
 
 
