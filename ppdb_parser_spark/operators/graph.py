@@ -12,6 +12,8 @@ pattern runs with checkpointing every few iterations to truncate lineage
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -40,6 +42,8 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    prev_cached: DataFrame | None = None
+    n_changed = 0
     for i in range(max_iterations):
         neighbor_min = (
             bidir.join(labels, bidir.b == labels.node)
@@ -68,7 +72,21 @@ def connected_components(
         else:
             new_labels = new_labels.persist()
         n_changed = new_labels.filter(F.col("changed")).count()
+        # the count above materialized new_labels' cache; the previous
+        # iteration's cached frame is no longer referenced — release it so
+        # long runs don't accumulate cached partitions
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = new_labels
         labels = new_labels.select("node", "component")
         if n_changed == 0:
             break
+    if n_changed != 0:
+        warnings.warn(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({n_changed} labels still changing) — component ids "
+            "are NOT final; raise max_iterations (graph diameter exceeds it)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels

@@ -172,6 +172,25 @@ def test_connected_components_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_warns_on_non_convergence(spark):
+    """If the iteration budget is below the graph diameter the labels are
+    not final — the operator must say so instead of silently returning."""
+    import warnings
+
+    from ppdb_parser_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(edges, max_iterations=1)
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "did not converge" in str(w.message)
+        for w in caught
+    )
+
+
 def test_approx_percentile_close_to_exact(spark, sf_dir):
     rows = REGISTRY["agg_approx_percentile"].fn(spark, sf_dir).collect()
     for r in rows:
