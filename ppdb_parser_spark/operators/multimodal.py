@@ -1,16 +1,20 @@
 """Multimodal (binary) column handling (SURVEY.md §2.1 S4, §2.9 L7).
 
-Blobs are opaque ``binary`` columns plus typed metadata. The container has
-no image/audio codecs, so the *decode* steps for real formats are stubbed
-behind ``NotImplementedError`` (clearly marked), while the Spark-side
-plumbing — binaryFile source, schema, Arrow batch shape of the
-``mapInPandas`` decoder, content hashing for identity/dedup — is real and
-oracle-checked against hashes precomputed with hashlib.
+Blobs are opaque ``binary`` columns plus typed metadata, decoded by
+Arrow-batched ``mapInPandas`` decoders. Three formats decode for real:
 
-Fake blob format ("FAKE"): 4-byte magic ``FAKE`` · width uint16-BE ·
-height uint16-BE · payload bytes (deterministic per index). A decoder for
-this format exists and is exact, standing in for a JPEG/PNG decoder with
-identical dataflow.
+- "FAKE": 4-byte magic ``FAKE`` · width uint16-BE · height uint16-BE ·
+  payload (deterministic per index) — the original stand-in format.
+- BMP (Windows bitmap): hand-parsed BITMAPFILEHEADER + BITMAPINFOHEADER
+  (pure struct math, no image library) → width/height.
+- WAV (RIFF PCM): hand-parsed RIFF chunk walk (``fmt `` + ``data``) →
+  channels, sample rate, sample count.
+
+Compressed formats (JPEG/PNG/MP3/MP4) need codec libraries the container
+does not have; those remain a clearly-marked ``NotImplementedError`` stub.
+The Spark-side plumbing — binaryFile source, schema, Arrow batch shape,
+content hashing for identity/dedup — is identical for all formats and is
+oracle-checked against struct/hashlib-precomputed ground truth.
 """
 
 from __future__ import annotations
@@ -115,3 +119,194 @@ def decode_meta(blobs: DataFrame) -> DataFrame:
         _decode,
         schema="file_name string, n_bytes long, width long, height long, sha256 string",
     )
+
+
+# --------------------------------------------------------------------------
+# Real formats, hand-parsed: BMP (image) and WAV (audio). Pure struct math
+# — no codec libraries — so the decode path is real, not a stub.
+# --------------------------------------------------------------------------
+N_BMP = 24
+N_WAV = 24
+
+
+def bmp_bytes(i: int) -> bytes:
+    """A real 24-bpp uncompressed BMP: BITMAPFILEHEADER (14 B) +
+    BITMAPINFOHEADER (40 B) + padded pixel rows. Opens in any viewer."""
+    w = 4 + (i * 3) % 29
+    h = 2 + (i * 5) % 17
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    pixels = bytearray()
+    for y in range(h):
+        for x in range(w):
+            v = (x * 7 + y * 11 + i * 31) % 256
+            pixels += bytes((v, (v * 3) % 256, (v * 5) % 256))
+        pixels += b"\x00" * pad
+    img_size = len(pixels)
+    file_size = 14 + 40 + img_size
+    file_header = b"BM" + struct.pack("<IHHI", file_size, 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    return file_header + info_header + bytes(pixels)
+
+
+def wav_bytes(i: int) -> bytes:
+    """A real RIFF/WAVE PCM file: 'fmt ' chunk (16-byte PCM header) +
+    'data' chunk with deterministic samples."""
+    n_channels = 1 + i % 2
+    sample_rate = 8000 * (1 + i % 3)
+    bits = 16
+    frame = n_channels * (bits // 8)
+    n_samples = 40 + (i * 9) % 173
+    data = bytes((i * 13 + j * 29) % 256 for j in range(n_samples * frame))
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, sample_rate * frame, frame, bits
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def parse_bmp_header(data: bytes) -> tuple[int, int]:
+    """(width, height) from a BMP's BITMAPINFOHEADER. Height may be
+    negative (top-down rows) — callers get the magnitude."""
+    if data[:2] != b"BM" or len(data) < 26:
+        raise ValueError("not a BMP")
+    w, h = struct.unpack_from("<ii", data, 18)
+    return w, abs(h)
+
+
+def parse_wav_header(data: bytes) -> tuple[int, int, int]:
+    """(n_channels, sample_rate, n_samples) via a RIFF chunk walk."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, n_channels, sample_rate, frame, data_len = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", data, pos + 4)
+        if cid == b"fmt ":
+            _, n_channels, sample_rate, _, frame, _ = struct.unpack_from(
+                "<HHIIHH", data, pos + 8
+            )
+        elif cid == b"data":
+            data_len = clen
+        pos += 8 + clen + (clen % 2)  # RIFF chunks are word-aligned
+    if n_channels is None or data_len is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return n_channels, sample_rate, data_len // frame
+
+
+def media_meta(kind: str, i: int) -> tuple:
+    """Ground truth row for the oracle VALUES relation:
+    (file_name, format, n_bytes, width, height, n_channels, sample_rate,
+    n_samples, sha256)."""
+    if kind == "bmp":
+        b = bmp_bytes(i)
+        w, h = parse_bmp_header(b)
+        return (f"img-{i:04d}.bmp", "bmp", len(b), w, h, None, None, None,
+                hashlib.sha256(b).hexdigest())
+    if kind == "wav":
+        b = wav_bytes(i)
+        ch, sr, ns = parse_wav_header(b)
+        return (f"snd-{i:04d}.wav", "wav", len(b), None, None, ch, sr, ns,
+                hashlib.sha256(b).hexdigest())
+    b = blob_bytes(i)
+    w, h = struct.unpack(">HH", b[4:8])
+    return (f"blob-{i:04d}.fake", "fake", len(b), w, h, None, None, None,
+            hashlib.sha256(b).hexdigest())
+
+
+def media_dir(root: str | None = None) -> str:
+    root = root or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".cache"
+    )
+    return os.path.join(root, "media_v1")
+
+
+def ensure_media(root: str | None = None) -> str:
+    """Fixture dir with real .bmp and .wav files alongside .fake blobs."""
+    from ..sources._cache import ensure_cached_dir
+
+    def build(d: str) -> None:
+        for i in range(N_BMP):
+            with open(os.path.join(d, f"img-{i:04d}.bmp"), "wb") as f:
+                f.write(bmp_bytes(i))
+        for i in range(N_WAV):
+            with open(os.path.join(d, f"snd-{i:04d}.wav"), "wb") as f:
+                f.write(wav_bytes(i))
+        for i in range(N_BLOBS):
+            with open(os.path.join(d, f"blob-{i:04d}.fake"), "wb") as f:
+                f.write(blob_bytes(i))
+
+    return ensure_cached_dir(media_dir(root), build)
+
+
+def media_values_sql() -> str:
+    rows = []
+    for kind, n in (("bmp", N_BMP), ("wav", N_WAV), ("fake", N_BLOBS)):
+        for i in range(n):
+            name, fmt, nb, w, h, ch, sr, ns, sha = media_meta(kind, i)
+            nul = "CAST(NULL AS BIGINT)"
+            rows.append(
+                f"('{name}', '{fmt}', {nb}, {w if w is not None else nul}, "
+                f"{h if h is not None else nul}, {ch if ch is not None else nul}, "
+                f"{sr if sr is not None else nul}, {ns if ns is not None else nul}, "
+                f"'{sha}')"
+            )
+    return (
+        "(SELECT * FROM (VALUES " + ", ".join(rows) + ") AS m(file_name, format, "
+        "n_bytes, width, height, n_channels, sample_rate, n_samples, sha256))"
+    )
+
+
+def read_media(spark: SparkSession, path: str | None = None) -> DataFrame:
+    d = path or ensure_media()
+    return spark.read.format("binaryFile").load(
+        [os.path.join(d, "*.bmp"), os.path.join(d, "*.wav"),
+         os.path.join(d, "*.fake")]
+    )
+
+
+_MEDIA_SCHEMA = (
+    "file_name string, format string, n_bytes long, width long, height long,"
+    " n_channels long, sample_rate long, n_samples long, sha256 string"
+)
+
+
+def decode_media_meta(blobs: DataFrame) -> DataFrame:
+    """Unified typed-metadata decoder over mixed binary content: dispatches
+    on magic bytes (BMP / RIFF-WAVE / FAKE), hand-parsing each header.
+    Compressed codec formats (JPEG/PNG/...) raise NotImplementedError —
+    the one deliberate stub in this module."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                name = os.path.basename(path)
+                sha = hashlib.sha256(data).hexdigest()
+                if data[:2] == b"BM":
+                    w, h = parse_bmp_header(data)
+                    rows.append((name, "bmp", len(data), w, h, None, None, None, sha))
+                elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+                    ch, sr, ns = parse_wav_header(data)
+                    rows.append((name, "wav", len(data), None, None, ch, sr, ns, sha))
+                elif data[:4] == MAGIC:
+                    w, h = struct.unpack(">HH", data[4:8])
+                    rows.append((name, "fake", len(data), w, h, None, None, None, sha))
+                else:
+                    raise NotImplementedError(
+                        "compressed-codec blob decode (JPEG/PNG/MP3/...) needs "
+                        "codec libraries not present in this container"
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["file_name", "format", "n_bytes", "width", "height",
+                         "n_channels", "sample_rate", "n_samples", "sha256"],
+            )
+
+    return blobs.mapInPandas(_decode, schema=_MEDIA_SCHEMA)

@@ -191,6 +191,43 @@ def test_connected_components_warns_on_non_convergence(spark):
     )
 
 
+def test_media_headers_roundtrip():
+    """BMP/WAV generators and hand parsers agree for every fixture index,
+    including odd-length WAV data chunks (RIFF word alignment)."""
+    from ppdb_parser_spark.operators import multimodal as MM
+
+    for i in range(MM.N_BMP):
+        b = MM.bmp_bytes(i)
+        assert b[:2] == b"BM"
+        w, h = MM.parse_bmp_header(b)
+        assert w == 4 + (i * 3) % 29 and h == 2 + (i * 5) % 17
+    for i in range(MM.N_WAV):
+        b = MM.wav_bytes(i)
+        ch, sr, ns = MM.parse_wav_header(b)
+        assert ch == 1 + i % 2 and sr == 8000 * (1 + i % 3)
+        assert ns == 40 + (i * 9) % 173
+    # negative (top-down) BMP height is normalized to its magnitude
+    import struct
+
+    b = bytearray(MM.bmp_bytes(0))
+    w0, h0 = MM.parse_bmp_header(bytes(b))
+    struct.pack_into("<i", b, 22, -h0)
+    assert MM.parse_bmp_header(bytes(b)) == (w0, h0)
+
+
+def test_decode_media_meta_rejects_unknown_format(spark, tmp_path):
+    """Compressed codec formats are a deliberate stub: decoding must fail
+    loudly, not return garbage."""
+    import pytest
+
+    from ppdb_parser_spark.operators import multimodal as MM
+
+    (tmp_path / "x.jpg").write_bytes(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+    blobs = spark.read.format("binaryFile").load(str(tmp_path / "*.jpg"))
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        MM.decode_media_meta(blobs).collect()
+
+
 def test_approx_percentile_close_to_exact(spark, sf_dir):
     rows = REGISTRY["agg_approx_percentile"].fn(spark, sf_dir).collect()
     for r in rows:
