@@ -15,7 +15,12 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import money_sum, money_sum_sql
 from ..operators.ppdb import ENTAILMENT_ENUM, parse_ppdb
-from ..sources.ppdb_pack import ensure_big_pack, ensure_pack, lines_values_sql
+from ..sources.ppdb_pack import (
+    ensure_big_pack,
+    ensure_pack,
+    ensure_pack_bz2,
+    lines_values_sql,
+)
 from ..sources.text import read_text_lines
 from .registry import query
 
@@ -60,10 +65,7 @@ def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # P1/P2/P3/P4 + A1: per-LHS parse statistics. n_feats/n_aligns exercise the
 # map and array parses in an oracle-checkable scalar form.
 # --------------------------------------------------------------------------
-@query(
-    "ppdb_parse_stats",
-    oracle=_parse_cte()
-    + f"""
+_PARSE_STATS_ORACLE = _parse_cte() + f"""
     SELECT lhs,
            COUNT(*) AS n_rules,
            COUNT(DISTINCT phrase) AS n_phrases,
@@ -71,12 +73,10 @@ def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_feats) AS BIGINT) AS total_feats,
            CAST(SUM(n_aligns) AS BIGINT) AS total_aligns
     FROM parsed GROUP BY lhs
-    """,
-    tags=("S1", "P1", "P2", "P3", "P4", "A1"),
-    bench=True,
-)
-def ppdb_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _parsed(spark, sf_dir).filter(F.col("is_valid"))
+    """
+
+
+def _parse_stats_agg(df: DataFrame) -> DataFrame:
     return df.groupBy("lhs").agg(
         F.count(F.lit(1)).alias("n_rules"),
         F.countDistinct("phrase").alias("n_phrases"),
@@ -86,6 +86,34 @@ def ppdb_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_aligns"
         ),
     )
+
+
+@query(
+    "ppdb_parse_stats",
+    oracle=_PARSE_STATS_ORACLE,
+    tags=("S1", "P1", "P2", "P3", "P4", "A1"),
+    bench=True,
+)
+def ppdb_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _parse_stats_agg(_parsed(spark, sf_dir).filter(F.col("is_valid")))
+
+
+# --------------------------------------------------------------------------
+# S1 splittable-codec twin: the identical parse over ONE bzip2 file.
+# Gzip parallelism stops at the file count; bzip2 is Hadoop's splittable
+# codec (stand-in for seekable-zstd, whose native libs this container
+# lacks), so a single pack file still fans out into many input splits —
+# asserted in tests/test_ppdb_kernel.py.
+# --------------------------------------------------------------------------
+@query(
+    "ppdb_parse_stats_bz2",
+    oracle=_PARSE_STATS_ORACLE,
+    tags=("S1", "P1", "P2", "P3", "P4", "A1"),
+)
+def ppdb_parse_stats_bz2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pack = ensure_pack_bz2()
+    parsed = parse_ppdb(read_text_lines(spark, pack + "/*.txt.bz2"))
+    return _parse_stats_agg(parsed.filter(F.col("is_valid")))
 
 
 # --------------------------------------------------------------------------

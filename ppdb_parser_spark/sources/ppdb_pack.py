@@ -143,6 +143,50 @@ def ensure_big_pack(root: str | None = None, n_lines: int = 100_000, seed: int =
     )
 
 
+def ensure_pack_bz2(root: str | None = None, n_lines: int = 600, seed: int = 42) -> str:
+    """The same pack content as ONE bzip2 file — the splittable-compression
+    ingest path (SURVEY.md §4.3).
+
+    Gzip shards parallelize only as far as the file count; a splittable
+    codec lets Spark split a single compressed file into many input splits
+    at block boundaries. SURVEY §4.3 names seekable-zstd as the production
+    choice, but Hadoop's zstd text codec needs native libraries this
+    container lacks (CODEC_NOT_AVAILABLE lists: bzip2, deflate, snappy,
+    lz4, gzip) — of those, bzip2 is the one SplittableCompressionCodec, so
+    it carries the splittable-ingest contract here; splittability itself is
+    asserted in tests (one .bz2 file → many input splits)."""
+    import bz2
+
+    from ._cache import ensure_cached_dir
+
+    def build(d: str) -> None:
+        with bz2.open(
+            os.path.join(d, "pack.txt.bz2"), "wt", encoding="utf-8"
+        ) as f:
+            f.write("\n".join(generate_lines(n_lines, seed)) + "\n")
+
+    return ensure_cached_dir(
+        os.path.join(_cache_root(root), f"ppdb_pack_bz2_{n_lines}_{seed}"), build
+    )
+
+
+def ensure_big_pack_bz2(root: str | None = None, n_lines: int = 100_000, seed: int = 7) -> str:
+    """Bench-scale single-file bzip2 pack (splittability fixture)."""
+    import bz2
+
+    from ._cache import ensure_cached_dir
+
+    def build(d: str) -> None:
+        with bz2.open(
+            os.path.join(d, "pack.txt.bz2"), "wt", encoding="utf-8"
+        ) as f:
+            f.write("\n".join(generate_lines(n_lines, seed)) + "\n")
+
+    return ensure_cached_dir(
+        os.path.join(_cache_root(root), f"ppdb_pack_big_bz2_{n_lines}_{seed}"), build
+    )
+
+
 def _sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 

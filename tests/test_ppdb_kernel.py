@@ -103,3 +103,26 @@ def test_roundtrip_property(spark):
         assert r["ppdb2score"] == feats["PPDB2.0Score"]
         assert [(a["src"], a["tgt"]) for a in r["alignment"]] == align
         assert r["entailment"] == ent
+
+
+def test_bz2_pack_is_splittable(spark):
+    """One .bz2 pack file must fan out into multiple input splits (the
+    §4.3 splittable-ingest contract): with a small maxPartitionBytes the
+    single-file scan plans >1 partition, and the row count is unchanged."""
+    from ppdb_parser_spark.sources.ppdb_pack import ensure_big_pack_bz2
+    from ppdb_parser_spark.sources.text import read_text_lines
+
+    pack = ensure_big_pack_bz2(n_lines=100_000, seed=7)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 * 1024))
+        df = read_text_lines(spark, pack + "/*.txt.bz2")
+        n_parts = df.rdd.getNumPartitions()
+        n_rows = df.count()
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        else:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    assert n_parts > 1, f"bz2 scan did not split: {n_parts} partition(s)"
+    assert n_rows == 100_000
