@@ -114,6 +114,167 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_bitmap(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Same pairs as :func:`jaccard_pairs`, with the intersection counted
+    on packed per-document fingerprint sets instead of the pair×shingle
+    stream (round-1 verdict #10 "bitmap Jaccard").
+
+    The baseline shuffles the full candidate stream — one row per shared
+    (shingle, docA, docB), Σ_shingle df² rows — into a groupBy(id_a,id_b)
+    count. Here that stream carries NO payload and collapses to *distinct
+    pairs* (map-side combine dedups before the exchange); |A∩B| is then
+    ``size(array_intersect)`` over each doc's sorted 64-bit shingle
+    fingerprints (a roaring-bitmap stand-in: Spark has no native bitmap
+    type, and a sorted distinct int64 array gives the same O(|A|+|B|)
+    merge-intersection JVM-side). Candidate pairs that share many shingles
+    — exactly the near-duplicates the operator exists to find — shrink
+    from k rows to 1, which is where the shuffle-volume win comes from.
+
+    64-bit fingerprint collisions could in principle merge two shingles
+    (p ≈ n²/2⁶⁵ — negligible at any realistic shingle count); equality
+    with the exact path is regression-tested.
+    """
+    sh = word_shingles(df, n, id_col, text_col)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        keep = freq.filter(F.col("df") <= max_doc_freq).select("shingle")
+        sh = sh.join(keep, "shingle")
+    fp = sh.select(F.col(id_col), F.xxhash64("shingle").alias("fp"))
+    sets = fp.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("fp")).alias("fps")
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    cand = (
+        a.join(b, "fp")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("fps").alias("fps_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("fps").alias("fps_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("fps_a", "fps_b")).cast("long").alias("n_common"),
+            F.size("fps_a").cast("long").alias("n_a"),
+            F.size("fps_b").cast("long").alias("n_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact Jaccard-join via prefix filtering (AllPairs / PPJoin family —
+    Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity Search",
+    WWW 2007): the EXACT same pairs as :func:`jaccard_pairs`, with the
+    candidate join restricted to each document's *prefix* of rarest
+    shingles.
+
+    Principle: order every document's shingles by a global canonical order
+    (here (document-frequency asc, fingerprint asc) — no global dense rank
+    needed, the sort key itself is the order, so there is no
+    single-partition ranking step). If J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉,
+    so by pigeonhole A and B must share an element inside their first
+    |X| − ⌈t·|X|⌉ + 1 shingles. Joining prefix-against-prefix therefore
+    loses no qualifying pair, while ubiquitous shingles — the df² cost
+    bombs — land in almost no prefix (every doc that has anything rarer
+    pushes them out). Candidates are verified exactly with a packed-set
+    ``array_intersect``.
+
+    Unlike ``max_doc_freq`` capping this needs NO semantic compromise
+    (capping changes the measured Jaccard; the prefix filter does not),
+    which makes it the preferred 100 TB path for exact near-dup joins.
+    """
+    sh = word_shingles(df, n, id_col, text_col)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    keyed = sh.join(freq, "shingle").select(
+        F.col(id_col),
+        F.struct(F.col("df"), F.xxhash64("shingle").alias("fp")).alias("k"),
+    )
+    # per-doc shingles in canonical (rarest-first) order + packed set
+    packed = keyed.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("k")).alias("ks")
+    )
+    t = float(threshold)
+    n_sh = F.size("ks")
+    prefix_len = n_sh - F.ceil(F.lit(t) * n_sh).cast("int") + 1
+    pref = packed.select(
+        F.col(id_col),
+        n_sh.alias("n"),
+        F.posexplode(F.slice("ks", F.lit(1), prefix_len)).alias("pos", "k"),
+    ).select(id_col, "n", "pos", F.col("k.fp").alias("fp"))
+    # positional filter (PPJoin — Xiao, Wang, Lin & Yu, WWW 2008): a match
+    # at canonical positions (pos_a, pos_b) bounds the overlap by
+    # min(n_a - pos_a, n_b - pos_b); prune occurrences that cannot reach
+    # the equivalent-overlap threshold α = ⌈t/(1+t)·(n_a+n_b)⌉. The
+    # smallest common element of a qualifying pair always survives this
+    # filter, so no qualifying pair is lost.
+    a, b = pref.alias("a"), pref.alias("b")
+    alpha = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("a.n") + F.col("b.n"))
+    )
+    cand = (
+        a.join(b, "fp")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(
+            F.least(
+                F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+            )
+            >= alpha
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sets = packed.select(
+        F.col(id_col),
+        F.sort_array(F.transform("ks", lambda s: s["fp"])).alias("fps"),
+    )
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("fps").alias("fps_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("fps").alias("fps_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("fps_a", "fps_b")).cast("long").alias("n_common"),
+            F.size("fps_a").cast("long").alias("n_a"),
+            F.size("fps_b").cast("long").alias("n_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
 def _token_hash60(token_col: str = "token") -> F.Column:
     """First 15 hex chars of md5 → 60-bit integer (identical both engines:
     Spark conv(hex,16,10); DuckDB CAST('0x'||hex AS BIGINT))."""

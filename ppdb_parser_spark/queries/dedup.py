@@ -136,6 +136,41 @@ def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_jaccard_prefix",
+    # same algebra as the capped oracle with the cap disabled: the prefix
+    # filter is exact, so the oracle is the plain uncapped Jaccard join
+    oracle=_JACCARD_CAPPED_ORACLE.format(cap=10**9),
+    tags=("O6", "J2", "A1", "X4"),
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact UNCAPPED Jaccard join via AllPairs/PPJoin prefix filtering —
+    no document-frequency compromise; see operators/dedup.py
+    jaccard_pairs_prefix. Candidate/shuffle comparison:
+    tools/jaccard_shuffle_compare.py + BASELINE.md."""
+    return DD.jaccard_pairs_prefix(
+        load_table(spark, sf_dir, "documents"), threshold=0.5, n=2
+    )
+
+
+@query(
+    "dedup_jaccard_bitmap",
+    oracle=_JACCARD_CAPPED_ORACLE.format(cap=_JACCARD_CAP),
+    tags=("O6", "J2", "A1", "X4"),
+)
+def dedup_jaccard_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-intersection variant of the capped Jaccard join: identical
+    pairs (same oracle as dedup_jaccard_capped), candidate stream collapsed
+    to distinct pairs + packed-fingerprint array_intersect. Shuffle-volume
+    comparison: tools/jaccard_shuffle_compare.py, BASELINE.md §Bitmap."""
+    return DD.jaccard_pairs_bitmap(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.5,
+        n=2,
+        max_doc_freq=_JACCARD_CAP,
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash signatures (integer bit votes from md5 — deterministic sketch,
 # fully oracle-checkable).

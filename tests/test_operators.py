@@ -191,6 +191,32 @@ def test_connected_components_warns_on_non_convergence(spark):
     )
 
 
+def test_jaccard_variants_identical_pairs(spark, sf_dir):
+    """The bitmap (packed-set intersection) and prefix-filter (AllPairs/
+    PPJoin) paths must return the exact pair set of the baseline
+    shingle-stream join — the whole point is same answer, less shuffle."""
+    from ppdb_parser_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_bitmap,
+        jaccard_pairs_prefix,
+    )
+    from ppdb_parser_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def key(df):
+        return sorted(
+            (r["id_a"], r["id_b"], r["n_common"], r["n_a"], r["n_b"])
+            for r in df.collect()
+        )
+
+    for t in (0.3, 0.6):
+        base = key(jaccard_pairs(docs, threshold=t, n=2))
+        assert key(jaccard_pairs_bitmap(docs, threshold=t, n=2)) == base
+        assert key(jaccard_pairs_prefix(docs, threshold=t, n=2)) == base
+        assert len(base) > 0
+
+
 def test_media_headers_roundtrip():
     """BMP/WAV generators and hand parsers agree for every fixture index,
     including odd-length WAV data chunks (RIFF word alignment)."""
