@@ -51,11 +51,59 @@ def query(
     return deco
 
 
+def coverage_order() -> list[str]:
+    """Registry names ordered so every PREFIX maximizes §2-operator
+    coverage: greedy set cover over ``tags``.
+
+    Motivation: the round-1 driver checked only the first 50 of the
+    queries() iteration order, leaving whole §2 families without a driver
+    row even though all were locally green. Emitting a greedy-cover order
+    guarantees that any sampled prefix touches as many distinct operator
+    ids as possible — all ~69 §2 tags are covered within the first ~45
+    entries. Ties prefer oracle-backed queries (a hash row beats a
+    rows-only row) and then name order (deterministic).
+    """
+    remaining = dict(REGISTRY)
+    covered: set[str] = set()
+    out: list[str] = []
+    # seed: queries the round-1 driver flagged red — their fixes need a
+    # driver row this round regardless of tag coverage
+    for seed in ("agg_pivot_status", "ppdb_parse_stats", "ppdb_collect_nested"):
+        if seed in remaining:
+            out.append(seed)
+            covered |= set(remaining.pop(seed).tags)
+    while remaining:
+        best = min(
+            remaining.values(),
+            key=lambda s: (
+                -len(set(s.tags) - covered),
+                s.oracle is None,
+                s.name,
+            ),
+        )
+        if not set(best.tags) - covered:
+            # nothing adds coverage anymore: append the rest, oracle-backed
+            # first, stable by name
+            out.extend(
+                sorted(
+                    remaining,
+                    key=lambda n: (remaining[n].oracle is None, n),
+                )
+            )
+            break
+        covered |= set(best.tags)
+        out.append(best.name)
+        del remaining[best.name]
+    return out
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in coverage_order()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+        name: REGISTRY[name].oracle
+        for name in coverage_order()
+        if REGISTRY[name].oracle is not None
     }
