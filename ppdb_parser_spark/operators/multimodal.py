@@ -276,6 +276,282 @@ _MEDIA_SCHEMA = (
 )
 
 
+# --------------------------------------------------------------------------
+# Real pixel/sample processing (no codec libraries needed — BMP and WAV are
+# uncompressed): nearest-neighbor image resize, per-channel image feature
+# extraction, and audio frame sampling, each as an Arrow-batched
+# ``mapInPandas`` transform. The oracle ground truth for these is computed
+# ANALYTICALLY from the fixture generator's pixel/sample formulas (see
+# ``bmp_resize_meta`` / ``img_feature_meta`` / ``wav_sample_meta``), never
+# by running the decode path below — so a decode bug (row orientation,
+# padding, endianness) fails the hash check instead of cancelling out.
+# --------------------------------------------------------------------------
+RESIZE_W, RESIZE_H = 8, 8
+WAV_MAX_FRAMES = 16
+
+
+def bmp_pixels(data: bytes):
+    """Decode an uncompressed 24-bpp BMP into a (h, w, 3) uint8 BGR array
+    in top-down display orientation (positive-height BMPs store rows
+    bottom-up; rows are padded to 4-byte boundaries)."""
+    import numpy as np
+
+    w, h_raw = struct.unpack_from("<ii", data, 18)
+    (offset,) = struct.unpack_from("<I", data, 10)
+    h = abs(h_raw)
+    stride = (w * 3 + 3) // 4 * 4
+    raw = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    return rows if h_raw < 0 else rows[::-1]  # bottom-up -> top-down
+
+
+def encode_bmp(arr) -> bytes:
+    """Re-encode a (h, w, 3) uint8 BGR top-down array as a bottom-up
+    24-bpp BMP (the inverse of :func:`bmp_pixels`)."""
+    h, w = arr.shape[0], arr.shape[1]
+    pad = (4 - (w * 3) % 4) % 4
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up row order
+        body += bytes(arr[r].reshape(-1)) + b"\x00" * pad
+    file_header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + bytes(body)
+
+
+def resize_nearest(arr, out_w: int, out_h: int):
+    """Nearest-neighbor resample: out (r, c) <- src (r*h//out_h, c*w//out_w)."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    rs = (np.arange(out_h) * h) // out_h
+    cs = (np.arange(out_w) * w) // out_w
+    return arr[np.ix_(rs, cs)]
+
+
+def _gen_pixel(i: int, x: int, y_gen: int) -> tuple[int, int, int]:
+    """BGR of generator pixel (x, y_gen) of image i — the bmp_bytes formula.
+    ``y_gen`` is the generator's row index, i.e. DISPLAY row h-1-y_gen."""
+    v = (x * 7 + y_gen * 11 + i * 31) % 256
+    return (v, (v * 3) % 256, (v * 5) % 256)
+
+
+def bmp_dims(i: int) -> tuple[int, int]:
+    return (4 + (i * 3) % 29, 2 + (i * 5) % 17)
+
+
+def bmp_resize_meta(i: int, out_w: int = RESIZE_W, out_h: int = RESIZE_H) -> tuple:
+    """Analytic ground truth for the resize query: (file_name, src_width,
+    src_height, out_width, out_height, mean_b, mean_g, mean_r, out_sha256).
+    Built straight from the pixel formula — no BMP bytes are parsed."""
+    w, h = bmp_dims(i)
+    grid = [
+        [_gen_pixel(i, (c * w) // out_w, h - 1 - (r * h) // out_h)
+         for c in range(out_w)]
+        for r in range(out_h)
+    ]
+    n = out_w * out_h
+    means = [
+        round(sum(grid[r][c][ch] for r in range(out_h) for c in range(out_w)) / n, 4)
+        for ch in range(3)
+    ]
+    pad = (4 - (out_w * 3) % 4) % 4
+    body = bytearray()
+    for r in range(out_h - 1, -1, -1):
+        for c in range(out_w):
+            body += bytes(grid[r][c])
+        body += b"\x00" * pad
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, out_w, out_h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+        + bytes(body)
+    )
+    return (f"img-{i:04d}.bmp", w, h, out_w, out_h, means[0], means[1], means[2],
+            hashlib.sha256(bmp).hexdigest())
+
+
+def img_feature_meta(i: int) -> tuple:
+    """Analytic ground truth for full-image features: (file_name, width,
+    height, n_pixels, mean_b, mean_g, mean_r). Orientation-invariant."""
+    w, h = bmp_dims(i)
+    tot = [0, 0, 0]
+    for y in range(h):
+        for x in range(w):
+            p = _gen_pixel(i, x, y)
+            for ch in range(3):
+                tot[ch] += p[ch]
+    n = w * h
+    return (f"img-{i:04d}.bmp", w, h, n, round(tot[0] / n, 4),
+            round(tot[1] / n, 4), round(tot[2] / n, 4))
+
+
+def _gen_wav_sample(i: int, k: int) -> int:
+    """int16 value of flat sample k of wav i — the wav_bytes data formula
+    (little-endian: byte 2k is the low byte, 2k+1 the high byte)."""
+    lo = (i * 13 + (2 * k) * 29) % 256
+    hi = (i * 13 + (2 * k + 1) * 29) % 256
+    v = lo + 256 * hi
+    return v - 65536 if v >= 32768 else v
+
+
+def wav_sample_meta(i: int, max_frames: int = WAV_MAX_FRAMES) -> tuple:
+    """Analytic ground truth for frame sampling: (file_name, n_channels,
+    n_frames, stride, n_sampled, mean_abs, peak)."""
+    ch = 1 + i % 2
+    n_frames = 40 + (i * 9) % 173
+    stride = -(-n_frames // max_frames)  # ceil
+    frames = range(0, n_frames, stride)
+    vals = [abs(_gen_wav_sample(i, f * ch + c)) for f in frames for c in range(ch)]
+    return (f"snd-{i:04d}.wav", ch, n_frames, stride, len(frames),
+            round(sum(vals) / len(vals), 4), max(vals))
+
+
+def bmp_resize_values_sql() -> str:
+    rows = ", ".join(
+        f"('{n}', {sw}, {sh}, {ow}, {oh}, {mb}, {mg}, {mr}, '{sha}')"
+        for n, sw, sh, ow, oh, mb, mg, mr, sha in
+        (bmp_resize_meta(i) for i in range(N_BMP))
+    )
+    return (
+        f"(SELECT * FROM (VALUES {rows}) AS r(file_name, src_width, src_height,"
+        " out_width, out_height, mean_b, mean_g, mean_r, out_sha256))"
+    )
+
+
+def img_features_values_sql() -> str:
+    rows = ", ".join(
+        f"('{n}', {w}, {h}, {np_}, {mb}, {mg}, {mr})"
+        for n, w, h, np_, mb, mg, mr in (img_feature_meta(i) for i in range(N_BMP))
+    )
+    return (
+        f"(SELECT * FROM (VALUES {rows}) AS f(file_name, width, height,"
+        " n_pixels, mean_b, mean_g, mean_r))"
+    )
+
+
+def wav_sample_values_sql() -> str:
+    rows = ", ".join(
+        f"('{n}', {ch}, {nf}, {st}, {ns}, {ma}, {pk})"
+        for n, ch, nf, st, ns, ma, pk in (wav_sample_meta(i) for i in range(N_WAV))
+    )
+    return (
+        f"(SELECT * FROM (VALUES {rows}) AS w(file_name, n_channels, n_frames,"
+        " stride, n_sampled, mean_abs, peak))"
+    )
+
+
+def resize_images(
+    blobs: DataFrame, out_w: int = RESIZE_W, out_h: int = RESIZE_H
+) -> DataFrame:
+    """Decode BMP pixels, nearest-neighbor resize to (out_w, out_h),
+    re-encode, and emit resized-channel means + the resized file's sha256.
+    Arrow-batched; the whole pixel pipeline is numpy inside the batch."""
+    import numpy as np
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                arr = bmp_pixels(bytes(content))
+                out = resize_nearest(arr, out_w, out_h)
+                means = out.astype(np.float64).mean(axis=(0, 1))
+                rows.append((
+                    os.path.basename(path), arr.shape[1], arr.shape[0],
+                    out_w, out_h,
+                    round(float(means[0]), 4), round(float(means[1]), 4),
+                    round(float(means[2]), 4),
+                    hashlib.sha256(encode_bmp(out)).hexdigest(),
+                ))
+            yield pd.DataFrame(
+                rows, columns=["file_name", "src_width", "src_height",
+                               "out_width", "out_height", "mean_b", "mean_g",
+                               "mean_r", "out_sha256"],
+            )
+
+    return blobs.mapInPandas(
+        _resize,
+        schema="file_name string, src_width long, src_height long,"
+               " out_width long, out_height long, mean_b double,"
+               " mean_g double, mean_r double, out_sha256 string",
+    )
+
+
+def extract_image_features(blobs: DataFrame) -> DataFrame:
+    """Per-channel mean features over the full decoded image."""
+    import numpy as np
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                arr = bmp_pixels(bytes(content))
+                means = arr.astype(np.float64).mean(axis=(0, 1))
+                rows.append((
+                    os.path.basename(path), arr.shape[1], arr.shape[0],
+                    arr.shape[0] * arr.shape[1],
+                    round(float(means[0]), 4), round(float(means[1]), 4),
+                    round(float(means[2]), 4),
+                ))
+            yield pd.DataFrame(
+                rows, columns=["file_name", "width", "height", "n_pixels",
+                               "mean_b", "mean_g", "mean_r"],
+            )
+
+    return blobs.mapInPandas(
+        _feat,
+        schema="file_name string, width long, height long, n_pixels long,"
+               " mean_b double, mean_g double, mean_r double",
+    )
+
+
+def sample_wav_frames(
+    blobs: DataFrame, max_frames: int = WAV_MAX_FRAMES
+) -> DataFrame:
+    """Deterministic strided frame sampling over PCM audio: stride =
+    ceil(n_frames / max_frames), then amplitude features (mean |v|, peak)
+    over the sampled frames' int16 samples across all channels."""
+    import numpy as np
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                ch, _sr, n_frames = parse_wav_header(data)
+                # locate the data chunk payload
+                pos = 12
+                while pos + 8 <= len(data):
+                    cid = data[pos : pos + 4]
+                    (clen,) = struct.unpack_from("<I", data, pos + 4)
+                    if cid == b"data":
+                        pcm = np.frombuffer(
+                            data, dtype="<i2", count=clen // 2, offset=pos + 8
+                        )
+                        break
+                    pos += 8 + clen + (clen % 2)
+                frames = pcm.reshape(n_frames, ch)
+                stride = -(-n_frames // max_frames)
+                sampled = frames[::stride]
+                amps = np.abs(sampled.astype(np.int64))
+                rows.append((
+                    os.path.basename(path), ch, n_frames, stride,
+                    sampled.shape[0], round(float(amps.mean()), 4),
+                    int(amps.max()),
+                ))
+            yield pd.DataFrame(
+                rows, columns=["file_name", "n_channels", "n_frames", "stride",
+                               "n_sampled", "mean_abs", "peak"],
+            )
+
+    return blobs.mapInPandas(
+        _sample,
+        schema="file_name string, n_channels long, n_frames long, stride long,"
+               " n_sampled long, mean_abs double, peak long",
+    )
+
+
 def decode_media_meta(blobs: DataFrame) -> DataFrame:
     """Unified typed-metadata decoder over mixed binary content: dispatches
     on magic bytes (BMP / RIFF-WAVE / FAKE), hand-parsing each header.

@@ -358,3 +358,80 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("jaccard_dist"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup dedup (north-star dedup family): any vector
+# with a strictly-smaller-id neighbor at cosine >= t is a duplicate; the
+# smaller id survives. Exact all-pairs candidates here (oracle-checkable
+# correctness baseline); the 100 TB path swaps candidate generation for
+# the banded hyperplane-LSH join below — identical filter + survivor
+# semantics on sub-quadratic candidates.
+# --------------------------------------------------------------------------
+def _embedding_survivors(e: DataFrame, pairs: DataFrame) -> DataFrame:
+    drops = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return (
+        e.join(drops.withColumn("__drop", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            F.when(F.col("__drop").isNotNull(), F.lit("dropped"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
+
+
+@query(
+    "dedup_embedding",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      FROM v GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             SUM(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+      FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    drops AS (
+      SELECT DISTINCT d.id_b
+      FROM dots d
+      JOIN norms na ON d.id_a = na.vec_id
+      JOIN norms nb ON d.id_b = nb.vec_id
+      WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= 0.35
+    )
+    SELECT e.vec_id, e.label,
+           CASE WHEN dr.id_b IS NOT NULL THEN 'dropped' ELSE 'kept' END AS status
+    FROM embeddings e LEFT JOIN drops dr ON e.vec_id = dr.id_b
+    """,
+    tags=("O6", "L2", "J3"),
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = SIM.pairwise_cosine_pairs(e, threshold=0.35)
+    return _embedding_survivors(e, pairs)
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dup at scale: same survivor semantics over hyperplane-LSH
+# band-join candidates (sub-quadratic). Approximate recall -> rows-only;
+# the precision property (every dropped doc has a true >=t smaller-id
+# neighbor) is asserted in tests against the exact operator.
+# --------------------------------------------------------------------------
+@query("dedup_embedding_lsh", oracle=None, tags=("O6", "L2"))
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = SIM.lsh_similarity_join(
+        e, threshold=0.35, n_planes=16, n_bands=4, seed=42, dim=64
+    )
+    return _embedding_survivors(e, pairs)

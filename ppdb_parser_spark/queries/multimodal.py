@@ -92,6 +92,74 @@ def mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# L7 + U4: real image resize — decode BMP pixels (numpy, no codec libs),
+# nearest-neighbor resample to 8x8, re-encode, hash. The oracle VALUES are
+# derived ANALYTICALLY from the fixture pixel formula (operators/
+# multimodal.py: bmp_resize_meta) — the decode/resize path is never used
+# to produce its own expected values, so orientation/padding/stride bugs
+# fail the hash instead of cancelling out.
+# --------------------------------------------------------------------------
+@query(
+    "mm_resize",
+    oracle=f"""
+    SELECT file_name, src_width, src_height, out_width, out_height,
+           mean_b, mean_g, mean_r, out_sha256
+    FROM {MM.bmp_resize_values_sql()} r
+    """,
+    tags=("L7", "U4"),
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = MM.ensure_media()
+    import os as _os
+
+    bmps = spark.read.format("binaryFile").load(_os.path.join(d, "*.bmp"))
+    return MM.resize_images(bmps)
+
+
+# --------------------------------------------------------------------------
+# L7 + U4: image feature extraction — full-frame per-channel means
+# (orientation-invariant on purpose: checked against the analytically
+# computed formula means, independent of row order).
+# --------------------------------------------------------------------------
+@query(
+    "mm_img_features",
+    oracle=f"""
+    SELECT file_name, width, height, n_pixels, mean_b, mean_g, mean_r
+    FROM {MM.img_features_values_sql()} f
+    """,
+    tags=("L7", "U4"),
+)
+def mm_img_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = MM.ensure_media()
+    import os as _os
+
+    bmps = spark.read.format("binaryFile").load(_os.path.join(d, "*.bmp"))
+    return MM.extract_image_features(bmps)
+
+
+# --------------------------------------------------------------------------
+# L7 + U4: audio frame sampling — deterministic stride over PCM frames
+# (the video frame-sample analog for the codec-less container), amplitude
+# features over the sampled frames. Oracle VALUES computed from the sample
+# byte formula, independent of the RIFF/numpy decode path.
+# --------------------------------------------------------------------------
+@query(
+    "mm_wav_sample",
+    oracle=f"""
+    SELECT file_name, n_channels, n_frames, stride, n_sampled, mean_abs, peak
+    FROM {MM.wav_sample_values_sql()} w
+    """,
+    tags=("L7", "U4"),
+)
+def mm_wav_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = MM.ensure_media()
+    import os as _os
+
+    wavs = spark.read.format("binaryFile").load(_os.path.join(d, "*.wav"))
+    return MM.sample_wav_frames(wavs)
+
+
+# --------------------------------------------------------------------------
 # L7 + A1: per-format rollup over the decoded media — decoded blobs join
 # the relational world like any table; integer-only aggregates keep the
 # cross-engine hash exact (NULL-heavy columns: max over all-NULL is NULL

@@ -258,3 +258,51 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
     rows = REGISTRY["agg_approx_percentile"].fn(spark, sf_dir).collect()
     for r in rows:
         assert abs(r["approx_median"] - r["exact_median"]) <= 0.05 * r["exact_median"]
+
+
+def test_bmp_pixels_resize_roundtrip():
+    """Pixel decode inverts the generator formula (orientation included)
+    and nearest-neighbor resize picks the floor-mapped source pixel."""
+    import numpy as np
+
+    from ppdb_parser_spark.operators import multimodal as MM
+
+    i = 3
+    arr = MM.bmp_pixels(MM.bmp_bytes(i))
+    w, h = MM.bmp_dims(i)
+    assert arr.shape == (h, w, 3)
+    # display row r = generator row h-1-r
+    for r, c in [(0, 0), (h - 1, w - 1), (h // 2, w // 3)]:
+        assert tuple(int(v) for v in arr[r, c]) == MM._gen_pixel(i, c, h - 1 - r)
+    out = MM.resize_nearest(arr, 8, 8)
+    assert out.shape == (8, 8, 3)
+    assert np.array_equal(out[2, 5], arr[(2 * h) // 8, (5 * w) // 8])
+    # re-encode -> decode is the identity
+    assert np.array_equal(MM.bmp_pixels(MM.encode_bmp(out)), out)
+
+
+def test_wav_sample_meta_matches_numpy_decode():
+    """Analytic int16 formula agrees with a numpy little-endian decode."""
+    import numpy as np
+
+    from ppdb_parser_spark.operators import multimodal as MM
+
+    for i in (0, 1, 7):
+        data = MM.wav_bytes(i)
+        ch, _sr, n_frames = MM.parse_wav_header(data)
+        pcm = np.frombuffer(data[-n_frames * ch * 2 :], dtype="<i2")
+        for k in (0, 1, len(pcm) - 1):
+            assert int(pcm[k]) == MM._gen_wav_sample(i, k)
+
+
+def test_embedding_dedup_lsh_precision(spark, sf_dir):
+    """Every vector the LSH dedup drops is also dropped by the exact
+    all-pairs dedup (precision property; recall may be lower)."""
+    from ppdb_parser_spark.queries import REGISTRY
+
+    exact = REGISTRY["dedup_embedding"].fn(spark, sf_dir).toPandas()
+    lsh = REGISTRY["dedup_embedding_lsh"].fn(spark, sf_dir).toPandas()
+    exact_dropped = set(exact[exact.status == "dropped"].vec_id)
+    lsh_dropped = set(lsh[lsh.status == "dropped"].vec_id)
+    assert lsh_dropped <= exact_dropped
+    assert len(exact) == len(lsh)
