@@ -62,3 +62,27 @@ def assert_take_ordered(df: DataFrame, name: str = "") -> str:
         f"{name}: expected TakeOrderedAndProject (orderBy+limit)\n{plan}"
     )
     return plan
+
+
+def assert_partitioned_windows(df: DataFrame, *keys: str, name: str = "") -> str:
+    """Every window in the plan is partitioned (by one of ``keys`` when
+    given) — an unpartitioned window funnels ALL rows through one task and
+    is the canonical silent scale-killer."""
+    plan = plan_string(df, "extended")
+    specs = [
+        seg for seg in plan.split("windowspecdefinition(")[1:]
+    ]
+    assert specs, f"{name}: no window in plan\n{plan}"
+    for seg in specs:
+        head = seg.split(")")[0]
+        # an unpartitioned spec starts directly with the ordering spec
+        # (col ASC/DESC ...); a partitioned one leads with partition cols.
+        first = head.split(",")[0].strip()
+        assert " ASC" not in first and " DESC" not in first, (
+            f"{name}: unpartitioned window spec: {head}"
+        )
+        if keys:
+            assert any(k in head for k in keys), (
+                f"{name}: window not partitioned by {keys}: {head}"
+            )
+    return plan

@@ -15,6 +15,7 @@ from . import (  # noqa: F401
     sources_io,
     streaming_queries,
     text_analysis,
+    timeseries,
     udf_surface,
     windows,
 )

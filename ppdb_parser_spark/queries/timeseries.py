@@ -1,0 +1,240 @@
+"""Time-series / hypertable-style queries over `events` (SURVEY.md §2.6
+W3/W4, §2.8 X2 — the batch rollup family a TimescaleDB-style user expects).
+
+Gap-filling is the operation that distinguishes a time-series rollup from a
+plain GROUP BY: empty buckets must appear (count 0) and carry-forward
+(LOCF) must bridge them. The bucket calendar is generated IN-PLAN with
+``sequence()`` from a 1-row min/max aggregate — no driver-side date math,
+so the same plan works on a 100 TB event log: the calendar is a tiny
+broadcast side, the only big shuffle is the per-(type, hour) partial
+aggregate, and LOCF is a partitioned (never global) window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+# --------------------------------------------------------------------------
+# Hourly gap-fill + LOCF: every (event_type, hour) slot of the observed
+# span appears, missing slots get n_events = 0 and carry the last observed
+# hourly sum forward. Sums are cents-exact (functions/exact.py pattern) so
+# the LOCF'd doubles are bit-identical across engines.
+# --------------------------------------------------------------------------
+_FILLED_CTE = """
+    hourly AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sv
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) AS d0,
+             date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))) AS d1
+      FROM events
+    ),
+    cal AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 HOUR)) AS h FROM span
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    filled AS (
+      SELECT t.event_type, c.h, hr.n, hr.sv
+      FROM cal c CROSS JOIN types t
+      LEFT JOIN hourly hr ON hr.event_type = t.event_type AND hr.h = c.h
+    )
+"""
+
+_GAPFILL_ORACLE = f"""
+    WITH {_FILLED_CTE}
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:00') AS hour,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(sv, 0.0) AS DOUBLE) AS sum_value,
+           CAST(COALESCE(
+             last_value(sv IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ), 0.0) AS DOUBLE) AS locf_value
+    FROM filled
+"""
+
+
+def _filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gap-filled frame both rollups share: every (event_type, hour)
+    slot of the observed span, with NULL n/sv for empty slots."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("sv"),
+    )
+    span = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("d0"),
+        F.date_trunc("hour", F.max("ts")).alias("d1"),
+    )
+    cal = span.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    return cal.crossJoin(types).join(hourly, ["event_type", "h"], "left")
+
+
+@query("ts_gapfill_locf", oracle=_GAPFILL_ORACLE, tags=("X2", "W3", "J3", "A1"))
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    filled = _filled_hourly(spark, sf_dir)
+    locf_w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("sv", F.lit(0.0)).cast("double").alias("sum_value"),
+        F.coalesce(
+            F.last("sv", ignorenulls=True).over(locf_w), F.lit(0.0)
+        ).cast("double").alias("locf_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Linear interpolation across gaps: empty hours get
+#   prev + (next - prev) * (t - t_prev) / (t_next - t_prev)
+# between the nearest observed hours (carry at the boundaries). Every
+# operand is either a cents-grid double or an integer hour index, and the
+# expression trees are mirrored token-for-token on both engines — IEEE 754
+# doubles make a fixed expression tree bit-deterministic, so this hashes
+# exactly even though it is "float math" (only reduction ORDER is
+# engine-dependent, and there is no reduction here).
+# --------------------------------------------------------------------------
+_INTERP_ORACLE = f"""
+    WITH {_FILLED_CTE},
+    idx AS (
+      SELECT event_type, h, sv,
+             date_diff('hour', TIMESTAMP '1970-01-01 00:00:00', h) AS t
+      FROM filled
+    ),
+    w AS (
+      SELECT event_type, h, sv, t,
+        last_value(sv IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN sv IS NOT NULL THEN t END IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        first_value(sv IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN sv IS NOT NULL THEN t END IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM idx
+    )
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:00') AS hour,
+           CAST(CASE WHEN sv IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS observed,
+           CAST(CASE
+             WHEN sv IS NOT NULL THEN sv
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv)
+                  * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+           END AS DOUBLE) AS interp_value
+    FROM w
+"""
+
+
+@query("ts_interpolate", oracle=_INTERP_ORACLE, tags=("X2", "W3", "W4", "J3"))
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    filled = _filled_hourly(spark, sf_dir)
+    idx = filled.withColumn(
+        "t",
+        F.expr("timestampdiff(HOUR, TIMESTAMP_NTZ'1970-01-01 00:00:00', h)"),
+    )
+    base = Window.partitionBy("event_type").orderBy("h")
+    wp = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wn = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_t = F.when(F.col("sv").isNotNull(), F.col("t"))
+    pv = F.last("sv", ignorenulls=True).over(wp)
+    pt = F.last(obs_t, ignorenulls=True).over(wp)
+    nv = F.first("sv", ignorenulls=True).over(wn)
+    nt = F.first(obs_t, ignorenulls=True).over(wn)
+    interp = (
+        F.when(F.col("sv").isNotNull(), F.col("sv"))
+        .when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .otherwise(
+            pv + (nv - pv)
+            * ((F.col("t") - pt).cast("double") / (nt - pt).cast("double"))
+        )
+    )
+    return idx.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+        F.when(F.col("sv").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("observed"),
+        interp.cast("double").alias("interp_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q17-style correlated scalar subquery: revenue from "small-quantity"
+# lineitems, where small = below 20% of that part's own average quantity.
+# The 0.2*avg threshold is evaluated as an EXACT integer comparison
+# (5 * qty * n < sum_qty — quantities are integral), so no float boundary
+# can flip between engines. The oracle keeps the textbook correlated-
+# subquery form; the Spark plan is the de-correlated join Catalyst would
+# produce anyway: one per-part aggregate joined back — two shuffles on
+# l_partkey, broadcast part filter, no per-row subquery execution.
+# --------------------------------------------------------------------------
+_SMALL_QTY_ORACLE = """
+    SELECT p.p_brand,
+           COUNT(*) AS n_small,
+           CAST(CAST(SUM(CAST(ROUND(l.l_extendedprice * 10000) AS BIGINT))
+                AS BIGINT) / 10000.0 / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand IN ('Brand#13', 'Brand#22', 'Brand#25')
+      AND 5 * CAST(ROUND(l.l_quantity) AS BIGINT)
+            * (SELECT COUNT(*) FROM lineitem l2
+               WHERE l2.l_partkey = l.l_partkey)
+          < (SELECT CAST(SUM(CAST(ROUND(l2.l_quantity) AS BIGINT)) AS BIGINT)
+             FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY p.p_brand
+"""
+
+
+@query(
+    "analytics_small_qty_revenue",
+    oracle=_SMALL_QTY_ORACLE,
+    tags=("A1", "J1", "F2"),
+)
+def analytics_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import money_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin("Brand#13", "Brand#22", "Brand#25"))
+        .select("p_partkey", "p_brand")
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.round("l_quantity").cast("long")).alias("sum_q"),
+        F.count(F.lit(1)).alias("n_q"),
+    )
+    sel = (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .join(per_part, "l_partkey")
+        .filter(
+            F.round("l_quantity").cast("long") * 5 * F.col("n_q")
+            < F.col("sum_q")
+        )
+    )
+    return sel.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_small"),
+        (money_sum("l_extendedprice") / 7.0).cast("double").alias("avg_yearly"),
+    )

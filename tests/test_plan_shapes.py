@@ -79,3 +79,20 @@ def test_ivf_topk_single_pass_no_driver_jobs(spark, sf_dir):
 
 def test_pricing_summary_codegen(spark, sf_dir):
     C.assert_codegen(_df(spark, sf_dir, "agg_pricing_summary"), "agg_pricing_summary")
+
+
+def test_timeseries_windows_are_partitioned(spark, sf_dir):
+    """Gap-fill/LOCF and interpolation must never plan a global window —
+    per-series (event_type) partitions only, or one task takes the world."""
+    C.assert_partitioned_windows(
+        _df(spark, sf_dir, "ts_gapfill_locf"), "event_type", name="ts_gapfill_locf"
+    )
+    C.assert_partitioned_windows(
+        _df(spark, sf_dir, "ts_interpolate"), "event_type", name="ts_interpolate"
+    )
+
+
+def test_small_qty_revenue_broadcasts_part_filter(spark, sf_dir):
+    df = _df(spark, sf_dir, "analytics_small_qty_revenue")
+    C.assert_no_nested_loop(df, "analytics_small_qty_revenue")
+    C.assert_broadcast_join(df, "analytics_small_qty_revenue")
