@@ -239,3 +239,66 @@ def analytics_signup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_converted"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q22 shape: high-balance customers gone dormant (no orders since
+# 2000-01-01 — every fixture customer has SOME order), grouped by segment. Two classic subquery forms in
+# one oracle — a scalar subquery (the positive-balance average) and NOT
+# EXISTS (no orders) — while the Spark plan is their de-correlated shape:
+# a broadcast 1-row aggregate + a left anti join. The above-average test
+# runs as an exact integer comparison on the cents grid
+# (bal_cents * n > sum_cents), immune to float-boundary flips.
+# --------------------------------------------------------------------------
+_SEGS = "('MACHINERY', 'AUTOMOBILE', 'BUILDING')"
+
+
+@query(
+    "analytics_lost_opportunity",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           {money_sum_sql("c_acctbal", 100)} AS total_bal
+    FROM customer c
+    WHERE c_mktsegment IN {_SEGS}
+      AND CAST(ROUND(c_acctbal * 100) AS BIGINT) *
+          (SELECT COUNT(*) FROM customer c2
+           WHERE c2.c_mktsegment IN {_SEGS} AND c2.c_acctbal > 0)
+        > (SELECT CAST(SUM(CAST(ROUND(c2.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           FROM customer c2
+           WHERE c2.c_mktsegment IN {_SEGS} AND c2.c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    """,
+    tags=("A1", "J5", "F2"),
+)
+def analytics_lost_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    segs = ["MACHINERY", "AUTOMOBILE", "BUILDING"]
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin(segs)
+    )
+    bal_cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal_cents).alias("sum_cents"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    rich = (
+        c.crossJoin(F.broadcast(pos))
+        .filter(bal_cents * F.col("n_pos") > F.col("sum_cents"))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+        )
+        .select("o_custkey")
+    )
+    no_orders = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return no_orders.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        money_sum("c_acctbal", 100).alias("total_bal"),
+    )

@@ -238,3 +238,57 @@ def analytics_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_small"),
         (money_sum("l_extendedprice") / 7.0).cast("double").alias("avg_yearly"),
     )
+
+
+# --------------------------------------------------------------------------
+# Daily OHLC resample (the financial-rollup shape): open/close are the
+# values at the earliest/latest event of each (event_type, day), selected
+# with min_by/max_by over a zero-padded (epoch_us, event_id) string key —
+# total order, unique, and identically collatable in both engines (DuckDB
+# 1.0 arg_min/arg_max cannot take struct keys). high/low are plain min/max
+# on the cents-grid value. One hash aggregate, no window, no second pass.
+# --------------------------------------------------------------------------
+_OHLC_ORACLE = """
+    WITH keyed AS (
+      SELECT event_type,
+             strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d')
+               AS day,
+             value,
+             lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 16, '0')
+               || '-' || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+      FROM events
+    )
+    SELECT event_type, day,
+           arg_min(value, k) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, k) AS close,
+           COUNT(*) AS n_events
+    FROM keyed GROUP BY event_type, day
+"""
+
+
+@query("ts_ohlc_daily", oracle=_OHLC_ORACLE, tags=("X2", "A1", "A7"))
+def ts_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    epoch_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+    )
+    k = F.concat(
+        F.lpad(epoch_us.cast("string"), 16, "0"),
+        F.lit("-"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    keyed = ev.select(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "value",
+        k.alias("k"),
+    )
+    return keyed.groupBy("event_type", "day").agg(
+        F.min_by("value", "k").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "k").alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
