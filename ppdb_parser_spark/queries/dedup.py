@@ -411,6 +411,7 @@ def _embedding_survivors(e: DataFrame, pairs: DataFrame) -> DataFrame:
     FROM embeddings e LEFT JOIN drops dr ON e.vec_id = dr.id_b
     """,
     tags=("O6", "L2", "J3"),
+    bench=True,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity as SIM

@@ -83,7 +83,12 @@ def _filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cal.crossJoin(types).join(hourly, ["event_type", "h"], "left")
 
 
-@query("ts_gapfill_locf", oracle=_GAPFILL_ORACLE, tags=("X2", "W3", "J3", "A1"))
+@query(
+    "ts_gapfill_locf",
+    oracle=_GAPFILL_ORACLE,
+    tags=("X2", "W3", "J3", "A1"),
+    bench=True,
+)
 def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     filled = _filled_hourly(spark, sf_dir)
     locf_w = (
