@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     lookup,
     multimodal,
     patterns,
+    pipeline,
     ppdb,
     relational,
     scalars,

@@ -1,0 +1,129 @@
+"""The end-to-end training-data curation pipeline as ONE declarative
+lineage (the north-star composition: SURVEY.md §2.9 operators chained the
+way a real 100 TB corpus build chains them):
+
+    quality filter  →  exact dedup (content hash, keep min id)
+                    →  near-dup removal (word-bigram Jaccard ≥ 0.5,
+                       keep the smaller id of each pair)
+                    →  curated per-document stats
+
+Each stage reuses the SAME operator the standalone queries check
+(`quality_score`, md5 grouping, `jaccard_pairs`), so the pipeline's oracle
+is the composition of already-verified fragments. Catalyst sees one plan:
+the quality filter prunes before any shuffle, the content-hash dedup is one
+hash aggregate + semi join, the Jaccard candidate join runs on the already-
+reduced survivor set — exactly the stage ordering that minimizes shuffled
+bytes at scale (filter early, dedup cheap-exact before expensive-near).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as DD
+from ..operators import text_analysis as TA
+from ..sources.tables import load_table
+from .registry import query
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in TA.STOPWORDS)
+
+_QUALITY_MIN = 0.55
+_JACCARD_MIN = 0.5
+_JACCARD_CAP = 40
+
+_CURATION_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             len(str_split(text, ' ')) AS n_tok,
+             len(list_distinct(str_split(text, ' '))) AS n_uniq,
+             len(list_filter(str_split(text, ' '), x -> x IN ({_STOP_SQL})))
+               AS n_stop
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, lang, text, n_tok,
+             least(n_tok / 100.0, 1.0) * 0.4
+               + (n_uniq / n_tok) * 0.4
+               + least(n_stop / 5.0, 1.0) * 0.2 AS quality
+      FROM t
+    ),
+    qf AS (SELECT * FROM q WHERE quality >= {_QUALITY_MIN}),
+    fp AS (SELECT *, md5(text) AS f FROM qf),
+    keep AS (SELECT f, MIN(doc_id) AS keep_id FROM fp GROUP BY f),
+    ex AS (
+      SELECT fp.* FROM fp JOIN keep ON fp.f = keep.f AND fp.doc_id = keep.keep_id
+    ),
+    pos_toks AS (
+      SELECT doc_id,
+             unnest(str_split(text, ' ')) AS token,
+             generate_subscripts(str_split(text, ' '), 1) AS pos
+      FROM ex
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS shingle
+      FROM pos_toks
+    ),
+    sh_valid AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL
+                 AND len(str_split(shingle, ' ')) = 2),
+    keepsh AS (SELECT shingle FROM sh_valid GROUP BY shingle
+               HAVING COUNT(*) <= {_JACCARD_CAP}),
+    shn AS (SELECT s.doc_id, s.shingle
+            FROM sh_valid s JOIN keepsh USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shn GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM shn a JOIN shn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    drops AS (
+      SELECT DISTINCT id_b
+      FROM inter
+      JOIN sizes sa ON inter.id_a = sa.doc_id
+      JOIN sizes sb ON inter.id_b = sb.doc_id
+      WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common)
+              >= {_JACCARD_MIN}
+    )
+    SELECT e.doc_id, e.lang, e.quality, CAST(e.n_tok AS BIGINT) AS n_tokens
+    FROM ex e LEFT JOIN drops d ON e.doc_id = d.id_b
+    WHERE d.id_b IS NULL
+"""
+
+
+@query(
+    "pipeline_corpus_curation",
+    oracle=_CURATION_ORACLE,
+    tags=("L6", "O5", "O6", "J4", "J5", "A1"),
+    bench=True,
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    quality = TA.quality_score(docs).select("doc_id", "quality")
+    qdocs = (
+        docs.join(quality, "doc_id")
+        .filter(F.col("quality") >= _QUALITY_MIN)
+        .withColumn("f", F.md5("text"))
+    )
+    keep = qdocs.groupBy("f").agg(F.min("doc_id").alias("keep_id"))
+    exact_survivors = qdocs.join(
+        keep,
+        (qdocs.f == keep.f) & (qdocs.doc_id == keep.keep_id),
+    ).select(qdocs.doc_id, "lang", "text", "quality")
+    # Near-dup candidates with the document-frequency ceiling (the same
+    # discipline as the headline dedup_jaccard_capped entry): ubiquitous
+    # shingles cost df² in the candidate join and carry no dedup signal.
+    # The exact uncapped alternatives exist (jaccard_pairs,
+    # jaccard_pairs_prefix) but are 3-5x the wall at this density.
+    pairs = DD.jaccard_pairs(
+        exact_survivors, threshold=_JACCARD_MIN, n=2, max_doc_freq=_JACCARD_CAP
+    )
+    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    curated = exact_survivors.join(drops, "doc_id", "left_anti")
+    return curated.select(
+        "doc_id",
+        "lang",
+        "quality",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )

@@ -96,3 +96,12 @@ def test_small_qty_revenue_broadcasts_part_filter(spark, sf_dir):
     df = _df(spark, sf_dir, "analytics_small_qty_revenue")
     C.assert_no_nested_loop(df, "analytics_small_qty_revenue")
     C.assert_broadcast_join(df, "analytics_small_qty_revenue")
+
+
+def test_curation_pipeline_no_cartesian(spark, sf_dir):
+    """The composed curation lineage must keep the Jaccard candidate join
+    an equi join and the dedup semi/anti joins hash joins — no BNLJ even
+    when Catalyst fuses all stages into one plan."""
+    C.assert_no_nested_loop(
+        _df(spark, sf_dir, "pipeline_corpus_curation"), "pipeline_corpus_curation"
+    )
