@@ -127,3 +127,147 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Context-window packing (the training-batch builder): documents are
+# packed per language, in deterministic doc_id order, into 2048-token
+# windows by cutting a running token count at capacity boundaries —
+# bin = floor((cumsum - n_tokens) / C) is the standard one-pass
+# approximation of greedy sequence packing (each doc lands in the bin its
+# START offset falls in). Pure window + aggregate: shuffles once on the
+# partition key, no Python, no driver loop; at corpus scale the partition
+# key would be (lang, shard) to bound per-task state, same algebra.
+# --------------------------------------------------------------------------
+_PACK_CAPACITY = 2048
+
+_PACK_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      FROM toks
+    ),
+    binned AS (
+      SELECT lang, n_tokens,
+             (running - n_tokens) // {_PACK_CAPACITY} AS bin_id
+      FROM cum
+    )
+    SELECT lang, CAST(bin_id AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) * 1.0 / {_PACK_CAPACITY} AS fill_ratio
+    FROM binned
+    GROUP BY lang, bin_id
+"""
+
+
+@query(
+    "pipeline_pack_windows",
+    oracle=_PACK_ORACLE,
+    tags=("L4", "W4", "A1"),
+)
+def pipeline_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = toks.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_CAPACITY
+        ),
+    )
+    return binned.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.sum("n_tokens").cast("long") * 1.0 / _PACK_CAPACITY).alias(
+            "fill_ratio"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Curriculum stratification: per-language quality quartiles (ntile over a
+# fully tie-broken ordering — quality doubles are bit-identical across
+# engines because the scoring expression tree is mirrored, and doc_id
+# breaks exact ties), aggregated to per-stratum stats. This is the
+# "sample harder buckets later" curriculum-building step; partitioned by
+# lang so no global window exists.
+# --------------------------------------------------------------------------
+_QUARTILE_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(str_split(text, ' ')) AS n_tok,
+             len(list_distinct(str_split(text, ' '))) AS n_uniq,
+             len(list_filter(str_split(text, ' '), x -> x IN ({_STOP_SQL})))
+               AS n_stop
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, lang, n_tok,
+             least(n_tok / 100.0, 1.0) * 0.4
+               + (n_uniq / n_tok) * 0.4
+               + least(n_stop / 5.0, 1.0) * 0.2 AS quality
+      FROM t
+    ),
+    strat AS (
+      SELECT lang, quality, n_tok,
+             ntile(4) OVER (PARTITION BY lang ORDER BY quality, doc_id)
+               AS quartile
+      FROM q
+    )
+    SELECT lang, CAST(quartile AS BIGINT) AS quartile,
+           COUNT(*) AS n_docs,
+           MIN(quality) AS min_quality,
+           MAX(quality) AS max_quality,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM strat GROUP BY lang, quartile
+"""
+
+
+@query("pipeline_quality_quartiles", oracle=_QUARTILE_ORACLE, tags=("W2", "L6", "A1"))
+def pipeline_quality_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = TA.quality_score(docs).select("doc_id", "lang", "quality")
+    n_tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    strat = (
+        q.join(n_tok, "doc_id")
+        .withColumn(
+            "quartile",
+            F.ntile(4).over(
+                Window.partitionBy("lang").orderBy("quality", "doc_id")
+            ),
+        )
+    )
+    return strat.groupBy("lang", "quartile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("quality").alias("min_quality"),
+        F.max("quality").alias("max_quality"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    ).select(
+        "lang",
+        F.col("quartile").cast("long").alias("quartile"),
+        "n_docs",
+        "min_quality",
+        "max_quality",
+        "total_tokens",
+    )
