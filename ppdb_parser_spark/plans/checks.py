@@ -86,3 +86,16 @@ def assert_partitioned_windows(df: DataFrame, *keys: str, name: str = "") -> str
                 f"{name}: window not partitioned by {keys}: {head}"
             )
     return plan
+
+
+def assert_partition_pruned(df: DataFrame, col: str, name: str = "") -> str:
+    """The parquet scan prunes directory partitions: a non-empty
+    ``PartitionFilters`` on ``col`` must reach the scan node (at 100 TB
+    this is the difference between reading one partition and all of them)."""
+    plan = plan_string(df)
+    hit = any(
+        "PartitionFilters: [" in line and col in line and "[]" not in line
+        for line in plan.splitlines()
+    )
+    assert hit, f"{name}: no partition filter on {col} reached the scan\n{plan}"
+    return plan

@@ -169,3 +169,36 @@ def snk_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rules"),
         F.countDistinct("phrase").alias("n_phrases"),
     )
+
+
+# --------------------------------------------------------------------------
+# S2/S5 partition pruning: query ONE lhs partition of the partitioned
+# parquet sink — the directory filter must reach the scan as a
+# PartitionFilter (asserted in tests/test_plan_shapes.py), so the engine
+# reads 1/6th of the files. This is the scan-side payoff of the
+# partitionBy(lhs) sink above.
+# --------------------------------------------------------------------------
+@query(
+    "snk_partition_pruned",
+    oracle=f"""
+    WITH raw AS (SELECT value FROM {lines_values_sql()} r),
+    split_lines AS (
+      SELECT str_split(value, ' ||| ') AS p, len(str_split(value, ' ||| ')) AS n
+      FROM raw
+    )
+    SELECT trim(p[2]) AS phrase, COUNT(*) AS n_rules
+    FROM split_lines WHERE n IN (5, 6) AND trim(p[1]) = '[NP]'
+    GROUP BY 1
+    """,
+    tags=("S2", "S5", "F2"),
+)
+def snk_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = os.path.join(os.path.dirname(pack_dir()), "ppdb_parquet_v1")
+    parsed = parse_ppdb_clean(read_text_lines(spark, ensure_pack() + "/*.txt.gz"))
+    parsed.write.mode("overwrite").partitionBy("lhs").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("lhs") == "[NP]")
+        .groupBy("phrase")
+        .agg(F.count(F.lit(1)).alias("n_rules"))
+    )

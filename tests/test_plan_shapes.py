@@ -105,3 +105,8 @@ def test_curation_pipeline_no_cartesian(spark, sf_dir):
     C.assert_no_nested_loop(
         _df(spark, sf_dir, "pipeline_corpus_curation"), "pipeline_corpus_curation"
     )
+
+
+def test_partitioned_sink_scan_prunes(spark, sf_dir):
+    df = _df(spark, sf_dir, "snk_partition_pruned")
+    C.assert_partition_pruned(df, "lhs", "snk_partition_pruned")
