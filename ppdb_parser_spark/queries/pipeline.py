@@ -99,7 +99,13 @@ _CURATION_ORACLE = f"""
     bench=True,
 )
 def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    return curate_documents(load_table(spark, sf_dir, "documents"))
+
+
+def curate_documents(docs: DataFrame) -> DataFrame:
+    """The full curation lineage on an arbitrary documents frame (doc_id,
+    lang, text) — the query above binds it to the fixture table; scale
+    experiments feed key-shifted unions through the identical plan."""
     quality = TA.quality_score(docs).select("doc_id", "quality")
     qdocs = (
         docs.join(quality, "doc_id")

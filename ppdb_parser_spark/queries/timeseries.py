@@ -62,10 +62,11 @@ _GAPFILL_ORACLE = f"""
 """
 
 
-def _filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def filled_hourly_frame(ev: DataFrame) -> DataFrame:
     """The gap-filled frame both rollups share: every (event_type, hour)
-    slot of the observed span, with NULL n/sv for empty slots."""
-    ev = load_table(spark, sf_dir, "events")
+    slot of the observed span, with NULL n/sv for empty slots. Takes the
+    events DataFrame directly so scale experiments can feed synthetic
+    unions through the identical plan."""
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(
@@ -81,6 +82,10 @@ def _filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     types = ev.select("event_type").distinct()
     return cal.crossJoin(types).join(hourly, ["event_type", "h"], "left")
+
+
+def _filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return filled_hourly_frame(load_table(spark, sf_dir, "events"))
 
 
 @query(
