@@ -246,3 +246,75 @@ def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("small")
         .alias("order_class"),
     )
+
+
+# --------------------------------------------------------------------------
+# X1 regex battery: extract / extract-all / count / replace / match over
+# document text. Patterns stay inside the Java-regex ∩ RE2 common subset
+# (simple character classes and \b word boundaries) so both engines agree
+# on the language, not just the answers.
+# --------------------------------------------------------------------------
+@query(
+    "scalar_regex",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_extract(text, '[aeiou]{2,}', 0) AS first_vowel_run,
+           CAST(len(regexp_extract_all(text, '[aeiou]{2,}')) AS BIGINT)
+             AS n_vowel_runs,
+           CAST(len(regexp_extract_all(text, '\b[a-z]{7,}\b')) AS BIGINT)
+             AS n_long_words,
+           CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+             AS n_consonant_chars,
+           CAST(CASE WHEN regexp_matches(text, '\bthe\b') THEN 1 ELSE 0 END
+                AS BIGINT) AS has_the
+    FROM documents
+    """,
+    tags=("X1",),
+)
+def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"[aeiou]{2,}", 0).alias("first_vowel_run"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[aeiou]{2,}"), 0))
+        .cast("long").alias("n_vowel_runs"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\b[a-z]{7,}\b"), 0))
+        .cast("long").alias("n_long_words"),
+        F.length(F.regexp_replace("text", r"[aeiou]", "")).cast("long").alias(
+            "n_consonant_chars"
+        ),
+        F.when(F.col("text").rlike(r"\bthe\b"), F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("has_the"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X3 bitwise battery: AND/OR/XOR, shifts and popcount over event ids —
+# the hash/partition/bucket arithmetic every distributed keying scheme
+# leans on, checked bit-exact cross-engine.
+# --------------------------------------------------------------------------
+@query(
+    "scalar_bitwise",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           event_id | 4096 AS with_flag,
+           xor(event_id, 1431655765) AS xored,
+           event_id << 3 AS shifted_up,
+           event_id >> 2 AS shifted_down,
+           CAST(bit_count(event_id) AS BIGINT) AS popcount
+    FROM events WHERE event_id < 1000
+    """,
+    tags=("X3",),
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return ev.select(
+        "event_id",
+        F.expr("event_id & 255").alias("low_byte"),
+        F.expr("event_id | 4096").alias("with_flag"),
+        F.expr("event_id ^ 1431655765").alias("xored"),
+        F.expr("shiftleft(event_id, 3)").alias("shifted_up"),
+        F.expr("shiftright(event_id, 2)").alias("shifted_down"),
+        F.bit_count("event_id").cast("long").alias("popcount"),
+    )
