@@ -249,3 +249,78 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.read.parquet(out)
+
+
+# --------------------------------------------------------------------------
+# Stream-stream interval join (the marquee Structured Streaming join):
+# purchases joined to the same user's clicks from the preceding 60 minutes.
+# Batch twin carries the oracle; the live twin runs the SAME join as two
+# watermarked streams (watermarks bound join state retention — without
+# them an interval join must buffer both streams forever). availableNow
+# over a bounded input emits exactly the batch answer, so the live twin
+# shares the oracle instead of downgrading to rows-only.
+# --------------------------------------------------------------------------
+_INTERVAL_JOIN_ORACLE = """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS user_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_ts_us,
+           epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND CAST(c.ts AS TIMESTAMP)
+           >= CAST(p.ts AS TIMESTAMP) - INTERVAL 60 MINUTE
+     AND CAST(c.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)
+"""
+
+
+def _interval_join(p: DataFrame, c: DataFrame) -> DataFrame:
+    purchases = p.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = c.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    if purchases.isStreaming:
+        purchases = purchases.withWatermark("p_ts", "90 minutes")
+        clicks = clicks.withWatermark("c_ts", "90 minutes")
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user"
+            " AND c_ts >= p_ts - INTERVAL 60 MINUTES"
+            " AND c_ts < p_ts"
+        ),
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_micros(F.col("p_ts").cast("timestamp")).alias("purchase_ts_us"),
+        F.unix_micros(F.col("c_ts").cast("timestamp")).alias("click_ts_us"),
+    )
+
+
+@query(
+    "stream_interval_join_batch",
+    oracle=_INTERVAL_JOIN_ORACLE,
+    tags=("J7", "X2"),
+)
+def stream_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return _interval_join(ev, ev)
+
+
+@query(
+    "stream_interval_join_live",
+    oracle=_INTERVAL_JOIN_ORACLE,
+    tags=("S7", "T4", "J7"),
+)
+def stream_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = ST.events_stream(spark, sf_dir, tz_typed=True)
+    c = ST.events_stream(spark, sf_dir, tz_typed=True)
+    return ST.run_stream_to_table(_interval_join(p, c), "append")
