@@ -202,3 +202,42 @@ def snk_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("phrase")
         .agg(F.count(F.lit(1)).alias("n_rules"))
     )
+
+
+# --------------------------------------------------------------------------
+# S1 via the custom Python DataSource (Spark 4 connector API): the gzip
+# pack read through spark.read.format("ppdbpack") — one InputPartition
+# per shard, lines produced on executors — then the SAME parse kernel and
+# the SAME VALUES oracle as the built-in text scan. Proves a user can add
+# a first-class format Spark lacks without leaving Python.
+# --------------------------------------------------------------------------
+@query(
+    "src_custom_datasource",
+    oracle=f"""
+    WITH raw AS (SELECT value FROM {lines_values_sql()} r),
+    split_lines AS (
+      SELECT str_split(value, ' ||| ') AS p, len(str_split(value, ' ||| ')) AS n
+      FROM raw
+    )
+    SELECT trim(p[1]) AS lhs, COUNT(*) AS n_rules,
+           COUNT(DISTINCT trim(p[2])) AS n_phrases
+    FROM split_lines WHERE n IN (5, 6)
+    GROUP BY 1
+    """,
+    tags=("S1", "P1"),
+)
+def src_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.custom_datasource import register
+
+    register(spark)
+    lines = (
+        spark.read.format("ppdbpack")
+        .option("path", ensure_pack())
+        .load()
+        .select("value")
+    )
+    parsed = parse_ppdb_clean(lines)
+    return parsed.groupBy("lhs").agg(
+        F.count(F.lit(1)).alias("n_rules"),
+        F.countDistinct("phrase").alias("n_phrases"),
+    )

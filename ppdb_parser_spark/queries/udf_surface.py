@@ -171,3 +171,64 @@ def udtf_explode_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.p_partkey, t.word, t.word_idx "
         "FROM udtf_part_input, LATERAL explode_words(p_partkey, p_type) t"
     )
+
+
+# --------------------------------------------------------------------------
+# U1 (Spark 4 Arrow-optimized Python UDF): same cents conversion through
+# `udf(..., useArrow=True)` — row-wise Python logic with Arrow transfer
+# instead of pickle, the migration path for legacy @udf code that can't be
+# vectorized. Kept distinct from the pandas_udf twin so both transports
+# stay covered.
+# --------------------------------------------------------------------------
+@query(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+    FROM events WHERE event_type = 'signup'
+    """,
+    tags=("U1", "U6"),
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.udf(returnType=T.LongType(), useArrow=True)
+    def cents(v: float) -> int:
+        return int(round(v * 100))
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    return e.select("event_id", cents(F.col("value")).alias("value_cents"))
+
+
+# --------------------------------------------------------------------------
+# U4 (Arrow-native): mapInArrow — the zero-pandas batch transform. The
+# batch arrives as a pyarrow RecordBatch and leaves as one; no
+# Series/DataFrame materialization at all, the cheapest Python boundary
+# Spark offers. Used here for the cents projection over purchases.
+# --------------------------------------------------------------------------
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+    FROM events WHERE event_type = 'view'
+    """,
+    tags=("U4", "U6"),
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def to_cents(batches):
+        for batch in batches:
+            cents = pc.cast(
+                pc.round(pc.multiply(batch.column("value"), pa.scalar(100.0))),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("event_id"), cents],
+                names=["event_id", "value_cents"],
+            )
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select("event_id", "value")
+    )
+    return e.mapInArrow(to_cents, schema="event_id long, value_cents long")

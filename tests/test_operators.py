@@ -306,3 +306,20 @@ def test_embedding_dedup_lsh_precision(spark, sf_dir):
     lsh_dropped = set(lsh[lsh.status == "dropped"].vec_id)
     assert lsh_dropped <= exact_dropped
     assert len(exact) == len(lsh)
+
+
+def test_custom_datasource_partition_per_shard(spark):
+    """The ppdbpack connector's scan parallelism contract: one input
+    partition per shard file, rows produced on executors."""
+    from ppdb_parser_spark.sources.custom_datasource import register
+    from ppdb_parser_spark.sources.ppdb_pack import ensure_pack
+
+    register(spark)
+    df = (
+        spark.read.format("ppdbpack")
+        .option("path", ensure_pack())
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4  # the fixture pack has 4 shards
+    shards = {r[0] for r in df.select("shard").distinct().collect()}
+    assert len(shards) == 4
