@@ -232,3 +232,59 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "value")
     )
     return e.mapInArrow(to_cents, schema="event_id long, value_cents long")
+
+
+# --------------------------------------------------------------------------
+# U5 (Spark 4 polymorphic UDTF): output schema computed at ANALYSIS time
+# from a literal argument — split_fixed(value, 6) emits part0..part5
+# columns because the planner calls analyze() with the constant 6. This is
+# the dynamic-schema table function the static-returnType UDTF above
+# can't express.
+# --------------------------------------------------------------------------
+from ..sources.ppdb_pack import lines_values_sql as _lines_values_sql
+
+
+@query(
+    "udtf_polymorphic_split",
+    oracle=f"""
+    WITH raw AS (SELECT value FROM {_lines_values_sql()} r),
+    s AS (SELECT str_split(value, ' ||| ') AS p FROM raw)
+    SELECT CASE WHEN len(p) >= 1 THEN trim(p[1]) END AS part0,
+           CASE WHEN len(p) >= 2 THEN trim(p[2]) END AS part1,
+           CASE WHEN len(p) >= 3 THEN trim(p[3]) END AS part2,
+           CASE WHEN len(p) >= 4 THEN trim(p[4]) END AS part3,
+           CASE WHEN len(p) >= 5 THEN trim(p[5]) END AS part4,
+           CASE WHEN len(p) >= 6 THEN trim(p[6]) END AS part5
+    FROM s
+    """,
+    tags=("U5", "P1"),
+)
+def udtf_polymorphic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    from ..sources.ppdb_pack import ensure_pack
+    from ..sources.text import read_text_lines
+
+    @udtf
+    class SplitFixed:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"part{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            parts = text.split(" ||| ")
+            yield tuple(
+                parts[i].strip() if i < len(parts) else None for i in range(n)
+            )
+
+    spark.udtf.register("split_fixed", SplitFixed)
+    lines = read_text_lines(spark, ensure_pack() + "/*.txt.gz")
+    lines.createOrReplaceTempView("udtf_lines_input")
+    return spark.sql(
+        "SELECT t.* FROM udtf_lines_input, LATERAL split_fixed(value, 6) t"
+    )
