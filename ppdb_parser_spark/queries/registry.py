@@ -66,9 +66,31 @@ def coverage_order() -> list[str]:
     remaining = dict(REGISTRY)
     covered: set[str] = set()
     out: list[str] = []
-    # seed: queries the round-1 driver flagged red — their fixes need a
-    # driver row this round regardless of tag coverage
-    for seed in ("agg_pivot_status", "ppdb_parse_stats", "ppdb_collect_nested"):
+    # seeds, in priority order: (1) queries the round-1 driver flagged red
+    # — their fixes need a driver row regardless of tag coverage; (2) the
+    # round-2 marquee families (curation pipeline, time-series rollups,
+    # real media processing, embedding dedup, stream-stream join,
+    # custom connector) — new work should earn driver-green rows even
+    # though their tags are already covered by older queries
+    for seed in (
+        "agg_pivot_status",
+        "ppdb_parse_stats",
+        "ppdb_collect_nested",
+        "pipeline_corpus_curation",
+        "pipeline_pack_windows",
+        "ts_gapfill_locf",
+        "ts_interpolate",
+        "ts_ohlc_daily",
+        "mm_resize",
+        "mm_wav_sample",
+        "dedup_embedding",
+        "stream_interval_join_live",
+        "src_custom_datasource",
+        "snk_partition_pruned",
+        "analytics_small_qty_revenue",
+        "analytics_lost_opportunity",
+        "udtf_polymorphic_split",
+    ):
         if seed in remaining:
             out.append(seed)
             covered |= set(remaining.pop(seed).tags)
