@@ -273,3 +273,141 @@ def lsh_similarity_join(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def ivf_kmeans_topk(
+    df: DataFrame,
+    n_cells: int = 8,
+    probe_id: int = 1,
+    n_probe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """IVF top-k with one relational Lloyd (k-means) refinement step —
+    the "trained centroids" upgrade over :func:`ivf_topk`'s raw seeds.
+
+    1. assign each vector to its nearest seed (ids < n_cells), exactly as
+       :func:`ivf_topk` does;
+    2. recompute each cell's centroid as the element-wise mean — the sums
+       run over the embedding's 1e-8 decimal grid as int64 (order-
+       independent, hash-exact), divided once;
+    3. re-assign vectors to the nearest CENTROID, route the probe to its
+       top ``n_probe`` centroid cells, and take the exact top-k inside.
+
+    Everything is one lineage: explode → two hash aggregates → broadcast
+    1-row centroid context → narrow map. No driver-side jobs, no
+    iteration loop in Python — one Lloyd step is a fixed plan; more steps
+    would unroll the same stage pattern.
+    """
+    GRID = 100_000_000  # embeddings are rounded to 8 decimals
+
+    seeds = df.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).cast("int").alias("cell_id"),
+        F.col(vec_col).alias("semb"),
+    )
+    seeds_row = seeds.agg(
+        F.collect_list(
+            F.struct(
+                F.col("cell_id"), F.col("semb"), _norm(F.col("semb")).alias("snorm")
+            )
+        ).alias("seeds")
+    )
+
+    def _cell_argmax(emb: Column, nrm: Column):
+        return F.element_at(
+            F.array_sort(
+                F.transform(
+                    F.col("seeds"),
+                    lambda s: F.struct(
+                        (
+                            -F.round(_dot(emb, s["semb"]) / (nrm * s["snorm"]), 6)
+                        ).alias("negcos"),
+                        s["cell_id"].alias("cell_id"),
+                    ),
+                )
+            ),
+            1,
+        )["cell_id"]
+
+    base = df.withColumn("__nrm", _norm(F.col(vec_col)))
+    a1 = base.crossJoin(F.broadcast(seeds_row)).withColumn(
+        "cell1", _cell_argmax(F.col(vec_col), F.col("__nrm"))
+    )
+
+    exploded = a1.select(
+        "cell1", F.posexplode(F.col(vec_col)).alias("pos", "x")
+    )
+    cent_components = exploded.groupBy("cell1", "pos").agg(
+        (
+            F.sum(F.round(F.col("x") * GRID).cast("long"))
+            / (F.count(F.lit(1)) * float(GRID))
+        ).alias("c")
+    )
+    centroids = (
+        cent_components.groupBy("cell1")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("semb")
+        )
+        .select(
+            F.col("cell1").cast("int").alias("cell_id"),
+            "semb",
+            _norm(F.col("semb")).alias("snorm"),
+        )
+    )
+    cent_row = centroids.agg(
+        F.collect_list(F.struct("cell_id", "semb", "snorm")).alias("seeds")
+    )
+    probe_row = df.filter(F.col(id_col) == probe_id).select(
+        F.col(vec_col).alias("probe_emb"), _norm(F.col(vec_col)).alias("probe_nrm")
+    )
+    ctx = (
+        probe_row.crossJoin(cent_row)
+        .withColumn(
+            "probe_cells",
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.transform(
+                            F.col("seeds"),
+                            lambda s: F.struct(
+                                (
+                                    -F.round(
+                                        _dot(F.col("probe_emb"), s["semb"])
+                                        / (F.col("probe_nrm") * s["snorm"]),
+                                        6,
+                                    )
+                                ).alias("negcos"),
+                                s["cell_id"].alias("cell_id"),
+                            ),
+                        )
+                    ),
+                    lambda s: s["cell_id"],
+                ),
+                1,
+                n_probe,
+            ),
+        )
+        .select("probe_emb", "probe_nrm", "seeds", "probe_cells")
+    )
+    a2 = base.crossJoin(F.broadcast(ctx)).withColumn(
+        "cell2", _cell_argmax(F.col(vec_col), F.col("__nrm"))
+    )
+    cand = a2.filter(
+        F.array_contains(F.col("probe_cells"), F.col("cell2"))
+        & (F.col(id_col) != probe_id)
+    )
+    cosine = F.round(
+        _dot(F.col(vec_col), F.col("probe_emb"))
+        / (F.col("__nrm") * F.col("probe_nrm")),
+        6,
+    )
+    return (
+        cand.select(id_col, *keep_cols, cosine.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -167,3 +167,99 @@ def sim_neighbors_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# IVF with one relational k-means (Lloyd) refinement: seeds → assign →
+# exact-grid centroid means → re-assign → probe top-2 centroid cells →
+# exact top-k. The centroid sums run as int64 on the embedding's 1e-8
+# decimal grid (order-independent), so the refined centroids are
+# bit-identical cross-engine and the whole index construction is
+# hash-checked — not just the final neighbors.
+# --------------------------------------------------------------------------
+_IVF_KMEANS_ORACLE = """
+    WITH v AS (
+      SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      FROM v GROUP BY vec_id
+    ),
+    sv AS (SELECT vec_id AS cell_id, x, i FROM v WHERE vec_id < 8),
+    a1d AS (
+      SELECT v.vec_id, s.cell_id, SUM(CAST(v.x AS DOUBLE) * CAST(s.x AS DOUBLE)) AS dot
+      FROM v JOIN sv s ON v.i = s.i GROUP BY 1, 2
+    ),
+    a1 AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT a1d.vec_id, a1d.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY a1d.vec_id
+                 ORDER BY round(a1d.dot / (nv.nrm * ns.nrm), 6) DESC,
+                          a1d.cell_id) AS rk
+        FROM a1d
+        JOIN norms nv ON a1d.vec_id = nv.vec_id
+        JOIN norms ns ON a1d.cell_id = ns.vec_id
+      ) WHERE rk = 1
+    ),
+    cent AS (
+      SELECT a1.cell_id, v.i,
+             CAST(SUM(CAST(ROUND(v.x * 100000000) AS BIGINT)) AS BIGINT)
+               / (COUNT(*) * 100000000.0) AS c
+      FROM v JOIN a1 ON v.vec_id = a1.vec_id GROUP BY 1, 2
+    ),
+    cnorm AS (SELECT cell_id, sqrt(SUM(c * c)) AS nc FROM cent GROUP BY 1),
+    pv AS (SELECT x, i FROM v WHERE vec_id = 1),
+    pnorm AS (SELECT nrm AS np FROM norms WHERE vec_id = 1),
+    pd AS (
+      SELECT cent.cell_id, SUM(cent.c * CAST(pv.x AS DOUBLE)) AS dot
+      FROM cent JOIN pv ON cent.i = pv.i GROUP BY 1
+    ),
+    pcells AS (
+      SELECT cell_id FROM (
+        SELECT pd.cell_id,
+               ROW_NUMBER() OVER (ORDER BY round(pd.dot / (pnorm.np * cnorm.nc), 6)
+                                  DESC, pd.cell_id) AS rk
+        FROM pd JOIN cnorm USING (cell_id), pnorm
+      ) WHERE rk <= 2
+    ),
+    a2d AS (
+      SELECT v.vec_id, cent.cell_id, SUM(CAST(v.x AS DOUBLE) * cent.c) AS dot
+      FROM v JOIN cent ON v.i = cent.i GROUP BY 1, 2
+    ),
+    a2 AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT a2d.vec_id, a2d.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY a2d.vec_id
+                 ORDER BY round(a2d.dot / (nv.nrm * cn.nc), 6) DESC,
+                          a2d.cell_id) AS rk
+        FROM a2d
+        JOIN norms nv ON a2d.vec_id = nv.vec_id
+        JOIN cnorm cn ON a2d.cell_id = cn.cell_id
+      ) WHERE rk = 1
+    ),
+    cand AS (SELECT a2.vec_id FROM a2 JOIN pcells USING (cell_id)
+             WHERE a2.vec_id <> 1),
+    fd AS (
+      SELECT v.vec_id, SUM(CAST(v.x AS DOUBLE) * CAST(pv.x AS DOUBLE)) AS dot
+      FROM v JOIN pv ON v.i = pv.i JOIN cand ON v.vec_id = cand.vec_id
+      GROUP BY 1
+    )
+    SELECT fd.vec_id AS vec_id, e.label AS label,
+           round(fd.dot / (nv.nrm * pnorm.np), 6) AS cosine
+    FROM fd
+    JOIN norms nv ON fd.vec_id = nv.vec_id
+    JOIN embeddings e ON e.vec_id = fd.vec_id, pnorm
+    ORDER BY cosine DESC, vec_id
+    LIMIT 5
+"""
+
+
+@query(
+    "sim_ivf_kmeans_topk",
+    oracle=_IVF_KMEANS_ORACLE,
+    tags=("L1", "L2", "W1", "A1"),
+)
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_kmeans_topk(e, n_cells=8, probe_id=1, n_probe=2, k=5)

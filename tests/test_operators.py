@@ -323,3 +323,30 @@ def test_custom_datasource_partition_per_shard(spark):
     assert df.rdd.getNumPartitions() == 4  # the fixture pack has 4 shards
     shards = {r[0] for r in df.select("shard").distinct().collect()}
     assert len(shards) == 4
+
+
+def test_ivf_kmeans_recall_vs_bruteforce(spark, sf_dir):
+    """The k-means-refined IVF's neighbors are a subset of the exact
+    brute-force top list (cells can only miss, never invent), and at
+    fixture scale the refined index keeps useful recall."""
+    from ppdb_parser_spark.operators import similarity as SIM
+    from ppdb_parser_spark.queries.similarity import _probe_vector
+    from ppdb_parser_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = (
+        e.filter("vec_id = 1").select("embedding").first()[0]
+    )
+    exact = {
+        r["vec_id"]
+        for r in SIM.cosine_topk(
+            e.filter("vec_id <> 1"), [float(x) for x in probe], k=20
+        ).collect()
+    }
+    approx = {
+        r["vec_id"]
+        for r in SIM.ivf_kmeans_topk(e, n_cells=8, probe_id=1, n_probe=2, k=5)
+        .collect()
+    }
+    assert len(approx) == 5
+    assert len(approx & exact) >= 2  # non-trivial overlap with the true top-20
