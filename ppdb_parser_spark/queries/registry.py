@@ -90,6 +90,7 @@ def coverage_order() -> list[str]:
         "analytics_small_qty_revenue",
         "analytics_lost_opportunity",
         "udtf_polymorphic_split",
+        "sim_ivf_kmeans_topk",
     ):
         if seed in remaining:
             out.append(seed)
