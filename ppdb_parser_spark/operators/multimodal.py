@@ -10,7 +10,10 @@ Arrow-batched ``mapInPandas`` decoders. Three formats decode for real:
 - WAV (RIFF PCM): hand-parsed RIFF chunk walk (``fmt `` + ``data``) →
   channels, sample rate, sample count.
 
-Compressed formats (JPEG/PNG/MP3/MP4) need codec libraries the container
+- PNG (8-bit RGB): decoded with the stdlib alone — chunk walk, zlib
+  inflate, per-scanline unfilter (all five filter types).
+
+Entropy-codec formats (JPEG/MP3/MP4) need codec libraries the container
 does not have; those remain a clearly-marked ``NotImplementedError`` stub.
 The Spark-side plumbing — binaryFile source, schema, Arrow batch shape,
 content hashing for identity/dedup — is identical for all formats and is
@@ -521,6 +524,7 @@ def sample_wav_frames(
                 data = bytes(content)
                 ch, _sr, n_frames = parse_wav_header(data)
                 # locate the data chunk payload
+                pcm = None
                 pos = 12
                 while pos + 8 <= len(data):
                     cid = data[pos : pos + 4]
@@ -531,6 +535,8 @@ def sample_wav_frames(
                         )
                         break
                     pos += 8 + clen + (clen % 2)
+                if pcm is None:
+                    raise ValueError(f"no data chunk in WAV file {path!r}")
                 frames = pcm.reshape(n_frames, ch)
                 stride = -(-n_frames // max_frames)
                 sampled = frames[::stride]
@@ -554,9 +560,9 @@ def sample_wav_frames(
 
 def decode_media_meta(blobs: DataFrame) -> DataFrame:
     """Unified typed-metadata decoder over mixed binary content: dispatches
-    on magic bytes (BMP / RIFF-WAVE / FAKE), hand-parsing each header.
-    Compressed codec formats (JPEG/PNG/...) raise NotImplementedError —
-    the one deliberate stub in this module."""
+    on magic bytes (BMP / RIFF-WAVE / FAKE / PNG), hand-parsing each
+    header. Entropy-codec formats (JPEG/MP3/...) raise NotImplementedError
+    — the one deliberate stub in this module."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -574,9 +580,12 @@ def decode_media_meta(blobs: DataFrame) -> DataFrame:
                 elif data[:4] == MAGIC:
                     w, h = struct.unpack(">HH", data[4:8])
                     rows.append((name, "fake", len(data), w, h, None, None, None, sha))
+                elif data[: len(_PNG_SIG)] == _PNG_SIG:
+                    w, h = parse_png_header(data)
+                    rows.append((name, "png", len(data), w, h, None, None, None, sha))
                 else:
                     raise NotImplementedError(
-                        "compressed-codec blob decode (JPEG/PNG/MP3/...) needs "
+                        "entropy-codec blob decode (JPEG/MP3/MP4/...) needs "
                         "codec libraries not present in this container"
                     )
             yield pd.DataFrame(
@@ -586,3 +595,255 @@ def decode_media_meta(blobs: DataFrame) -> DataFrame:
             )
 
     return blobs.mapInPandas(_decode, schema=_MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# PNG, decoded with the STDLIB ONLY (zlib inflate + per-scanline unfilter
+# — pure struct/zlib math, no codec library): the round-2 verdict's
+# "reachable real format". The fixture ENCODER deliberately cycles through
+# all five PNG filter types (None/Sub/Up/Average/Paeth) across scanlines,
+# so the decoder's unfilter arithmetic is genuinely exercised — a decoder
+# that only handled filter 0 would fail the analytic hash oracle on every
+# fixture. JPEG/MP3/MP4 (DCT/entropy codecs) remain the deliberate stub.
+# --------------------------------------------------------------------------
+N_PNG = 24
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_BPP = 3  # 8-bit RGB, color type 2
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (left, up, up-left)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_dims(i: int) -> tuple[int, int]:
+    return (5 + (i * 3) % 28, 5 + (i * 5) % 20)
+
+
+def _png_gen_pixel(i: int, x: int, y: int) -> tuple[int, int, int]:
+    """RGB of pixel (x, y) of fixture PNG i — the analytic ground truth.
+    Depends on BOTH coordinates so Sub/Up/Average/Paeth residuals are all
+    non-trivial."""
+    v = (x * 3 + y * 7 + i * 13) % 256
+    return (v, (v * 2 + x) % 256, (v * 3 + y) % 256)
+
+
+def png_filter_for_row(i: int, y: int) -> int:
+    """Filter type the fixture encoder uses for scanline y of image i —
+    cycles 0..4 with an image-dependent phase (h >= 5, so every image
+    contains every filter type)."""
+    return (y + i) % 5
+
+
+def png_bytes(i: int) -> bytes:
+    """A real, spec-conformant 8-bit RGB PNG (opens anywhere): signature +
+    IHDR + one zlib IDAT of filtered scanlines + IEND."""
+    import zlib
+
+    w, h = png_dims(i)
+    raw = bytearray()
+    prior = bytes(w * _PNG_BPP)
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            row += bytes(_png_gen_pixel(i, x, y))
+        ft = png_filter_for_row(i, y)
+        raw.append(ft)
+        for j in range(len(row)):
+            a = row[j - _PNG_BPP] if j >= _PNG_BPP else 0  # left
+            b = prior[j]  # up
+            c = prior[j - _PNG_BPP] if j >= _PNG_BPP else 0  # up-left
+            if ft == 0:
+                out = row[j]
+            elif ft == 1:
+                out = row[j] - a
+            elif ft == 2:
+                out = row[j] - b
+            elif ft == 3:
+                out = row[j] - (a + b) // 2
+            else:
+                out = row[j] - _paeth(a, b, c)
+            raw.append(out & 0xFF)
+        prior = bytes(row)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def parse_png_header(data: bytes) -> tuple[int, int]:
+    """(width, height) from IHDR — header-only parse, no inflate."""
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    if data[12:16] != b"IHDR":
+        raise ValueError("PNG missing IHDR")
+    w, h = struct.unpack_from(">II", data, 16)
+    return w, h
+
+
+def png_pixels(data: bytes):
+    """Full stdlib decode of an 8-bit RGB PNG: chunk walk → concatenated
+    IDAT → zlib inflate → per-scanline unfilter (all five filter types) →
+    (h, w, 3) uint8 RGB array, top-down."""
+    import zlib
+
+    import numpy as np
+
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = len(_PNG_SIG), None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (clen,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type = struct.unpack_from(">IIBB", payload)
+            if (bit_depth, color_type) != (8, 2):
+                raise NotImplementedError(
+                    "stdlib PNG decode supports 8-bit RGB (color type 2) only"
+                )
+        elif ctype == b"IDAT":
+            idat += payload
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + payload + crc
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * _PNG_BPP
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG scanline payload has the wrong length")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (1 + stride)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (1 + stride) + 1
+        ).astype(np.int32)
+        prior = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ft == 0:
+            rec = line
+        elif ft == 2:
+            rec = (line + prior) & 0xFF
+        else:
+            # Sub/Average/Paeth need the in-row left neighbor → sequential
+            # per-byte reconstruction (stride is tiny; numpy per-row ops
+            # handle the common 0/2 filters above)
+            rec = np.zeros(stride, np.int32)
+            for j in range(stride):
+                a = int(rec[j - _PNG_BPP]) if j >= _PNG_BPP else 0
+                b = int(prior[j])
+                c = int(out[y - 1][j - _PNG_BPP]) if y and j >= _PNG_BPP else 0
+                if ft == 1:
+                    rec[j] = (line[j] + a) & 0xFF
+                elif ft == 3:
+                    rec[j] = (line[j] + (a + b) // 2) & 0xFF
+                elif ft == 4:
+                    rec[j] = (line[j] + _paeth(a, b, c)) & 0xFF
+                else:
+                    raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+    return out.reshape(h, w, _PNG_BPP)
+
+
+def png_dir(root: str | None = None) -> str:
+    root = root or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".cache"
+    )
+    return os.path.join(root, "png_v1")
+
+
+def ensure_pngs(root: str | None = None) -> str:
+    from ..sources._cache import ensure_cached_dir
+
+    def build(d: str) -> None:
+        for i in range(N_PNG):
+            with open(os.path.join(d, f"img-{i:04d}.png"), "wb") as f:
+                f.write(png_bytes(i))
+
+    return ensure_cached_dir(png_dir(root), build)
+
+
+def png_feature_meta(i: int) -> tuple:
+    """ANALYTIC ground truth for mm_png_features — built from the pixel
+    formula alone (the PNG bytes are never parsed here), so any decode bug
+    (filter arithmetic, chunk walk, row order) fails the value hash:
+    (file_name, width, height, n_pixels, mean_r, mean_g, mean_b,
+    pixels_sha256) where pixels_sha256 hashes the top-down row-major RGB
+    byte stream."""
+    w, h = png_dims(i)
+    tot = [0, 0, 0]
+    stream = bytearray()
+    for y in range(h):
+        for x in range(w):
+            p = _png_gen_pixel(i, x, y)
+            stream += bytes(p)
+            for ch in range(3):
+                tot[ch] += p[ch]
+    n = w * h
+    return (
+        f"img-{i:04d}.png", w, h, n,
+        round(tot[0] / n, 4), round(tot[1] / n, 4), round(tot[2] / n, 4),
+        hashlib.sha256(bytes(stream)).hexdigest(),
+    )
+
+
+def png_features_values_sql() -> str:
+    rows = ", ".join(
+        f"('{n}', {w}, {h}, {np_}, {mr}, {mg}, {mb}, '{sha}')"
+        for n, w, h, np_, mr, mg, mb, sha in
+        (png_feature_meta(i) for i in range(N_PNG))
+    )
+    return (
+        f"(SELECT * FROM (VALUES {rows}) AS p(file_name, width, height,"
+        " n_pixels, mean_r, mean_g, mean_b, pixels_sha256))"
+    )
+
+
+def extract_png_features(blobs: DataFrame) -> DataFrame:
+    """Stdlib PNG decode → per-channel means + sha256 of the decoded RGB
+    byte stream, Arrow-batched (U4 plumbing identical to the BMP path)."""
+    import numpy as np
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                arr = png_pixels(bytes(content))
+                means = arr.astype(np.float64).mean(axis=(0, 1))
+                rows.append((
+                    os.path.basename(path), arr.shape[1], arr.shape[0],
+                    arr.shape[0] * arr.shape[1],
+                    round(float(means[0]), 4), round(float(means[1]), 4),
+                    round(float(means[2]), 4),
+                    hashlib.sha256(arr.tobytes()).hexdigest(),
+                ))
+            yield pd.DataFrame(
+                rows, columns=["file_name", "width", "height", "n_pixels",
+                               "mean_r", "mean_g", "mean_b", "pixels_sha256"],
+            )
+
+    return blobs.mapInPandas(
+        _feat,
+        schema="file_name string, width long, height long, n_pixels long,"
+               " mean_r double, mean_g double, mean_b double,"
+               " pixels_sha256 string",
+    )

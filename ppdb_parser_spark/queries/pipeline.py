@@ -3,17 +3,23 @@ lineage (the north-star composition: SURVEY.md §2.9 operators chained the
 way a real 100 TB corpus build chains them):
 
     quality filter  →  exact dedup (content hash, keep min id)
-                    →  near-dup removal (word-bigram Jaccard ≥ 0.5,
+                    →  near-dup removal (word-bigram Jaccard ≥ 0.5 via
+                       AllPairs/PPJoin prefix filtering — EXACT, uncapped;
                        keep the smaller id of each pair)
                     →  curated per-document stats
 
 Each stage reuses the SAME operator the standalone queries check
-(`quality_score`, md5 grouping, `jaccard_pairs`), so the pipeline's oracle
-is the composition of already-verified fragments. Catalyst sees one plan:
-the quality filter prunes before any shuffle, the content-hash dedup is one
-hash aggregate + semi join, the Jaccard candidate join runs on the already-
-reduced survivor set — exactly the stage ordering that minimizes shuffled
-bytes at scale (filter early, dedup cheap-exact before expensive-near).
+(`quality_score`, md5 grouping, `jaccard_pairs_prefix`), so the pipeline's
+oracle is the composition of already-verified fragments. Catalyst sees one
+plan: the quality filter prunes before any shuffle, the content-hash dedup
+is one hash aggregate + semi join, the Jaccard candidate join runs on the
+already-reduced survivor set — exactly the stage ordering that minimizes
+shuffled bytes at scale (filter early, dedup cheap-exact before
+expensive-near). The near-dup stage is the prefix-filtered exact join
+(operators/dedup.py jaccard_pairs_prefix): unlike the round-2 df-capped
+variant it makes NO semantic compromise — the oracle below is the plain
+uncapped Jaccard — while still killing the df² candidate bombs (measured
+0.09× shuffle bytes vs the naive candidate join, BASELINE.md).
 """
 
 from __future__ import annotations
@@ -30,7 +36,6 @@ _STOP_SQL = ", ".join(f"'{s}'" for s in TA.STOPWORDS)
 
 _QUALITY_MIN = 0.55
 _JACCARD_MIN = 0.5
-_JACCARD_CAP = 40
 
 _CURATION_ORACLE = f"""
     WITH t AS (
@@ -66,12 +71,8 @@ _CURATION_ORACLE = f"""
                AS shingle
       FROM pos_toks
     ),
-    sh_valid AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL
-                 AND len(str_split(shingle, ' ')) = 2),
-    keepsh AS (SELECT shingle FROM sh_valid GROUP BY shingle
-               HAVING COUNT(*) <= {_JACCARD_CAP}),
-    shn AS (SELECT s.doc_id, s.shingle
-            FROM sh_valid s JOIN keepsh USING (shingle)),
+    shn AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL
+            AND len(str_split(shingle, ' ')) = 2),
     sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shn GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
@@ -117,13 +118,12 @@ def curate_documents(docs: DataFrame) -> DataFrame:
         keep,
         (qdocs.f == keep.f) & (qdocs.doc_id == keep.keep_id),
     ).select(qdocs.doc_id, "lang", "text", "quality")
-    # Near-dup candidates with the document-frequency ceiling (the same
-    # discipline as the headline dedup_jaccard_capped entry): ubiquitous
-    # shingles cost df² in the candidate join and carry no dedup signal.
-    # The exact uncapped alternatives exist (jaccard_pairs,
-    # jaccard_pairs_prefix) but are 3-5x the wall at this density.
-    pairs = DD.jaccard_pairs(
-        exact_survivors, threshold=_JACCARD_MIN, n=2, max_doc_freq=_JACCARD_CAP
+    # Near-dup candidates via the prefix filter (AllPairs/PPJoin): exact
+    # uncapped Jaccard semantics with the df² candidate bombs pruned by
+    # rarest-shingle prefixes + the positional filter — the 100 TB path
+    # (0.09× shuffle bytes vs the naive candidate join, BASELINE.md).
+    pairs = DD.jaccard_pairs_prefix(
+        exact_survivors, threshold=_JACCARD_MIN, n=2
     )
     drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     curated = exact_survivors.join(drops, "doc_id", "left_anti")

@@ -100,7 +100,8 @@ _ROUND3_MARQUEE = (
     "pipeline_corpus_curation",  # near-dup stage swapped to prefix filter
     "dedup_embedding",  # crossover rule: exact below threshold, LSH above
     "mm_png_features",  # stdlib-zlib PNG decode (new)
-    "stream_tws_counter",  # transformWithStateInPandas twin (new, if env allows)
+    # (no transformWithStateInPandas twin: env lacks google.protobuf —
+    # see the T6 note in queries/streaming_queries.py)
 )
 
 

@@ -200,10 +200,16 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     def count_state(
         key, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         n, cents = state.get if state.exists else (0, 0)
         for pdf in batches:
             n += len(pdf)
-            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            # half-away-from-zero (values non-negative) to match the
+            # oracle's SQL ROUND; pandas .round() is half-to-even
+            cents += int(
+                np.floor(pdf["value"] * 100 + 0.5).astype("int64").sum()
+            )
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
@@ -223,11 +229,12 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NOTE (T6 API coverage): Spark 4's transformWithStateInPandas
 # (StatefulProcessor + RocksDB state store) was attempted and is
 # *environment-gated*: its state-server protocol requires a working
-# google.protobuf, which this container lacks (driver worker fails with
-# "cannot import name 'descriptor' from 'google.protobuf'"). The
-# applyInPandasWithState query above covers arbitrary-state semantics and
-# is the supported path here; swap to transformWithStateInPandas on
-# clusters with protobuf present.
+# google.protobuf, which this container lacks (re-verified 2026-08-13:
+# `import google.protobuf` → ModuleNotFoundError: No module named
+# 'google'; pip install is off-limits here). The applyInPandasWithState
+# query above covers arbitrary-state semantics and is the supported path
+# here; swap to transformWithStateInPandas on clusters with protobuf
+# present.
 # --------------------------------------------------------------------------
 # T7: foreachBatch exactly-once-style sink → parquet, then read back.
 # Sink mechanics are side-effecting → rows-only.

@@ -38,7 +38,12 @@ from .registry import query
 def udf_scalar_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf(T.LongType())
     def cents(v: pd.Series) -> pd.Series:
-        return (v * 100).round().astype("int64")
+        # floor(x + 0.5) = half-AWAY-from-zero for the non-negative fixture
+        # values — matches SQL ROUND; pandas .round() is half-to-even and
+        # would disagree on exact .5 boundaries (e.g. 0.125 * 100)
+        import numpy as np
+
+        return np.floor(v * 100 + 0.5).astype("int64")
 
     e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     return e.select("event_id", cents(F.col("value")).alias("value_cents"))
@@ -60,7 +65,10 @@ def udf_scalar_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udf_grouped_agg_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf(T.LongType(), F.PandasUDFType.GROUPED_AGG)  # type: ignore[arg-type]
     def total_cents(v: pd.Series) -> int:
-        return int((v * 100).round().astype("int64").sum())
+        # half-away-from-zero (values non-negative), matching SQL ROUND
+        import numpy as np
+
+        return int(np.floor(v * 100 + 0.5).astype("int64").sum())
 
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
@@ -191,7 +199,12 @@ def udtf_explode_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.udf(returnType=T.LongType(), useArrow=True)
     def cents(v: float) -> int:
-        return int(round(v * 100))
+        # math.floor(x + 0.5) = half-away-from-zero for non-negative
+        # values, matching the oracle's SQL ROUND; Python round() is
+        # half-to-even and differs on exact .5 boundaries
+        import math
+
+        return math.floor(v * 100 + 0.5)
 
     e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
     return e.select("event_id", cents(F.col("value")).alias("value_cents"))
@@ -218,7 +231,12 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     def to_cents(batches):
         for batch in batches:
             cents = pc.cast(
-                pc.round(pc.multiply(batch.column("value"), pa.scalar(100.0))),
+                # half_towards_infinity = half-away-from-zero, matching the
+                # oracle's SQL ROUND (pyarrow's default is half_to_even)
+                pc.round(
+                    pc.multiply(batch.column("value"), pa.scalar(100.0)),
+                    round_mode="half_towards_infinity",
+                ),
                 pa.int64(),
             )
             yield pa.RecordBatch.from_arrays(

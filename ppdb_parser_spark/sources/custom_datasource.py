@@ -60,8 +60,8 @@ class PPDBPackReader(DataSourceReader):
 
 
 def register(spark) -> None:
-    """Idempotent per-session registration."""
-    try:
-        spark.dataSource.register(PPDBPackDataSource)
-    except Exception:
-        pass  # already registered on this session
+    """Idempotent per-session registration: re-registering the same name
+    is a WARN-and-replace in Spark 4 (verified), never an error — so any
+    exception here is a genuine failure (e.g. Spark < 4 lacking the Python
+    DataSource API) and must propagate, not read as 'already registered'."""
+    spark.dataSource.register(PPDBPackDataSource)

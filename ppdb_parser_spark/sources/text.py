@@ -18,10 +18,20 @@ from ..sources.tables import ensure_session_confs
 def read_text_lines(spark: SparkSession, path_glob: str) -> DataFrame:
     """S1: line-per-row text scan (gzip/zstd/bzip2 decoded by extension).
 
-    Use an explicit glob (e.g. ``dir/*.txt.gz``) rather than a bare
-    directory so bookkeeping files (``_SUCCESS``) never pollute the rows.
+    A trailing single-level glob (e.g. ``dir/*.txt.gz``) is rewritten to
+    the DIRECTORY path plus a ``pathGlobFilter`` option: same file set
+    (bookkeeping files like ``_SUCCESS`` still excluded), but the path
+    handed to the reader is a plain directory — Spark's FileStreamSink
+    metadata probe logs a spurious WARN stack trace when given a glob
+    path, and a clean log tail is worth keeping so real errors stay
+    visible.
     """
     ensure_session_confs(spark)
+    head, _, tail = path_glob.rpartition("/")
+    if head and any(c in tail for c in "*?[") and not any(
+        c in head for c in "*?["
+    ):
+        return spark.read.option("pathGlobFilter", tail).text(head)
     return spark.read.text(path_glob)
 
 

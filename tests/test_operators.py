@@ -350,3 +350,46 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark, sf_dir):
     }
     assert len(approx) == 5
     assert len(approx & exact) >= 2  # non-trivial overlap with the true top-20
+
+
+def test_png_roundtrip_pixel_exact_all_filters():
+    """Fixture PNGs decode pixel-exact against the generator formula, and
+    the fixture set exercises ALL FIVE scanline filter types — a decoder
+    that mishandled any unfilter branch would fail here (and the analytic
+    hash oracle in mm_png_features)."""
+    from ppdb_parser_spark.operators import multimodal as MM
+
+    used = set()
+    for i in range(MM.N_PNG):
+        data = MM.png_bytes(i)
+        w, h = MM.parse_png_header(data)
+        arr = MM.png_pixels(data)
+        assert arr.shape == (h, w, 3)
+        for y in range(h):
+            used.add(MM.png_filter_for_row(i, y))
+        # spot-check full pixel equality on a diagonal + corners
+        for x, y in [(0, 0), (w - 1, 0), (0, h - 1), (w - 1, h - 1)] + [
+            (k % w, k % h) for k in range(7)
+        ]:
+            assert tuple(arr[y, x]) == MM._png_gen_pixel(i, x, y)
+    assert used == {0, 1, 2, 3, 4}
+
+
+def test_png_decoder_rejects_unsupported():
+    from ppdb_parser_spark.operators import multimodal as MM
+    import pytest as _pytest
+    import struct
+    import zlib
+
+    with _pytest.raises(ValueError, match="not a PNG"):
+        MM.png_pixels(b"JFIF....")
+    # grayscale (color type 0) is outside the supported 8-bit RGB subset
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bad = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", zlib.compress(b"\x00" * 20))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError):
+        MM.png_pixels(bad)

@@ -50,27 +50,45 @@ def test_entry_smoke(spark):
     assert len(df.schema) >= 2
 
 
-def test_coverage_order_front_loads_all_tags():
-    """The driver samples a PREFIX of queries() (50 entries in round 1);
-    the emitted order must cover every §2 operator tag well inside that
-    window, with the round-1-red queries guaranteed a driver row."""
-    from ppdb_parser_spark.queries.registry import coverage_order
+def test_coverage_order_seeds_never_checked_backlog_first():
+    """Round-3 ordering contract (VERDICT r2 task #1): the driver samples a
+    ~50-query PREFIX of queries(), and every §2 operator already has r1∪r2
+    hash-green driver evidence — so the prefix's whole value now lies in
+    the 50 registered queries that have never earned a driver CORRECTNESS
+    row. They must come first (oracle-backed before rows-only), with the
+    round-3 new/changed marquee queries immediately behind, and the full
+    order still enumerating the entire registry with every tag covered."""
+    from ppdb_parser_spark.queries.registry import (
+        _DRIVER_CHECKED_R1_R2,
+        _ROUND3_MARQUEE,
+        coverage_order,
+    )
 
     order = coverage_order()
     assert sorted(order) == sorted(REGISTRY)
     all_tags = set().union(*(REGISTRY[n].tags for n in order))
-    covered: set[str] = set()
-    for i, n in enumerate(order):
-        covered |= set(REGISTRY[n].tags)
-        if covered == all_tags:
-            assert i + 1 <= 48, f"tag cover needs {i + 1} queries (> 48)"
-            break
+    covered = set().union(*(REGISTRY[n].tags for n in order))
     assert covered == all_tags
-    assert set(order[:3]) == {
-        "agg_pivot_status",
-        "ppdb_parse_stats",
-        "ppdb_collect_nested",
+
+    never = {
+        n
+        for n in REGISTRY
+        if n not in _DRIVER_CHECKED_R1_R2 and n not in _ROUND3_MARQUEE
     }
+    k = len(never)
+    assert k == 50, f"never-checked backlog is {k}, expected the r2-frozen 50"
+    assert set(order[:k]) == never, "tier 1 must be exactly the backlog"
+    # oracle-backed backlog entries precede rows-only ones (driver hash
+    # checks are stronger evidence than rows-only)
+    seen_rows_only = False
+    for n in order[:k]:
+        if REGISTRY[n].oracle is None:
+            seen_rows_only = True
+        else:
+            assert not seen_rows_only, f"oracle-backed {n} after rows-only"
+    # tier 2: the round-3 marquee (new/changed semantics) rides right
+    # behind, first in line for the round-4 prefix
+    assert tuple(order[k : k + len(_ROUND3_MARQUEE)]) == _ROUND3_MARQUEE
 
 
 def test_contract_shape():

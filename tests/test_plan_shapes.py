@@ -110,3 +110,42 @@ def test_curation_pipeline_no_cartesian(spark, sf_dir):
 def test_partitioned_sink_scan_prunes(spark, sf_dir):
     df = _df(spark, sf_dir, "snk_partition_pruned")
     C.assert_partition_pruned(df, "lhs", "snk_partition_pruned")
+
+
+def test_lsh_join_plan_construction_runs_no_jobs(spark, sf_dir):
+    """lsh_similarity_join with the (now required) explicit dim must be a
+    pure plan-building call: the old dim=None path ran an eager first()
+    probe job at construction time."""
+    from ppdb_parser_spark.operators.similarity import lsh_similarity_join
+    from ppdb_parser_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    e.count()  # force the file-index listing before measuring
+    sc = spark.sparkContext
+    before = len(sc.statusTracker().getJobIdsForGroup() or [])
+    lsh_similarity_join(e, threshold=0.35, dim=64)
+    after = len(sc.statusTracker().getJobIdsForGroup() or [])
+    assert after == before, "lsh_similarity_join ran eager driver jobs"
+
+
+def test_embedding_dedup_crossover_selects_path(spark, sf_dir):
+    """embedding_dedup_pairs: brute exact (cross-join shape) below the
+    measured crossover, banded LSH equi join (no cartesian) above it."""
+    from ppdb_parser_spark.operators.similarity import (
+        EMBED_DEDUP_CROSSOVER,
+        embedding_dedup_pairs,
+    )
+    from ppdb_parser_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    brute = embedding_dedup_pairs(
+        e, threshold=0.35, n_vectors=EMBED_DEDUP_CROSSOVER, dim=64
+    )
+    plan = brute._jdf.queryExecution().executedPlan().toString().lower()
+    assert "nestedloop" in plan or "cartesian" in plan, (
+        "expected the exact all-pairs shape at/below the crossover"
+    )
+    lsh = embedding_dedup_pairs(
+        e, threshold=0.35, n_vectors=EMBED_DEDUP_CROSSOVER + 1, dim=64
+    )
+    C.assert_no_nested_loop(lsh, "embedding_dedup_pairs[lsh]")
