@@ -34,31 +34,58 @@ def timed(label: str, df) -> float:
     return dt
 
 
+def _shifted_union(df, key_col: str, k: int):
+    """k key-shifted copies of df (text/payload unchanged)."""
+    out = df
+    for i in range(1, k):
+        out = out.unionByName(
+            df.withColumn(key_col, F.col(key_col) + F.lit(i * 10_000_000))
+        )
+    return out
+
+
+def _fresh_vocab_union(docs, k: int):
+    """k copies of the corpus with DISJOINT vocabularies: every token of
+    copy i is prefixed ``w{i}_``, so copies share zero shingles and the
+    per-universe document-frequency profile is preserved. This models a
+    corpus whose vocabulary grows with its size (the realistic web-scale
+    shape for a standalone near-dup join, where exact copies would instead
+    be collapsed by the content-hash stage first) — with plain text copies
+    the smoke would measure a degenerate everything-matches-everything
+    near-dup cluster, not scale-up."""
+    out = docs
+    for i in range(1, k):
+        out = out.unionByName(
+            docs.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * 10_000_000)
+            ).withColumn(
+                "text",
+                F.concat(
+                    F.lit(f"w{i}_"),
+                    F.regexp_replace(F.col("text"), " ", f" w{i}_"),
+                ),
+            )
+        )
+    return out
+
+
 def main() -> None:
+    import sys as _sys
+
+    from ppdb_parser_spark.operators.dedup import jaccard_pairs_prefix
+    from ppdb_parser_spark.operators.similarity import ivf_kmeans_topk, ivf_topk
     from ppdb_parser_spark.queries.pipeline import curate_documents
     from ppdb_parser_spark.queries.timeseries import filled_hourly_frame
     from ppdb_parser_spark.session import get_spark
     from ppdb_parser_spark.sources.tables import load_table
 
+    only = set(_sys.argv[1:])  # e.g. `python tools/scaleup_smoke.py prefix ivf`
+
     spark = get_spark(app_name="scaleup-smoke")
     sf = "/root/testdata/sf0.1"
-    k = 16
 
     ev = load_table(spark, sf, "events")
-    ev16 = ev
-    for i in range(1, k):
-        ev16 = ev16.unionByName(
-            ev.withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
-        )
     docs = load_table(spark, sf, "documents")
-    docs16 = docs
-    for i in range(1, k):
-        docs16 = docs16.unionByName(
-            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
-        )
-
-    print(f"events 1x={ev.count()} {k}x={ev16.count()}; "
-          f"documents 1x={docs.count()} {k}x={docs16.count()}")
 
     def gapfill(frame):
         filled = filled_hourly_frame(frame)
@@ -67,14 +94,54 @@ def main() -> None:
             F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
         )
 
-    t1 = timed("gapfill 1x", gapfill(ev))
-    t16 = timed(f"gapfill {k}x", gapfill(ev16))
-    print(f"  -> {t16 / t1:.1f}x time for {k}x data")
+    if not only or "gapfill" in only:
+        t1 = timed("gapfill 1x", gapfill(ev))
+        for k in (16, 64):
+            tk = timed(f"gapfill {k}x", gapfill(_shifted_union(ev, "event_id", k)))
+            print(f"  -> {tk / t1:.1f}x time for {k}x data")
 
-    c1 = timed("curation 1x", curate_documents(docs))
-    c16 = timed(f"curation {k}x", curate_documents(docs16))
-    print(f"  -> {c16 / c1:.1f}x time for {k}x data "
-          "(content-hash dedup collapses the copies pre-Jaccard)")
+    if not only or "curation" in only:
+        c1 = timed("curation 1x", curate_documents(docs))
+        for k in (16, 64):
+            ck = timed(
+                f"curation {k}x", curate_documents(_shifted_union(docs, "doc_id", k))
+            )
+            print(f"  -> {ck / c1:.1f}x time for {k}x data "
+                  "(content-hash dedup collapses the copies pre-Jaccard)")
+
+    if not only or "prefix" in only:
+        # standalone exact near-dup join at growing corpus size (verdict
+        # r2 #7): fresh-vocab copies so the join's candidate structure
+        # scales like a real corpus, not like one giant duplicate cluster
+        p1 = timed("jaccard_prefix 1x", jaccard_pairs_prefix(docs, 0.5, 2))
+        for k in (16, 64):
+            pk = timed(
+                f"jaccard_prefix {k}x",
+                jaccard_pairs_prefix(_fresh_vocab_union(docs, k), 0.5, 2),
+            )
+            print(f"  -> {pk / p1:.1f}x time for {k}x data "
+                  "(expected ~linear: per-universe candidate work is "
+                  "constant, universes are disjoint)")
+
+    if not only or "ivf" in only:
+        # IVF at realistic cell counts (verdict r2 #6): 16x embeddings
+        # (32k vectors), n_cells 64/256. Broadcast context = seeds array:
+        # n_cells x dim x 8B (256 x 64 -> ~131 kB) — still trivially
+        # broadcastable; per-row assignment stays O(n_cells * dim).
+        emb = load_table(spark, sf, "embeddings")
+        emb16 = _shifted_union(emb, "vec_id", 16)
+        print(f"embeddings 16x={emb16.count()}")
+        for cells in (8, 64, 256):
+            ctx_kb = cells * 64 * 8 / 1024
+            t = timed(
+                f"ivf_topk 16x cells={cells}",
+                ivf_topk(emb16, n_cells=cells, n_probe=2, k=5),
+            )
+            tk = timed(
+                f"ivf_kmeans_topk 16x cells={cells}",
+                ivf_kmeans_topk(emb16, n_cells=cells, n_probe=2, k=5),
+            )
+            print(f"  -> broadcast seeds context ~{ctx_kb:.0f} kB")
 
 
 if __name__ == "__main__":
