@@ -12,7 +12,7 @@ Each stage reuses the SAME operator the standalone queries check
 (`quality_score`, md5 grouping, `jaccard_pairs_prefix`), so the pipeline's
 oracle is the composition of already-verified fragments. Catalyst sees one
 plan: the quality filter prunes before any shuffle, the content-hash dedup
-is one hash aggregate + semi join, the Jaccard candidate join runs on the
+is one fingerprint-partitioned window, the Jaccard candidate join runs on the
 already-reduced survivor set — exactly the stage ordering that minimizes
 shuffled bytes at scale (filter early, dedup cheap-exact before
 expensive-near). The near-dup stage is the prefix-filtered exact join
@@ -24,7 +24,7 @@ uncapped Jaccard — while still killing the df² candidate bombs (measured
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as DD
@@ -96,7 +96,7 @@ _CURATION_ORACLE = f"""
 @query(
     "pipeline_corpus_curation",
     oracle=_CURATION_ORACLE,
-    tags=("L6", "O5", "O6", "J4", "J5", "A1"),
+    tags=("L6", "O5", "O6", "W2", "J5", "A1"),
     bench=True,
 )
 def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,11 +113,18 @@ def curate_documents(docs: DataFrame) -> DataFrame:
         .filter(F.col("quality") >= _QUALITY_MIN)
         .withColumn("f", F.md5("text"))
     )
-    keep = qdocs.groupBy("f").agg(F.min("doc_id").alias("keep_id"))
-    exact_survivors = qdocs.join(
-        keep,
-        (qdocs.f == keep.f) & (qdocs.doc_id == keep.keep_id),
-    ).select(qdocs.doc_id, "lang", "text", "quality")
+    # keep-min-id per content hash as ONE exchange: a row_number window on
+    # the fingerprint replaces the groupBy + self-join (which shuffled the
+    # same data twice and tripped Spark's trivially-true-predicate warning
+    # on the derived-frame f == f condition).
+    exact_survivors = (
+        qdocs.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("f").orderBy("doc_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "text", "quality")
+    )
     # Near-dup candidates via the prefix filter (AllPairs/PPJoin): exact
     # uncapped Jaccard semantics with the df² candidate bombs pruned by
     # rarest-shingle prefixes + the positional filter — the 100 TB path
