@@ -17,6 +17,7 @@ from . import (  # noqa: F401
     streaming_queries,
     text_analysis,
     timeseries,
+    training_data,
     udf_surface,
     windows,
 )

@@ -100,6 +100,13 @@ _ROUND3_MARQUEE = (
     "pipeline_corpus_curation",  # near-dup stage swapped to prefix filter
     "dedup_embedding",  # crossover rule: exact below threshold, LSH above
     "mm_png_features",  # stdlib-zlib PNG decode (new)
+    # training-data governance family (new in round 3) — kept out of
+    # tier 1 so they don't displace the never-checked backlog from the
+    # driver prefix:
+    "pipeline_decontaminate",
+    "pipeline_mixture_sample",
+    "pipeline_train_split",
+    "text_quality_rules",
     # (no transformWithStateInPandas twin: env lacks google.protobuf —
     # see the T6 note in queries/streaming_queries.py)
 )
