@@ -279,9 +279,19 @@ def jaccard_pairs_prefix(
     def _plen(n: F.Column) -> F.Column:
         return n - F.ceil(tc * n).cast("int") + 1
 
+    # PPJoin's length filter rides along in the join condition: J ≥ t
+    # forces t·max(n_a, n_b) ≤ min(n_a, n_b) (since overlap ≤ min and
+    # union ≥ max), so length-incompatible occurrence rows are dropped as
+    # the equi-join on fp emits them — BEFORE they reach the pair
+    # aggregate's exchange. Pruning only; verification stays exact.
     cand = (
-        a.join(b, "fp")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (tc * F.col("a.n") <= F.col("b.n"))
+            & (tc * F.col("b.n") <= F.col("a.n")),
+        )
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
