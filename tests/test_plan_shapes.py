@@ -149,3 +149,54 @@ def test_embedding_dedup_crossover_selects_path(spark, sf_dir):
         e, threshold=0.35, n_vectors=EMBED_DEDUP_CROSSOVER + 1, dim=64
     )
     C.assert_no_nested_loop(lsh, "embedding_dedup_pairs[lsh]")
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark, sf_dir):
+    """The contamination probe must stay a broadcast semi-join against the
+    (small) eval shingle set — no shuffle of the corpus side, no BNLJ."""
+    df = _df(spark, sf_dir, "pipeline_decontaminate")
+    C.assert_no_nested_loop(df, "pipeline_decontaminate")
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    assert "broadcasthashjoin leftsemi" in plan.replace("(", " ").replace(
+        ",", " "
+    ) or ("leftsemi" in plan and "broadcast" in plan), (
+        "eval shingle set should be the broadcast side of a semi join"
+    )
+
+
+def test_quality_rules_is_map_only(spark, sf_dir):
+    """Gopher-rule scoring is narrow HOF math: exactly one exchange (the
+    final per-language aggregate), no joins anywhere."""
+    df = _df(spark, sf_dir, "text_quality_rules")
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    assert "join" not in plan, "quality rules must not join"
+    n_exchanges = plan.count("exchange")
+    assert n_exchanges <= 2, f"expected agg exchange only, saw {n_exchanges}"
+
+
+def test_hash_split_stable_under_corpus_growth(spark, sf_dir):
+    """A document's train/val/test assignment must not change when more
+    documents arrive — the property that makes hash-bucket splits (and not
+    rand() splits) the 100 TB answer. Verified by splitting a half corpus
+    and the full corpus and comparing assignments on the intersection."""
+    import pyspark.sql.functions as F
+
+    from ppdb_parser_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    split = (
+        F.when(bucket < "cccc", "train")
+        .when(bucket < "e666", "val")
+        .otherwise("test")
+    )
+    full = {r["doc_id"]: r["s"] for r in docs.select("doc_id", split.alias("s")).collect()}
+    half = {
+        r["doc_id"]: r["s"]
+        for r in docs.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", split.alias("s"))
+        .collect()
+    }
+    assert half and all(full[k] == v for k, v in half.items())
