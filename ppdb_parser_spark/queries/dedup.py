@@ -142,6 +142,7 @@ def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter is exact, so the oracle is the plain uncapped Jaccard join
     oracle=_JACCARD_CAPPED_ORACLE.format(cap=10**9),
     tags=("O6", "J2", "A1", "X4"),
+    bench=True,
 )
 def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact UNCAPPED Jaccard join via AllPairs/PPJoin prefix filtering —

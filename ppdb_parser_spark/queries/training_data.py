@@ -83,6 +83,7 @@ _DECONTAMINATE_ORACLE = f"""
     "pipeline_decontaminate",
     oracle=_DECONTAMINATE_ORACLE,
     tags=("J4", "J3", "A1", "X1"),
+    bench=True,
 )
 def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
