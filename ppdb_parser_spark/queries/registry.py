@@ -51,13 +51,15 @@ def query(
     return deco
 
 
-# Queries that already earned a driver CORRECTNESS row in rounds 1-2
-# (keys of CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json, frozen 2026-08-13).
-# The round-3 driver prefix is built from the registry MINUS this set so
-# the 50 never-checked entries each earn a row, closing the
-# every-registered-query-has-driver-evidence bar.
-_DRIVER_CHECKED_R1_R2 = frozenset(
+# Queries that already earned a driver CORRECTNESS row in rounds 1-3
+# (keys of CORRECTNESS_r01.json ∪ r02 ∪ r03, re-frozen 2026-08-13 for
+# round 4). The driver prefix is built from the registry MINUS this set,
+# so the never-checked entries (round-3 additions that post-dated the r3
+# seed freeze, plus anything new this round) each earn a row first.
+_DRIVER_CHECKED_R1_R3 = frozenset(
     {
+        # rounds 1-2
+
         "agg_approx_distinct", "agg_approx_percentile", "agg_cube",
         "agg_distinct_counts", "agg_filtered", "agg_grouping_sets",
         "agg_percentiles", "agg_pivot_status", "agg_pricing_summary",
@@ -90,23 +92,38 @@ _DRIVER_CHECKED_R1_R2 = frozenset(
         "ts_interpolate", "ts_ohlc_daily", "udf_arrow_scalar",
         "udf_grouped_agg_sum", "udf_grouped_map_minmax",
         "udtf_polymorphic_split",
+        # round 3 (keys of CORRECTNESS_r03.json)
+        "anti_join", "dedup_embedding_lsh", "dedup_jaccard_bitmap",
+        "dedup_jaccard_prefix", "intersect_nations",
+        "left_join_coverage", "mm_img_features", "mm_media_meta",
+        "mm_media_stats", "ppdb_parse_stats_bz2", "range_join_bands",
+        "scalar_arrays", "scalar_bitwise", "scalar_dates",
+        "scalar_null_handling", "scalar_regex", "scalar_strings",
+        "self_join_pairs", "semi_join", "sim_cosine_topk",
+        "sim_lsh_pairs", "sim_neighbors_docs", "sim_pairwise_cosine",
+        "snk_json_roundtrip", "snk_orc_roundtrip",
+        "snk_parquet_roundtrip", "src_csv_scan",
+        "stream_foreach_batch_sink", "stream_interval_join_batch",
+        "stream_session_live", "stream_sliding_live",
+        "stream_tumbling_batch", "text_bpe_token_count",
+        "text_fingerprint", "text_lang_route", "text_langid",
+        "text_quality", "text_tfidf_top5", "text_token_stats",
+        "udf_map_in_arrow", "udf_map_partitions_bucket",
+        "udf_scalar_cents", "udtf_explode_types", "union_parties",
+        "window_cume_dist", "window_lag_lead", "window_range_frame",
+        "window_rank_family", "window_running_sum",
+        "window_value_family",
     }
 )
 
-# Round-3 new or semantics-changed queries: second priority tier, right
-# behind the never-checked backlog, so they earn driver rows in round 4
-# (the round-3 prefix is fully consumed by the 50-entry backlog).
-_ROUND3_MARQUEE = (
-    "pipeline_corpus_curation",  # near-dup stage swapped to prefix filter
-    "dedup_embedding",  # crossover rule: exact below threshold, LSH above
-    "mm_png_features",  # stdlib-zlib PNG decode (new)
-    # training-data governance family (new in round 3) — kept out of
-    # tier 1 so they don't displace the never-checked backlog from the
-    # driver prefix:
-    "pipeline_decontaminate",
-    "pipeline_mixture_sample",
-    "pipeline_train_split",
-    "text_quality_rules",
+# Semantics-changed marquee queries needing a driver RE-row under their
+# new oracles: second priority tier, right behind the never-checked
+# backlog (round 3 upgraded both after their last driver row —
+# pipeline_corpus_curation to the exact uncapped prefix-filter near-dup
+# stage, dedup_embedding to the brute/LSH crossover rule).
+_ROUND4_MARQUEE = (
+    "pipeline_corpus_curation",
+    "dedup_embedding",
     # (no transformWithStateInPandas twin: env lacks google.protobuf —
     # see the T6 note in queries/streaming_queries.py)
 )
@@ -117,10 +134,10 @@ def coverage_order() -> list[str]:
     value.
 
     Tier 1: every registered query that has never received a driver
-    CORRECTNESS row in rounds 1-2 (``_DRIVER_CHECKED_R1_R2`` complement),
-    oracle-backed entries first — with a ~50-query driver prefix this
-    closes the every-query-has-driver-evidence bar in one round.
-    Tier 2: round-3 new/changed marquee queries (``_ROUND3_MARQUEE``).
+    CORRECTNESS row in rounds 1-3 (``_DRIVER_CHECKED_R1_R3`` complement),
+    oracle-backed entries first — the round-3 late additions (governance
+    family + PNG decode) plus anything new this round land here.
+    Tier 2: semantics-changed marquee re-checks (``_ROUND4_MARQUEE``).
     Tier 3: greedy set cover over §2 ``tags`` for the remainder, ties
     preferring oracle-backed queries then name order (deterministic).
     """
@@ -131,11 +148,11 @@ def coverage_order() -> list[str]:
         (
             n
             for n in remaining
-            if n not in _DRIVER_CHECKED_R1_R2 and n not in _ROUND3_MARQUEE
+            if n not in _DRIVER_CHECKED_R1_R3 and n not in _ROUND4_MARQUEE
         ),
         key=lambda n: (remaining[n].oracle is None, n),
     )
-    for seed in (*never_checked, *_ROUND3_MARQUEE):
+    for seed in (*never_checked, *_ROUND4_MARQUEE):
         if seed in remaining:
             out.append(seed)
             covered |= set(remaining.pop(seed).tags)

@@ -51,16 +51,17 @@ def test_entry_smoke(spark):
 
 
 def test_coverage_order_seeds_never_checked_backlog_first():
-    """Round-3 ordering contract (VERDICT r2 task #1): the driver samples a
-    ~50-query PREFIX of queries(), and every §2 operator already has r1∪r2
-    hash-green driver evidence — so the prefix's whole value now lies in
-    the 50 registered queries that have never earned a driver CORRECTNESS
-    row. They must come first (oracle-backed before rows-only), with the
-    round-3 new/changed marquee queries immediately behind, and the full
-    order still enumerating the entire registry with every tag covered."""
+    """Round-4 ordering contract (VERDICT r3 task #1): the driver samples a
+    ~50-query PREFIX of queries(), and after the round-4 re-freeze the
+    checked set covers r1∪r2∪r3 — so the prefix's value lies in (a) the
+    queries that have never earned a driver CORRECTNESS row (round-3 late
+    additions + anything new this round) and (b) the semantics-changed
+    marquee re-checks right behind them. Oracle-backed before rows-only
+    inside tier 1, and the full order still enumerates the entire registry
+    with every tag covered."""
     from ppdb_parser_spark.queries.registry import (
-        _DRIVER_CHECKED_R1_R2,
-        _ROUND3_MARQUEE,
+        _DRIVER_CHECKED_R1_R3,
+        _ROUND4_MARQUEE,
         coverage_order,
     )
 
@@ -73,10 +74,18 @@ def test_coverage_order_seeds_never_checked_backlog_first():
     never = {
         n
         for n in REGISTRY
-        if n not in _DRIVER_CHECKED_R1_R2 and n not in _ROUND3_MARQUEE
+        if n not in _DRIVER_CHECKED_R1_R3 and n not in _ROUND4_MARQUEE
     }
     k = len(never)
-    assert k == 50, f"never-checked backlog is {k}, expected the r2-frozen 50"
+    # the 5 round-3 late additions (governance family + PNG) must be in
+    # the never-checked tier; new round-4 queries may grow it
+    assert {
+        "mm_png_features",
+        "pipeline_decontaminate",
+        "pipeline_mixture_sample",
+        "pipeline_train_split",
+        "text_quality_rules",
+    } <= never
     assert set(order[:k]) == never, "tier 1 must be exactly the backlog"
     # oracle-backed backlog entries precede rows-only ones (driver hash
     # checks are stronger evidence than rows-only)
@@ -86,9 +95,11 @@ def test_coverage_order_seeds_never_checked_backlog_first():
             seen_rows_only = True
         else:
             assert not seen_rows_only, f"oracle-backed {n} after rows-only"
-    # tier 2: the round-3 marquee (new/changed semantics) rides right
-    # behind, first in line for the round-4 prefix
-    assert tuple(order[k : k + len(_ROUND3_MARQUEE)]) == _ROUND3_MARQUEE
+    # tier 2: the semantics-changed marquee re-checks ride right behind,
+    # guaranteed inside the round-4 driver prefix
+    assert tuple(order[k : k + len(_ROUND4_MARQUEE)]) == _ROUND4_MARQUEE
+    # the whole high-value head must sit well inside a 50-query prefix
+    assert k + len(_ROUND4_MARQUEE) <= 50
 
 
 def test_contract_shape():
