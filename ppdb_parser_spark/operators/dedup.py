@@ -41,7 +41,14 @@ def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def word_shingles(df: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def word_shingles(
+    df: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_partitions: int | None = None,
+) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
     Built with array higher-order functions (slice over the token array),
@@ -51,16 +58,17 @@ def word_shingles(df: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: s
     full extra shuffle for the same result, since shingles only need
     deduping within a document).
 
-    Shingling is CPU-heavy relative to its input bytes (every token
-    written n times), so when the source collapses to fewer partitions
-    than the session's parallelism — e.g. one small parquet file — the
-    input is repartitioned first. At real scale the scan already has
-    ≥ parallelism splits and this branch is a no-op.
+    Shingling is CPU-heavy relative to its input bytes (every token is
+    written n times), so a source that collapses to a handful of splits —
+    e.g. one small parquet file — serializes the map. ``min_partitions``
+    (explicit, driver-side constant — never an ``.rdd`` partition probe,
+    which would materialize the plan) asks for a round-robin repartition
+    of the raw docs first; callers reading small local fixtures pass the
+    session parallelism, while at real scale the scan already has enough
+    splits and callers leave it ``None`` (no shuffle added).
     """
-    sess = df.sparkSession
-    par = sess.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    if min_partitions:
+        df = df.repartition(min_partitions)
     toks = F.split(F.col(text_col), " ")
     # guard: sequence(1, 0) would step DOWNWARD; docs shorter than n
     # tokens have no shingles
@@ -83,6 +91,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_doc_freq: int | None = None,
+    min_partitions: int | None = None,
 ) -> DataFrame:
     """All document pairs with shingle-Jaccard ≥ threshold (exact).
 
@@ -97,7 +106,7 @@ def jaccard_pairs(
     shingles contribute quadratically while carrying no dedup signal, so
     a DF ceiling is the standard scale control (same role as LSH banding).
     """
-    sh = word_shingles(df, n, id_col, text_col)
+    sh = word_shingles(df, n, id_col, text_col, min_partitions=min_partitions)
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         keep = freq.filter(F.col("df") <= max_doc_freq).select("shingle")
@@ -133,6 +142,7 @@ def jaccard_pairs_bitmap(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_doc_freq: int | None = None,
+    min_partitions: int | None = None,
 ) -> DataFrame:
     """Same pairs as :func:`jaccard_pairs`, with the intersection counted
     on packed per-document fingerprint sets instead of the pair×shingle
@@ -153,7 +163,7 @@ def jaccard_pairs_bitmap(
     (p ≈ n²/2⁶⁵ — negligible at any realistic shingle count); equality
     with the exact path is regression-tested.
     """
-    sh = word_shingles(df, n, id_col, text_col)
+    sh = word_shingles(df, n, id_col, text_col, min_partitions=min_partitions)
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         keep = freq.filter(F.col("df") <= max_doc_freq).select("shingle")
@@ -198,6 +208,7 @@ def jaccard_pairs_prefix(
     n: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_partitions: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-join via prefix filtering (AllPairs / PPJoin family —
     Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity Search",
@@ -219,65 +230,133 @@ def jaccard_pairs_prefix(
     Unlike ``max_doc_freq`` capping this needs NO semantic compromise
     (capping changes the measured Jaccard; the prefix filter does not),
     which makes it the preferred 100 TB path for exact near-dup joins.
+
+    Plan shape (round-5 rewrite — every exchange is keyed on an 8-byte
+    int64, never a shingle string, and per-doc state is computed in-row):
+
+    - shingle → xxhash64 fingerprint INSIDE the per-row shingling map, so
+      every document's set size ``n`` and its sorted verification set
+      ``fps`` come out of the scan as narrow columns — ZERO shuffles (the
+      old plan derived both from a doc-keyed exchange of the occurrence
+      stream, then shuffled the same strings twice more for the df join).
+    - one fp-keyed exchange of (doc, fp, n) feeds BOTH the document-
+      frequency aggregate and the occurrence⋈df join (reused exchange);
+    - one doc-keyed exchange builds the rarest-first prefix;
+    - the candidate equi-join exchanges prefix rows by fp (both sides the
+      same lineage → one exchange, reused);
+    - the pair aggregate map-side-combines the join stream to distinct
+      pairs before its exchange; c-bound survivors hit the set-attach
+      verification joins, whose doc-sets side is small per-partition (the
+      packed arrays, ~n·8 B/doc) — AQE broadcasts it at local scale.
+
+    Pruning-power note (measured at sf0.1, 5,000 docs over a 931-shingle
+    hot vocabulary with max df 338): 5.49M distinct candidate pairs leave
+    the prefix join; the sound positional c-bound keeps 1.52M — nearly all
+    with true J ≈ 0.1, which no sound prefix/positional bound can reject
+    (their matches include early-prefix rare shingles). On a Zipfian
+    real-text corpus the prefix filter's df-ordering is far more
+    selective; this fixture is close to the filter's worst case.
+
+    The xxhash64 fingerprinting shares the bitmap variant's collision
+    exposure (two distinct shingles colliding merges them — p ≈ n²/2⁶⁵,
+    negligible; equality with the string-exact path is regression-tested).
     """
-    # One doc-keyed exchange right after the tokenize+explode map: both
-    # consumers below (the df count and the occurrence⋈df join) read this
-    # single materialized exchange, so tokenization runs exactly once,
-    # and the partitioning is inherited by the fattest aggregate in the
-    # plan — the per-doc collect_list building `packed` — which therefore
-    # needs no further shuffle. (Measured fastest at sf0.1 against both a
-    # shingle-keyed exchange and a plain distinct barrier.)
-    sh = word_shingles(df, n, id_col, text_col).repartition(id_col)
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    keyed = sh.join(freq, "shingle").select(
-        F.col(id_col),
-        F.struct(F.col("df"), F.xxhash64("shingle").alias("fp")).alias("k"),
+    if min_partitions:
+        df = df.repartition(min_partitions)
+    toks = F.split(F.col(text_col), " ")
+    sh_arr = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "),
+                )
+            ),
+            lambda s: F.xxhash64(s),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    # the doc-keyed exchange of (id, n, fps) is the plan's ONE reuse
+    # barrier: four consumers read it (df count, occurrence⋈df join, and
+    # the two verification-set sides), so the upstream lineage — which in
+    # pipeline_corpus_curation is a quality join + dedup window, not just
+    # a scan — executes exactly once. The exchanged payload is the packed
+    # int64 arrays (~n·8 B/doc), smaller than both the raw text and the
+    # old plan's exploded shingle-string stream.
+    # explicit partition count: a keyed repartition WITHOUT one is fair
+    # game for AQE coalescing, which sees the few-MB exchange and folds it
+    # to 1 partition — serializing the CPU-heavy candidate join downstream
+    # (measured 11.9 s vs 4.4 s at sf0.1, tools/prefix_ab.py)
+    nparts = min_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    # per-doc shingles in canonical (rarest-first) order + packed set
-    packed = keyed.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("k")).alias("ks")
+    base = (
+        df.select(F.col(id_col), F.sort_array(sh_arr).alias("fps"))
+        .select(id_col, F.size("fps").alias("n"), "fps")
+        .repartition(nparts, F.col(id_col))
     )
+    occ = base.select(id_col, "n", F.explode("fps").alias("fp"))
+    freq = occ.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    keyed = occ.join(freq, "fp").select(
+        id_col, "n", F.struct(F.col("df"), F.col("fp")).alias("k")
+    )
+    # per-doc shingles in canonical (rarest-first) order; the prefix slice
+    # length is a pure function of the FULL set size n (computed in-row at
+    # the scan), so all bounds stay exact.
     t = float(threshold)
-    n_sh = F.size("ks")
-    prefix_len = n_sh - F.ceil(F.lit(t) * n_sh).cast("int") + 1
+    packed = keyed.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("k")).alias("ks"),
+        F.first("n").alias("n"),
+    )
+    prefix_len = F.col("n") - F.ceil(F.lit(t) * F.col("n")).cast("int") + 1
     # df = 1 prefix elements can never be common to two documents, so they
-    # are dropped BEFORE the candidate join's exchange (rarest-first
-    # ordering puts them at the head of every prefix, so this halves the
-    # exchanged occurrence rows); c is unaffected because c counts common
-    # elements only. n and the prefix window are computed from the FULL
-    # set before the drop, so all bounds stay exact.
+    # are dropped BEFORE the candidate join's exchange; c is unaffected
+    # because c counts common elements only (any common element has df ≥ 2
+    # by definition, so it is never dropped). ``pos`` — the element's
+    # 1-based rank in the FULL canonical-sorted set — is taken before the
+    # drop and feeds the positional c-bound below.
     pref = (
         packed.select(
             F.col(id_col),
-            n_sh.alias("n"),
-            F.explode(F.slice("ks", F.lit(1), prefix_len)).alias("k"),
+            F.col("n"),
+            F.posexplode(F.slice("ks", F.lit(1), prefix_len)).alias("pos", "k"),
         )
         .where(F.col("k.df") >= 2)
-        .select(id_col, "n", F.col("k.fp").alias("fp"))
+        .select(
+            id_col,
+            "n",
+            (F.col("pos") + 1).alias("pos"),
+            F.col("k.df").alias("df"),
+            F.col("k.fp").alias("fp"),
+        )
     )
     # Candidate pruning (PPJoin family — Xiao, Wang, Lin & Yu, WWW 2008),
     # AGGREGATED per pair rather than per occurrence: the equi-join on
     # prefix fingerprints yields one row per common prefix element; a
     # single hash aggregate then gives, per (id_a, id_b), the EXACT prefix
-    # overlap c = |prefix(A) ∩ prefix(B)|. Since every further common
-    # element must lie in a suffix (length n − pl, with pl a pure function
-    # of n), the full overlap obeys
-    #     overlap ≤ c + min(n_a − pl_a, n_b − pl_b),
-    # and pairs whose bound is < α = ⌈t/(1+t)·(n_a+n_b)⌉ cannot reach
-    # J ≥ t — pruned BEFORE the set-verification join, provably losing no
-    # qualifying pair. This is the workhorse filter: junk pairs share only
-    # a few prefix shingles, so requiring c ≥ α − min(suffix) collapses
-    # the candidate set by four orders of magnitude (measured at sf0.1:
-    # 3.5M distinct candidate pairs under the per-occurrence positional
-    # filter alone → ~300 under the c-bound), which in turn makes the
-    # exact verification join negligible. The join payload is kept to
-    # (id, n, fp) — prefix lengths are recomputed from n post-aggregation
-    # rather than carried through the 16M-row join.
+    # overlap c = |prefix(A) ∩ prefix(B)| plus the positions (i_k, j_k) of
+    # the LAST matched element e_k in canonical (df, fp) order. The sound
+    # positional bound is
+    #     overlap ≤ c + min(n_a − i_k, n_b − j_k):
+    # a common element beyond e_k sits after position i_k in A and after
+    # j_k in B (both sets are sorted in the same global order), and a
+    # common element BELOW e_k is automatically inside both prefixes
+    # (prefixes are downward-closed in each set's own order, and e_k
+    # belongs to both) — hence already counted in c. Pairs whose bound is
+    # < α = ⌈t/(1+t)·(n_a+n_b)⌉ cannot reach J ≥ t — pruned BEFORE the
+    # set-verification join, provably losing no qualifying pair.
+    #
+    # NOTE the earlier round-3/4 form of this filter used
+    # c + min(n_a − pl_a, n_b − pl_b) (prefix LENGTHS, not match
+    # positions). That bound is NOT sound: a common element in prefix(A)
+    # beyond prefix(B) consumes only B's suffix budget, so the min()
+    # undercounts — e.g. A = {e1..e6}, B = {e3..e6} at t = 0.5 qualifies
+    # with J = 2/3 but gets bound 3 < α = 4 and was wrongly pruned
+    # (tests/test_operators.py::test_jaccard_prefix_positional_bound_sound
+    # regression-pins the fix; the fixture corpora never exercised the
+    # gap, which is why rounds 1-4 stayed oracle-green).
     a, b = pref.alias("a"), pref.alias("b")
     tc = F.lit(t)
-
-    def _plen(n: F.Column) -> F.Column:
-        return n - F.ceil(tc * n).cast("int") + 1
 
     # PPJoin's length filter rides along in the join condition: J ≥ t
     # forces t·max(n_a, n_b) ≤ min(n_a, n_b) (since overlap ≤ min and
@@ -300,23 +379,26 @@ def jaccard_pairs_prefix(
             F.count(F.lit(1)).alias("c"),
             F.first(F.col("a.n")).alias("na"),
             F.first(F.col("b.n")).alias("nb"),
+            F.max_by(
+                F.struct(
+                    F.col("a.pos").alias("ia"), F.col("b.pos").alias("ib")
+                ),
+                F.struct(F.col("a.df"), F.col("a.fp")),
+            ).alias("last"),
         )
         .filter(
             F.col("c")
             + F.least(
-                F.col("na") - F.least(_plen(F.col("na")), F.col("na")),
-                F.col("nb") - F.least(_plen(F.col("nb")), F.col("nb")),
+                F.col("na") - F.col("last.ia"), F.col("nb") - F.col("last.ib")
             )
             >= F.ceil(F.lit(t / (1.0 + t)) * (F.col("na") + F.col("nb")))
         )
         .select("id_a", "id_b")
     )
-    sets = packed.select(
-        F.col(id_col),
-        F.sort_array(F.transform("ks", lambda s: s["fp"])).alias("fps"),
-    )
-    sa = sets.select(F.col(id_col).alias("id_a"), F.col("fps").alias("fps_a"))
-    sb = sets.select(F.col(id_col).alias("id_b"), F.col("fps").alias("fps_b"))
+    # verification sets come straight off the scan (base is a narrow map —
+    # no shuffle to build them; the attach joins are tiny post-c-bound)
+    sa = base.select(F.col(id_col).alias("id_a"), F.col("fps").alias("fps_a"))
+    sb = base.select(F.col(id_col).alias("id_b"), F.col("fps").alias("fps_b"))
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")

@@ -72,6 +72,40 @@ def cosine_topk(
     )
 
 
+def cosine_topk_by_id(
+    df: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """Exact cosine top-k against the row whose ``id_col`` equals
+    ``probe_id`` — the probe stays IN-PLAN as a 1-row broadcast context
+    (filter → 1 row → crossJoin(broadcast)), so plan construction runs
+    zero Spark jobs, unlike a driver-side ``.first()`` probe fetch.
+
+    Scale shape: scan → broadcast 1-row probe → narrow cosine map →
+    TakeOrderedAndProject. The probe row is read from the same relation
+    (one extra scan of a pruned single-row filter — at 100 TB this is a
+    parquet min/max-pruned point lookup, not a full pass)."""
+    probe_row = df.filter(F.col(id_col) == probe_id).select(
+        F.col(vec_col).alias("probe_emb"),
+        _norm(F.col(vec_col)).alias("probe_nrm"),
+    )
+    j = df.filter(F.col(id_col) != probe_id).crossJoin(F.broadcast(probe_row))
+    cosine = F.round(
+        _dot(F.col(vec_col), F.col("probe_emb"))
+        / (_norm(F.col(vec_col)) * F.col("probe_nrm")),
+        6,
+    )
+    return (
+        j.select(id_col, *keep_cols, cosine.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     n_cells: int = 8,

@@ -11,6 +11,13 @@ from ..operators import dedup as DD
 from ..sources.tables import load_table
 from .registry import query
 
+def _par(spark: SparkSession) -> int:
+    """Session parallelism for word_shingles' min_partitions — a driver-side
+    constant (no plan materialization); the local fixture parquets collapse
+    to 1-2 splits, which would serialize the CPU-heavy shingling map."""
+    return spark.sparkContext.defaultParallelism
+
+
 _TOKS_CTE = """
     toks AS (
       SELECT DISTINCT doc_id, t.tok AS token
@@ -75,7 +82,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.3, n=2
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.3,
+        n=2,
+        min_partitions=_par(spark),
     )
 
 
@@ -133,6 +143,7 @@ def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         n=2,
         max_doc_freq=_JACCARD_CAP,
+        min_partitions=_par(spark),
     )
 
 
@@ -150,7 +161,10 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard_pairs_prefix. Candidate/shuffle comparison:
     tools/jaccard_shuffle_compare.py + BASELINE.md."""
     return DD.jaccard_pairs_prefix(
-        load_table(spark, sf_dir, "documents"), threshold=0.5, n=2
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.5,
+        n=2,
+        min_partitions=_par(spark),
     )
 
 
@@ -169,6 +183,7 @@ def dedup_jaccard_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         n=2,
         max_doc_freq=_JACCARD_CAP,
+        min_partitions=_par(spark),
     )
 
 
@@ -321,6 +336,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         n=2,
         max_doc_freq=40,
+        min_partitions=_par(spark),
     ).select("id_a", "id_b")
     labels = connected_components(pairs)
     sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
@@ -341,7 +357,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sh = (
-        DD.word_shingles(docs, n=2)
+        DD.word_shingles(docs, n=2, min_partitions=_par(spark))
         .groupBy("doc_id")
         .agg(F.collect_list("shingle").alias("shingles"))
     )

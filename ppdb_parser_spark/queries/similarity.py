@@ -40,19 +40,10 @@ _PROBE_SQL = """
 """
 
 
-def _probe_vector(spark: SparkSession, sf_dir: str) -> list[float]:
-    row = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == 0)
-        .select("embedding")
-        .first()
-    )
-    return [float(x) for x in row[0]]
-
-
 # --------------------------------------------------------------------------
 # L1: exact cosine top-k against a probe vector (brute-force baseline; the
-# plan is scan → narrow map → TakeOrderedAndProject, zero shuffles).
+# probe is an IN-PLAN 1-row broadcast context — zero driver-side jobs at
+# plan-construction time — then narrow map → TakeOrderedAndProject).
 # --------------------------------------------------------------------------
 @query(
     "sim_cosine_topk",
@@ -67,8 +58,8 @@ def _probe_vector(spark: SparkSession, sf_dir: str) -> list[float]:
     bench=True,
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
-    return SIM.cosine_topk(e, _probe_vector(spark, sf_dir), k=10)
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk_by_id(e, probe_id=0, k=10)
 
 
 # --------------------------------------------------------------------------
@@ -156,8 +147,8 @@ def sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("L1", "L6", "J1"),
 )
 def sim_neighbors_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
-    topk = SIM.cosine_topk(e, _probe_vector(spark, sf_dir), k=20).select(
+    e = load_table(spark, sf_dir, "embeddings")
+    topk = SIM.cosine_topk_by_id(e, probe_id=0, k=20, keep_cols=()).select(
         "vec_id", "cosine"
     )
     docs = load_table(spark, sf_dir, "documents")

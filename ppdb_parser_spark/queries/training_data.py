@@ -88,7 +88,11 @@ _DECONTAMINATE_ORACLE = f"""
 def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     is_eval = _bucket("eval:") < _EVAL_MAX
-    sh = DD.word_shingles(docs, n=_NGRAM)  # (doc_id, shingle), per-doc distinct
+    # (doc_id, shingle), per-doc distinct; min_partitions parallelizes the
+    # shingling map over the single-file local fixture scan
+    sh = DD.word_shingles(
+        docs, n=_NGRAM, min_partitions=spark.sparkContext.defaultParallelism
+    )
     sh_flagged = sh.withColumn("is_eval", is_eval)
     eval_shingles = (
         sh_flagged.filter("is_eval").select("shingle").distinct()

@@ -217,6 +217,36 @@ def test_jaccard_variants_identical_pairs(spark, sf_dir):
         assert len(base) > 0
 
 
+def test_jaccard_prefix_positional_bound_sound(spark):
+    """Adversarial regression for the PPJoin c-bound: doc A's shingle set
+    strictly contains doc B's (6 vs 4 bigrams, J = 4/6 ≥ 0.5). The
+    rounds-3/4 prefix-LENGTH bound c + min(n_a − pl_a, n_b − pl_b) scores
+    this qualifying pair 2 + min(2, 1) = 3 < α = 4 and wrongly prunes it;
+    the sound last-match-POSITION bound keeps it. The random fixture
+    corpora never produce this containment shape — this test does."""
+    from ppdb_parser_spark.operators.dedup import jaccard_pairs, jaccard_pairs_prefix
+
+    docs = spark.createDataFrame(
+        [
+            # bigrams: (x1 x2) (x2 w1) unique to A + B's four
+            (1, "x1 x2 w1 w2 w3 w4 w5"),
+            # bigrams: (w1 w2) (w2 w3) (w3 w4) (w4 w5)
+            (2, "w1 w2 w3 w4 w5"),
+        ],
+        "doc_id int, text string",
+    )
+
+    def key(df):
+        return sorted(
+            (r["id_a"], r["id_b"], r["n_common"], r["n_a"], r["n_b"])
+            for r in df.collect()
+        )
+
+    base = key(jaccard_pairs(docs, threshold=0.5, n=2))
+    assert base == [(1, 2, 4, 6, 4)]
+    assert key(jaccard_pairs_prefix(docs, threshold=0.5, n=2)) == base
+
+
 def test_media_headers_roundtrip():
     """BMP/WAV generators and hand parsers agree for every fixture index,
     including odd-length WAV data chunks (RIFF word alignment)."""
@@ -330,7 +360,6 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark, sf_dir):
     brute-force top list (cells can only miss, never invent), and at
     fixture scale the refined index keeps useful recall."""
     from ppdb_parser_spark.operators import similarity as SIM
-    from ppdb_parser_spark.queries.similarity import _probe_vector
     from ppdb_parser_spark.sources.tables import load_table
 
     e = load_table(spark, sf_dir, "embeddings")

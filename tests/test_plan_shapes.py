@@ -77,6 +77,22 @@ def test_ivf_topk_single_pass_no_driver_jobs(spark, sf_dir):
     )
 
 
+def test_cosine_topk_no_driver_jobs(spark, sf_dir):
+    """sim_cosine_topk's probe must stay in-plan (1-row broadcast context),
+    not be fetched with a driver-side .first() at plan-construction time
+    (round-4 verdict, What's wrong #1)."""
+    sc = spark.sparkContext
+    before = len(sc.statusTracker().getJobIdsForGroup() or [])
+    df = _df(spark, sf_dir, "sim_cosine_topk")
+    after = len(sc.statusTracker().getJobIdsForGroup() or [])
+    # allow ≤1 job for parquet file-index listing only
+    assert after - before <= 1, "plan construction ran eager driver jobs"
+    plan = C.assert_take_ordered(df, "sim_cosine_topk")
+    assert "hashpartitioning" not in plan, (
+        f"sim_cosine_topk: unexpected hash-partition shuffle\n{plan}"
+    )
+
+
 def test_pricing_summary_codegen(spark, sf_dir):
     C.assert_codegen(_df(spark, sf_dir, "agg_pricing_summary"), "agg_pricing_summary")
 
