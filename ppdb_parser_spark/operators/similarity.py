@@ -232,7 +232,7 @@ def lsh_similarity_join(
     df: DataFrame,
     threshold: float = 0.8,
     n_planes: int = 16,
-    n_bands: int = 4,
+    n_bands: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -246,6 +246,15 @@ def lsh_similarity_join(
     value (equi join on (band, band_sig) — sub-quadratic); refined with the
     exact cosine. Deterministic given the seed, but recall is approximate →
     rows-only driver check.
+
+    Tuning (measured, tools/ann_recall.py + RECALL.md; matches the
+    hyperplane-LSH closed form recall = 1 − (1 − p^b)^L with
+    p = 1 − acos(t)/π): at t = 0.35 the old (16 planes, 4 bands = 4-bit
+    bands) default measured only 0.48 pair recall; the (16, 8) default
+    (2-bit bands) measures 0.97–0.98 at both fixture scales, trading ~3×
+    more candidate-join volume. Precision is always 1.0 — candidates are
+    refined with the exact cosine before the threshold filter. Use wider
+    bands (higher bits_per_band) only for thresholds well above 0.6.
 
     ``dim`` (required): embedding dimensionality. Callers always know it
     (it's part of the table contract); requiring it keeps plan construction

@@ -462,6 +462,6 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     pairs = SIM.lsh_similarity_join(
-        e, threshold=0.35, n_planes=16, n_bands=4, seed=42, dim=64
+        e, threshold=0.35, n_planes=16, n_bands=8, seed=42, dim=64
     )
     return _embedding_survivors(e, pairs)

@@ -105,7 +105,7 @@ def sim_pairwise_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return SIM.lsh_similarity_join(
-        e, threshold=0.35, n_planes=16, n_bands=4, seed=42, dim=64
+        e, threshold=0.35, n_planes=16, n_bands=8, seed=42, dim=64
     )
 
 

@@ -217,6 +217,29 @@ def test_jaccard_variants_identical_pairs(spark, sf_dir):
         assert len(base) > 0
 
 
+def test_lsh_recall_floor(spark, sf_dir):
+    """The tuned (16 planes, 8 bands) hyperplane-LSH default must keep
+    ≥ 0.95 pair recall vs the exact all-pairs path at t = 0.35
+    (measured 0.98; deterministic: fixed seed + fixture — see RECALL.md).
+    The old (16, 4) default measured 0.48 and would fail this floor."""
+    from ppdb_parser_spark.operators import similarity as SIM
+    from ppdb_parser_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.pairwise_cosine_pairs(e, threshold=0.35).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.lsh_similarity_join(
+            e, threshold=0.35, seed=42, dim=64
+        ).collect()
+    }
+    assert lsh <= exact  # precision 1.0 (exact refinement)
+    assert len(lsh & exact) / len(exact) >= 0.95
+
+
 def test_jaccard_prefix_positional_bound_sound(spark):
     """Adversarial regression for the PPJoin c-bound: doc A's shingle set
     strictly contains doc B's (6 vs 4 bigrams, J = 4/6 ≥ 0.5). The

@@ -1,0 +1,123 @@
+"""Measure approximation quality of the ANN/LSH tiers against their exact
+twins (round-3 verdict task #5: "a user tuning n_planes/n_bands/n_probe is
+flying blind").
+
+Metrics (all on the fixture embeddings, 64-dim isotropic):
+
+- hyperplane-LSH pair recall: |LSH pairs ∩ exact pairs| / |exact pairs|
+  at cosine >= t, swept over (n_planes, n_bands);
+- embedding-dedup survivor agreement: fraction of vec_ids whose
+  kept/dropped status under LSH candidates matches the exact path;
+- IVF recall@k vs brute-force top-k, swept over n_probe (and n_cells for
+  the kmeans-refined variant).
+
+Prints one JSON line per configuration plus a summary; results are
+recorded in RECALL.md. Exact pair sets are collected once per scale —
+these are diagnostics at fixture scale (<= 2,000 vectors), not engine
+paths, so driver-side set math is fine here.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+from ppdb_parser_spark.operators import similarity as SIM
+from ppdb_parser_spark.session import get_spark
+from ppdb_parser_spark.sources.tables import load_table
+
+THRESHOLD = 0.35
+
+
+def pair_set(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def lsh_sweep(spark, sf_dir, exact_pairs, results):
+    for n_planes, n_bands in [(8, 2), (8, 4), (16, 2), (16, 4), (16, 8), (24, 4), (32, 4), (32, 8)]:
+        e = load_table(spark, sf_dir, "embeddings")
+        got = pair_set(
+            SIM.lsh_similarity_join(
+                e, threshold=THRESHOLD, n_planes=n_planes, n_bands=n_bands,
+                seed=42, dim=64,
+            )
+        )
+        # precision is 1.0 by construction (exact cosine refinement); recall
+        # is the quantity of interest
+        rec = len(got & exact_pairs) / len(exact_pairs) if exact_pairs else 1.0
+        assert got <= exact_pairs, "LSH emitted a pair failing the exact threshold"
+        row = {
+            "metric": "lsh_pair_recall", "sf_dir": sf_dir,
+            "n_planes": n_planes, "n_bands": n_bands,
+            "bits_per_band": n_planes // n_bands,
+            "exact_pairs": len(exact_pairs), "lsh_pairs": len(got),
+            "recall": round(rec, 4),
+        }
+        results.append(row)
+        print(json.dumps(row))
+
+
+def dedup_agreement(spark, sf_dir, results):
+    e = load_table(spark, sf_dir, "embeddings")
+    exact_pairs = SIM.pairwise_cosine_pairs(e, threshold=THRESHOLD)
+    lsh_pairs = SIM.lsh_similarity_join(
+        e, threshold=THRESHOLD, n_planes=16, n_bands=8, seed=42, dim=64
+    )
+    exact_drop = {r["id_b"] for r in exact_pairs.select("id_b").distinct().collect()}
+    lsh_drop = {r["id_b"] for r in lsh_pairs.select("id_b").distinct().collect()}
+    n = e.count()
+    agree = n - len(exact_drop.symmetric_difference(lsh_drop))
+    row = {
+        "metric": "dedup_survivor_agreement", "sf_dir": sf_dir,
+        "n_vectors": n, "exact_dropped": len(exact_drop),
+        "lsh_dropped": len(lsh_drop),
+        "agreement": round(agree / n, 4),
+        "drop_recall": round(
+            len(exact_drop & lsh_drop) / len(exact_drop), 4
+        ) if exact_drop else 1.0,
+    }
+    results.append(row)
+    print(json.dumps(row))
+
+
+def ivf_sweep(spark, sf_dir, results):
+    e = load_table(spark, sf_dir, "embeddings")
+    k = 10
+    for probe_id in (1, 7, 13, 29):
+        exact = [
+            r["vec_id"]
+            for r in SIM.cosine_topk_by_id(e, probe_id=probe_id, k=k).collect()
+        ]
+        for n_probe in (1, 2, 4):
+            ivf = [
+                r["vec_id"]
+                for r in SIM.ivf_topk(
+                    e, n_cells=8, probe_id=probe_id, n_probe=n_probe, k=k
+                ).collect()
+            ]
+            row = {
+                "metric": "ivf_recall_at_k", "sf_dir": sf_dir, "k": k,
+                "probe_id": probe_id, "n_cells": 8, "n_probe": n_probe,
+                "recall": round(len(set(ivf) & set(exact)) / k, 4),
+            }
+            results.append(row)
+            print(json.dumps(row))
+
+
+def main():
+    spark = get_spark(app_name="ann-recall")
+    results: list[dict] = []
+    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    for sf_dir in sf_dirs:
+        e = load_table(spark, sf_dir, "embeddings")
+        exact_pairs = pair_set(SIM.pairwise_cosine_pairs(e, threshold=THRESHOLD))
+        lsh_sweep(spark, sf_dir, exact_pairs, results)
+        dedup_agreement(spark, sf_dir, results)
+        ivf_sweep(spark, sf_dir, results)
+    print(json.dumps({"metric": "summary", "n_results": len(results)}))
+
+
+if __name__ == "__main__":
+    main()
