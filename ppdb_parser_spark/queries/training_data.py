@@ -43,6 +43,31 @@ def _bucket(salt: str) -> F.Column:
 _BUCKET_SQL = "substring(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 4)"
 
 
+def gopher_pass_all(text_col: str = "text") -> F.Column:
+    """Conjunction of the four Gopher-style quality rules (the per-rule
+    breakdown lives in text_quality_rules below) — integer-exact, so the
+    same predicate is expressible token-for-token in the SQL oracles."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    d = F.size(F.array_distinct(toks))
+    sl = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return (n >= 25) & (sl * 10 >= 45 * n) & (n_stop * 20 >= n) & (d * 3 >= n)
+
+
+_GOPHER_PASS_SQL = f"""(
+      len(str_split(text, ' ')) >= 25
+      AND list_aggregate(list_transform(str_split(text, ' '),
+                                        x -> length(x)), 'sum') * 10
+            >= 45 * len(str_split(text, ' '))
+      AND len(list_filter(str_split(text, ' '),
+                          x -> x IN ({_STOP_SQL}))) * 20
+            >= len(str_split(text, ' '))
+      AND len(list_distinct(str_split(text, ' '))) * 3
+            >= len(str_split(text, ' '))
+)"""
+
+
 # --------------------------------------------------------------------------
 # Benchmark decontamination: hold out an eval slice (md5 bucket < ~5%),
 # flag every training document sharing ANY 8-gram with it. The eval
@@ -267,4 +292,155 @@ def text_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("pass_all"),
+    )
+
+
+# --------------------------------------------------------------------------
+# The composed governance lineage (round-4 verdict, What's missing #6):
+# quality → decontaminate → mixture → dedup (exact + near-dup) → split,
+# as ONE Catalyst plan — the exact chain a real corpus build runs, with
+# every stage reusing the operator its standalone query already verifies.
+# Stage order is the scale order: narrow filters (quality, eval split,
+# mixture) run at the scan before anything shuffles; the broadcast 8-gram
+# decontamination probe never shuffles the corpus; the only fat exchanges
+# belong to the dedup stages, which therefore see the fully-reduced
+# survivor set.
+# --------------------------------------------------------------------------
+_CURATION_V2_ORACLE = f"""
+    WITH q AS (
+      SELECT doc_id, lang, text FROM documents WHERE {_GOPHER_PASS_SQL}
+    ),
+    fl AS (
+      SELECT *, {_BUCKET_SQL.format(salt='eval:')} < '{_EVAL_MAX}' AS is_eval
+      FROM q
+    ),
+    g8 AS (
+      SELECT doc_id, is_eval,
+             unnest(list_distinct([array_to_string(t[i:i+{_NGRAM}-1], ' ')
+                                   for i in range(1, len(t)-{_NGRAM}+2)])) AS g
+      FROM (SELECT doc_id, is_eval, str_split(text, ' ') AS t FROM fl)
+      WHERE len(t) >= {_NGRAM}
+    ),
+    ev AS (SELECT DISTINCT g FROM g8 WHERE is_eval),
+    contaminated AS (
+      SELECT DISTINCT s.doc_id FROM g8 s JOIN ev USING (g) WHERE NOT s.is_eval
+    ),
+    train AS (
+      SELECT f.doc_id, f.lang, f.text
+      FROM fl f LEFT JOIN contaminated c USING (doc_id)
+      WHERE NOT f.is_eval AND c.doc_id IS NULL
+    ),
+    mixed AS (
+      SELECT * FROM train
+      WHERE {_BUCKET_SQL.format(salt='mix:')} <
+            CASE lang WHEN 'en' THEN '{_MIX_RATES["en"]}'
+                      WHEN 'de' THEN '{_MIX_RATES["de"]}'
+                      ELSE '{_MIX_DEFAULT}' END
+    ),
+    ex AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+        FROM mixed
+      ) WHERE rn = 1
+    ),
+    pos_toks AS (
+      SELECT doc_id,
+             unnest(str_split(text, ' ')) AS token,
+             generate_subscripts(str_split(text, ' '), 1) AS pos
+      FROM ex
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS shingle
+      FROM pos_toks
+    ),
+    shn AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL
+            AND len(str_split(shingle, ' ')) = 2),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shn GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM shn a JOIN shn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    drops AS (
+      SELECT DISTINCT id_b
+      FROM inter
+      JOIN sizes sa ON inter.id_a = sa.doc_id
+      JOIN sizes sb ON inter.id_b = sb.doc_id
+      WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5
+    ),
+    cur AS (
+      SELECT e.* FROM ex e LEFT JOIN drops d ON e.doc_id = d.id_b
+      WHERE d.id_b IS NULL
+    )
+    SELECT CASE WHEN {_BUCKET_SQL.format(salt='split:')} < 'cccc' THEN 'train'
+                WHEN {_BUCKET_SQL.format(salt='split:')} < 'e666' THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS sum_tokens
+    FROM cur GROUP BY 1, 2
+"""
+
+
+@query(
+    "pipeline_corpus_curation_v2",
+    oracle=_CURATION_V2_ORACLE,
+    tags=("L6", "O5", "O6", "J4", "J5", "F4", "W2", "A1"),
+)
+def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.filter(gopher_pass_all()).select("doc_id", "lang", "text")
+
+    is_eval = _bucket("eval:") < _EVAL_MAX
+    sh = DD.word_shingles(
+        q, n=_NGRAM, min_partitions=spark.sparkContext.defaultParallelism
+    )
+    eval_shingles = sh.filter(is_eval).select("shingle").distinct()
+    contaminated = (
+        sh.filter(~is_eval)
+        .join(F.broadcast(eval_shingles), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    train = q.filter(~is_eval).join(contaminated, "doc_id", "left_anti")
+
+    mix_threshold = (
+        F.when(F.col("lang") == "en", F.lit(_MIX_RATES["en"]))
+        .when(F.col("lang") == "de", F.lit(_MIX_RATES["de"]))
+        .otherwise(F.lit(_MIX_DEFAULT))
+    )
+    mixed = train.filter(_bucket("mix:") < mix_threshold)
+
+    exact_survivors = (
+        mixed.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "text")
+    )
+    pairs = DD.jaccard_pairs_prefix(exact_survivors, threshold=0.5, n=2)
+    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    curated = exact_survivors.join(drops, "doc_id", "left_anti")
+
+    split_bucket = _bucket("split:")
+    split = (
+        F.when(split_bucket < "cccc", "train")
+        .when(split_bucket < "e666", "val")
+        .otherwise("test")
+    )
+    return (
+        curated.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("sum_tokens"),
+        )
     )

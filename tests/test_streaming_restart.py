@@ -1,0 +1,74 @@
+"""Restart-recovery evidence for the streaming tier (round-4 verdict,
+What's missing #4): T1-T7 were green on single drained availableNow runs,
+which asserts exactly-once only WITHIN a run. This test stops a
+checkpointed query and restarts it against new input, demonstrating:
+
+- offset recovery: the restarted query does not reprocess the already-
+  committed input file (no duplicate output rows from batch 1);
+- state-store recovery: `dropDuplicates` state written by the first run
+  survives the restart — a key that already streamed in run 1 is dropped
+  when it reappears in run 2's input, which is only possible if the HDFS
+  state store was reloaded from the checkpoint.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+TS = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _write_batch(spark, path: str, ids: range) -> None:
+    rows = [(i, i % 7, TS, float(i)) for i in ids]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_drained(spark, src: str, out: str, ckpt: str) -> None:
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, value double"
+        )
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_stream_restart_recovers_offsets_and_state(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # run 1: ids 0..99, drain, stop (query object goes away entirely —
+    # the restart below reconstructs it purely from the checkpoint)
+    _write_batch(spark, src, range(0, 100))
+    _run_drained(spark, src, out, ckpt)
+    first = spark.read.parquet(out)
+    assert first.count() == 100
+
+    # between runs: ids 50..149 arrive — half are duplicates of run 1
+    _write_batch(spark, src, range(50, 150))
+
+    # run 2: same sink + checkpoint, fresh query instance
+    _run_drained(spark, src, out, ckpt)
+
+    final = spark.read.parquet(out)
+    # offsets recovered: batch-1 file not reprocessed; state recovered:
+    # ids 50..99 recognized as duplicates across the restart boundary
+    assert final.count() == 150
+    assert final.select("event_id").distinct().count() == 150
+    assert final.agg(F.min("event_id"), F.max("event_id")).first() == (0, 149)
