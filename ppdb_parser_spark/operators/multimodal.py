@@ -700,9 +700,16 @@ def parse_png_header(data: bytes) -> tuple[int, int]:
 
 
 def png_pixels(data: bytes):
-    """Full stdlib decode of an 8-bit RGB PNG: chunk walk → concatenated
-    IDAT → zlib inflate → per-scanline unfilter (all five filter types) →
-    (h, w, 3) uint8 RGB array, top-down."""
+    """Full stdlib decode of an 8-bit RGB PNG: chunk walk (CRC-verified,
+    truncation-checked) → concatenated IDAT → zlib inflate → per-scanline
+    unfilter (all five filter types) → (h, w, 3) uint8 RGB array, top-down.
+
+    Malformed input raises ValueError (truncated chunk, CRC mismatch,
+    inflate failure, wrong scanline payload) and unsupported-but-valid
+    variants raise NotImplementedError (non-8-bit-RGB, Adam7 interlace) —
+    distinct, catchable errors so the quarantine path (P6 discipline) can
+    report WHY a blob was rejected. Negative fixtures:
+    tests/test_operators.py::test_png_adversarial_inputs."""
     import zlib
 
     import numpy as np
@@ -714,12 +721,23 @@ def png_pixels(data: bytes):
     while pos + 8 <= len(data):
         (clen,) = struct.unpack_from(">I", data, pos)
         ctype = data[pos + 4 : pos + 8]
+        if pos + 12 + clen > len(data):
+            raise ValueError("truncated PNG chunk")
         payload = data[pos + 8 : pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + clen)
+        if crc != (zlib.crc32(ctype + payload) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
         if ctype == b"IHDR":
-            w, h, bit_depth, color_type = struct.unpack_from(">IIBB", payload)
+            w, h, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack_from(">IIBBBBB", payload)
+            )
             if (bit_depth, color_type) != (8, 2):
                 raise NotImplementedError(
                     "stdlib PNG decode supports 8-bit RGB (color type 2) only"
+                )
+            if interlace != 0:
+                raise NotImplementedError(
+                    "stdlib PNG decode does not support Adam7 interlacing"
                 )
         elif ctype == b"IDAT":
             idat += payload
@@ -728,7 +746,10 @@ def png_pixels(data: bytes):
         pos += 12 + clen  # len + type + payload + crc
     if w is None:
         raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
     stride = w * _PNG_BPP
     if len(raw) != h * (1 + stride):
         raise ValueError("PNG scanline payload has the wrong length")
@@ -818,32 +839,51 @@ def png_features_values_sql() -> str:
     )
 
 
-def extract_png_features(blobs: DataFrame) -> DataFrame:
+def extract_png_features(blobs: DataFrame, on_error: str = "raise") -> DataFrame:
     """Stdlib PNG decode → per-channel means + sha256 of the decoded RGB
-    byte stream, Arrow-batched (U4 plumbing identical to the BMP path)."""
+    byte stream, Arrow-batched (U4 plumbing identical to the BMP path).
+
+    ``on_error='raise'`` (default — the oracle-checked query runs over
+    known-good fixtures) fails the task on the first malformed blob;
+    ``on_error='quarantine'`` mirrors the P6 malformed-line discipline:
+    bad blobs yield a row with null features and the decode error message
+    in an ``error`` column, so a 100 TB ingest keeps flowing and the
+    quarantined rows are routable/reportable downstream."""
     import numpy as np
+
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be raise|quarantine, got {on_error!r}")
+    quarantine = on_error == "quarantine"
+    cols = ["file_name", "width", "height", "n_pixels",
+            "mean_r", "mean_g", "mean_b", "pixels_sha256"]
 
     def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                arr = png_pixels(bytes(content))
+                name = os.path.basename(path)
+                try:
+                    arr = png_pixels(bytes(content))
+                except (ValueError, NotImplementedError) as exc:
+                    if not quarantine:
+                        raise
+                    rows.append((name,) + (None,) * 7 + (f"{type(exc).__name__}: {exc}",))
+                    continue
                 means = arr.astype(np.float64).mean(axis=(0, 1))
-                rows.append((
-                    os.path.basename(path), arr.shape[1], arr.shape[0],
+                row = (
+                    name, arr.shape[1], arr.shape[0],
                     arr.shape[0] * arr.shape[1],
                     round(float(means[0]), 4), round(float(means[1]), 4),
                     round(float(means[2]), 4),
                     hashlib.sha256(arr.tobytes()).hexdigest(),
-                ))
-            yield pd.DataFrame(
-                rows, columns=["file_name", "width", "height", "n_pixels",
-                               "mean_r", "mean_g", "mean_b", "pixels_sha256"],
-            )
+                )
+                rows.append(row + (None,) if quarantine else row)
+            yield pd.DataFrame(rows, columns=cols + (["error"] if quarantine else []))
 
-    return blobs.mapInPandas(
-        _feat,
-        schema="file_name string, width long, height long, n_pixels long,"
-               " mean_r double, mean_g double, mean_b double,"
-               " pixels_sha256 string",
+    schema = (
+        "file_name string, width long, height long, n_pixels long,"
+        " mean_r double, mean_g double, mean_b double, pixels_sha256 string"
     )
+    if quarantine:
+        schema += ", error string"
+    return blobs.mapInPandas(_feat, schema=schema)

