@@ -326,7 +326,6 @@ def jaccard_pairs_prefix(
             id_col,
             "n",
             (F.col("pos") + 1).alias("pos"),
-            F.col("k.df").alias("df"),
             F.col("k.fp").alias("fp"),
         )
     )
@@ -335,8 +334,15 @@ def jaccard_pairs_prefix(
     # prefix fingerprints yields one row per common prefix element; a
     # single hash aggregate then gives, per (id_a, id_b), the EXACT prefix
     # overlap c = |prefix(A) ∩ prefix(B)| plus the positions (i_k, j_k) of
-    # the LAST matched element e_k in canonical (df, fp) order. The sound
-    # positional bound is
+    # the LAST matched element e_k in canonical (df, fp) order. Because
+    # each doc's ks is sorted in that same canonical order, position is
+    # strictly increasing in (df, fp) within a doc, so the max-(df, fp)
+    # matched element is simultaneously the max-position match on BOTH
+    # sides: i_k = MAX(pos_a), j_k = MAX(pos_b) — two plain integer MAX
+    # aggregates (a max_by(struct, struct) here would force a
+    # SortAggregate over the multi-million-row join stream; integer MAX
+    # keeps the whole pair aggregate hash-based). The sound positional
+    # bound is
     #     overlap ≤ c + min(n_a − i_k, n_b − j_k):
     # a common element beyond e_k sits after position i_k in A and after
     # j_k in B (both sets are sorted in the same global order), and a
@@ -379,18 +385,12 @@ def jaccard_pairs_prefix(
             F.count(F.lit(1)).alias("c"),
             F.first(F.col("a.n")).alias("na"),
             F.first(F.col("b.n")).alias("nb"),
-            F.max_by(
-                F.struct(
-                    F.col("a.pos").alias("ia"), F.col("b.pos").alias("ib")
-                ),
-                F.struct(F.col("a.df"), F.col("a.fp")),
-            ).alias("last"),
+            F.max(F.col("a.pos")).alias("ia"),
+            F.max(F.col("b.pos")).alias("ib"),
         )
         .filter(
             F.col("c")
-            + F.least(
-                F.col("na") - F.col("last.ia"), F.col("nb") - F.col("last.ib")
-            )
+            + F.least(F.col("na") - F.col("ia"), F.col("nb") - F.col("ib"))
             >= F.ceil(F.lit(t / (1.0 + t)) * (F.col("na") + F.col("nb")))
         )
         .select("id_a", "id_b")

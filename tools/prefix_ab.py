@@ -61,7 +61,7 @@ def build(df, threshold=0.5, n=2, id_col="doc_id", text_col="text",
         .where(F.col("k.df") >= 2)
         .select(
             id_col, "n", (F.col("pos") + 1).alias("pos"),
-            F.col("k.df").alias("df"), F.col("k.fp").alias("fp"),
+            F.col("k.fp").alias("fp"),
         )
     )
     if pref_parts:
@@ -86,16 +86,12 @@ def build(df, threshold=0.5, n=2, id_col="doc_id", text_col="text",
             F.count(F.lit(1)).alias("c"),
             F.first(F.col("a.n")).alias("na"),
             F.first(F.col("b.n")).alias("nb"),
-            F.max_by(
-                F.struct(F.col("a.pos").alias("ia"), F.col("b.pos").alias("ib")),
-                F.struct(F.col("a.df"), F.col("a.fp")),
-            ).alias("last"),
+            F.max(F.col("a.pos")).alias("ia"),
+            F.max(F.col("b.pos")).alias("ib"),
         )
         .filter(
             F.col("c")
-            + F.least(
-                F.col("na") - F.col("last.ia"), F.col("nb") - F.col("last.ib")
-            )
+            + F.least(F.col("na") - F.col("ia"), F.col("nb") - F.col("ib"))
             >= F.ceil(F.lit(t / (1.0 + t)) * (F.col("na") + F.col("nb")))
         )
         .select("id_a", "id_b")
