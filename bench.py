@@ -5,10 +5,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is executed by materializing its result count (forces the full
 plan; avoids driver-side toPandas transfer noise). A warm-up pass absorbs
-JVM/codegen startup, then each query is timed twice and the MINIMUM is
-reported: this host shows ±30 % background-load variance run-to-run
-(BASELINE.md), and min-of-2 steady-state is the standard way to report
-engine throughput under that noise — it measures the plan, not the host.
+JVM/codegen startup, then each query is timed three times and the MINIMUM
+is reported: this host shows ±30 % background-load variance run-to-run —
+round 4's artifact recorded a 2.6× uniform slowdown with byte-identical
+plans purely from host contention (verdict r4) — and min-of-3
+steady-state measures the plan, not the host.
 """
 
 from __future__ import annotations
@@ -34,7 +35,7 @@ def main() -> None:
         spec.fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for spec in bench_specs:
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).count()

@@ -258,3 +258,51 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(toks, lambda t: t.rlike("^[0-9]+$"))
         ).cast("long").alias("n_numeric"),
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram log-probability scoring — the perplexity-style quality filter of
+# a corpus build (docs whose tokens are improbable under the corpus's own
+# unigram LM are boilerplate/garbage candidates). Fully relational: token
+# explode → corpus unigram counts (one hash aggregate) → in-plan 1-row
+# total (cross-join broadcast, zero driver jobs) → per-doc mean log10
+# probability. Float note: log10 values are continuous (no fixture mass on
+# 1e-6 grid boundaries), so round(·, 6) after the mean is cross-engine
+# stable — the same argument the cosine family uses.
+# At 100 TB: the unigram table is the only sizable shuffle (vocab-keyed,
+# uniform); the per-doc aggregate is doc-keyed; nothing is collected.
+# --------------------------------------------------------------------------
+_UNIGRAM_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(str_split(text, ' ')) AS token
+      FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+    tot AS (SELECT SUM(c) AS t FROM freq)
+    SELECT toks.doc_id AS doc_id, any_value(toks.lang) AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(SUM(log10(c / t)) / COUNT(*), 6) AS mean_logprob
+    FROM toks JOIN freq USING (token), tot
+    GROUP BY toks.doc_id
+"""
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=_UNIGRAM_ORACLE,
+    tags=("L4", "A1", "J2", "X3"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    j = toks.join(freq, "token").crossJoin(F.broadcast(total))
+    return j.groupBy("doc_id").agg(
+        F.first("lang").alias("lang"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.sum(F.log10(F.col("c") / F.col("t"))) / F.count(F.lit(1)), 6)
+        .alias("mean_logprob"),
+    )

@@ -389,6 +389,7 @@ _CURATION_V2_ORACLE = f"""
     "pipeline_corpus_curation_v2",
     oracle=_CURATION_V2_ORACLE,
     tags=("L6", "O5", "O6", "J4", "J5", "F4", "W2", "A1"),
+    bench=True,
 )
 def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
