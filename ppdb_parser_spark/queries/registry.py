@@ -51,15 +51,13 @@ def query(
     return deco
 
 
-# Queries that already earned a driver CORRECTNESS row in rounds 1-3
-# (keys of CORRECTNESS_r01.json ∪ r02 ∪ r03, re-frozen 2026-08-13 for
-# round 4). The driver prefix is built from the registry MINUS this set,
-# so the never-checked entries (round-3 additions that post-dated the r3
-# seed freeze, plus anything new this round) each earn a row first.
-_DRIVER_CHECKED_R1_R3 = frozenset(
+# Queries that already earned a driver CORRECTNESS row in rounds 1-4
+# (keys of CORRECTNESS_r01.json ∪ r02 ∪ r03 ∪ r04 — all 137 registered
+# queries as of the round-4 close; re-frozen 2026-08-13 for round 5).
+# The driver prefix is built from the registry MINUS this set, so
+# anything new this round earns a row first.
+_DRIVER_CHECKED_R1_R4 = frozenset(
     {
-        # rounds 1-2
-
         "agg_approx_distinct", "agg_approx_percentile", "agg_cube",
         "agg_distinct_counts", "agg_filtered", "agg_grouping_sets",
         "agg_percentiles", "agg_pivot_status", "agg_pricing_summary",
@@ -67,65 +65,66 @@ _DRIVER_CHECKED_R1_R3 = frozenset(
         "analytics_local_supplier_volume", "analytics_lost_opportunity",
         "analytics_promo_share", "analytics_shipping_priority",
         "analytics_signup_funnel", "analytics_small_qty_revenue",
-        "asof_purchase_click", "broadcast_join", "case_when",
+        "anti_join", "asof_purchase_click", "broadcast_join", "case_when",
         "cross_join", "dedup_components", "dedup_embedding",
-        "dedup_exact", "dedup_jaccard_capped", "dedup_jaccard_pairs",
-        "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
-        "except_custkeys", "filter_project", "flagship",
-        "fuzzy_phrase_match", "lookup_oov_tokens",
-        "lookup_paraphrase_coverage", "mm_binary_hash",
-        "mm_decode_meta", "mm_meta_stats", "mm_resize", "mm_wav_sample",
+        "dedup_embedding_lsh", "dedup_exact", "dedup_jaccard_bitmap",
+        "dedup_jaccard_capped", "dedup_jaccard_pairs",
+        "dedup_jaccard_prefix", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_simhash_pairs", "except_custkeys", "filter_project",
+        "flagship", "fuzzy_phrase_match", "intersect_nations",
+        "left_join_coverage", "lookup_oov_tokens",
+        "lookup_paraphrase_coverage", "mm_binary_hash", "mm_decode_meta",
+        "mm_img_features", "mm_media_meta", "mm_media_stats",
+        "mm_meta_stats", "mm_png_features", "mm_resize", "mm_wav_sample",
         "order_limit", "pattern_scd2_merge", "pattern_unpivot",
-        "pipeline_corpus_curation", "pipeline_pack_windows",
-        "pipeline_quality_quartiles", "ppdb_alignment_explode",
-        "ppdb_collect_nested", "ppdb_collect_paraphrases",
-        "ppdb_entailment_dist", "ppdb_feature_keys", "ppdb_map_ops",
-        "ppdb_parse_stats", "ppdb_parse_throughput", "ppdb_quarantine",
-        "ppdb_symmetric_pairs", "ppdb_top_paraphrases",
-        "region_revenue", "sample_orders", "scalar_json", "scalar_math",
-        "sim_ivf_kmeans_topk", "sim_ivf_topk", "skew_salted_agg",
-        "snk_partition_pruned", "src_custom_datasource",
-        "src_json_scan", "stream_dedup_live",
-        "stream_interval_join_live", "stream_session_batch",
-        "stream_sliding_batch", "stream_stateful_counter",
-        "stream_tumbling_live", "text_sentiment", "ts_gapfill_locf",
-        "ts_interpolate", "ts_ohlc_daily", "udf_arrow_scalar",
-        "udf_grouped_agg_sum", "udf_grouped_map_minmax",
-        "udtf_polymorphic_split",
-        # round 3 (keys of CORRECTNESS_r03.json)
-        "anti_join", "dedup_embedding_lsh", "dedup_jaccard_bitmap",
-        "dedup_jaccard_prefix", "intersect_nations",
-        "left_join_coverage", "mm_img_features", "mm_media_meta",
-        "mm_media_stats", "ppdb_parse_stats_bz2", "range_join_bands",
-        "scalar_arrays", "scalar_bitwise", "scalar_dates",
+        "pipeline_corpus_curation", "pipeline_decontaminate",
+        "pipeline_mixture_sample", "pipeline_pack_windows",
+        "pipeline_quality_quartiles", "pipeline_train_split",
+        "ppdb_alignment_explode", "ppdb_collect_nested",
+        "ppdb_collect_paraphrases", "ppdb_entailment_dist",
+        "ppdb_feature_keys", "ppdb_map_ops", "ppdb_parse_stats",
+        "ppdb_parse_stats_bz2", "ppdb_parse_throughput", "ppdb_quarantine",
+        "ppdb_symmetric_pairs", "ppdb_top_paraphrases", "range_join_bands",
+        "region_revenue", "sample_orders", "scalar_arrays",
+        "scalar_bitwise", "scalar_dates", "scalar_json", "scalar_math",
         "scalar_null_handling", "scalar_regex", "scalar_strings",
         "self_join_pairs", "semi_join", "sim_cosine_topk",
-        "sim_lsh_pairs", "sim_neighbors_docs", "sim_pairwise_cosine",
-        "snk_json_roundtrip", "snk_orc_roundtrip",
-        "snk_parquet_roundtrip", "src_csv_scan",
-        "stream_foreach_batch_sink", "stream_interval_join_batch",
-        "stream_session_live", "stream_sliding_live",
-        "stream_tumbling_batch", "text_bpe_token_count",
-        "text_fingerprint", "text_lang_route", "text_langid",
-        "text_quality", "text_tfidf_top5", "text_token_stats",
-        "udf_map_in_arrow", "udf_map_partitions_bucket",
-        "udf_scalar_cents", "udtf_explode_types", "union_parties",
+        "sim_ivf_kmeans_topk", "sim_ivf_topk", "sim_lsh_pairs",
+        "sim_neighbors_docs", "sim_pairwise_cosine", "skew_salted_agg",
+        "snk_json_roundtrip", "snk_orc_roundtrip", "snk_parquet_roundtrip",
+        "snk_partition_pruned", "src_csv_scan", "src_custom_datasource",
+        "src_json_scan", "stream_dedup_live", "stream_foreach_batch_sink",
+        "stream_interval_join_batch", "stream_interval_join_live",
+        "stream_session_batch", "stream_session_live",
+        "stream_sliding_batch", "stream_sliding_live",
+        "stream_stateful_counter", "stream_tumbling_batch",
+        "stream_tumbling_live", "text_bpe_token_count", "text_fingerprint",
+        "text_lang_route", "text_langid", "text_quality",
+        "text_quality_rules", "text_sentiment", "text_tfidf_top5",
+        "text_token_stats", "ts_gapfill_locf", "ts_interpolate",
+        "ts_ohlc_daily", "udf_arrow_scalar", "udf_grouped_agg_sum",
+        "udf_grouped_map_minmax", "udf_map_in_arrow",
+        "udf_map_partitions_bucket", "udf_scalar_cents",
+        "udtf_explode_types", "udtf_polymorphic_split", "union_parties",
         "window_cume_dist", "window_lag_lead", "window_range_frame",
-        "window_rank_family", "window_running_sum",
-        "window_value_family",
+        "window_rank_family", "window_running_sum", "window_value_family",
     }
 )
 
-# Semantics-changed marquee queries needing a driver RE-row under their
-# new oracles: second priority tier, right behind the never-checked
-# backlog (round 3 upgraded both after their last driver row —
-# pipeline_corpus_curation to the exact uncapped prefix-filter near-dup
-# stage, dedup_embedding to the brute/LSH crossover rule).
-_ROUND4_MARQUEE = (
+# Implementation-changed marquee queries needing a driver RE-row under
+# the round-5 code: second priority tier, right behind the never-checked
+# backlog. Round 5 replaced the prefix join's pair-pruning bound with the
+# sound positional form and rebuilt its exchange layout (results
+# identical on the fixtures, but the row must re-certify the new plan),
+# moved the cosine probe in-plan, and retuned the LSH banding (the two
+# rows-only LSH queries emit more pairs under the recall-tuned bands).
+_ROUND5_MARQUEE = (
+    "dedup_jaccard_prefix",
     "pipeline_corpus_curation",
-    "dedup_embedding",
-    # (no transformWithStateInPandas twin: env lacks google.protobuf —
-    # see the T6 note in queries/streaming_queries.py)
+    "sim_cosine_topk",
+    "sim_neighbors_docs",
+    "sim_lsh_pairs",
+    "dedup_embedding_lsh",
 )
 
 
@@ -134,10 +133,10 @@ def coverage_order() -> list[str]:
     value.
 
     Tier 1: every registered query that has never received a driver
-    CORRECTNESS row in rounds 1-3 (``_DRIVER_CHECKED_R1_R3`` complement),
+    CORRECTNESS row in rounds 1-4 (``_DRIVER_CHECKED_R1_R4`` complement),
     oracle-backed entries first — the round-3 late additions (governance
     family + PNG decode) plus anything new this round land here.
-    Tier 2: semantics-changed marquee re-checks (``_ROUND4_MARQUEE``).
+    Tier 2: semantics-changed marquee re-checks (``_ROUND5_MARQUEE``).
     Tier 3: greedy set cover over §2 ``tags`` for the remainder, ties
     preferring oracle-backed queries then name order (deterministic).
     """
@@ -148,11 +147,11 @@ def coverage_order() -> list[str]:
         (
             n
             for n in remaining
-            if n not in _DRIVER_CHECKED_R1_R3 and n not in _ROUND4_MARQUEE
+            if n not in _DRIVER_CHECKED_R1_R4 and n not in _ROUND5_MARQUEE
         ),
         key=lambda n: (remaining[n].oracle is None, n),
     )
-    for seed in (*never_checked, *_ROUND4_MARQUEE):
+    for seed in (*never_checked, *_ROUND5_MARQUEE):
         if seed in remaining:
             out.append(seed)
             covered |= set(remaining.pop(seed).tags)

@@ -51,17 +51,17 @@ def test_entry_smoke(spark):
 
 
 def test_coverage_order_seeds_never_checked_backlog_first():
-    """Round-4 ordering contract (VERDICT r3 task #1): the driver samples a
-    ~50-query PREFIX of queries(), and after the round-4 re-freeze the
-    checked set covers r1∪r2∪r3 — so the prefix's value lies in (a) the
-    queries that have never earned a driver CORRECTNESS row (round-3 late
-    additions + anything new this round) and (b) the semantics-changed
-    marquee re-checks right behind them. Oracle-backed before rows-only
-    inside tier 1, and the full order still enumerates the entire registry
-    with every tag covered."""
+    """Round-5 ordering contract: the driver samples a ~50-query PREFIX of
+    queries(), and after the round-5 re-freeze the checked set covers
+    r1∪r2∪r3∪r4 (all 137 round-4 registrations) — so the prefix's value
+    lies in (a) queries that have never earned a driver CORRECTNESS row
+    (anything new this round) and (b) the implementation-changed marquee
+    re-checks right behind them. Oracle-backed before rows-only inside
+    tier 1, and the full order still enumerates the entire registry with
+    every tag covered."""
     from ppdb_parser_spark.queries.registry import (
-        _DRIVER_CHECKED_R1_R3,
-        _ROUND4_MARQUEE,
+        _DRIVER_CHECKED_R1_R4,
+        _ROUND5_MARQUEE,
         coverage_order,
     )
 
@@ -74,18 +74,11 @@ def test_coverage_order_seeds_never_checked_backlog_first():
     never = {
         n
         for n in REGISTRY
-        if n not in _DRIVER_CHECKED_R1_R3 and n not in _ROUND4_MARQUEE
+        if n not in _DRIVER_CHECKED_R1_R4 and n not in _ROUND5_MARQUEE
     }
     k = len(never)
-    # the 5 round-3 late additions (governance family + PNG) must be in
-    # the never-checked tier; new round-4 queries may grow it
-    assert {
-        "mm_png_features",
-        "pipeline_decontaminate",
-        "pipeline_mixture_sample",
-        "pipeline_train_split",
-        "text_quality_rules",
-    } <= never
+    # the round-5 additions must be in the never-checked tier
+    assert {"pipeline_corpus_curation_v2", "text_unigram_logprob"} <= never
     assert set(order[:k]) == never, "tier 1 must be exactly the backlog"
     # oracle-backed backlog entries precede rows-only ones (driver hash
     # checks are stronger evidence than rows-only)
@@ -95,11 +88,11 @@ def test_coverage_order_seeds_never_checked_backlog_first():
             seen_rows_only = True
         else:
             assert not seen_rows_only, f"oracle-backed {n} after rows-only"
-    # tier 2: the semantics-changed marquee re-checks ride right behind,
-    # guaranteed inside the round-4 driver prefix
-    assert tuple(order[k : k + len(_ROUND4_MARQUEE)]) == _ROUND4_MARQUEE
+    # tier 2: the implementation-changed marquee re-checks ride right
+    # behind, guaranteed inside the round-5 driver prefix
+    assert tuple(order[k : k + len(_ROUND5_MARQUEE)]) == _ROUND5_MARQUEE
     # the whole high-value head must sit well inside a 50-query prefix
-    assert k + len(_ROUND4_MARQUEE) <= 50
+    assert k + len(_ROUND5_MARQUEE) <= 50
 
 
 def test_contract_shape():
