@@ -392,15 +392,24 @@ _CURATION_V2_ORACLE = f"""
     bench=True,
 )
 def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return govern_documents(
+        load_table(spark, sf_dir, "documents"),
+        min_partitions=spark.sparkContext.defaultParallelism,
+    )
+
+
+def govern_documents(
+    docs: DataFrame, min_partitions: int | None = None
+) -> DataFrame:
+    """The composed governance lineage on an arbitrary documents frame
+    (doc_id, lang, text) — the query above binds it to the fixture table;
+    scale smokes feed key-shifted unions through the identical plan."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
     q = docs.filter(gopher_pass_all()).select("doc_id", "lang", "text")
 
     is_eval = _bucket("eval:") < _EVAL_MAX
-    sh = DD.word_shingles(
-        q, n=_NGRAM, min_partitions=spark.sparkContext.defaultParallelism
-    )
+    sh = DD.word_shingles(q, n=_NGRAM, min_partitions=min_partitions)
     eval_shingles = sh.filter(is_eval).select("shingle").distinct()
     contaminated = (
         sh.filter(~is_eval)

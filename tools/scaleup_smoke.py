@@ -109,6 +109,21 @@ def main() -> None:
             print(f"  -> {ck / c1:.1f}x time for {k}x data "
                   "(content-hash dedup collapses the copies pre-Jaccard)")
 
+    if not only or "governance" in only:
+        # the round-5 composed governance lineage (quality → decontaminate
+        # → mixture → dedup → split): key-shifted copies, so the narrow
+        # hash-bucket stages shrink the corpus BEFORE the dedup exchanges
+        # and the content-hash stage collapses the copies pre-Jaccard
+        from ppdb_parser_spark.queries.training_data import govern_documents
+
+        g1 = timed("governance_v2 1x", govern_documents(docs))
+        for k in (16,):
+            gk = timed(
+                f"governance_v2 {k}x",
+                govern_documents(_shifted_union(docs, "doc_id", k)),
+            )
+            print(f"  -> {gk / g1:.1f}x time for {k}x data")
+
     if not only or "prefix" in only:
         # standalone exact near-dup join at growing corpus size (verdict
         # r2 #7): fresh-vocab copies so the join's candidate structure
