@@ -286,6 +286,36 @@ def _corrupt_pngs():
     ]
 
 
+def test_bmp_wav_adversarial_inputs():
+    """BMP/WAV header parsers and the BMP pixel decoder reject malformed
+    input with raised errors (never silent garbage) — the non-PNG half of
+    the media negative-fixture suite."""
+    import struct
+
+    import pytest as _pytest
+
+    from ppdb_parser_spark.operators import multimodal as MM
+
+    with _pytest.raises(ValueError, match="not a BMP"):
+        MM.parse_bmp_header(b"XX" + bytes(40))
+    with _pytest.raises(ValueError, match="not a BMP"):
+        MM.parse_bmp_header(b"BM" + bytes(10))  # shorter than the header
+    good_bmp = MM.bmp_bytes(2)
+    with _pytest.raises(Exception):
+        MM.bmp_pixels(good_bmp[: len(good_bmp) // 2])  # truncated pixel data
+
+    with _pytest.raises(ValueError, match="not a WAV"):
+        MM.parse_wav_header(b"RIFF" + bytes(4) + b"AVI " + bytes(16))
+    # RIFF/WAVE with a fmt chunk but no data chunk
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    no_data = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    )
+    with _pytest.raises(ValueError, match="missing fmt/data"):
+        MM.parse_wav_header(no_data)
+
+
 def test_png_adversarial_inputs():
     """The stdlib PNG decoder must reject malformed input with a clear,
     typed error (round-4 verdict, What's missing #5) — truncated IDAT,

@@ -67,3 +67,41 @@ def test_parse_roundtrip_property(spark, rules):
         assert r["features"] == feats
         assert [(a["src"], a["tgt"]) for a in r["alignment"]] == align
         assert r["entailment"] == ent
+
+
+# --------------------------------------------------------------------------
+# Prefix-filter Jaccard == baseline Jaccard on adversarial random corpora.
+# The round-5 soundness bug (prefix-LENGTH c-bound wrongly pruning
+# containment-shaped qualifying pairs) lived in exactly the input class
+# random fixtures never produce: tiny vocabularies with subset/superset
+# document relationships. This property hammers that class directly —
+# docs of 3-12 tokens over a 7-word vocabulary maximize containment and
+# shared-shingle density.
+# --------------------------------------------------------------------------
+_corpus_token = st.sampled_from(["a", "b", "c", "d", "e", "f", "g"])
+_doc = st.lists(_corpus_token, min_size=3, max_size=12).map(" ".join)
+_corpus = st.lists(_doc, min_size=4, max_size=10)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_corpus, threshold=st.sampled_from([0.3, 0.5, 0.7]))
+def test_jaccard_prefix_equals_baseline_random_corpora(spark, corpus, threshold):
+    from ppdb_parser_spark.operators.dedup import jaccard_pairs, jaccard_pairs_prefix
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id int, text string"
+    )
+
+    def key(df):
+        return sorted(
+            (r["id_a"], r["id_b"], r["n_common"], r["n_a"], r["n_b"])
+            for r in df.collect()
+        )
+
+    assert key(jaccard_pairs_prefix(docs, threshold=threshold, n=2)) == key(
+        jaccard_pairs(docs, threshold=threshold, n=2)
+    )
