@@ -123,6 +123,16 @@ def test_curation_pipeline_no_cartesian(spark, sf_dir):
     )
 
 
+def test_curation_v2_pipeline_no_cartesian(spark, sf_dir):
+    """The round-5 composed governance lineage (quality → decontaminate →
+    mixture → dedup → split) fuses five stages into one plan; every join
+    must stay a hash join — the 8-gram decontamination probe broadcasts,
+    the Jaccard candidate join is an fp equi-join, the anti joins hash."""
+    df = _df(spark, sf_dir, "pipeline_corpus_curation_v2")
+    C.assert_no_nested_loop(df, "pipeline_corpus_curation_v2")
+    C.assert_broadcast_join(df, "pipeline_corpus_curation_v2")
+
+
 def test_partitioned_sink_scan_prunes(spark, sf_dir):
     df = _df(spark, sf_dir, "snk_partition_pruned")
     C.assert_partition_pruned(df, "lhs", "snk_partition_pruned")
