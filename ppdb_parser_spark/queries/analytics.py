@@ -302,3 +302,104 @@ def analytics_lost_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         money_sum("c_acctbal", 100).alias("total_bal"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention: users grouped by first-activity week, counted in each
+# subsequent activity week — the canonical product-analytics matrix.
+# Scale shape: the per-user first-event aggregate is one user-keyed
+# exchange; the (user, week) activity relation is distinct-collapsed
+# map-side before its exchange; the cohort join broadcasts the (small)
+# per-user firsts at local scale and hash-joins at cluster scale.
+# --------------------------------------------------------------------------
+@query(
+    "analytics_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS DATE)
+               AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+      FROM events
+    )
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(datediff('day', f.cohort_week, a.wk) / 7 AS BIGINT)
+             AS weeks_since,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("A2", "A1", "J2", "X2", "W3"),
+)
+def analytics_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_wk")
+    )
+    activity = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("wk", "cohort_wk") / 7).cast("long").alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day active users (WAU per day), EXACT distinct. The
+# scale-correct shape is map-side window expansion — each distinct
+# (day, user) row contributes itself to the 7 target days it covers via
+# an in-row sequence explode (bounded 7× fan-out, plain hash aggregate)
+# — NOT a day×activity range join (BNLJ risk) and NOT a collect_set
+# window (state grows with users). The trailing partial windows past the
+# last observed day are cut by an in-plan 1-row max broadcast.
+# --------------------------------------------------------------------------
+@query(
+    "analytics_rolling_wau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+             user_id
+      FROM events
+    ),
+    mx AS (SELECT MAX(d) AS md FROM du),
+    ex AS (
+      SELECT CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+                                         CAST(d AS TIMESTAMP) + INTERVAL 6 DAY,
+                                         INTERVAL 1 DAY)) AS DATE) AS day,
+             user_id
+      FROM du
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+    FROM ex, mx WHERE day <= md GROUP BY 1
+    """,
+    tags=("A2", "A1", "X2", "X4"),
+)
+def analytics_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id"
+    ).distinct()
+    mx = du.agg(F.max("d").alias("md"))
+    ex = du.select(
+        F.explode(
+            F.expr("sequence(d, date_add(d, 6), interval 1 day)")
+        ).alias("day"),
+        "user_id",
+    )
+    return (
+        ex.crossJoin(F.broadcast(mx))
+        .filter(F.col("day") <= F.col("md"))
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
