@@ -403,3 +403,111 @@ def analytics_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
         .agg(F.countDistinct("user_id").cast("long").alias("wau"))
     )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation: per-customer recency / frequency / monetary quartiles
+# (ntile windows with full tie-breaks), rolled up to segment counts.
+# Scale shape: one customer-keyed aggregate; three global ntile windows
+# over the (small) per-customer relation — at extreme customer counts the
+# ntile boundary computation would swap to approx quantile cutpoints, a
+# documented trade (the window form is the exact, oracle-checkable one).
+# --------------------------------------------------------------------------
+@query(
+    "analytics_rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey AS custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT custkey,
+             ntile(4) OVER (ORDER BY last_order DESC, custkey) AS r_q,
+             ntile(4) OVER (ORDER BY frequency DESC, custkey) AS f_q,
+             ntile(4) OVER (ORDER BY monetary_cents DESC, custkey) AS m_q
+      FROM per_cust
+    )
+    SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+           CAST(m_q AS BIGINT) AS m_q,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY 1, 2, 3
+    """,
+    tags=("W2", "A1", "X2"),
+)
+def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    scored = per_cust.select(
+        "custkey",
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("last_order"), F.asc("custkey")))
+        .alias("r_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("custkey")))
+        .alias("f_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary_cents"), F.asc("custkey")))
+        .alias("m_q"),
+    )
+    return (
+        scored.groupBy(
+            F.col("r_q").cast("long").alias("r_q"),
+            F.col("f_q").cast("long").alias("f_q"),
+            F.col("m_q").cast("long").alias("m_q"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Market-basket co-occurrence: top part pairs by co-order count — the
+# same candidate-pair join shape as the dedup family (equi-join on the
+# grouping key, pair-ordered, hash aggregate; never a cross join). At
+# 100 TB the per-order item lists are bounded (basket size), so the
+# pair fan-out is Σ items_per_order² with a small constant — the shape
+# scales linearly in orders.
+# --------------------------------------------------------------------------
+@query(
+    "analytics_market_basket",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS n_co
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, CAST(n_co AS BIGINT) AS n_co
+    FROM pairs
+    ORDER BY n_co DESC, part_a, part_b
+    LIMIT 10
+    """,
+    tags=("J6", "A1", "O2"),
+)
+def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(
+            F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+    )
+    return pairs.orderBy(
+        F.desc("n_co"), F.asc("part_a"), F.asc("part_b")
+    ).limit(10)
