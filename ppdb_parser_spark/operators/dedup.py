@@ -506,3 +506,62 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int | None = None,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Shingle-containment near-dup pairs (Broder's containment measure):
+    pairs where |S(A)∩S(B)| / min(|S(A)|, |S(B)|) ≥ threshold — the
+    measure that catches a short document embedded inside a longer one,
+    which symmetric Jaccard misses by construction (a 30-shingle doc
+    inside a 300-shingle doc has J ≤ 0.1 but containment 1.0).
+
+    Same scale shape as :func:`jaccard_pairs_bitmap`: shared-fingerprint
+    candidate equi-join collapsed to distinct pairs, packed-set
+    ``array_intersect`` verification, int/int rational threshold
+    (deterministic cross-engine). ``max_doc_freq`` is the same df-ceiling
+    scale control; note the Jaccard length filter does NOT apply here
+    (containment pairs are precisely the length-skewed ones), so the df
+    ceiling is the primary fan-out bound at scale.
+    """
+    sh = word_shingles(df, n, id_col, text_col, min_partitions=min_partitions)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        keep = freq.filter(F.col("df") <= max_doc_freq).select("shingle")
+        sh = sh.join(keep, "shingle")
+    fp = sh.select(F.col(id_col), F.xxhash64("shingle").alias("fp"))
+    sets = fp.groupBy(id_col).agg(F.sort_array(F.collect_set("fp")).alias("fps"))
+    a, b = fp.alias("a"), fp.alias("b")
+    cand = (
+        a.join(b, "fp")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("fps").alias("fps_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("fps").alias("fps_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("fps_a", "fps_b")).cast("long").alias("n_common"),
+            F.size("fps_a").cast("long").alias("n_a"),
+            F.size("fps_b").cast("long").alias("n_b"),
+        )
+        .withColumn(
+            "containment", F.col("n_common") / F.least("n_a", "n_b")
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "containment")
+    )

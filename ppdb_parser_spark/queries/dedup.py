@@ -465,3 +465,52 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, threshold=0.35, n_planes=16, n_bands=8, seed=42, dim=64
     )
     return _embedding_survivors(e, pairs)
+
+
+# --------------------------------------------------------------------------
+# Containment near-dup (Broder): catches short-inside-long duplication
+# that symmetric Jaccard structurally misses. Threshold 0.6 on the
+# fixture corpus (random small-vocab docs produce partial containments;
+# true subset pairs score 1.0). Uncapped exact — the df-capped form is
+# the scale tier, same knob as the Jaccard family.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_containment",
+    oracle="""
+    WITH pos_toks AS (
+      SELECT doc_id,
+             unnest(str_split(text, ' ')) AS token,
+             generate_subscripts(str_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS shingle
+      FROM pos_toks
+    ),
+    shn AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL
+            AND len(str_split(shingle, ' ')) = 2),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shn GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM shn a JOIN shn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common,
+           sa.n_shingles AS n_a, sb.n_shingles AS n_b,
+           n_common / least(sa.n_shingles, sb.n_shingles) AS containment
+    FROM inter
+    JOIN sizes sa ON inter.id_a = sa.doc_id
+    JOIN sizes sb ON inter.id_b = sb.doc_id
+    WHERE n_common / least(sa.n_shingles, sb.n_shingles) >= 0.6
+    """,
+    tags=("O6", "J2", "A1", "X4"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.containment_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.6,
+        n=2,
+        min_partitions=_par(spark),
+    )

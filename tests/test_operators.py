@@ -286,6 +286,24 @@ def _corrupt_pngs():
     ]
 
 
+def test_containment_catches_what_jaccard_misses(spark):
+    """A short doc embedded in a much longer one: containment 1.0 but
+    Jaccard well under any useful threshold — the reason the containment
+    measure exists alongside the Jaccard family."""
+    from ppdb_parser_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    long_text = " ".join(f"w{i}" for i in range(40))
+    short_text = " ".join(f"w{i}" for i in range(10))  # strict prefix slice
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, short_text)], "doc_id int, text string"
+    )
+    cont = containment_pairs(docs, threshold=0.9, n=2).collect()
+    assert len(cont) == 1 and cont[0]["containment"] == 1.0
+    # same pair under symmetric Jaccard: 9 common of 39+9-9 -> ~0.23
+    jac = jaccard_pairs(docs, threshold=0.5, n=2).collect()
+    assert jac == []
+
+
 def test_bmp_wav_adversarial_inputs():
     """BMP/WAV header parsers and the BMP pixel decoder reject malformed
     input with raised errors (never silent garbage) — the non-PNG half of
