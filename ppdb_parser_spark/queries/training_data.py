@@ -454,3 +454,46 @@ def govern_documents(
             F.sum(F.size(F.split("text", " "))).cast("long").alias("sum_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic fixed-size stratified sample: EXACTLY k docs per language,
+# selected by md5 rank (salt-keyed) — reproducible across reruns, cluster
+# sizes, and corpus partitionings, where rand()-based sampleBy gives only
+# expected sizes and no stability. One window shuffle keyed by the
+# stratum; rank order is the hash, so no data-value skew in the sort key.
+# --------------------------------------------------------------------------
+_STRAT_K = 20
+
+_STRATIFIED_ORACLE = f"""
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM ranked WHERE rk <= {_STRAT_K}
+"""
+
+
+@query(
+    "pipeline_stratified_sample",
+    oracle=_STRATIFIED_ORACLE,
+    tags=("F4", "W2", "A1"),
+)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    )
+    return (
+        docs.withColumn("rk", rk)
+        .filter(F.col("rk") <= _STRAT_K)
+        .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+    )
