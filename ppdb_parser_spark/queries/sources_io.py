@@ -241,3 +241,66 @@ def src_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rules"),
         F.countDistinct("phrase").alias("n_phrases"),
     )
+
+
+# --------------------------------------------------------------------------
+# S5/J2 at scale: bucketed co-located join. Both sides are written
+# bucketBy(join key) + sortBy once, and the repeated join then plans with
+# NO shuffle exchange on either side — the 100 TB answer for recurring
+# lineitem⋈orders joins (pay the shuffle once at write time; every
+# subsequent join is exchange-free). The oracle computes the same
+# cents-exact aggregate over the plain join; the no-Exchange plan shape
+# is asserted in tests/test_bucketed_join.py (with broadcast disabled —
+# at fixture scale Catalyst broadcasts the small side, which bypasses
+# buckets; the bucketed SMJ is the large–large shape).
+# --------------------------------------------------------------------------
+@query(
+    "snk_bucketed_join",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           {money_sum_sql("l_extendedprice")} AS total_extprice
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("S5", "S2", "J2", "A1"),
+)
+def snk_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+
+    from ..sources.tables import load_table
+
+    # sf-tagged table names: the driver (sf0.01) and the local test suite
+    # (sf0.001) must not read each other's buckets
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    li_t, o_t = f"li_bkt_{tag}", f"o_bkt_{tag}"
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    # in-memory catalog: a previous session's table dirs can survive while
+    # the metadata doesn't — clear both before (re)writing
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in (li_t, o_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).saveAsTable(li_t)
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).saveAsTable(o_t)
+
+    joined = spark.table(li_t).join(
+        spark.table(o_t), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        money_sum("l_extendedprice").alias("total_extprice"),
+    )
