@@ -209,6 +209,7 @@ def jaccard_pairs_prefix(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_partitions: int | None = None,
+    delta_min_id: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-join via prefix filtering (AllPairs / PPJoin family —
     Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity Search",
@@ -260,6 +261,18 @@ def jaccard_pairs_prefix(
     The xxhash64 fingerprinting shares the bitmap variant's collision
     exposure (two distinct shingles colliding merges them — p ≈ n²/2⁶⁵,
     negligible; equality with the string-exact path is regression-tested).
+
+    ``delta_min_id``: incremental-ingest mode. With ids assigned
+    append-only (every new doc's id exceeds every existing id — the
+    standard ingest contract), passing the first new id restricts the
+    candidate join to pairs whose LARGER id is in the delta: old×new and
+    new×new pairs, never old×old — exactly the pairs an incremental dedup
+    must evaluate. The restriction is a conjunct in the join condition
+    (not a filtered input), so both join sides still read the ONE shared
+    prefix exchange; the pair-aggregate input shrinks from Σ df² to
+    Σ df·df_delta, making re-ingest cost proportional to the delta, not
+    the corpus. Results equal the full join filtered to id_b ≥ the
+    cutoff (oracle-checked by dedup_jaccard_incremental).
     """
     if min_partitions:
         df = df.repartition(min_partitions)
@@ -369,14 +382,17 @@ def jaccard_pairs_prefix(
     # union ≥ max), so length-incompatible occurrence rows are dropped as
     # the equi-join on fp emits them — BEFORE they reach the pair
     # aggregate's exchange. Pruning only; verification stays exact.
+    join_cond = (
+        (F.col("a.fp") == F.col("b.fp"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (tc * F.col("a.n") <= F.col("b.n"))
+        & (tc * F.col("b.n") <= F.col("a.n"))
+    )
+    if delta_min_id is not None:
+        # incremental mode: the larger-id side must be a delta doc
+        join_cond = join_cond & (F.col(f"b.{id_col}") >= F.lit(delta_min_id))
     cand = (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & (tc * F.col("a.n") <= F.col("b.n"))
-            & (tc * F.col("b.n") <= F.col("a.n")),
-        )
+        a.join(b, join_cond)
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),

@@ -514,3 +514,65 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=2,
         min_partitions=_par(spark),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental near-dup ingest: the last 100 docs are "the new batch";
+# only old×new and new×new pairs are evaluated (append-only id contract),
+# so ingest cost is proportional to the delta, not the corpus — the
+# production shape for a continuously-fed 100 TB corpus. Exact and
+# uncapped: the oracle is the full Jaccard join filtered to pairs whose
+# larger id is in the delta.
+# --------------------------------------------------------------------------
+_DELTA_DOCS = 100
+
+
+@query(
+    "dedup_jaccard_incremental",
+    oracle=f"""
+    WITH pos_toks AS (
+      SELECT doc_id,
+             unnest(str_split(text, ' ')) AS token,
+             generate_subscripts(str_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS shingle
+      FROM pos_toks
+    ),
+    shn AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL
+            AND len(str_split(shingle, ' ')) = 2),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shn GROUP BY doc_id),
+    cutoff AS (SELECT MAX(doc_id) - {_DELTA_DOCS - 1} AS c0 FROM documents),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM shn a JOIN shn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common,
+           sa.n_shingles AS n_a, sb.n_shingles AS n_b,
+           n_common / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.id_a = sa.doc_id
+    JOIN sizes sb ON inter.id_b = sb.doc_id, cutoff
+    WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5
+      AND id_b >= c0
+    """,
+    tags=("O6", "J2", "A1", "X4"),
+)
+def dedup_jaccard_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow.parquet as pq
+
+    # doc ids are dense 0..N-1 (append-only ingest contract); the delta
+    # cutoff comes from the parquet footer (catalog stats on a cluster) —
+    # zero Spark jobs at plan time, same pattern as dedup_embedding
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return DD.jaccard_pairs_prefix(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.5,
+        n=2,
+        min_partitions=_par(spark),
+        delta_min_id=n - _DELTA_DOCS,
+    )
