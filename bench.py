@@ -34,14 +34,18 @@ def main() -> None:
     for spec in bench_specs:
         spec.fn(spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {s.name: [] for s in bench_specs}
     for _ in range(3):
         for spec in bench_specs:
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).count()
-            dt = round(time.perf_counter() - t0, 4)
-            timings[spec.name] = min(timings.get(spec.name, dt), dt)
+            runs[spec.name].append(round(time.perf_counter() - t0, 4))
 
+    timings = {name: min(ts) for name, ts in runs.items()}
+    # Per-query max/min spread: >1.5 on many queries means the host was
+    # contended during the run and the totals should be re-measured, not
+    # interpreted as a plan regression (the round-4 failure mode).
+    spreads = {name: round(max(ts) / min(ts), 2) for name, ts in runs.items()}
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -50,6 +54,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spreads": spreads,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -45,6 +45,10 @@ def get_spark(
             "spark.sql.warehouse.dir",
             os.path.join(repo_root, ".cache", "warehouse"),
         )
+        # Shuffle/blockmgr scratch on repo-owned storage: round-4's bench
+        # regression traced to a /tmp cleaner evicting temp_shuffle_* files
+        # mid-run (verdict r4). A path we own cannot be raced by tmpwatch.
+        .config("spark.local.dir", os.path.join(repo_root, ".cache", "scratch"))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
