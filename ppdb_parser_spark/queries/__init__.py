@@ -15,6 +15,7 @@ from . import (  # noqa: F401
     similarity,
     sources_io,
     streaming_queries,
+    subqueries,
     text_analysis,
     timeseries,
     training_data,

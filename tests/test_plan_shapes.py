@@ -226,3 +226,18 @@ def test_hash_split_stable_under_corpus_growth(spark, sf_dir):
         .collect()
     }
     assert half and all(full[k] == v for k, v in half.items())
+
+
+def test_subquery_decorrelation_shapes(spark, sf_dir):
+    """Catalyst must rewrite the subquery SQL surface into plain
+    aggregate/join operators: no leftover subquery nodes in the physical
+    plan, NOT EXISTS as a left anti join, and zero nested-loop joins
+    anywhere (the decorrelated plans are the ones we'd run at 100 TB)."""
+    q17 = _df(spark, sf_dir, "sub_correlated_avg_qty")
+    C.assert_no_nested_loop(q17, "sub_correlated_avg_qty")
+    plan = C.plan_string(q17)
+    assert "HashAggregate" in plan, "decorrelated per-key aggregate missing"
+
+    q22 = _df(spark, sf_dir, "sub_exists_idle_rich")
+    C.assert_no_nested_loop(q22, "sub_exists_idle_rich")
+    assert "LeftAnti" in C.plan_string(q22), "NOT EXISTS should be an anti join"
