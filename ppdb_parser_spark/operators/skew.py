@@ -42,3 +42,38 @@ def salted_agg_sum_count(
         F.sum("__n").cast("long").alias("n_rows"),
         (F.sum("__cents") / 100.0).alias("total_value"),
     )
+
+
+def salted_replicate_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    salt_from: list[str],
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-resistant equi join: salt the (skewed) fact side, replicate the
+    dim side across all salts, join on ``(key, salt)``.
+
+    This is the replicate-salt counterpart to :func:`salted_agg_sum_count`
+    for joins where the dim side is too large to broadcast and a hot fact
+    key would otherwise funnel into one shuffle partition. A hot key's
+    rows spread over ``n_salts`` reducers; the dim pays an ``n_salts``×
+    replication (explode of a literal salt array — map-side, no extra
+    shuffle of the dim beyond the join's own exchange).
+
+    AQE's skew-join splitting covers the sort-merge case adaptively; the
+    salted form is the deterministic, planner-independent fix — it also
+    works for shuffled hash joins and for engines/stages where AQE cannot
+    re-plan (e.g. a stream-static join). The salt again derives from
+    stable row attributes, never ``F.rand`` (speculative re-execution must
+    salt identically).
+
+    Result equals the plain equi join row-for-row (oracle-checked by
+    ``skew_salted_join``).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_from]), F.lit(n_salts))
+    fact_s = fact.withColumn("__salt", salt.cast("int"))
+    dim_s = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return fact_s.join(dim_s, [key_col, "__salt"]).drop("__salt")

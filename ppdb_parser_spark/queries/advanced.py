@@ -7,9 +7,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import money_sum, money_sum_sql
 from ..operators.ppdb import parse_ppdb_clean
 from ..operators.similarity import ivf_topk
-from ..operators.skew import salted_agg_sum_count
+from ..operators.skew import salted_agg_sum_count, salted_replicate_join
 from ..sources.ppdb_pack import ensure_pack, lines_values_sql
 from ..sources.tables import load_table
 from ..sources.text import read_text_lines
@@ -214,4 +215,58 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("l_discount"), 8).alias("var_disc"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Skew-salted JOIN (§4.3, the join-side twin of skew_salted_agg): a
+# synthetic hot key folds 10% of parts onto key 0, so ~10% of all
+# lineitems share one join key — the shape AQE skew-split handles for
+# sort-merge joins and salting handles everywhere (including shuffled
+# hash joins and stream-static joins, where AQE cannot re-plan). The dim
+# side carries a SHUFFLE_HASH hint so the demo actually exercises the
+# shuffle path instead of broadcasting the small fixture dim; results
+# must equal the plain equi join (the oracle runs it unsalted).
+# --------------------------------------------------------------------------
+@query(
+    "skew_salted_join",
+    oracle=f"""
+    WITH f AS (
+      SELECT CASE WHEN l_partkey % 10 = 0 THEN 0 ELSE l_partkey END AS hot_key,
+             l_returnflag, l_extendedprice
+      FROM lineitem
+    ),
+    d AS (
+      SELECT CASE WHEN p_partkey % 10 = 0 THEN 0 ELSE p_partkey END AS hot_key,
+             COUNT(*) AS n_parts_in_key
+      FROM part GROUP BY 1
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(n_parts_in_key) AS BIGINT) AS parts_weight,
+           {money_sum_sql("l_extendedprice")} AS sum_price
+    FROM f JOIN d USING (hot_key)
+    GROUP BY l_returnflag
+    """,
+    tags=("J2", "A1"),
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hot = lambda c: F.when(F.col(c) % 10 == 0, F.lit(0)).otherwise(F.col(c))  # noqa: E731
+    fact = load_table(spark, sf_dir, "lineitem").select(
+        hot("l_partkey").alias("hot_key"), "l_returnflag", "l_extendedprice",
+        "l_orderkey", "l_linenumber",
+    )
+    dim = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(hot("p_partkey").alias("hot_key"))
+        .agg(F.count(F.lit(1)).alias("n_parts_in_key"))
+        .hint("shuffle_hash")
+    )
+    joined = salted_replicate_join(
+        fact, dim, "hot_key", salt_from=["l_orderkey", "l_linenumber"], n_salts=8
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_parts_in_key").cast("long").alias("parts_weight"),
+        money_sum(F.col("l_extendedprice")).alias("sum_price"),
     )

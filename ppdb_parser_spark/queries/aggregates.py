@@ -274,3 +274,139 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
         F.median("l_extendedprice").alias("exact_median"),
     )
+
+
+# --------------------------------------------------------------------------
+# A1/X3: fixed-width histogram of order totals, bucketed with INTEGER
+# division on the cents grid (a double `floor(x/w)` can misbucket a value
+# sitting exactly on a boundary when the two engines' doubles differ by an
+# ulp; BIGINT cents `div` cannot). One map + one hash aggregate — at
+# 100 TB this is a pure map-side-combine shape, ~n_buckets rows out.
+# --------------------------------------------------------------------------
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 5000000 AS BIGINT)
+             AS bucket,
+           CAST(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 5000000 AS BIGINT)
+                * 50000.0 AS DOUBLE) AS bucket_lo,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS sum_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("A1", "X3"),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    bucket = F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) div 5000000")
+    return (
+        o.select(
+            bucket.alias("bucket"),
+            (bucket * 50000.0).alias("bucket_lo"),
+            cents.alias("__cents"),
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("__cents") / 100.0).alias("sum_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Data profiling in ONE scan (A1/X1 composite): per-column null count,
+# distinct count and min/max, unpivoted to a (column, metric) relation.
+# The whole profile is a single aggregate pass — never one job per column
+# (the naive profiler shape that dies first at 100 TB); min/max of the
+# money column ride the cents grid so the doubles hash identically.
+# --------------------------------------------------------------------------
+@query(
+    "profile_columns",
+    oracle="""
+    SELECT 'c_custkey' AS col_name,
+           CAST(COUNT(*) - COUNT(c_custkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_v,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_v
+    FROM customer
+    UNION ALL
+    SELECT 'c_nationkey',
+           CAST(COUNT(*) - COUNT(c_nationkey) AS BIGINT),
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+           CAST(MIN(c_nationkey) AS BIGINT),
+           CAST(MAX(c_nationkey) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'c_acctbal_cents',
+           CAST(COUNT(*) - COUNT(c_acctbal) AS BIGINT),
+           CAST(COUNT(DISTINCT c_acctbal) AS BIGINT),
+           CAST(MIN(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT),
+           CAST(MAX(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment',
+           CAST(COUNT(*) - COUNT(c_mktsegment) AS BIGINT),
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
+           NULL, NULL
+    FROM customer
+    """,
+    tags=("A1", "A2", "X1", "O3"),
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    n = F.count(F.lit(1))
+    agg = c.agg(
+        (n - F.count("c_custkey")).alias("nn_custkey"),
+        F.countDistinct("c_custkey").alias("nd_custkey"),
+        F.min("c_custkey").cast("long").alias("mn_custkey"),
+        F.max("c_custkey").cast("long").alias("mx_custkey"),
+        (n - F.count("c_nationkey")).alias("nn_nationkey"),
+        F.countDistinct("c_nationkey").alias("nd_nationkey"),
+        F.min("c_nationkey").cast("long").alias("mn_nationkey"),
+        F.max("c_nationkey").cast("long").alias("mx_nationkey"),
+        (n - F.count("c_acctbal")).alias("nn_acctbal"),
+        F.countDistinct("c_acctbal").alias("nd_acctbal"),
+        F.min(cents).alias("mn_acctbal"),
+        F.max(cents).alias("mx_acctbal"),
+        (n - F.count("c_mktsegment")).alias("nn_mktsegment"),
+        F.countDistinct("c_mktsegment").alias("nd_mktsegment"),
+    )
+    row = F.struct
+    return agg.select(
+        F.explode(
+            F.array(
+                row(
+                    F.lit("c_custkey").alias("col_name"),
+                    F.col("nn_custkey").cast("long").alias("n_nulls"),
+                    F.col("nd_custkey").cast("long").alias("n_distinct"),
+                    F.col("mn_custkey").alias("min_v"),
+                    F.col("mx_custkey").alias("max_v"),
+                ),
+                row(
+                    F.lit("c_nationkey").alias("col_name"),
+                    F.col("nn_nationkey").cast("long").alias("n_nulls"),
+                    F.col("nd_nationkey").cast("long").alias("n_distinct"),
+                    F.col("mn_nationkey").alias("min_v"),
+                    F.col("mx_nationkey").alias("max_v"),
+                ),
+                row(
+                    F.lit("c_acctbal_cents").alias("col_name"),
+                    F.col("nn_acctbal").cast("long").alias("n_nulls"),
+                    F.col("nd_acctbal").cast("long").alias("n_distinct"),
+                    F.col("mn_acctbal").alias("min_v"),
+                    F.col("mx_acctbal").alias("max_v"),
+                ),
+                row(
+                    F.lit("c_mktsegment").alias("col_name"),
+                    F.col("nn_mktsegment").cast("long").alias("n_nulls"),
+                    F.col("nd_mktsegment").cast("long").alias("n_distinct"),
+                    F.lit(None).cast("long").alias("min_v"),
+                    F.lit(None).cast("long").alias("max_v"),
+                ),
+            )
+        ).alias("m")
+    ).select("m.*")

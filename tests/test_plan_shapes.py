@@ -241,3 +241,22 @@ def test_subquery_decorrelation_shapes(spark, sf_dir):
     q22 = _df(spark, sf_dir, "sub_exists_idle_rich")
     C.assert_no_nested_loop(q22, "sub_exists_idle_rich")
     assert "LeftAnti" in C.plan_string(q22), "NOT EXISTS should be an anti join"
+
+
+def test_salted_join_shuffles_and_matches_unsalted(spark, sf_dir):
+    """The salted replicate join must actually take the shuffle-hash path
+    (a broadcast would nullify the skew demo) and keep nested loops out;
+    value equality with the plain join is covered by the driver oracle."""
+    df = _df(spark, sf_dir, "skew_salted_join")
+    plan = C.plan_string(df)
+    assert "ShuffledHashJoin" in plan, "dim hint lost — join not shuffle-hash"
+    C.assert_no_nested_loop(df, "skew_salted_join")
+
+
+def test_profile_is_single_scan(spark, sf_dir):
+    """The one-pass profiler must read `customer` exactly once — a
+    per-column-job profiler shape would show one scan per metric family."""
+    plan = C.plan_string(_df(spark, sf_dir, "profile_columns"))
+    # one file-index Location per scan; the literal "Scan parquet" appears
+    # twice per scan in formatted mode (tree node + detail header)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
