@@ -222,3 +222,85 @@ def tf_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Dat
         .select(id_col, "token", F.col("tf").cast("long").alias("tf"),
                 F.col("doc_freq").cast("long").alias("doc_freq"), "tfidf")
     )
+
+
+def _word_ngrams(toks: Column, n_col: Column, n: int) -> Column:
+    """Word n-gram array built IN-ROW from the token array (narrow map —
+    zero shuffle; the gram stream shuffles exactly once, in the counting
+    aggregate downstream). ``slice``+``zip_with`` instead of a
+    sequence/element_at walk: both slices have identical length so
+    ``zip_with`` never null-pads, and the whole expression stays inside
+    whole-stage codegen."""
+    if n == 1:
+        return toks
+    prev = _word_ngrams(toks, n_col, n - 1)
+    joined = F.zip_with(
+        F.slice(prev, 1, n_col - (n - 1)),
+        F.slice(toks, n, n_col - (n - 1)),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.when(n_col >= n, joined).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+    Models: ... Gopher", appendix A1.1 repetition filters — public paper):
+    per document,
+
+    - ``top_token_frac``   — occurrences of the most frequent token / n_tokens,
+    - ``top_bigram_frac``  — occurrences of the most frequent word 2-gram
+      / total 2-grams,
+    - ``dup_trigram_frac`` — occurrences belonging to word 3-grams that
+      appear more than once / total 3-grams.
+
+    Plan shape (the 100 TB read): uni/bi/tri-grams are all built in-row
+    (``_word_ngrams``), tagged with a 1-char kind, concatenated, and
+    exploded ONCE — so the whole operator is one gram-stream explode →
+    one (id, kind, gram)-keyed hash aggregate → one (id, kind) partial →
+    one (id) pivot aggregate. All keys are uniform (doc_id dominates),
+    map-side combine applies at every level, and nothing is ever joined —
+    a pure aggregation cascade that scales linearly with corpus tokens.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    grams = F.concat(
+        F.transform(
+            _word_ngrams(toks, n, 1),
+            lambda g: F.struct(F.lit("1").alias("kind"), g.alias("gram")),
+        ),
+        F.transform(
+            _word_ngrams(toks, n, 2),
+            lambda g: F.struct(F.lit("2").alias("kind"), g.alias("gram")),
+        ),
+        F.transform(
+            _word_ngrams(toks, n, 3),
+            lambda g: F.struct(F.lit("3").alias("kind"), g.alias("gram")),
+        ),
+    )
+    stream = df.select(F.col(id_col), F.explode(grams).alias("g")).select(
+        id_col, F.col("g.kind").alias("kind"), F.col("g.gram").alias("gram")
+    )
+    counts = stream.groupBy(id_col, "kind", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_kind = counts.groupBy(id_col, "kind").agg(
+        F.sum("c").alias("total"),
+        F.max("c").alias("top"),
+        F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)).alias(
+            "dup"
+        ),
+    )
+
+    def _k(kind: str, col: str) -> Column:
+        return F.max(F.when(F.col("kind") == kind, F.col(col)))
+
+    return per_kind.groupBy(id_col).agg(
+        _k("1", "total").cast("long").alias("n_tokens"),
+        (_k("1", "top") / _k("1", "total")).alias("top_token_frac"),
+        (_k("2", "top") / _k("2", "total")).alias("top_bigram_frac"),
+        (_k("3", "dup") / _k("3", "total")).alias("dup_trigram_frac"),
+    )

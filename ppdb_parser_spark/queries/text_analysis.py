@@ -306,3 +306,77 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.log10(F.col("c") / F.col("t"))) / F.count(F.lit(1)), 6)
         .alias("mean_logprob"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition signals (Rae et al. 2021 A1.1): most-frequent
+# token/bigram occupancy + duplicated-trigram mass, plus the pass flag a
+# curation pipeline would filter on. One in-row gram build → single explode
+# → pure aggregation cascade (no joins; every key uniform).
+# --------------------------------------------------------------------------
+@query(
+    "text_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(str_split(text, ' ')) AS tok,
+             generate_subscripts(str_split(text, ' '), 1) AS i
+      FROM documents
+    ),
+    seq AS (
+      SELECT doc_id, tok,
+             lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i) AS t1,
+             lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY i) AS t2
+      FROM toks
+    ),
+    grams AS (
+      SELECT doc_id, '1' AS kind, tok AS gram FROM seq
+      UNION ALL
+      SELECT doc_id, '2', tok || ' ' || t1 FROM seq WHERE t1 IS NOT NULL
+      UNION ALL
+      SELECT doc_id, '3', tok || ' ' || t1 || ' ' || t2 FROM seq
+      WHERE t2 IS NOT NULL
+    ),
+    counts AS (
+      SELECT doc_id, kind, gram, COUNT(*) AS c FROM grams GROUP BY ALL
+    ),
+    per_kind AS (
+      SELECT doc_id, kind,
+             CAST(SUM(c) AS BIGINT) AS total,
+             CAST(MAX(c) AS BIGINT) AS top,
+             CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup
+      FROM counts GROUP BY ALL
+    ),
+    wide AS (
+      SELECT doc_id,
+             MAX(CASE WHEN kind = '1' THEN total END) AS n_tokens,
+             CAST(MAX(CASE WHEN kind = '1' THEN top END) AS DOUBLE)
+               / MAX(CASE WHEN kind = '1' THEN total END) AS top_token_frac,
+             CAST(MAX(CASE WHEN kind = '2' THEN top END) AS DOUBLE)
+               / MAX(CASE WHEN kind = '2' THEN total END) AS top_bigram_frac,
+             CAST(MAX(CASE WHEN kind = '3' THEN dup END) AS DOUBLE)
+               / MAX(CASE WHEN kind = '3' THEN total END) AS dup_trigram_frac
+      FROM per_kind GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, top_token_frac, top_bigram_frac,
+           dup_trigram_frac,
+           (top_token_frac <= 0.20 AND top_bigram_frac <= 0.10
+            AND dup_trigram_frac <= 0.60) AS pass_repetition
+    FROM wide
+    """,
+    tags=("L6", "X4", "A1", "F3"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rep = TA.repetition_stats(load_table(spark, sf_dir, "documents"))
+    return rep.select(
+        "doc_id",
+        "n_tokens",
+        "top_token_frac",
+        "top_bigram_frac",
+        "dup_trigram_frac",
+        (
+            (F.col("top_token_frac") <= 0.20)
+            & (F.col("top_bigram_frac") <= 0.10)
+            & (F.col("dup_trigram_frac") <= 0.60)
+        ).alias("pass_repetition"),
+    )

@@ -588,3 +588,25 @@ def test_png_decoder_rejects_unsupported():
     )
     with _pytest.raises(NotImplementedError):
         MM.png_pixels(bad)
+
+
+def test_repetition_stats_known_values(spark):
+    """Hand-computed Gopher repetition signals on a 2-doc corpus."""
+    from ppdb_parser_spark.operators.text_analysis import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y x y x y")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    r1 = rows[1]
+    # tokens: a×3 b×1; bigrams: "a a"×2 "a b"×1; trigrams: "a a a","a a b"
+    assert r1["n_tokens"] == 4
+    assert r1["top_token_frac"] == 3 / 4
+    assert r1["top_bigram_frac"] == 2 / 3
+    assert r1["dup_trigram_frac"] == 0.0
+    r2 = rows[2]
+    # tokens: x×3 y×3; bigrams: "x y"×3 "y x"×2; trigrams: "x y x"×2 "y x y"×2
+    assert r2["n_tokens"] == 6
+    assert r2["top_token_frac"] == 3 / 6
+    assert r2["top_bigram_frac"] == 3 / 5
+    assert r2["dup_trigram_frac"] == 1.0
