@@ -581,3 +581,66 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "n_common", "n_a", "n_b", "containment")
     )
+
+
+def winnow_match(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+    max_doc_freq: int = 64,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowed fingerprints
+    (SIGMOD'03 winnowing; see text_analysis.winnow_fingerprints). Two
+    documents sharing any w+k-1-token run share a fingerprint by the
+    winnowing guarantee, so thresholding on ``min_shared`` fingerprints
+    detects copied passages without any all-pairs work.
+
+    Scale shape: the join key is the fingerprint value, so pair fan-out is
+    Σ df² over fingerprints. md5-sampled k-grams are far more selective
+    than raw shingles (measured max df 4 on the fixture corpus), and
+    ``max_doc_freq`` drops boilerplate fingerprints (df > cap) before the
+    join — the same deterministic ceiling `dedup_jaccard_capped` uses.
+    ``overlap`` is shared / min(|fp_a|, |fp_b|) over the POST-cap sets
+    (containment against the informative fingerprints), an int/int
+    rational — cross-engine exact.
+
+    Returns (doc_a, doc_b, n_shared, overlap).
+    """
+    from .text_analysis import winnow_fingerprints
+
+    fp = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    freq = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("fp_df"))
+    kept = (
+        fp.join(freq, "fingerprint")
+        .filter(F.col("fp_df") <= max_doc_freq)
+        .select(id_col, "fingerprint")
+    )
+    sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(b, "fingerprint")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_fp").alias("n_fp_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_fp").alias("n_fp_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (F.col("n_shared") / F.least(F.col("n_fp_a"), F.col("n_fp_b"))).alias(
+                "overlap"
+            ),
+        )
+    )

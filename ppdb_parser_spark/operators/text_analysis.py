@@ -304,3 +304,61 @@ def repetition_stats(
         (_k("2", "top") / _k("2", "total")).alias("top_bigram_frac"),
         (_k("3", "dup") / _k("3", "total")).alias("dup_trigram_frac"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowed document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 "Winnowing: Local Algorithms for Document Fingerprinting" —
+    public paper; the MOSS scheme). Per document: hash every word k-gram,
+    slide a window of ``w`` consecutive hashes, record the minimum of each
+    window; the distinct selected hashes are the document's fingerprint
+    set. Winnowing guarantees any shared run of ``w + k - 1`` tokens
+    between two documents produces at least one shared fingerprint, at an
+    expected density of 2/(w+1) — position-robust, unlike head/tail or
+    mod-p sampling.
+
+    Cross-engine-exact hashing: the "hash" is the first 16 hex chars of
+    md5(k-gram) — fixed-width lowercase hex, so lexicographic MIN equals
+    numeric MIN and Spark/DuckDB agree byte-for-byte (no engine-specific
+    integer hash involved).
+
+    Plan shape: k-grams are built IN-ROW (``_word_ngrams``: slice+zip_with,
+    no shuffle), then one posexplode and ONE doc-keyed exchange feeds the
+    sliding-window MIN; the distinct collapses on the same (id, hash)
+    clustering. Short docs (< w k-grams) keep their single whole-doc
+    window, matching the paper's boundary rule.
+
+    Returns (id_col, fingerprint).
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    grams = _word_ngrams(toks, n, k)
+    stream = df.select(
+        F.col(id_col),
+        F.size(grams).alias("n_grams"),
+        F.posexplode(grams).alias("pos", "gram"),
+    ).select(
+        id_col,
+        "n_grams",
+        "pos",
+        F.substring(F.md5(F.col("gram")), 1, 16).alias("h"),
+    )
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    starts = stream.withColumn("wmin", F.min("h").over(win)).where(
+        F.col("pos") <= F.greatest(F.col("n_grams") - F.lit(w), F.lit(0))
+    )
+    return starts.select(
+        F.col(id_col), F.col("wmin").alias("fingerprint")
+    ).distinct()

@@ -576,3 +576,43 @@ def dedup_jaccard_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_partitions=_par(spark),
         delta_min_id=n - _DELTA_DOCS,
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing-based near-dup pairs (SIGMOD'03): docs sharing >= 2 winnowed
+# fingerprints. The fingerprint join is the MOSS scheme at corpus scale:
+# selective md5-sampled k-grams, df-capped, never all-pairs.
+# --------------------------------------------------------------------------
+from .text_analysis import WINNOW_FP_SQL as _WINNOW_FP_SQL
+
+
+@query(
+    "dedup_winnow_match",
+    oracle=f"""
+    WITH {_WINNOW_FP_SQL},
+    freq AS (
+      SELECT fingerprint, COUNT(*) AS fp_df FROM winnow_fp GROUP BY 1
+    ),
+    kept AS (
+      SELECT w.doc_id, w.fingerprint
+      FROM winnow_fp w JOIN freq USING (fingerprint)
+      WHERE fp_df <= 64
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM kept GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM kept a JOIN kept b
+        ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared,
+           CAST(n_shared AS DOUBLE) / least(sa.n_fp, sb.n_fp) AS overlap
+    FROM pairs
+    JOIN sizes sa ON pairs.doc_a = sa.doc_id
+    JOIN sizes sb ON pairs.doc_b = sb.doc_id
+    WHERE n_shared >= 2
+    """,
+    tags=("O6", "L7", "J2", "A1"),
+)
+def dedup_winnow_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.winnow_match(load_table(spark, sf_dir, "documents"))

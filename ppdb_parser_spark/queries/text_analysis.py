@@ -380,3 +380,60 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("dup_trigram_frac") <= 0.60)
         ).alias("pass_repetition"),
     )
+
+
+#: Winnowing CTE body (k=4, w=5) shared by `text_winnow_fp` and
+#: `dedup_winnow_match` — the DuckDB re-expression of
+#: TA.winnow_fingerprints: lead-window k-grams, md5-prefix hashes,
+#: sliding MIN of each of the n_grams-w+1 windows, distinct.
+WINNOW_FP_SQL = """
+    toks AS (
+      SELECT doc_id,
+             unnest(str_split(text, ' ')) AS tok,
+             generate_subscripts(str_split(text, ' '), 1) AS i
+      FROM documents
+    ),
+    seq AS (
+      SELECT doc_id, i, tok,
+             lead(tok, 1) OVER win AS t1,
+             lead(tok, 2) OVER win AS t2,
+             lead(tok, 3) OVER win AS t3
+      FROM toks
+      WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    kg AS (
+      SELECT doc_id, i,
+             substr(md5(tok || ' ' || t1 || ' ' || t2 || ' ' || t3),
+                    1, 16) AS h,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_grams,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+      FROM seq WHERE t3 IS NOT NULL
+    ),
+    wins AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY rn
+                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin,
+             rn, n_grams
+      FROM kg
+    ),
+    winnow_fp AS (
+      SELECT DISTINCT doc_id, wmin AS fingerprint
+      FROM wins WHERE rn <= GREATEST(n_grams - 4, 1)
+    )
+"""
+
+
+# --------------------------------------------------------------------------
+# Winnowed fingerprints (SIGMOD'03 / MOSS): guaranteed-coverage sampled
+# k-gram hashes. In-row gram build -> one doc-keyed exchange -> window MIN.
+# --------------------------------------------------------------------------
+@query(
+    "text_winnow_fp",
+    oracle=f"""
+    WITH {WINNOW_FP_SQL}
+    SELECT doc_id, fingerprint FROM winnow_fp
+    """,
+    tags=("L7", "W4", "X1"),
+)
+def text_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.winnow_fingerprints(load_table(spark, sf_dir, "documents"))

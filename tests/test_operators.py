@@ -610,3 +610,35 @@ def test_repetition_stats_known_values(spark):
     assert r2["top_token_frac"] == 3 / 6
     assert r2["top_bigram_frac"] == 3 / 5
     assert r2["dup_trigram_frac"] == 1.0
+
+
+def test_winnowing_guarantee_and_match(spark):
+    """Winnowing guarantee (SIGMOD'03): two docs sharing a run of
+    w + k - 1 = 8 tokens share at least one fingerprint; an exact copy
+    shares all of them (overlap 1.0 in winnow_match)."""
+    from ppdb_parser_spark.operators.dedup import winnow_match
+    from ppdb_parser_spark.operators.text_analysis import winnow_fingerprints
+
+    shared_run = "q1 q2 q3 q4 q5 q6 q7 q8"
+    doc1 = "alpha beta gamma " + shared_run + " delta epsilon zeta"
+    doc2 = "one two three four " + shared_run + " five six seven"
+    doc3 = doc1  # exact copy of doc1
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, doc3)], ["doc_id", "text"]
+    )
+    fps = (
+        winnow_fingerprints(df)
+        .groupBy("doc_id")
+        .agg(F.collect_set("fingerprint").alias("s"))
+        .collect()
+    )
+    sets = {r["doc_id"]: set(r["s"]) for r in fps}
+    assert sets[1] & sets[2], "shared 8-token run must yield a shared fingerprint"
+    assert sets[1] == sets[3], "identical docs have identical fingerprint sets"
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in winnow_match(df, min_shared=1).collect()
+    }
+    assert pairs[(1, 3)]["overlap"] == 1.0
+    assert (1, 2) in pairs and (2, 3) in pairs
