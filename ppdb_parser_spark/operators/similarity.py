@@ -493,3 +493,214 @@ def ivf_kmeans_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+#: 1e-9 integer grid for the PQ float sums: every per-element product is
+#: rounded onto the grid and accumulated as int64, so the sums are
+#: associative (order-independent) and bit-identical across engines —
+#: the functions/exact.py money_sum technique applied to dot products.
+#: Bound: |term| <= 64 → 6.4e10 per term, × dim 64 ≈ 4e12 per sum « 2^63.
+PQ_GRID = 1_000_000_000
+
+
+def _grid_sum(a: Column, b: Column, f) -> Column:
+    """Σ round(f(a_i, b_i) · PQ_GRID) as int64 over two equal-length
+    arrays — an order-independent, cross-engine-exact float reduction."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.round(f(x.cast("double"), y.cast("double")) * PQ_GRID).cast(
+                "long"
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _grid_dot(a: Column, b: Column) -> Column:
+    return _grid_sum(a, b, lambda x, y: x * y)
+
+
+def _grid_norm6(a: Column) -> Column:
+    """round(‖a‖, 6) with the grid-exact inner sum."""
+    return F.round(F.sqrt(_grid_sum(a, a, lambda x, y: x * y) / float(PQ_GRID)), 6)
+
+
+def pq_encode(
+    df: DataFrame,
+    n_centroids: int = 16,
+    m: int = 8,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """Product-quantization encoder (Jégou, Douze & Schmid, TPAMI 2011
+    "Product Quantization for Nearest Neighbor Search" — public paper).
+    Splits each ``dim``-vector into ``m`` subvectors and assigns each to
+    its nearest of ``n_centroids`` per-subspace centroids; a vector
+    compresses to ``m`` small codes + its norm — at 100 TB the serving
+    scan reads this codes table (~9 bytes/vector here) instead of the
+    256-byte float embedding, which is the entire point of PQ.
+
+    Centroids are seeded deterministically from the vectors with
+    ``id < n_centroids`` (the ivf_topk convention — no RNG, oracle-exact;
+    `sim_ivf_kmeans_topk` shows how a relational Lloyd step sharpens seeded
+    cells when needed). Distances are argmin'd on the int64 PQ_GRID, ties
+    broken on centroid id, so codes are bit-reproducible cross-engine.
+
+    Plan: 1-row broadcast of the codebook; encoding is a narrow in-row map
+    (m · n_centroids · dim/m grid-dot products per row), no shuffle.
+
+    Returns (id_col, *keep_cols, codes array<int>, vnorm).
+    """
+    sub = dim // m
+    seeds_row = df.filter(F.col(id_col) < n_centroids).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).cast("int").alias("cell_id"),
+                    F.col(vec_col).alias("semb"),
+                )
+            )
+        ).alias("seeds")
+    )
+
+    def _code_at(vec: Column, s: Column) -> Column:
+        subv = F.slice(vec, s * sub + 1, sub)
+        ranked = F.array_sort(
+            F.transform(
+                F.col("seeds"),
+                lambda c: F.struct(
+                    _grid_sum(
+                        subv,
+                        F.slice(c["semb"], s * sub + 1, sub),
+                        lambda x, y: (x - y) * (x - y),
+                    ).alias("d2g"),
+                    c["cell_id"].alias("cell_id"),
+                ),
+            )
+        )
+        return F.element_at(ranked, 1)["cell_id"]
+
+    return df.crossJoin(F.broadcast(seeds_row)).select(
+        id_col,
+        *keep_cols,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: _code_at(F.col(vec_col), s),
+        ).alias("codes"),
+        _grid_norm6(F.col(vec_col)).alias("vnorm"),
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    probe_id: int = 1,
+    n_centroids: int = 16,
+    m: int = 8,
+    k: int = 10,
+    rerank: int = 50,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (TPAMI'11 ADC) with exact rerank —
+    the textbook PQ serving shape:
+
+    1. codes scan: per row, adc_dot = Σ_s table[s][code_s] where ``table``
+       is the broadcast (m × n_centroids) grid of probe-subvector ·
+       centroid-subvector dots — O(m) int64 lookups per row, no float
+       math in the hot loop;
+    2. top-``rerank`` candidates by adc_cosine (TakeOrderedAndProject);
+    3. the ≤ ``rerank`` survivors join back to the embeddings relation
+       (a broadcast semi-lookup at scale) for the exact cosine, and the
+       final top-``k`` is ranked on that.
+
+    Fully deterministic (seeded codebook + grid sums + id tie-breaks) →
+    hash-exact oracle; recall vs the exact scan is measured in
+    tools/ann_recall.py. Zero driver-side jobs: probe and codebook are
+    in-plan 1-row broadcast contexts.
+
+    Returns (id_col, *keep_cols, adc_cosine, cosine) — ``cosine`` exact.
+    """
+    sub = dim // m
+    codes = pq_encode(
+        df,
+        n_centroids,
+        m,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        keep_cols=keep_cols,
+    )
+    seeds_row = df.filter(F.col(id_col) < n_centroids).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).cast("int").alias("cell_id"),
+                    F.col(vec_col).alias("semb"),
+                )
+            )
+        ).alias("seeds")
+    )
+    probe_row = df.filter(F.col(id_col) == probe_id).select(
+        F.col(vec_col).alias("q"), _grid_norm6(F.col(vec_col)).alias("qnorm")
+    )
+    ctx = probe_row.crossJoin(seeds_row).select(
+        "q",
+        "qnorm",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.transform(
+                F.col("seeds"),
+                lambda c: _grid_dot(
+                    F.slice(F.col("q"), s * sub + 1, sub),
+                    F.slice(c["semb"], s * sub + 1, sub),
+                ),
+            ),
+        ).alias("ptab"),
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(ctx))
+        .withColumn(
+            "adc_dot_grid",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, s: acc
+                + F.get(F.get(F.col("ptab"), s), F.get(F.col("codes"), s)),
+            ),
+        )
+        .withColumn(
+            "adc_cosine",
+            F.round(
+                (F.col("adc_dot_grid") / float(PQ_GRID))
+                / (F.col("vnorm") * F.col("qnorm")),
+                6,
+            ),
+        )
+        .filter(F.col(id_col) != probe_id)
+    )
+    cands = scored.select(
+        id_col, *keep_cols, "adc_cosine", "q", "qnorm", "vnorm"
+    ).orderBy(F.desc("adc_cosine"), F.asc(id_col)).limit(rerank)
+    reranked = df.select(id_col, vec_col).join(F.broadcast(cands), id_col)
+    return (
+        reranked.withColumn(
+            "cosine",
+            F.round(
+                (_grid_dot(F.col(vec_col), F.col("q")) / float(PQ_GRID))
+                / (F.col("vnorm") * F.col("qnorm")),
+                6,
+            ),
+        )
+        .select(id_col, *keep_cols, "adc_cosine", "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

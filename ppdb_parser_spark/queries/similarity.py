@@ -254,3 +254,122 @@ _IVF_KMEANS_ORACLE = """
 def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return SIM.ivf_kmeans_topk(e, n_cells=8, probe_id=1, n_probe=2, k=5)
+
+
+# --------------------------------------------------------------------------
+# Product quantization (TPAMI'11): codes for every vector (the compressed
+# index a 100 TB serving scan reads), then ADC top-k with exact rerank.
+# All float reductions run on the int64 PQ_GRID → hash-exact oracles.
+# --------------------------------------------------------------------------
+
+#: shared element-level CTEs: per-(vector, position) values, subspace id
+#: (m=8 subspaces of 8 dims), grid norms, centroid elements (ids < 16).
+_PQ_EL_SQL = """
+    el AS (
+      SELECT vec_id, CAST(x AS DOUBLE) AS x,
+             CAST((i - 1) // 8 AS INT) AS s, i
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings)
+    ),
+    vn AS (
+      SELECT vec_id,
+             round(sqrt(CAST(SUM(CAST(round(x * x * 1000000000.0) AS BIGINT))
+                             AS BIGINT) / 1000000000.0), 6) AS vnorm
+      FROM el GROUP BY 1
+    ),
+    cel AS (SELECT vec_id AS c, x, s, i FROM el WHERE vec_id < 16),
+    d2 AS (
+      SELECT e.vec_id, c.c, e.s,
+             CAST(SUM(CAST(round((e.x - c.x) * (e.x - c.x) * 1000000000.0)
+                           AS BIGINT)) AS BIGINT) AS d2g
+      FROM el e JOIN cel c ON e.i = c.i
+      GROUP BY 1, 2, 3
+    ),
+    code AS (
+      SELECT vec_id, s, c FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2g, c) AS rk
+        FROM d2
+      ) WHERE rk = 1
+    )
+"""
+
+
+@query(
+    "sim_pq_encode",
+    oracle=f"""
+    WITH {_PQ_EL_SQL}
+    SELECT code.vec_id, e.label,
+           string_agg(code.c, '-' ORDER BY code.s) AS codes, vn.vnorm
+    FROM code
+    JOIN vn USING (vec_id)
+    JOIN embeddings e ON e.vec_id = code.vec_id
+    GROUP BY code.vec_id, e.label, vn.vnorm
+    """,
+    tags=("L1", "L2", "X4", "U6"),
+)
+def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    enc = SIM.pq_encode(e, n_centroids=16, m=8, dim=64)
+    # codes as a dash-joined string: the engine keeps array<int> (pq_topk
+    # consumes it), but the driver's row canonicalizer sorts on every
+    # column and list cells sort engine-dependently — a scalar string is
+    # the stable cross-engine surface.
+    return enc.select(
+        "vec_id",
+        "label",
+        F.array_join(F.col("codes"), "-").alias("codes"),
+        "vnorm",
+    )
+
+
+@query(
+    "sim_pq_topk",
+    oracle=f"""
+    WITH {_PQ_EL_SQL},
+    pel AS (SELECT x, s, i FROM el WHERE vec_id = 1),
+    qn AS (
+      SELECT round(sqrt(CAST(SUM(CAST(round(x * x * 1000000000.0) AS BIGINT))
+                             AS BIGINT) / 1000000000.0), 6) AS qnorm
+      FROM pel
+    ),
+    pt AS (
+      SELECT c.c, c.s,
+             CAST(SUM(CAST(round(p.x * c.x * 1000000000.0) AS BIGINT))
+                  AS BIGINT) AS tg
+      FROM pel p JOIN cel c ON p.i = c.i
+      GROUP BY 1, 2
+    ),
+    adc AS (
+      SELECT code.vec_id, CAST(SUM(tg) AS BIGINT) AS adcg
+      FROM code JOIN pt USING (s, c) GROUP BY 1
+    ),
+    scored AS (
+      SELECT a.vec_id,
+             round((adcg / 1000000000.0) / (vnorm * qnorm), 6) AS adc_cosine
+      FROM adc a JOIN vn USING (vec_id), qn
+      WHERE a.vec_id <> 1
+    ),
+    cand AS (SELECT * FROM scored ORDER BY adc_cosine DESC, vec_id LIMIT 50),
+    ex AS (
+      SELECT e.vec_id,
+             CAST(SUM(CAST(round(e.x * p.x * 1000000000.0) AS BIGINT))
+                  AS BIGINT) AS exg
+      FROM el e JOIN pel p ON e.i = p.i
+      WHERE e.vec_id IN (SELECT vec_id FROM cand)
+      GROUP BY 1
+    )
+    SELECT c.vec_id, emb.label, c.adc_cosine,
+           round((ex.exg / 1000000000.0) / (vn.vnorm * qn.qnorm), 6) AS cosine
+    FROM cand c
+    JOIN ex USING (vec_id)
+    JOIN vn USING (vec_id)
+    JOIN embeddings emb ON emb.vec_id = c.vec_id, qn
+    ORDER BY cosine DESC, c.vec_id
+    LIMIT 10
+    """,
+    tags=("L1", "L2", "W1", "O2"),
+)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.pq_topk(e, probe_id=1, n_centroids=16, m=8, k=10, rerank=50, dim=64)

@@ -106,6 +106,34 @@ def ivf_sweep(spark, sf_dir, results):
             print(json.dumps(row))
 
 
+def pq_sweep(spark, sf_dir, results):
+    """PQ ADC recall@k vs brute force, swept over the rerank depth R —
+    the PQ cost/recall knob (codes scan is fixed; R controls how many
+    exact-cosine rerank lookups run)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    k = 10
+    for probe_id in (1, 7, 13, 29):
+        exact = [
+            r["vec_id"]
+            for r in SIM.cosine_topk_by_id(e, probe_id=probe_id, k=k).collect()
+        ]
+        for rerank in (25, 50, 100, 200):
+            pq = [
+                r["vec_id"]
+                for r in SIM.pq_topk(
+                    e, probe_id=probe_id, k=k, rerank=rerank, dim=64
+                ).collect()
+            ]
+            row = {
+                "metric": "pq_recall_at_k", "sf_dir": sf_dir, "k": k,
+                "probe_id": probe_id, "m": 8, "n_centroids": 16,
+                "rerank": rerank,
+                "recall": round(len(set(pq) & set(exact)) / k, 4),
+            }
+            results.append(row)
+            print(json.dumps(row))
+
+
 def main():
     spark = get_spark(app_name="ann-recall")
     results: list[dict] = []
@@ -116,6 +144,7 @@ def main():
         lsh_sweep(spark, sf_dir, exact_pairs, results)
         dedup_agreement(spark, sf_dir, results)
         ivf_sweep(spark, sf_dir, results)
+        pq_sweep(spark, sf_dir, results)
     print(json.dumps({"metric": "summary", "n_results": len(results)}))
 
 
