@@ -281,7 +281,7 @@ _INTERVAL_JOIN_ORACLE = """
 """
 
 
-def _interval_join(p: DataFrame, c: DataFrame) -> DataFrame:
+def _interval_join(p: DataFrame, c: DataFrame, how: str = "inner") -> DataFrame:
     purchases = p.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id").alias("p_user"),
@@ -302,6 +302,7 @@ def _interval_join(p: DataFrame, c: DataFrame) -> DataFrame:
             " AND c_ts >= p_ts - INTERVAL 60 MINUTES"
             " AND c_ts < p_ts"
         ),
+        how,
     )
     return joined.select(
         "purchase_id",
@@ -331,3 +332,46 @@ def stream_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = ST.events_stream(spark, sf_dir, tz_typed=True)
     c = ST.events_stream(spark, sf_dir, tz_typed=True)
     return ST.run_stream_to_table(_interval_join(p, c), "append")
+
+
+# --------------------------------------------------------------------------
+# T4/J3: stream-stream LEFT OUTER interval join. The outer side emits its
+# null-padded rows only once the watermark passes the join window — the
+# live twin is therefore emission-timing-dependent (purchases younger than
+# the final watermark hold their null row back) → rows-only by design; the
+# batch twin is the hash-green full-semantics oracle, and
+# tests/test_operators.py asserts live ⊆ batch with matched rows equal.
+# --------------------------------------------------------------------------
+_LEFT_INTERVAL_JOIN_ORACLE = """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS user_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_ts_us,
+           epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND CAST(c.ts AS TIMESTAMP)
+           >= CAST(p.ts AS TIMESTAMP) - INTERVAL 60 MINUTE
+     AND CAST(c.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)
+"""
+
+
+@query(
+    "stream_left_interval_join_batch",
+    oracle=_LEFT_INTERVAL_JOIN_ORACLE,
+    tags=("J3", "J7", "X2"),
+)
+def stream_left_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return _interval_join(ev, ev, how="left_outer")
+
+
+@query(
+    "stream_left_interval_join_live",
+    oracle=None,  # emission timing depends on the final watermark position
+    tags=("S7", "T4", "J3"),
+)
+def stream_left_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = ST.events_stream(spark, sf_dir, tz_typed=True)
+    c = ST.events_stream(spark, sf_dir, tz_typed=True)
+    return ST.run_stream_to_table(_interval_join(p, c, how="leftOuter"), "append")

@@ -497,3 +497,56 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _STRAT_K)
         .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
     )
+
+
+# --------------------------------------------------------------------------
+# PII governance: deterministic pseudonymization (md5 tokenization),
+# pattern masking, numeric generalization to a band, and a k-anonymity
+# audit of the quasi-identifier tuple (nation, segment, balance band) —
+# the release gate a training-data governance pipeline runs before
+# customer-derived features may join a corpus. All map-side except one
+# window count over the quasi-identifier key (uniform, low-cardinality ->
+# the count collapses map-side at 100 TB).
+# --------------------------------------------------------------------------
+@query(
+    "govern_pii_mask",
+    oracle="""
+    WITH g AS (
+      SELECT c_custkey,
+             md5(c_name) AS name_token,
+             regexp_replace(c_name, '[0-9]', '*', 'g') AS masked_name,
+             c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) * 1000 AS BIGINT) AS bal_band
+      FROM customer
+    )
+    SELECT c_custkey, name_token, masked_name, c_nationkey, c_mktsegment,
+           bal_band,
+           CAST(COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment,
+                               bal_band) AS BIGINT) AS k_group_size,
+           COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment, bal_band)
+             >= 5 AS k_anonymous
+    FROM g
+    """,
+    tags=("F3", "X1", "W4", "A1"),
+)
+def govern_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    g = c.select(
+        "c_custkey",
+        F.md5(F.col("c_name")).alias("name_token"),
+        F.regexp_replace(F.col("c_name"), "[0-9]", "*").alias("masked_name"),
+        "c_nationkey",
+        "c_mktsegment",
+        (F.floor(F.col("c_acctbal") / 1000.0) * 1000)
+        .cast("long")
+        .alias("bal_band"),
+    )
+    w = Window.partitionBy("c_nationkey", "c_mktsegment", "bal_band")
+    k = F.count(F.lit(1)).over(w)
+    return g.select(
+        "*",
+        k.cast("long").alias("k_group_size"),
+        (k >= 5).alias("k_anonymous"),
+    )

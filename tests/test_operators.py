@@ -667,3 +667,20 @@ def test_pq_recall_floor_and_codes_shape(spark, sf_dir):
         for r in SIM.pq_topk(e, probe_id=1, k=10, rerank=100, dim=64).collect()
     ]
     assert len(set(exact) & set(pq)) / 10 >= 0.7
+
+
+def test_left_interval_join_live_consistent_with_batch(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join: matched pairs must equal the
+    batch join exactly; null-padded purchases may be held back by the final
+    watermark but every emitted one must also be null-padded in batch."""
+    batch = REGISTRY["stream_left_interval_join_batch"].fn(spark, sf_dir).collect()
+    live = REGISTRY["stream_left_interval_join_live"].fn(spark, sf_dir).collect()
+    b_matched = {(r["purchase_id"], r["click_id"]) for r in batch
+                 if r["click_id"] is not None}
+    l_matched = {(r["purchase_id"], r["click_id"]) for r in live
+                 if r["click_id"] is not None}
+    assert l_matched == b_matched
+    b_null = {r["purchase_id"] for r in batch if r["click_id"] is None}
+    l_null = {r["purchase_id"] for r in live if r["click_id"] is None}
+    assert l_null <= b_null
+    assert live  # the drained run actually emitted rows
