@@ -111,3 +111,58 @@ def band_join(
         .filter(refine)
         .drop("__bucket")
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_on: str,
+    right_on: str,
+    right_cols: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Mirror of :func:`asof_join`: for each left row, attach the EARLIEST
+    right row with ``right.right_on >= left.left_on`` in the same ``by``
+    group — the "next event after" lookup (conversion lag, next-reading
+    interpolation endpoints). Same cost shape: one shuffle on ``by``, one
+    partition-local sort, running ``first(ignorenulls)`` over the
+    following frame.
+
+    Tie semantics: a right row at exactly ``left_on`` is visible ("at or
+    after"). At equal ``__t`` left rows sort before right rows so the
+    forward frame starting at the left row still sees the tied right row;
+    among tied right rows the payload struct breaks the tie
+    deterministically.
+    """
+    lpay_t = T.StructType([left.schema[c] for c in left.columns])
+    rpay_t = T.StructType([right.schema[c] for c in right_cols])
+
+    l2 = left.select(
+        *[F.col(c).alias(f"__by_{i}") for i, c in enumerate(by)],
+        F.col(left_on).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*left.columns).alias("__lpay"),
+        F.lit(None).cast(rpay_t).alias("__rpay"),
+    )
+    r2 = right.filter(F.col(right_on).isNotNull()).select(
+        *[F.col(c).alias(f"__by_{i}") for i, c in enumerate(by)],
+        F.col(right_on).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(lpay_t).alias("__lpay"),
+        F.struct(*right_cols).alias("__rpay"),
+    )
+    w = (
+        Window.partitionBy(*[f"__by_{i}" for i in range(len(by))])
+        .orderBy(F.asc("__t"), F.desc("__is_left"), F.asc_nulls_first("__rpay"))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    u = l2.unionByName(r2).withColumn(
+        "__match", F.first("__rpay", ignorenulls=True).over(w)
+    )
+    out = u.filter(F.col("__is_left") == 1)
+    if how == "inner":
+        out = out.filter(F.col("__match").isNotNull())
+    elif how != "left":
+        raise ValueError(f"asof_join_forward: unsupported how={how!r}")
+    return out.select("__lpay.*", "__match.*")

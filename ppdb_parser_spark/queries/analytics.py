@@ -511,3 +511,61 @@ def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(
         F.desc("n_co"), F.asc("part_a"), F.asc("part_b")
     ).limit(10)
+
+
+# --------------------------------------------------------------------------
+# Q7 shape: bilateral trade flows — revenue between two specific nations
+# by (supplier nation, customer nation, year). Six-relation join; both
+# nation dims broadcast, the fact-side joins shuffle on their natural keys
+# (l_orderkey / o_custkey / l_suppkey — all uniform), and the grid-exact
+# revenue sum keeps the aggregate order-independent.
+# --------------------------------------------------------------------------
+@query(
+    "analytics_trade_flows",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           COUNT(*) AS n_lineitems,
+           {REVENUE} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_nationkey <> n2.n_nationkey
+      AND n1.n_nationkey < 4 AND n2.n_nationkey < 4
+    GROUP BY 1, 2, 3
+    """,
+    tags=("J1", "J2", "A1", "X2"),
+)
+def analytics_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("s_nk") < 4)
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("c_nk") < 4)
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == F.col("s_nk"))
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("c_nk"))
+        .filter(F.col("s_nk") != F.col("c_nk"))
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+    )

@@ -613,6 +613,7 @@ from .text_analysis import WINNOW_FP_SQL as _WINNOW_FP_SQL
     WHERE n_shared >= 2
     """,
     tags=("O6", "L7", "J2", "A1"),
+    bench=True,
 )
 def dedup_winnow_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.winnow_match(load_table(spark, sf_dir, "documents"))

@@ -369,6 +369,7 @@ def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     tags=("L1", "L2", "W1", "O2"),
+    bench=True,
 )
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")

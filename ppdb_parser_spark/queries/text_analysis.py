@@ -365,6 +365,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM wide
     """,
     tags=("L6", "X4", "A1", "F3"),
+    bench=True,
 )
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = TA.repetition_stats(load_table(spark, sf_dir, "documents"))

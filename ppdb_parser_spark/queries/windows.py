@@ -315,3 +315,64 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_size",
         F.cume_dist().over(w).alias("size_cume"),
     )
+
+
+# --------------------------------------------------------------------------
+# J8 forward: earliest purchase at-or-after each click (conversion lag).
+# Same tagged-union + running-first window plan as the backward as-of —
+# one user_id shuffle, no BNLJ; DuckDB's forward ASOF (l.ts <= r.ts) is
+# the oracle.
+# --------------------------------------------------------------------------
+@query(
+    "asof_click_next_purchase",
+    oracle=f"""
+    SELECT c.event_id AS click_id,
+           c.user_id AS user_id,
+           {_EPOCH_US_SQL.format(col="c.ts")} AS click_ts_us,
+           p.purchase_id AS purchase_id,
+           p.purchase_ts_us AS purchase_ts_us,
+           p.purchase_ts_us - {_EPOCH_US_SQL.format(col="c.ts")} AS wait_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (
+        SELECT user_id, ts, event_id AS purchase_id,
+               {_EPOCH_US_SQL.format(col="ts")} AS purchase_ts_us
+        FROM events WHERE event_type = 'purchase'
+    ) p ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+    tags=("J8", "W3"),
+)
+def asof_click_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import asof_join_forward
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .withColumn("click_ts_us", _epoch_us("ts"))
+        .select(F.col("event_id").alias("click_id"), "user_id", "click_ts_us")
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .withColumn("purchase_ts_us", _epoch_us("ts"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            "purchase_ts_us",
+        )
+    )
+    joined = asof_join_forward(
+        clicks,
+        purchases,
+        by=["user_id"],
+        left_on="click_ts_us",
+        right_on="purchase_ts_us",
+        right_cols=["purchase_id", "purchase_ts_us"],
+        how="left",
+    )
+    return joined.select(
+        "click_id",
+        "user_id",
+        "click_ts_us",
+        "purchase_id",
+        "purchase_ts_us",
+        (F.col("purchase_ts_us") - F.col("click_ts_us")).alias("wait_us"),
+    )

@@ -684,3 +684,25 @@ def test_left_interval_join_live_consistent_with_batch(spark, sf_dir):
     l_null = {r["purchase_id"] for r in live if r["click_id"] is None}
     assert l_null <= b_null
     assert live  # the drained run actually emitted rows
+
+
+def test_asof_join_forward_tie_and_missing(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 150, "p2"), (2, 10, "p3")], "uid long, t long, pid string"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "exact-tie"), (1, 120, "next"), (3, 5, "other-key")],
+        "uid long, rt long, tag string",
+    )
+    from ppdb_parser_spark.operators.joins import asof_join_forward
+
+    out = {
+        r["pid"]: r["tag"]
+        for r in asof_join_forward(
+            left, right, by=["uid"], left_on="t", right_on="rt",
+            right_cols=["rt", "tag"], how="left",
+        ).collect()
+    }
+    assert out["p1"] == "exact-tie"  # right row at equal t IS visible
+    assert out["p2"] is None         # nothing at-or-after 150 for uid=1
+    assert out["p3"] is None         # no right rows for uid=2
