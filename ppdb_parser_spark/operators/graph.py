@@ -90,3 +90,79 @@ def connected_components(
             stacklevel=2,
         )
     return labels
+
+
+#: 1e-12 integer grid for PageRank contribution sums (order-independent
+#: cross-engine addition; per-node Σ of <= n_nodes terms each <= 1e12 —
+#: far inside int64).
+PR_GRID = 1_000_000_000_000.0
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Weighted PageRank (Brin & Page 1998; weighted variant as in
+    TextRank, Mihalcea & Tarau EMNLP 2004 — public papers) with a FIXED
+    iteration count, fully relational: the loop unrolls into one static
+    lineage of join→aggregate rounds, so the whole computation is a single
+    declarative plan (no driver-side convergence checks — the one
+    legitimate driver loop in this package stays `connected_components`).
+
+    Determinism contract (hash-exact oracle): ranks are rounded to 1e-9
+    after every iteration and contribution sums are accumulated as int64
+    on the 1e-12 grid, so both engines produce bit-identical doubles
+    regardless of aggregation order.
+
+    Scale shape per iteration: one (src)-keyed join of edges against the
+    current rank relation and one (dst)-keyed hash aggregate — the classic
+    distributed PageRank round. Edge weights/out-degrees are computed once
+    before the loop. Dangling/isolated nodes keep the (1-d)/N floor via a
+    left join.
+
+    Returns (node, rank) — ranks sum to ~1 over nodes.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    wdeg = e.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    frac = e.join(wdeg, "src").select(
+        "src", "dst", (F.col("w") / F.col("wdeg")).alias("frac")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    pr = nodes.crossJoin(F.broadcast(n_row)).select(
+        "node", F.round(F.lit(1.0) / F.col("__n"), 9).alias("rank")
+    )
+    for _ in range(n_iterations):
+        contrib = frac.join(pr, frac["src"] == pr["node"]).select(
+            F.col("dst").alias("node"),
+            F.round(F.col("rank") * F.col("frac") * PR_GRID)
+            .cast("long")
+            .alias("cg"),
+        )
+        sums = contrib.groupBy("node").agg(F.sum("cg").alias("cg_sum"))
+        pr = (
+            nodes.join(sums, "node", "left")
+            .crossJoin(F.broadcast(n_row))
+            .select(
+                "node",
+                F.round(
+                    (1.0 - damping) / F.col("__n")
+                    + damping
+                    * (F.coalesce(F.col("cg_sum"), F.lit(0)) / PR_GRID),
+                    9,
+                ).alias("rank"),
+            )
+        )
+    return pr

@@ -569,3 +569,77 @@ def analytics_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Q8 shape: market share — NATION_0's share of ASIA-customer revenue per
+# order year. Fact joins shuffle on natural keys; nation/region dims
+# broadcast; the share is a conditional grid-exact sum over the same
+# aggregate pass (no second scan, no self-join).
+# --------------------------------------------------------------------------
+@query(
+    "analytics_market_share",
+    oracle=f"""
+    WITH base AS (
+      SELECT year(o_orderdate) AS order_year,
+             n1.n_name AS supp_nation,
+             l_extendedprice * (1 - l_discount) AS rev
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region   ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    )
+    SELECT CAST(order_year AS INT) AS order_year,
+           {money_sum_sql("rev")} AS total_revenue,
+           {money_sum_sql("CASE WHEN supp_nation = 'NATION_0' THEN rev ELSE 0 END")}
+             AS nation_revenue,
+           CAST(SUM(CAST(ROUND((CASE WHEN supp_nation = 'NATION_0' THEN rev
+                                     ELSE 0 END) * 10000) AS BIGINT)) AS BIGINT)
+             / CAST(SUM(CAST(ROUND(rev * 10000) AS BIGINT)) AS BIGINT)
+             AS market_share
+    FROM base
+    GROUP BY order_year
+    """,
+    tags=("J1", "J2", "A1", "A6", "X2"),
+)
+def analytics_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    base = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == F.col("s_nk"))
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("c_nk"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("c_rk") == F.col("r_regionkey"),
+        )
+        .select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            "supp_nation",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+    )
+    nat = F.when(F.col("supp_nation") == "NATION_0", F.col("rev")).otherwise(0.0)
+    nat_grid = F.sum(F.round(nat * 10_000).cast("long"))
+    tot_grid = F.sum(F.round(F.col("rev") * 10_000).cast("long"))
+    return base.groupBy("order_year").agg(
+        money_sum(F.col("rev")).alias("total_revenue"),
+        money_sum(nat).alias("nation_revenue"),
+        (nat_grid / tot_grid).alias("market_share"),
+    )

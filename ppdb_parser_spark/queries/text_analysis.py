@@ -438,3 +438,106 @@ WINNOW_FP_SQL = """
 )
 def text_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# TextRank (Mihalcea & Tarau, EMNLP 2004): corpus keyword scores =
+# weighted PageRank over the token adjacency graph. Fixed 3 iterations
+# unroll into one static join→aggregate lineage (operators/graph.pagerank);
+# grid-exact arithmetic makes the ITERATIVE computation hash-green — not
+# rows-only — against a fully unrolled SQL oracle.
+# --------------------------------------------------------------------------
+_PR_RESID = repr(1.0 - 0.85)  # exact double repr so both engines share bits
+_PR_ITER_SQL = """
+    c{i} AS (
+      SELECT f.dst AS node,
+             CAST(SUM(CAST(round(p.rank * f.frac * 1000000000000.0)
+                           AS BIGINT)) AS BIGINT) AS cg
+      FROM frac f JOIN pr{prev} p ON f.src = p.node GROUP BY 1
+    ),
+    pr{i} AS (
+      SELECT nodes.node,
+             round({resid} / nn
+                   + 0.85 * (COALESCE(cg, 0) / 1000000000000.0), 9) AS rank
+      FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node, n
+    )
+"""
+
+
+@query(
+    "text_textrank",
+    oracle=(
+        """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(str_split(text, ' ')) AS tok,
+             generate_subscripts(str_split(text, ' '), 1) AS i
+      FROM documents
+    ),
+    seq AS (
+      SELECT doc_id, tok,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+      FROM toks
+    ),
+    dcnt AS (
+      SELECT tok AS a, nxt AS b, COUNT(*) AS c
+      FROM seq WHERE nxt IS NOT NULL AND tok <> nxt
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT src, dst, CAST(SUM(c) AS DOUBLE) AS w FROM (
+        SELECT a AS src, b AS dst, c FROM dcnt
+        UNION ALL
+        SELECT b AS src, a AS dst, c FROM dcnt
+      ) GROUP BY 1, 2
+    ),
+    wdeg AS (SELECT src, SUM(w) AS wdeg FROM edges GROUP BY 1),
+    frac AS (
+      SELECT e.src, e.dst, e.w / d.wdeg AS frac
+      FROM edges e JOIN wdeg d USING (src)
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM nodes),
+    pr0 AS (SELECT node, round(1.0 / nn, 9) AS rank FROM nodes, n),
+    """
+        + ",\n".join(
+            _PR_ITER_SQL.format(i=i, prev=i - 1, resid=_PR_RESID)
+            for i in (1, 2, 3)
+        )
+        + """
+    SELECT node AS token, rank AS textrank FROM pr3
+    """
+    ),
+    tags=("A1", "J2", "W3", "X4"),
+)
+def text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TA.tokens()
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    dcnt = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    edges = (
+        dcnt.select(F.col("a").alias("src"), F.col("b").alias("dst"), "c")
+        .unionByName(
+            dcnt.select(F.col("b").alias("src"), F.col("a").alias("dst"), "c")
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("c").cast("double").alias("w"))
+    )
+    pr = pagerank(edges, n_iterations=3, damping=0.85)
+    return pr.select(F.col("node").alias("token"), F.col("rank").alias("textrank"))

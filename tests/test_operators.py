@@ -706,3 +706,18 @@ def test_asof_join_forward_tie_and_missing(spark):
     assert out["p1"] == "exact-tie"  # right row at equal t IS visible
     assert out["p2"] is None         # nothing at-or-after 150 for uid=1
     assert out["p3"] is None         # no right rows for uid=2
+
+
+def test_pagerank_hub_and_mass(spark):
+    """Star graph: the hub must outrank leaves; total rank mass ~= 1."""
+    from ppdb_parser_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("hub", leaf, 1.0) for leaf in ("a", "b", "c", "d")]
+        + [(leaf, "hub", 1.0) for leaf in ("a", "b", "c", "d")],
+        "src string, dst string, w double",
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+    assert all(ranks["hub"] > ranks[leaf] for leaf in "abcd")
+    assert len({ranks[leaf] for leaf in "abcd"}) == 1  # symmetric leaves tie
