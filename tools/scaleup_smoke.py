@@ -159,5 +159,70 @@ def main() -> None:
             print(f"  -> broadcast seeds context ~{ctx_kb:.0f} kB")
 
 
+    if not only or "winnow" in only:
+        # winnowing + fingerprint match at growing corpus size: fresh-vocab
+        # copies (disjoint k-gram universes) — fingerprint df stays tiny per
+        # universe, so the match join must scale ~linearly like the prefix
+        # join, not quadratically
+        from ppdb_parser_spark.operators.dedup import winnow_match
+
+        w1 = timed("winnow_match 1x", winnow_match(docs))
+        for k in (16,):
+            wk = timed(
+                f"winnow_match {k}x", winnow_match(_fresh_vocab_union(docs, k))
+            )
+            print(f"  -> {wk / w1:.1f}x time for {k}x data")
+
+    if not only or "repetition" in only:
+        from ppdb_parser_spark.operators.text_analysis import repetition_stats
+
+        r1 = timed("repetition 1x", repetition_stats(docs))
+        for k in (16,):
+            rk = timed(
+                f"repetition {k}x",
+                repetition_stats(_shifted_union(docs, "doc_id", k)),
+            )
+            print(f"  -> {rk / r1:.1f}x time for {k}x data "
+                  "(pure aggregation cascade: expected ~linear)")
+
+    if not only or "textrank" in only:
+        # token-graph PageRank: 16x key-shifted docs leave the VOCABULARY
+        # (node set) unchanged — edge weights grow 16x but the graph and
+        # the 3 fixed join+agg rounds are constant-size, so the cost is
+        # the bigram count pass, ~linear in tokens
+        from ppdb_parser_spark.queries.registry import REGISTRY as _R
+
+        t1 = timed("textrank 1x", _R["text_textrank"].fn(spark, sf))
+        # 16x: inline the same edge build over the shifted union
+        from ppdb_parser_spark.queries.text_analysis import text_textrank as _tt
+        import ppdb_parser_spark.sources.tables as _tab
+
+        orig = _tab.load_table
+        try:
+            _tab_load = lambda s, d, t: (
+                _shifted_union(orig(s, d, t), "doc_id", 16)
+                if t == "documents"
+                else orig(s, d, t)
+            )
+            import ppdb_parser_spark.queries.text_analysis as _ta_mod
+
+            saved = _ta_mod.load_table
+            _ta_mod.load_table = _tab_load
+            t16 = timed("textrank 16x", _tt(spark, sf))
+        finally:
+            _ta_mod.load_table = saved
+        print(f"  -> {t16 / t1:.1f}x time for 16x data")
+
+    if not only or "pq" in only:
+        from ppdb_parser_spark.operators.similarity import pq_topk
+
+        emb = load_table(spark, sf, "embeddings")
+        e16 = _shifted_union(emb, "vec_id", 16)
+        q1 = timed("pq_topk 1x", pq_topk(emb, dim=64))
+        q16 = timed("pq_topk 16x", pq_topk(e16, dim=64))
+        print(f"  -> {q16 / q1:.1f}x time for 16x vectors "
+              "(codes scan linear; rerank fixed at R)")
+
+
 if __name__ == "__main__":
     main()
