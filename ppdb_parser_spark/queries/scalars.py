@@ -318,3 +318,100 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("shiftright(event_id, 2)").alias("shifted_down"),
         F.bit_count("event_id").cast("long").alias("popcount"),
     )
+
+
+# --------------------------------------------------------------------------
+# X6b: Spark 4 VariantType — semi-structured round-trip. JSON is built
+# in-plan (to_json of a nested struct), parsed to a VARIANT, and fields
+# come back out through typed variant_get JSON paths (nested object,
+# array index, and a try_variant_get miss → NULL). The oracle exercises
+# DuckDB's independent JSON path engine on identically-built JSON, so
+# path semantics are cross-checked, not round-tripped.
+# --------------------------------------------------------------------------
+@query(
+    "scalar_variant",
+    oracle="""
+    WITH j AS (
+      SELECT o_orderkey,
+             to_json(struct_pack(
+               k := o_orderkey,
+               price := o_totalprice,
+               nested := struct_pack(s := o_orderstatus),
+               tags := [o_orderpriority]
+             )) AS js
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(json_extract(js, '$.k') AS BIGINT) AS k_back,
+           CAST(json_extract(js, '$.price') AS DOUBLE) AS price_back,
+           json_extract_string(js, '$.nested.s') AS status_back,
+           json_extract_string(js, '$.tags[0]') AS tag0,
+           CAST(NULL AS BIGINT) AS missing_field
+    FROM j
+    """,
+    tags=("X6", "U6"),
+)
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    j = o.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("price"),
+                F.struct(F.col("o_orderstatus").alias("s")).alias("nested"),
+                F.array(F.col("o_orderpriority")).alias("tags"),
+            )
+        ).alias("js"),
+    )
+    v = j.select("o_orderkey", F.parse_json("js").alias("v"))
+    return v.select(
+        "o_orderkey",
+        F.variant_get("v", "$.k", "long").alias("k_back"),
+        F.variant_get("v", "$.price", "double").alias("price_back"),
+        F.variant_get("v", "$.nested.s", "string").alias("status_back"),
+        F.variant_get("v", "$.tags[0]", "string").alias("tag0"),
+        F.try_variant_get("v", "$.not_there", "long").alias("missing_field"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X3b: ANSI-safe arithmetic — try_divide / try_multiply overflow /
+# try_cast all yield NULL instead of raising, the behavior a robust
+# 100 TB pipeline wants for dirty numeric columns. The oracle re-derives
+# each NULL condition explicitly (DuckDB has TRY_CAST but no try_divide /
+# overflow-to-NULL arithmetic).
+# --------------------------------------------------------------------------
+@query(
+    "scalar_try_ops",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity = 1 THEN NULL
+                ELSE l_extendedprice / (l_quantity - 1) END AS safe_unit_price,
+           CASE WHEN l_orderkey + 1 >= 2 THEN NULL
+                ELSE (l_orderkey + 1) * 9223372036854775807 END AS overflow_mul,
+           TRY_CAST(l_returnflag AS BIGINT) AS flag_as_int,
+           TRY_CAST(CASE WHEN l_linenumber = 1 THEN '12x'
+                         ELSE CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) END
+                    AS BIGINT) AS qty_as_int
+    FROM lineitem
+    """,
+    tags=("X3", "F3"),
+)
+def scalar_try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - 1
+        ).alias("safe_unit_price"),
+        F.try_multiply(
+            F.col("l_orderkey") + 1, F.lit(9223372036854775807)
+        ).alias("overflow_mul"),
+        F.col("l_returnflag").try_cast("long").alias("flag_as_int"),
+        F.when(F.col("l_linenumber") == 1, F.lit("12x"))
+        .otherwise(F.col("l_quantity").cast("long").cast("string"))
+        .try_cast("long")
+        .alias("qty_as_int"),
+    )

@@ -721,3 +721,25 @@ def test_pagerank_hub_and_mass(spark):
     assert abs(sum(ranks.values()) - 1.0) < 1e-6
     assert all(ranks["hub"] > ranks[leaf] for leaf in "abcd")
     assert len({ranks[leaf] for leaf in "abcd"}) == 1  # symmetric leaves tie
+
+
+def test_observation_metrics_no_extra_scan(spark, sf_dir):
+    """The Observation API collects pipeline quality metrics (row counts,
+    null counts, sums) DURING the main action — at 100 TB this replaces
+    separate count() jobs that would each rescan the corpus."""
+    from pyspark.sql import Observation
+    from ppdb_parser_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = Observation("quality")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+        F.count(F.when(F.col("lang").isNull(), 1)).alias("null_langs"),
+    )
+    out = observed.filter(F.col("n_chars") > 0).count()
+    m = obs.get
+    assert m["n_rows"] >= out > 0
+    assert m["total_chars"] > 0
+    assert m["null_langs"] == 0
