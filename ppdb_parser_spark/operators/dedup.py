@@ -644,3 +644,85 @@ def winnow_match(
             ),
         )
     )
+
+
+def minhash_match(
+    df: DataFrame,
+    n_hashes: int = 16,
+    n_bands: int = 8,
+    threshold: float = 0.3,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic relational MinHash-LSH near-dup join (Broder 1997
+    "On the resemblance and containment of documents"; banding per
+    Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3 — public
+    sources). Unlike the pyspark.ml MinHashLSH wrapper (seeded
+    perm-hash, rows-only driver check), every hash here is an md5 hex
+    prefix — bit-identical cross-engine — so the ENTIRE pipeline
+    (signatures → bands → candidates → exact-Jaccard refine) is
+    hash-exact against a SQL oracle.
+
+    Signature construction is ONE aggregate pass: the per-seed min-hashes
+    are ``n_hashes`` MIN() columns over the shingle stream (seed s's hash
+    of a shingle = md5('s:' || shingle)[:16]) — no n_hashes× row blow-up,
+    map-side partial mins. Bands of r = n_hashes/n_bands signature rows
+    md5-collapse to one value; candidates equi-join on (band, band_sig);
+    the exact Jaccard (shingle-stream intersection restricted to
+    candidate pairs) filters to ``threshold`` — precision 1.0 by
+    construction, recall 1-(1-J^r)^b.
+
+    Returns (id_a, id_b, n_common, n_a, n_b, jaccard).
+    """
+    r = n_hashes // n_bands
+    sh = word_shingles(df, n, id_col, text_col, min_partitions=min_partitions)
+    sigs = sh.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))), 1, 16
+                )
+            ).alias(f"sig{s}")
+            for s in range(n_hashes)
+        ]
+    )
+    band_exprs = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"sig{b * r + j}") for j in range(r)])
+        )
+        for b in range(n_bands)
+    ]
+    bands = sigs.select(
+        F.col(id_col), F.posexplode(F.array(*band_exprs)).alias("band", "band_sig")
+    )
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_sig")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_sig")
+    cand = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa_stream = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb_stream = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        sa_stream.join(sb_stream, "shingle")
+        .join(cand, ["id_a", "id_b"])  # candidate pairs only
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+    )

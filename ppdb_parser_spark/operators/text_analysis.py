@@ -371,3 +371,88 @@ def winnow_fingerprints(
     return starts.select(
         F.col(id_col), F.col("wmin").alias("fingerprint")
     ).distinct()
+
+
+def bigram_perplexity(
+    df: DataFrame,
+    ref_filter: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al., LREC 2020
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data" — public paper — scores web documents by LM perplexity and
+    filters on it; here the KenLM stand-in is an add-one-smoothed bigram
+    model trained RELATIONALLY on the reference slice ``ref_filter``
+    inside the same plan).
+
+    Per document: avg negative log-likelihood per bigram under
+    p(w|prev) = (c2(prev,w) + 1) / (c1(prev) + V), and its exp
+    (perplexity). Determinism: each log term is rounded to 1e-8 and the
+    per-doc sum runs as int64 on that grid (order-independent,
+    cross-engine exact); only the final exp/round(6) touches libm.
+
+    Scale shape: reference counts c2/c1 and the vocabulary size V are
+    aggregates of the reference slice (computed once, no driver jobs; V is
+    a 1-row broadcast). Scoring is the doc-bigram stream joined against
+    c2 on (prev, w) — one uniform-keyed shuffle join sized by corpus
+    tokens — then a doc-keyed aggregate.
+
+    Returns (id_col, n_bigrams, avg_nll, ppl).
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    pair_structs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("prev"), b.alias("w")),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,w:string>>"))
+
+    def bigram_stream(src: DataFrame) -> DataFrame:
+        return src.select(
+            F.col(id_col), F.explode(pair_structs).alias("p")
+        ).select(id_col, F.col("p.prev").alias("prev"), F.col("p.w").alias("w"))
+
+    ref = df.filter(ref_filter)
+    c2 = (
+        bigram_stream(ref)
+        .groupBy("prev", "w")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    v_row = (
+        ref.select(F.explode(toks).alias("tok"))
+        .agg(F.countDistinct("tok").cast("double").alias("__v"))
+    )
+
+    scored = (
+        bigram_stream(df)
+        .join(c2, ["prev", "w"], "left")
+        .join(c1, ["prev"], "left")
+        .crossJoin(F.broadcast(v_row))
+        .select(
+            id_col,
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + 1.0)
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("__v"))
+                ),
+                8,
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            -(F.sum(F.round(F.col("logp") * 1e8).cast("long")) / 1e8)
+            / F.count(F.lit(1))
+        ).alias("avg_nll"),
+    ).select(
+        id_col,
+        "n_bigrams",
+        "avg_nll",
+        F.round(F.exp(F.col("avg_nll")), 6).alias("ppl"),
+    )

@@ -617,3 +617,83 @@ from .text_analysis import WINNOW_FP_SQL as _WINNOW_FP_SQL
 )
 def dedup_winnow_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.winnow_match(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Deterministic relational MinHash-LSH (Broder'97 + MMDS banding): md5
+# min-hashes make the signatures -> bands -> candidates -> exact-refine
+# pipeline hash-exact cross-engine, upgrading MinHash from the rows-only
+# pyspark.ml wrapper to a full oracle-checked operator.
+# --------------------------------------------------------------------------
+_MH_N, _MH_BANDS = 16, 8
+_MH_R = _MH_N // _MH_BANDS
+_MH_SIGS_SQL = ",\n             ".join(
+    f"MIN(substr(md5('{s}:' || shingle), 1, 16)) AS sig{s}"
+    for s in range(_MH_N)
+)
+_MH_BANDS_SQL = ", ".join(
+    "md5(" + " || '|' || ".join(f"sig{b * _MH_R + j}" for j in range(_MH_R)) + ")"
+    for b in range(_MH_BANDS)
+)
+
+
+@query(
+    "dedup_minhash_relational",
+    oracle=f"""
+    WITH pos_toks AS (
+      SELECT doc_id,
+             unnest(str_split(text, ' ')) AS token,
+             generate_subscripts(str_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    sh0 AS (
+      SELECT DISTINCT doc_id,
+             token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS shingle
+      FROM pos_toks
+    ),
+    shn AS (SELECT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL
+            AND len(str_split(shingle, ' ')) = 2),
+    sigs AS (
+      SELECT doc_id,
+             {_MH_SIGS_SQL}
+      FROM shn GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id,
+             generate_subscripts([{_MH_BANDS_SQL}], 1) - 1 AS band,
+             unnest([{_MH_BANDS_SQL}]) AS band_sig
+      FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shn GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN shn a ON a.doc_id = c.id_a
+      JOIN shn b ON b.doc_id = c.id_b AND a.shingle = b.shingle
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common,
+           sa.n_shingles AS n_a, sb.n_shingles AS n_b,
+           n_common / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.id_a = sa.doc_id
+    JOIN sizes sb ON inter.id_b = sb.doc_id
+    WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.3
+    """,
+    tags=("O6", "J2", "A1", "X1"),
+)
+def dedup_minhash_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_match(
+        load_table(spark, sf_dir, "documents"),
+        n_hashes=_MH_N,
+        n_bands=_MH_BANDS,
+        threshold=0.3,
+        min_partitions=_par(spark),
+    )

@@ -541,3 +541,57 @@ def text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(edges, n_iterations=3, damping=0.85)
     return pr.select(F.col("node").alias("token"), F.col("rank").alias("textrank"))
+
+
+# --------------------------------------------------------------------------
+# CCNet-style LM quality scoring (Wenzek et al. 2020): every document
+# scored by avg bigram NLL / perplexity under an add-one-smoothed bigram
+# model trained in-plan on the lang='en' reference slice. The iterative-
+# looking "train + score" is ONE declarative lineage: reference counts are
+# aggregates, scoring is a uniform-keyed join of the doc-bigram stream.
+# --------------------------------------------------------------------------
+@query(
+    "text_bigram_ppl",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(str_split(text, ' ')) AS tok,
+             generate_subscripts(str_split(text, ' '), 1) AS i
+      FROM documents
+    ),
+    seq AS (
+      SELECT doc_id, tok AS prev,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS w
+      FROM toks
+    ),
+    bg AS (SELECT doc_id, prev, w FROM seq WHERE w IS NOT NULL),
+    refdocs AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    c2 AS (
+      SELECT prev, w, CAST(COUNT(*) AS BIGINT) AS c2
+      FROM bg JOIN refdocs USING (doc_id) GROUP BY 1, 2
+    ),
+    c1 AS (SELECT prev, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+    v AS (
+      SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS vv
+      FROM toks JOIN refdocs USING (doc_id)
+    ),
+    sc AS (
+      SELECT bg.doc_id,
+             round(ln((COALESCE(c2.c2, 0) + 1.0)
+                      / (COALESCE(c1.c1, 0) + v.vv)), 8) AS logp
+      FROM bg LEFT JOIN c2 USING (prev, w) LEFT JOIN c1 USING (prev), v
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             -(CAST(SUM(CAST(round(logp * 100000000.0) AS BIGINT))
+                    AS BIGINT) / 100000000.0) / COUNT(*) AS avg_nll
+      FROM sc GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams, avg_nll, round(exp(avg_nll), 6) AS ppl
+    FROM agg
+    """,
+    tags=("L6", "A1", "J2", "X3"),
+)
+def text_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TA.bigram_perplexity(docs, ref_filter=F.col("lang") == "en")

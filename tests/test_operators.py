@@ -743,3 +743,19 @@ def test_observation_metrics_no_extra_scan(spark, sf_dir):
     assert m["n_rows"] >= out > 0
     assert m["total_chars"] > 0
     assert m["null_langs"] == 0
+
+
+def test_minhash_relational_precision_and_recall(spark, sf_dir):
+    """md5-MinHash candidates refined exactly => precision 1.0 (subset of
+    the exact J>=0.3 pair set); banding recall 1-(1-J^2)^8 should capture
+    a solid majority of true pairs at fixture scale."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in REGISTRY["dedup_jaccard_pairs"].fn(spark, sf_dir).collect()
+    }
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in REGISTRY["dedup_minhash_relational"].fn(spark, sf_dir).collect()
+    }
+    assert mh <= exact
+    assert len(mh) >= len(exact) // 2
