@@ -550,3 +550,131 @@ def govern_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.cast("long").alias("k_group_size"),
         (k >= 5).alias("k_anonymous"),
     )
+
+
+# --------------------------------------------------------------------------
+# Composed per-document quality gate: Gopher structural rules ∧ repetition
+# signals ∧ LM perplexity — the three quality families as ONE lineage with
+# one verdict per document plus the per-family flag (so a curation run can
+# report WHY a doc dropped). Repetition and LM scores are doc-keyed
+# aggregates joined back onto the map-side Gopher flags; everything
+# upstream is the same oracle-checked machinery as the standalone queries.
+# --------------------------------------------------------------------------
+_NLL_MAX = 3.48  # ~p90 of avg_nll on the fixture reference model
+
+
+@query(
+    "pipeline_quality_gate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(str_split(text, ' ')) AS tok,
+             generate_subscripts(str_split(text, ' '), 1) AS i
+      FROM documents
+    ),
+    seq AS (
+      SELECT doc_id, tok,
+             lead(tok, 1) OVER win AS t1,
+             lead(tok, 2) OVER win AS t2
+      FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    grams AS (
+      SELECT doc_id, '1' AS kind, tok AS gram FROM seq
+      UNION ALL
+      SELECT doc_id, '2', tok || ' ' || t1 FROM seq WHERE t1 IS NOT NULL
+      UNION ALL
+      SELECT doc_id, '3', tok || ' ' || t1 || ' ' || t2 FROM seq
+      WHERE t2 IS NOT NULL
+    ),
+    counts AS (
+      SELECT doc_id, kind, gram, COUNT(*) AS c FROM grams GROUP BY ALL
+    ),
+    per_kind AS (
+      SELECT doc_id, kind,
+             CAST(SUM(c) AS BIGINT) AS total,
+             CAST(MAX(c) AS BIGINT) AS top,
+             CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup
+      FROM counts GROUP BY ALL
+    ),
+    rep AS (
+      SELECT doc_id,
+             (CAST(MAX(CASE WHEN kind = '1' THEN top END) AS DOUBLE)
+                / MAX(CASE WHEN kind = '1' THEN total END) <= 0.20
+              AND CAST(MAX(CASE WHEN kind = '2' THEN top END) AS DOUBLE)
+                / MAX(CASE WHEN kind = '2' THEN total END) <= 0.10
+              AND CAST(MAX(CASE WHEN kind = '3' THEN dup END) AS DOUBLE)
+                / MAX(CASE WHEN kind = '3' THEN total END) <= 0.60)
+               AS pass_repetition
+      FROM per_kind GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id, tok AS prev, t1 AS w FROM seq WHERE t1 IS NOT NULL
+    ),
+    refdocs AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    c2 AS (
+      SELECT prev, w, CAST(COUNT(*) AS BIGINT) AS c2
+      FROM bg JOIN refdocs USING (doc_id) GROUP BY 1, 2
+    ),
+    c1 AS (SELECT prev, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+    v AS (
+      SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS vv
+      FROM toks JOIN refdocs USING (doc_id)
+    ),
+    sc AS (
+      SELECT bg.doc_id,
+             round(ln((COALESCE(c2.c2, 0) + 1.0)
+                      / (COALESCE(c1.c1, 0) + v.vv)), 8) AS logp
+      FROM bg LEFT JOIN c2 USING (prev, w) LEFT JOIN c1 USING (prev), v
+    ),
+    lm AS (
+      SELECT doc_id,
+             -(CAST(SUM(CAST(round(logp * 100000000.0) AS BIGINT))
+                    AS BIGINT) / 100000000.0) / COUNT(*) <= {_NLL_MAX}
+               AS pass_lm
+      FROM sc GROUP BY 1
+    )
+    SELECT d.doc_id, d.lang,
+           {_GOPHER_PASS_SQL} AS pass_gopher,
+           rep.pass_repetition AS pass_repetition,
+           COALESCE(lm.pass_lm, FALSE) AS pass_lm,
+           ({_GOPHER_PASS_SQL} AND rep.pass_repetition
+            AND COALESCE(lm.pass_lm, FALSE)) AS keep
+    FROM documents d
+    JOIN rep USING (doc_id)
+    LEFT JOIN lm USING (doc_id)
+    """,
+    tags=("L6", "F3", "A1", "J3"),
+)
+def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import bigram_perplexity, repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = repetition_stats(docs).select(
+        "doc_id",
+        (
+            (F.col("top_token_frac") <= 0.20)
+            & (F.col("top_bigram_frac") <= 0.10)
+            & (F.col("dup_trigram_frac") <= 0.60)
+        ).alias("pass_repetition"),
+    )
+    lm = bigram_perplexity(docs, ref_filter=F.col("lang") == "en").select(
+        "doc_id", (F.col("avg_nll") <= _NLL_MAX).alias("pass_lm")
+    )
+    g = gopher_pass_all()
+    return (
+        docs.select("doc_id", "lang", g.alias("pass_gopher"))
+        .join(rep, "doc_id")
+        .join(lm, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "pass_gopher",
+            "pass_repetition",
+            F.coalesce(F.col("pass_lm"), F.lit(False)).alias("pass_lm"),
+            (
+                F.col("pass_gopher")
+                & F.col("pass_repetition")
+                & F.coalesce(F.col("pass_lm"), F.lit(False))
+            ).alias("keep"),
+        )
+    )
