@@ -375,3 +375,58 @@ def stream_left_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFram
     p = ST.events_stream(spark, sf_dir, tz_typed=True)
     c = ST.events_stream(spark, sf_dir, tz_typed=True)
     return ST.run_stream_to_table(_interval_join(p, c, how="leftOuter"), "append")
+
+
+# --------------------------------------------------------------------------
+# Stream-STATIC enrichment join: the events stream joined to the customer
+# dimension (stateless per-row lookup — Spark broadcasts the static side
+# into every micro-batch; no watermark, no state store). Deterministic
+# once drained → the LIVE run carries the same hash-green oracle as a
+# batch join, the strongest check a streaming query can earn.
+# --------------------------------------------------------------------------
+_STATIC_ENRICH_ORACLE = """
+    SELECT e.event_id, e.user_id, e.event_type,
+           epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us,
+           c.c_mktsegment AS segment,
+           c.c_nationkey AS nationkey
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+def _static_enrich(ev: DataFrame, cust: DataFrame) -> DataFrame:
+    dim = cust.select(
+        F.col("c_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    return ev.join(F.broadcast(dim), ev["user_id"] == dim["c_custkey"]).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "segment",
+        "nationkey",
+    )
+
+
+@query(
+    "stream_static_enrich_batch",
+    oracle=_STATIC_ENRICH_ORACLE,
+    tags=("J1", "X2"),
+)
+def stream_static_enrich_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _static_enrich(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )
+
+
+@query(
+    "stream_static_enrich_live",
+    oracle=_STATIC_ENRICH_ORACLE,
+    tags=("S7", "J1", "T7"),
+)
+def stream_static_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = ST.events_stream(spark, sf_dir, tz_typed=True)
+    return ST.run_stream_to_table(
+        _static_enrich(ev, load_table(spark, sf_dir, "customer")), "append"
+    )

@@ -678,3 +678,68 @@ def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Overlapping token chunking (RAG-ingest / long-context training prep):
+# windows of W tokens at stride S (W-S token overlap), built IN-ROW
+# (sequence of starts -> slice) — a pure narrow map, zero shuffle; the
+# last chunk keeps the tail (may be shorter than W). Oracle re-derives the
+# chunks positionally (token ⋈ chunk-range join + ordered string_agg).
+# --------------------------------------------------------------------------
+_CHUNK_W, _CHUNK_S = 32, 24
+
+
+@query(
+    "pipeline_chunk_overlap",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, str_split(text, ' ') AS t,
+             len(str_split(text, ' ')) AS n
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, n,
+             unnest(range(0, 1 + (GREATEST(n - {_CHUNK_W}, 0)
+                                  + {_CHUNK_S} - 1) // {_CHUNK_S})) AS chunk_id
+      FROM d
+    ),
+    toks AS (
+      SELECT doc_id,
+             unnest(str_split(text, ' ')) AS tok,
+             generate_subscripts(str_split(text, ' '), 1) AS i
+      FROM documents
+    )
+    SELECT c.doc_id, CAST(c.chunk_id AS INT) AS chunk_id,
+           string_agg(tok, ' ' ORDER BY i) AS chunk_text,
+           CAST(COUNT(*) AS BIGINT) AS n_chunk_tokens
+    FROM chunks c JOIN toks t
+      ON t.doc_id = c.doc_id
+     AND t.i >= c.chunk_id * {_CHUNK_S} + 1
+     AND t.i <= c.chunk_id * {_CHUNK_S} + {_CHUNK_W}
+    GROUP BY c.doc_id, c.chunk_id
+    """,
+    tags=("X4", "F1", "L4"),
+)
+def pipeline_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    w, s = _CHUNK_W, _CHUNK_S
+    n_chunks = 1 + F.floor(
+        (F.greatest(n - w, F.lit(0)) + (s - 1)) / s
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(toks, i * s + 1, w)).alias("chunk_text"),
+            F.least(F.lit(w), n - i * s).cast("long").alias("n_chunk_tokens"),
+        ),
+    )
+    return docs.select(F.col("doc_id"), F.explode(chunks).alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+    )

@@ -260,3 +260,59 @@ def test_profile_is_single_scan(spark, sf_dir):
     # one file-index Location per scan; the literal "Scan parquet" appears
     # twice per scan in formatted mode (tree node + detail header)
     assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_repetition_is_pure_aggregation_cascade(spark, sf_dir):
+    """text_repetition must contain no joins at all — one explode feeding
+    stacked hash aggregates (the shape that survives 100 TB)."""
+    plan = _df(spark, sf_dir, "text_repetition")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, f"text_repetition grew a join:\n{plan}"
+    assert plan.count("Generate") == 1
+
+
+def test_pq_topk_no_driver_jobs_no_cartesian(spark, sf_dir):
+    """PQ probe + codebook are in-plan broadcast contexts: plan
+    construction must run no Spark jobs beyond file listing, and the
+    rerank lookup must be a broadcast join, never a BNLJ over the codes."""
+    sc = spark.sparkContext
+    before = len(sc.statusTracker().getJobIdsForGroup() or [])
+    df = _df(spark, sf_dir, "sim_pq_topk")
+    after = len(sc.statusTracker().getJobIdsForGroup() or [])
+    assert after - before <= 1, "pq_topk plan construction ran eager jobs"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # 1-row context broadcasts show up as BNLJs (the intended ivf-style
+    # pattern); what must NOT happen is an unbroadcast cartesian or the
+    # rerank lookup degrading from a broadcast hash join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, f"rerank lost its broadcast join:\n{plan}"
+
+
+def test_minhash_refine_joins_candidates_first(spark, sf_dir):
+    """The exact-refine stage must never re-create the shingle-keyed a⋈b
+    blow-up: no SortMergeJoin/ShuffledHashJoin keyed ONLY on the shingle
+    column feeding the n_common aggregate (BASELINE round-5b lesson)."""
+    C.assert_no_nested_loop(
+        _df(spark, sf_dir, "dedup_minhash_relational"), "dedup_minhash_relational"
+    )
+    from ppdb_parser_spark.operators.dedup import minhash_match
+    from ppdb_parser_spark.sources.tables import load_table
+
+    plan = (
+        minhash_match(load_table(spark, sf_dir, "documents"))
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    import re
+
+    # the refine stage must probe b-side shingles WITH the candidate id
+    # bound into the join key (id_b AND shingle in one equi-condition);
+    # shingle-only joins are fine only as dictionary lookups (hash columns
+    # / df filter), which join a DISTINCT-shingle relation
+    assert re.search(r"Join Inner, \(\(?.*id_b.*shingle.*\)", plan) or re.search(
+        r"Join Inner, .*shingle.*id_b", plan
+    ), f"refine join no longer keys on (id_b, shingle):\n{plan}"
+
+
+def test_chunk_overlap_zero_shuffle(spark, sf_dir):
+    """In-row chunking is a narrow map: no exchange anywhere."""
+    plan = _df(spark, sf_dir, "pipeline_chunk_overlap")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"pipeline_chunk_overlap shuffles:\n{plan}"
