@@ -302,3 +302,69 @@ def ts_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", "k").alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE): a month spine generated by
+# LINEAR recursion (one row per step — no path explosion; Spark's UNION
+# ALL-only recursion is safe exactly for this acyclic shape) left-joined
+# to monthly order aggregates. DuckDB's native recursive CTE is the
+# oracle. Cyclic closures (dup groups) deliberately stay on the
+# driver-loop operator: UNION-dedup recursion is unsupported and UNION ALL
+# on a cyclic graph never terminates.
+# --------------------------------------------------------------------------
+@query(
+    "ts_recursive_month_spine",
+    oracle="""
+    WITH RECURSIVE bounds AS (
+      SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+             CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+      FROM orders
+    ),
+    months(m) AS (
+      SELECT lo FROM bounds
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months, bounds
+      WHERE m < hi
+    ),
+    agg AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               / 100.0 AS total_price
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(months.m, '%Y-%m') AS month,
+           CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+           COALESCE(total_price, 0.0) AS total_price
+    FROM months LEFT JOIN agg ON months.m = agg.m
+    """,
+    tags=("X2", "A1", "J3", "S6"),
+)
+def ts_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+          SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+                 CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+          FROM orders_v
+        ),
+        months(m) AS (
+          SELECT lo FROM bounds
+          UNION ALL
+          SELECT add_months(m, 1) FROM months, bounds WHERE m < hi
+        ),
+        agg AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                 COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   / 100.0 AS total_price
+          FROM orders_v GROUP BY 1
+        )
+        SELECT date_format(months.m, 'yyyy-MM') AS month,
+               CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+               CAST(COALESCE(total_price, 0.0) AS DOUBLE) AS total_price
+        FROM months LEFT JOIN agg ON months.m = agg.m
+        """
+    )
