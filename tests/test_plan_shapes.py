@@ -316,3 +316,41 @@ def test_chunk_overlap_zero_shuffle(spark, sf_dir):
     """In-row chunking is a narrow map: no exchange anywhere."""
     plan = _df(spark, sf_dir, "pipeline_chunk_overlap")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, f"pipeline_chunk_overlap shuffles:\n{plan}"
+
+
+def test_runtime_bloom_filter_injected_on_selective_join(spark, sf_dir):
+    """Catalyst injects a runtime bloom filter on the fact side of a
+    shuffle join when the dim side is selectively filtered — at 100 TB
+    this prunes lineitem rows BEFORE the exchange. Asserted with the
+    size thresholds forced down (the fixture scan is below the default
+    10 GiB application threshold); restored afterwards."""
+    from ppdb_parser_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, f"no runtime bloom filter:\n{plan}"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
