@@ -759,3 +759,28 @@ def test_minhash_relational_precision_and_recall(spark, sf_dir):
     }
     assert mh <= exact
     assert len(mh) >= len(exact) // 2
+
+
+def test_text_ops_degenerate_inputs(spark):
+    """Empty and single-token documents must flow through the gram-based
+    operators without errors: no grams -> no rows (winnow/chunk tail
+    behavior pinned), never an exception from slice/sequence edge math."""
+    from ppdb_parser_spark.operators.text_analysis import (
+        repetition_stats,
+        winnow_fingerprints,
+    )
+    from ppdb_parser_spark.queries.registry import REGISTRY
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "a b c d e f g h i j")], ["doc_id", "text"]
+    )
+    rep = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    # "" splits to [''] -> 1 token, no bigrams/trigrams -> NULL fractions
+    assert rep[1]["n_tokens"] == 1 and rep[1]["top_bigram_frac"] is None
+    assert rep[2]["n_tokens"] == 1
+    assert rep[3]["dup_trigram_frac"] == 0.0
+
+    fp = winnow_fingerprints(df)
+    counts = {r["doc_id"]: 1 for r in fp.collect()}
+    assert 1 not in counts and 2 not in counts  # < k tokens -> no k-grams
+    assert fp.filter(F.col("doc_id") == 3).count() > 0
