@@ -595,3 +595,91 @@ def text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return TA.bigram_perplexity(docs, ref_filter=F.col("lang") == "en")
+
+
+# --------------------------------------------------------------------------
+# Inverted index build + positional phrase search — the reference's lookup
+# structure expressed relationally. The index is one token-keyed aggregate
+# over the (doc, pos, token) stream; phrase search intersects two posting
+# streams on (doc, adjacent positions) — the classic positional-index
+# AND-query, never a regex scan over raw text.
+# --------------------------------------------------------------------------
+@query(
+    "text_inverted_index",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(str_split(text, ' ')) AS token,
+             generate_subscripts(str_split(text, ' '), 1) - 1 AS pos
+      FROM documents
+    )
+    SELECT token,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+           CAST(COUNT(*) AS BIGINT) AS n_postings,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM toks GROUP BY token
+    """,
+    tags=("A1", "A2", "X4", "L4"),
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TA.exploded_tokens(docs)
+    return toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count(F.lit(1)).alias("n_postings"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+_PHRASES = [("table", "hash"), ("order", "fast"), ("window", "join")]
+_PHRASES_SQL = ", ".join(f"('{a}', '{b}')" for a, b in _PHRASES)
+
+
+@query(
+    "text_phrase_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(str_split(text, ' ')) AS token,
+             generate_subscripts(str_split(text, ' '), 1) - 1 AS pos
+      FROM documents
+    ),
+    phrases AS (SELECT * FROM (VALUES {_PHRASES_SQL}) AS p(w1, w2))
+    SELECT p.w1 || ' ' || p.w2 AS phrase, t1.doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM phrases p
+    JOIN toks t1 ON t1.token = p.w1
+    JOIN toks t2 ON t2.doc_id = t1.doc_id
+     AND t2.pos = t1.pos + 1 AND t2.token = p.w2
+    GROUP BY 1, 2
+    """,
+    tags=("J1", "J7", "A1", "L4"),
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TA.exploded_tokens(docs)
+    phrases = spark.createDataFrame(_PHRASES, "w1 string, w2 string")
+    t1 = toks.select(
+        F.col("doc_id"), F.col("pos").alias("p1"), F.col("token").alias("tk1")
+    )
+    t2 = toks.select(
+        F.col("doc_id").alias("d2"),
+        F.col("pos").alias("p2"),
+        F.col("token").alias("tk2"),
+    )
+    return (
+        t1.join(F.broadcast(phrases), F.col("tk1") == F.col("w1"))
+        .join(
+            t2,
+            (F.col("d2") == F.col("doc_id"))
+            & (F.col("p2") == F.col("p1") + 1)
+            & (F.col("tk2") == F.col("w2")),
+        )
+        .groupBy(
+            F.concat_ws(" ", F.col("w1"), F.col("w2")).alias("phrase"),
+            "doc_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
