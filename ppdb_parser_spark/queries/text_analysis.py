@@ -683,3 +683,75 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+# --------------------------------------------------------------------------
+# PMI collocations (pointwise mutual information; Church & Hanks 1990 —
+# public): association score for adjacent token pairs,
+# pmi = round(ln(c(a,b) · N_bigrams / (cl(a) · cr(b))), 8), where cl/cr
+# are the pair's left/right marginals over the bigram stream (so the
+# probabilities are a proper joint/marginal family and Σ is consistent).
+# Pure aggregates + two marginal joins; N is a 1-row broadcast.
+# --------------------------------------------------------------------------
+@query(
+    "text_pmi_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(str_split(text, ' ')) AS tok,
+             generate_subscripts(str_split(text, ' '), 1) AS i
+      FROM documents
+    ),
+    seq AS (
+      SELECT doc_id, tok AS a,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS b
+      FROM toks
+    ),
+    bg AS (SELECT a, b FROM seq WHERE b IS NOT NULL),
+    pair AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1, 2),
+    la AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS c_a FROM bg GROUP BY 1),
+    rb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_b FROM bg GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM bg)
+    SELECT pair.a AS w1, pair.b AS w2, c_ab,
+           round(ln(c_ab * nn / (c_a * c_b)), 8) AS pmi
+    FROM pair JOIN la USING (a) JOIN rb USING (b), n
+    WHERE c_ab >= 5
+    """,
+    tags=("A1", "J2", "X3", "L4"),
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TA.tokens()
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    bg = docs.select(F.explode(pairs).alias("p")).select(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
+    pair = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    la = bg.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    rb = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c_b"))
+    n_row = bg.agg(F.count(F.lit(1)).cast("double").alias("nn"))
+    return (
+        pair.join(la, "a")
+        .join(rb, "b")
+        .crossJoin(F.broadcast(n_row))
+        .filter(F.col("c_ab") >= 5)
+        .select(
+            F.col("a").alias("w1"),
+            F.col("b").alias("w2"),
+            "c_ab",
+            F.round(
+                F.log(
+                    F.col("c_ab") * F.col("nn") / (F.col("c_a") * F.col("c_b"))
+                ),
+                8,
+            ).alias("pmi"),
+        )
+    )

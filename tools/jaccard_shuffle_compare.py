@@ -54,6 +54,10 @@ def run(variant: str, sf_dir: str, cap: int | None):
         docs = load_table(spark, sf_dir, "documents")
         if variant == "prefix":
             mk = lambda: DD.jaccard_pairs_prefix(docs, threshold=0.5, n=2)
+        elif variant == "minhash":
+            mk = lambda: DD.minhash_match(docs, threshold=0.3)
+        elif variant == "winnow":
+            mk = lambda: DD.winnow_match(docs)
         else:
             fn = DD.jaccard_pairs if variant == "stream" else DD.jaccard_pairs_bitmap
             mk = lambda: fn(docs, threshold=0.5, n=2, max_doc_freq=cap)
@@ -62,7 +66,12 @@ def run(variant: str, sf_dir: str, cap: int | None):
         rows = mk().collect()
         dt = time.perf_counter() - t0
         w, r = total_shuffle_bytes(spark.sparkContext)
-        pairs = sorted((x["id_a"], x["id_b"], x["n_common"]) for x in rows)
+        pairs = sorted(
+            (x[0], x[1]) for x in ((r2_["id_a"], r2_["id_b"])
+                                   if "id_a" in r2_.__fields__
+                                   else (r2_["doc_a"], r2_["doc_b"])
+                                   for r2_ in rows)
+        )
         return pairs, dt, w, r
     finally:
         spark.stop()
@@ -82,6 +91,12 @@ def main() -> None:
     print(f"UNCAPPED exact prefix-filter join: {len(p3)} pairs, "
           f"{t3:.2f}s, shuffle write {w3/1e6:.1f} MB "
           f"(stream/bitmap cannot run uncapped at this sf)")
+    p4, t4, w4, r4 = run("minhash", sf_dir, None)
+    print(f"minhash_match (J>=0.3, approx candidates + exact refine): "
+          f"{len(p4)} pairs, {t4:.2f}s, shuffle write {w4/1e6:.1f} MB")
+    p5, t5, w5, r5 = run("winnow", sf_dir, None)
+    print(f"winnow_match (fingerprint overlap, different pair semantics): "
+          f"{len(p5)} pairs, {t5:.2f}s, shuffle write {w5/1e6:.1f} MB")
 
 
 if __name__ == "__main__":
