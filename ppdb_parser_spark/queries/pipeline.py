@@ -284,3 +284,93 @@ def pipeline_quality_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_quality",
         "total_tokens",
     )
+
+
+# --------------------------------------------------------------------------
+# RAG-ingest composition: quality-gate the corpus (Gopher rules) →
+# overlapping W=32/S=24 token chunks built in-row → exact chunk dedup on
+# the md5 chunk fingerprint (min (doc,chunk) survives) → route each
+# surviving chunk to one of 8 index shards (md5-derived — the IVF cell
+# stand-in that stays portable across engines) → per-shard ingest stats.
+# One lineage: map → explode → fingerprint agg → shard agg; the only
+# exchanges are the dedup and shard aggregates, both uniform md5 keys.
+# --------------------------------------------------------------------------
+@query(
+    "pipeline_rag_ingest",
+    oracle="""
+    WITH kept AS (
+      SELECT doc_id, str_split(text, ' ') AS t, len(str_split(text, ' ')) AS n
+      FROM documents
+      WHERE len(str_split(text, ' ')) >= 25
+        AND list_aggregate(list_transform(str_split(text, ' '),
+                                          x -> length(x)), 'sum') * 10
+              >= 45 * len(str_split(text, ' '))
+        AND len(list_filter(str_split(text, ' '),
+                            x -> x IN ('the','a','of','and','to','in','is',
+                                       'it','on','for'))) * 20
+              >= len(str_split(text, ' '))
+        AND len(list_distinct(str_split(text, ' '))) * 3
+              >= len(str_split(text, ' '))
+    ),
+    chunks AS (
+      SELECT doc_id, n,
+             unnest(range(0, 1 + (GREATEST(n - 32, 0) + 23) // 24)) AS chunk_id
+      FROM kept
+    ),
+    toks AS (
+      SELECT doc_id,
+             unnest(t) AS tok, generate_subscripts(t, 1) AS i
+      FROM kept
+    ),
+    chunk_text AS (
+      SELECT c.doc_id, c.chunk_id,
+             string_agg(tok, ' ' ORDER BY i) AS body,
+             CAST(COUNT(*) AS BIGINT) AS n_tok
+      FROM chunks c JOIN toks t
+        ON t.doc_id = c.doc_id
+       AND t.i >= c.chunk_id * 24 + 1 AND t.i <= c.chunk_id * 24 + 32
+      GROUP BY 1, 2
+    ),
+    dedup AS (
+      SELECT md5(body) AS fp, MIN(n_tok) AS n_tok,
+             COUNT(*) AS n_copies
+      FROM chunk_text GROUP BY 1
+    )
+    SELECT ascii(substr(fp, 1, 1)) % 8 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_copies - 1) AS BIGINT) AS n_dups_removed
+    FROM dedup GROUP BY 1
+    """,
+    tags=("L4", "O5", "F4", "A1", "X4"),
+)
+def pipeline_rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..queries.training_data import gopher_pass_all
+
+    docs = load_table(spark, sf_dir, "documents").filter(gopher_pass_all())
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    w, s = 32, 24
+    n_chunks = 1 + F.floor(
+        (F.greatest(n - w, F.lit(0)) + (s - 1)) / s
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.concat_ws(" ", F.slice(toks, i * s + 1, w)).alias("body"),
+            F.least(F.lit(w), n - i * s).cast("long").alias("n_tok"),
+        ),
+    )
+    chunk_rows = docs.select(F.explode(chunks).alias("c")).select(
+        F.md5(F.col("c.body")).alias("fp"), F.col("c.n_tok").alias("n_tok")
+    )
+    dedup = chunk_rows.groupBy("fp").agg(
+        F.min("n_tok").alias("n_tok"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return dedup.groupBy(
+        (F.ascii(F.substring(F.col("fp"), 1, 1)) % 8).alias("shard")
+    ).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum(F.col("n_copies") - 1).cast("long").alias("n_dups_removed"),
+    )

@@ -304,3 +304,44 @@ def snk_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         money_sum("l_extendedprice").alias("total_extprice"),
     )
+
+
+# --------------------------------------------------------------------------
+# S3c: PERMISSIVE scan of a dirty CSV — malformed rows quarantine into a
+# corrupt-record column (P6 discipline at the source layer); good rows
+# aggregate normally, corrupt rows are counted and sampled. Oracle derives
+# the identical split from the same pure-function fixture generator.
+# --------------------------------------------------------------------------
+def _dirty_csv_values_sql() -> str:
+    from ..sources.files import dirty_csv_rows
+
+    rows = ", ".join(
+        f"('{sku}', {'NULL' if bad else qty_text}, {price_text}, "
+        f"{'TRUE' if bad else 'FALSE'})"
+        for sku, qty_text, price_text, bad in dirty_csv_rows()
+    )
+    return f"(SELECT * FROM (VALUES {rows}) AS c(sku, qty, price, is_bad))"
+
+
+@query(
+    "src_csv_permissive",
+    oracle=f"""
+    SELECT CAST(COUNT(*) FILTER (WHERE NOT is_bad) AS BIGINT) AS n_good,
+           CAST(COUNT(*) FILTER (WHERE is_bad) AS BIGINT) AS n_corrupt,
+           CAST(SUM(qty) FILTER (WHERE NOT is_bad) AS BIGINT) AS total_qty,
+           MIN(CASE WHEN is_bad THEN sku END) AS first_bad_sku
+    FROM {_dirty_csv_values_sql()} c
+    """,
+    tags=("S3", "P6", "A6"),
+)
+def src_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = FS.read_csv_items_permissive(spark)
+    bad = F.col("_corrupt").isNotNull()
+    return df.agg(
+        F.count(F.when(~bad, 1)).alias("n_good"),
+        F.count(F.when(bad, 1)).alias("n_corrupt"),
+        F.sum(F.when(~bad, F.col("qty"))).cast("long").alias("total_qty"),
+        F.min(F.when(bad, F.split(F.col("_corrupt"), ",").getItem(0))).alias(
+            "first_bad_sku"
+        ),
+    )

@@ -90,3 +90,49 @@ def read_json_docs(spark: SparkSession) -> DataFrame:
     return spark.read.schema(JSON_SCHEMA).json(
         os.path.join(ensure_json(), "docs.jsonl")
     )
+
+
+#: rows whose qty field is written unparseable in the dirty CSV fixture.
+BAD_CSV_EVERY = 29
+
+
+def dirty_csv_rows() -> list[tuple[str, str, str, bool]]:
+    """(sku, qty_text, price_text, is_bad) — same pure function as
+    csv_rows, with every BAD_CSV_EVERY-th row's qty corrupted to a
+    non-numeric token (the malformed-line shape a real ingest sees)."""
+    out = []
+    for i, (sku, qty, price) in enumerate(csv_rows()):
+        bad = i % BAD_CSV_EVERY == 3
+        out.append((sku, "notanumber" if bad else str(qty), str(price), bad))
+    return out
+
+
+def ensure_csv_dirty(root: str | None = None) -> str:
+    from ._cache import ensure_cached_dir
+
+    def build(d: str) -> None:
+        with open(os.path.join(d, "items_dirty.csv"), "w") as f:
+            f.write("sku,qty,price\n")
+            for sku, qty_text, price_text, _ in dirty_csv_rows():
+                f.write(f"{sku},{qty_text},{price_text}\n")
+
+    return ensure_cached_dir(
+        os.path.join(root or _cache_root(), "csv_dirty_v1"), build
+    )
+
+
+def read_csv_items_permissive(spark: SparkSession) -> DataFrame:
+    """PERMISSIVE CSV scan: schema violations land in a `_corrupt` column
+    instead of failing the job — the S3 counterpart of the PPDB parser's
+    P6 quarantine discipline. (DROPMALFORMED/FAILFAST are the other modes;
+    PERMISSIVE + corrupt-column is the only one that keeps evidence.)"""
+    schema = T.StructType(
+        list(CSV_SCHEMA.fields) + [T.StructField("_corrupt", T.StringType())]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(os.path.join(ensure_csv_dirty(), "items_dirty.csv"))
+    )
