@@ -195,6 +195,20 @@ def main() -> None:
         if base_t is None:
             base_t = dt
 
+        # round-5b tiers on the same Zipfian corpus: the banded MinHash
+        # candidates and the winnow fingerprint join both key on
+        # hash-derived values — Zipf's hot SHINGLES concentrate df, but
+        # the per-seed minima / window minima are still near-uniform, so
+        # neither join should develop hot buckets
+        from ppdb_parser_spark.operators.dedup import minhash_match, winnow_match
+
+        for label, fn in (("minhash_match", lambda: minhash_match(docs, threshold=0.5)),
+                          ("winnow_match", lambda: winnow_match(docs))):
+            fn().count()  # warm
+            t0 = time.perf_counter()
+            c = fn().count()
+            print(f"n={n}: {label} wall={time.perf_counter() - t0:.2f}s pairs={c}")
+
 
 if __name__ == "__main__":
     main()
