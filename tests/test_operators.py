@@ -784,3 +784,29 @@ def test_text_ops_degenerate_inputs(spark):
     counts = {r["doc_id"]: 1 for r in fp.collect()}
     assert 1 not in counts and 2 not in counts  # < k tokens -> no k-grams
     assert fp.filter(F.col("doc_id") == 3).count() > 0
+
+
+@pytest.mark.parametrize(
+    "qname", ["flagship", "dedup_jaccard_prefix", "sim_pq_topk", "text_textrank"]
+)
+def test_results_invariant_to_execution_config(spark, sf_dir, qname):
+    """Marquee results must be bit-identical with AQE disabled and a
+    different shuffle-partition count — catching any hidden dependence on
+    partition order, coalescing, or tie-break luck. (The determinism the
+    oracle gate needs on a 1000-executor cluster, tested locally.)"""
+    def run():
+        pdf = REGISTRY[qname].fn(spark, sf_dir).toPandas()
+        return sorted(map(tuple, pdf.astype(str).values.tolist()))
+
+    baseline = run()
+    saved = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        assert run() == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
