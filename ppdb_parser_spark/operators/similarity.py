@@ -704,3 +704,143 @@ def pq_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def pq_kmeans_topk(
+    df: DataFrame,
+    probe_id: int = 1,
+    n_centroids: int = 16,
+    m: int = 8,
+    k: int = 10,
+    rerank: int = 50,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """:func:`pq_topk` with one relational Lloyd refinement of every
+    per-subspace codebook — the PQ counterpart of
+    :func:`ivf_kmeans_topk`'s trained-centroid upgrade:
+
+    1. seed-assign codes exactly as :func:`pq_encode`;
+    2. refine centroid (s, c) as the element-wise mean of its assigned
+       subvectors — int64 grid sums divided once, rounded to 1e-9, so the
+       trained codebook is bit-identical cross-engine (a cluster whose
+       assignment set is empty simply drops out, same both engines);
+    3. re-encode against the refined codebook, ADC-score, exact-rerank.
+
+    One lineage: the refinement is two hash aggregates over the
+    (vector, subspace, element) stream; the refined codebook comes back
+    as a 1-row broadcast context. No driver loops — more Lloyd steps
+    would unroll the same stage pattern.
+    """
+    sub = dim // m
+    codes0 = pq_encode(
+        df, n_centroids, m, dim=dim, id_col=id_col, vec_col=vec_col, keep_cols=()
+    ).select(id_col, F.posexplode("codes").alias("s", "c0"))
+
+    el = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "x")
+    ).select(
+        id_col, (F.col("pos") / sub).cast("int").alias("s"), "pos", "x"
+    )
+    refined = (
+        el.join(codes0, [id_col, "s"])
+        .groupBy("s", "c0", "pos")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("x").cast("double") * PQ_GRID).cast("long"))
+                / (F.count(F.lit(1)) * float(PQ_GRID)),
+                9,
+            ).alias("cx")
+        )
+    )
+    cents_row = (
+        refined.groupBy("s", "c0")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                lambda p: p["cx"],
+            ).alias("cvec")
+        )
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("s").alias("cs"),
+                    F.col("c0").alias("cc"),
+                    F.col("cvec").alias("cvec"),
+                )
+            ).alias("cents")
+        )
+    )
+    probe_row = df.filter(F.col(id_col) == probe_id).select(
+        F.col(vec_col).alias("q"), _grid_norm6(F.col(vec_col)).alias("qnorm")
+    )
+    ctx = probe_row.crossJoin(cents_row)
+
+    def _sub_cents(s: Column) -> Column:
+        return F.filter(F.col("cents"), lambda c: c["cs"] == s)
+
+    def _code_at(vec: Column, s: Column) -> Column:
+        subv = F.slice(vec, s * sub + 1, sub)
+        ranked = F.array_sort(
+            F.transform(
+                _sub_cents(s),
+                lambda c: F.struct(
+                    _grid_sum(
+                        subv, c["cvec"], lambda x, y: (x - y) * (x - y)
+                    ).alias("d2g"),
+                    c["cc"].alias("cc"),
+                ),
+            )
+        )
+        return F.element_at(ranked, 1)["cc"]
+
+    def _adc_term(s: Column, code: Column) -> Column:
+        hit = F.filter(
+            F.col("cents"), lambda c: (c["cs"] == s) & (c["cc"] == code)
+        )
+        return _grid_dot(
+            F.slice(F.col("q"), s * sub + 1, sub),
+            F.element_at(hit, 1)["cvec"],
+        )
+
+    scored = (
+        df.withColumn("vnorm", _grid_norm6(F.col(vec_col)))
+        .crossJoin(F.broadcast(ctx))
+        .withColumn(
+            "adc_dot_grid",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + _adc_term(s, _code_at(F.col(vec_col), s)),
+            ),
+        )
+        .withColumn(
+            "adc_cosine",
+            F.round(
+                (F.col("adc_dot_grid") / float(PQ_GRID))
+                / (F.col("vnorm") * F.col("qnorm")),
+                6,
+            ),
+        )
+        .filter(F.col(id_col) != probe_id)
+    )
+    cands = scored.select(
+        id_col, *keep_cols, "adc_cosine", "q", "qnorm", "vnorm"
+    ).orderBy(F.desc("adc_cosine"), F.asc(id_col)).limit(rerank)
+    reranked = df.select(id_col, vec_col).join(F.broadcast(cands), id_col)
+    return (
+        reranked.withColumn(
+            "cosine",
+            F.round(
+                (_grid_dot(F.col(vec_col), F.col("q")) / float(PQ_GRID))
+                / (F.col("vnorm") * F.col("qnorm")),
+                6,
+            ),
+        )
+        .select(id_col, *keep_cols, "adc_cosine", "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

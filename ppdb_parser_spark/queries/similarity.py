@@ -374,3 +374,79 @@ def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return SIM.pq_topk(e, probe_id=1, n_centroids=16, m=8, k=10, rerank=50, dim=64)
+
+
+@query(
+    "sim_pq_kmeans_topk",
+    oracle=f"""
+    WITH {_PQ_EL_SQL},
+    rc AS (
+      SELECT e.s, code.c AS c0, e.i,
+             round(CAST(SUM(CAST(round(e.x * 1000000000.0) AS BIGINT))
+                        AS BIGINT) / (COUNT(*) * 1000000000.0), 9) AS cx
+      FROM el e JOIN code ON e.vec_id = code.vec_id AND e.s = code.s
+      GROUP BY 1, 2, 3
+    ),
+    d2r AS (
+      SELECT e.vec_id, rc.c0, e.s,
+             CAST(SUM(CAST(round((e.x - rc.cx) * (e.x - rc.cx)
+                                 * 1000000000.0) AS BIGINT)) AS BIGINT) AS d2g
+      FROM el e JOIN rc ON e.i = rc.i
+      GROUP BY 1, 2, 3
+    ),
+    code1 AS (
+      SELECT vec_id, s, c0 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2g, c0) AS rk
+        FROM d2r
+      ) WHERE rk = 1
+    ),
+    pel AS (SELECT x, s, i FROM el WHERE vec_id = 1),
+    qn AS (
+      SELECT round(sqrt(CAST(SUM(CAST(round(x * x * 1000000000.0) AS BIGINT))
+                             AS BIGINT) / 1000000000.0), 6) AS qnorm
+      FROM pel
+    ),
+    ptr AS (
+      SELECT rc.c0, rc.s,
+             CAST(SUM(CAST(round(p.x * rc.cx * 1000000000.0) AS BIGINT))
+                  AS BIGINT) AS tg
+      FROM pel p JOIN rc ON p.i = rc.i
+      GROUP BY 1, 2
+    ),
+    adc AS (
+      SELECT code1.vec_id, CAST(SUM(tg) AS BIGINT) AS adcg
+      FROM code1 JOIN ptr ON code1.s = ptr.s AND code1.c0 = ptr.c0
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT a.vec_id,
+             round((adcg / 1000000000.0) / (vnorm * qnorm), 6) AS adc_cosine
+      FROM adc a JOIN vn USING (vec_id), qn
+      WHERE a.vec_id <> 1
+    ),
+    cand AS (SELECT * FROM scored ORDER BY adc_cosine DESC, vec_id LIMIT 50),
+    ex AS (
+      SELECT e.vec_id,
+             CAST(SUM(CAST(round(e.x * p.x * 1000000000.0) AS BIGINT))
+                  AS BIGINT) AS exg
+      FROM el e JOIN pel p ON e.i = p.i
+      WHERE e.vec_id IN (SELECT vec_id FROM cand)
+      GROUP BY 1
+    )
+    SELECT c.vec_id, emb.label, c.adc_cosine,
+           round((ex.exg / 1000000000.0) / (vn.vnorm * qn.qnorm), 6) AS cosine
+    FROM cand c
+    JOIN ex USING (vec_id)
+    JOIN vn USING (vec_id)
+    JOIN embeddings emb ON emb.vec_id = c.vec_id, qn
+    ORDER BY cosine DESC, c.vec_id
+    LIMIT 10
+    """,
+    tags=("L1", "L2", "W1", "A1"),
+)
+def sim_pq_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.pq_kmeans_topk(
+        e, probe_id=1, n_centroids=16, m=8, k=10, rerank=50, dim=64
+    )

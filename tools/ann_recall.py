@@ -118,20 +118,22 @@ def pq_sweep(spark, sf_dir, results):
             for r in SIM.cosine_topk_by_id(e, probe_id=probe_id, k=k).collect()
         ]
         for rerank in (25, 50, 100, 200):
-            pq = [
-                r["vec_id"]
-                for r in SIM.pq_topk(
-                    e, probe_id=probe_id, k=k, rerank=rerank, dim=64
-                ).collect()
-            ]
-            row = {
-                "metric": "pq_recall_at_k", "sf_dir": sf_dir, "k": k,
-                "probe_id": probe_id, "m": 8, "n_centroids": 16,
-                "rerank": rerank,
-                "recall": round(len(set(pq) & set(exact)) / k, 4),
-            }
-            results.append(row)
-            print(json.dumps(row))
+            for variant, fn in (("seeded", SIM.pq_topk),
+                                ("kmeans", SIM.pq_kmeans_topk)):
+                pq = [
+                    r["vec_id"]
+                    for r in fn(
+                        e, probe_id=probe_id, k=k, rerank=rerank, dim=64
+                    ).collect()
+                ]
+                row = {
+                    "metric": "pq_recall_at_k", "sf_dir": sf_dir, "k": k,
+                    "probe_id": probe_id, "m": 8, "n_centroids": 16,
+                    "rerank": rerank, "codebook": variant,
+                    "recall": round(len(set(pq) & set(exact)) / k, 4),
+                }
+                results.append(row)
+                print(json.dumps(row))
 
 
 def main():
