@@ -153,3 +153,60 @@ def ppdb_alignment_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "offset"
         )
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# --------------------------------------------------------------------------
+# Point-in-time dimensional lookup (the SCD2 read-side): validity
+# intervals are derived per customer with a window lead over their order
+# history (valid_from = o_orderdate, valid_to = next order's date, open
+# tail = current), then events join their user's interval covering the
+# event time. The join is an equi join on the user key with a range
+# predicate — per-user interval counts bound the fan-out, never a BNLJ.
+# --------------------------------------------------------------------------
+@query(
+    "pattern_scd2_pointintime",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey, o_orderpriority,
+             CAST(o_orderdate AS TIMESTAMP) AS vf,
+             lead(CAST(o_orderdate AS TIMESTAMP))
+               OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) AS vt
+      FROM orders
+    )
+    SELECT iv.o_orderpriority AS effective_priority,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e
+    JOIN iv ON e.user_id = iv.o_custkey
+           AND CAST(e.ts AS TIMESTAMP) >= iv.vf
+           AND (iv.vt IS NULL OR CAST(e.ts AS TIMESTAMP) < iv.vt)
+    GROUP BY 1
+    """,
+    tags=("J7", "W3", "X2", "A2"),
+)
+def pattern_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    iv = o.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("timestamp").alias("vf"),
+        F.lead(F.col("o_orderdate").cast("timestamp")).over(w).alias("vt"),
+    )
+    ts = F.col("ts").cast("timestamp")
+    j = e.join(
+        iv,
+        (F.col("user_id") == F.col("o_custkey"))
+        & (ts >= F.col("vf"))
+        & (F.col("vt").isNull() | (ts < F.col("vt"))),
+    )
+    return j.groupBy(
+        F.col("o_orderpriority").alias("effective_priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
