@@ -130,3 +130,53 @@ _IMPORTANT_PARTS_SQL = """
 def sub_having_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_IMPORTANT_PARTS_SQL)
+
+
+# --------------------------------------------------------------------------
+# ANSI NOT IN with NULLs — the classic three-valued-logic trap: if the
+# subquery result contains ANY NULL, `x NOT IN (...)` is never TRUE, so
+# the correct answer is zero rows from the null-polluted variant while the
+# NULL-free variant returns the real complement. Spark plans the null-
+# polluted side as a null-aware anti join (BroadcastNestedLoopJoin with
+# the NAAJ marker); both engines must agree on BOTH variants.
+# --------------------------------------------------------------------------
+@query(
+    "subq_not_in_nulls",
+    oracle="""
+    WITH polluted AS (
+      -- customer keys of large-balance customers, plus a NULL (nullif on
+      -- an always-matching sentinel row)
+      SELECT nullif(c_custkey, 0) AS k FROM customer WHERE c_acctbal > 5000
+         OR c_custkey = 0
+    ),
+    clean AS (SELECT k FROM polluted WHERE k IS NOT NULL)
+    SELECT
+      CAST((SELECT COUNT(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT k FROM polluted)) AS BIGINT)
+        AS n_not_in_polluted,
+      CAST((SELECT COUNT(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT k FROM clean)) AS BIGINT)
+        AS n_not_in_clean,
+      CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_total
+    """,
+    tags=("J5", "F2", "X3"),
+)
+def subq_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH polluted AS (
+          SELECT nullif(c_custkey, 0) AS k FROM customer
+          WHERE c_acctbal > 5000 OR c_custkey = 0
+        ),
+        clean AS (SELECT k FROM polluted WHERE k IS NOT NULL)
+        SELECT
+          CAST((SELECT COUNT(*) FROM customer
+                WHERE c_custkey NOT IN (SELECT k FROM polluted)) AS BIGINT)
+            AS n_not_in_polluted,
+          CAST((SELECT COUNT(*) FROM customer
+                WHERE c_custkey NOT IN (SELECT k FROM clean)) AS BIGINT)
+            AS n_not_in_clean,
+          CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_total
+        """
+    )

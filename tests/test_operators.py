@@ -787,7 +787,9 @@ def test_text_ops_degenerate_inputs(spark):
 
 
 @pytest.mark.parametrize(
-    "qname", ["flagship", "dedup_jaccard_prefix", "sim_pq_topk", "text_textrank"]
+    "qname",
+    ["flagship", "dedup_jaccard_prefix", "sim_pq_topk", "sim_pq_kmeans_topk",
+     "text_textrank", "dedup_minhash_relational"],
 )
 def test_results_invariant_to_execution_config(spark, sf_dir, qname):
     """Marquee results must be bit-identical with AQE disabled and a

@@ -15,3 +15,42 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(df.columns) == {"id", "s", "score", "shard"}
     rows = {r["id"]: r for r in df.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_dynamic_partition_overwrite_is_idempotent(spark, sf_dir, tmp_path):
+    """partitionOverwriteMode=dynamic: rewriting ONE partition must leave
+    the others byte-identical — the idempotent-rerun contract a partitioned
+    100 TB pipeline relies on (a failed day's job reruns without clobbering
+    the rest of the table)."""
+    from pyspark.sql import functions as F
+
+    from ppdb_parser_spark.sources.tables import load_table
+
+    out = str(tmp_path / "bylang")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs.write.partitionBy("lang").parquet(out)
+    before = {
+        r["lang"]: r["n"]
+        for r in spark.read.parquet(out).groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # rerun ONLY the 'en' slice (halved, to prove a real rewrite)
+        docs.filter(
+            (F.col("lang") == "en") & (F.col("doc_id") % 2 == 0)
+        ).write.mode("overwrite").partitionBy("lang").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+    after = {
+        r["lang"]: r["n"]
+        for r in spark.read.parquet(out).groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert after["en"] < before["en"]          # the rewritten partition changed
+    for lang in before:
+        if lang != "en":
+            assert after[lang] == before[lang]  # every other partition intact
