@@ -643,3 +643,60 @@ def analytics_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_sum(nat).alias("nation_revenue"),
         (nat_grid / tot_grid).alias("market_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q19 shape: disjunctive multi-branch predicate join (discounted revenue
+# for three OR'd brand/size/quantity envelopes). The join key stays the
+# plain equi key — the OR lives in a post-join filter Catalyst can still
+# push partially (per-branch part filters reach the dim scan) — and the
+# aggregate is a single grid-exact global sum.
+# --------------------------------------------------------------------------
+_Q19_BRANCHES_SQL = """(
+      (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 5 AND l_quantity <= 25)
+      OR (p_brand = 'Brand#15' AND p_size BETWEEN 10 AND 30
+          AND l_quantity >= 10 AND l_quantity <= 35)
+      OR (p_type = 'PROMO' AND p_size BETWEEN 1 AND 40
+          AND l_quantity >= 20)
+    )"""
+
+
+@query(
+    "analytics_disjunctive_join",
+    oracle=f"""
+    SELECT COUNT(*) AS n_lineitems,
+           {money_sum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE {_Q19_BRANCHES_SQL}
+    """,
+    tags=("J2", "F2", "F3", "A1"),
+)
+def analytics_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    b1 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(5, 25)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#15")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    )
+    b3 = (
+        (F.col("p_type") == "PROMO")
+        & F.col("p_size").between(1, 40)
+        & (F.col("l_quantity") >= 20)
+    )
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .filter(b1 | b2 | b3)
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+    )
