@@ -688,6 +688,7 @@ _MH_BANDS_SQL = ", ".join(
     WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.3
     """,
     tags=("O6", "J2", "A1", "X1"),
+    bench=True,
 )
 def dedup_minhash_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_match(

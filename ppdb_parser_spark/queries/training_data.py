@@ -644,6 +644,7 @@ _NLL_MAX = 3.48  # ~p90 of avg_nll on the fixture reference model
     LEFT JOIN lm USING (doc_id)
     """,
     tags=("L6", "F3", "A1", "J3"),
+    bench=True,
 )
 def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text_analysis import bigram_perplexity, repetition_stats
