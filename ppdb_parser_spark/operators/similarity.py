@@ -844,3 +844,84 @@ def pq_kmeans_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def lsh_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """The seeded hyperplane set as plain Python floats — single source of
+    truth for both the Spark plan and the SQL oracle (float repr
+    round-trips to the identical double in both engines)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_similarity_join_exact(
+    df: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 16,
+    n_bands: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    dim: int,
+) -> DataFrame:
+    """:func:`lsh_similarity_join` made bit-reproducible cross-engine:
+    signature bits come from int64-grid projections (sign of
+    Σ round(x·h·1e9) — order-independent, no float accumulation at the
+    decision boundary) and the refine cosine runs on the same grid. The
+    candidate SET — not just the refined pairs — is therefore identical
+    in any engine evaluating the same plane constants, which upgrades the
+    hyperplane-LSH tier from a rows-only driver check to a full
+    hash-exact oracle. Same scale shape as the float variant: narrow
+    signature map → band equi-join → exact refine.
+    """
+    planes = lsh_planes(n_planes, dim, seed)
+    bits_per_band = n_planes // n_bands
+    bit_cols = [
+        F.when(
+            _grid_dot(F.col(vec_col), F.array(*[F.lit(x) for x in p])) >= 0, 1
+        )
+        .otherwise(0)
+        .alias(f"bit{i}")
+        for i, p in enumerate(planes)
+    ]
+    sig = df.select(F.col(id_col), F.col(vec_col), *bit_cols)
+    band_cols = [
+        F.concat_ws(
+            "",
+            *[F.col(f"bit{b * bits_per_band + j}") for j in range(bits_per_band)],
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    sig = sig.select(id_col, vec_col, *band_cols)
+    banded = sig.select(
+        id_col,
+        vec_col,
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias(
+            "band", "band_sig"
+        ),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "band", "band_sig"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "band", "band_sig"
+    )
+    cand = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .distinct()
+    )
+    cos = F.round(
+        (_grid_dot(F.col("va"), F.col("vb")) / float(PQ_GRID))
+        / (_grid_norm6(F.col("va")) * _grid_norm6(F.col("vb"))),
+        6,
+    )
+    return (
+        cand.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -450,3 +450,78 @@ def sim_pq_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_kmeans_topk(
         e, probe_id=1, n_centroids=16, m=8, k=10, rerank=50, dim=64
     )
+
+
+# --------------------------------------------------------------------------
+# Hyperplane LSH, hash-exact twin: grid-exact projections + the plane
+# constants embedded as a VALUES relation make the CANDIDATE SET itself
+# reproducible in SQL, so the approximate tier earns a full value-hash
+# oracle (the float-HOF variant sim_lsh_pairs stays as the rows-only
+# engine default; recall numbers in RECALL.md apply to both — same
+# planes, same banding).
+# --------------------------------------------------------------------------
+def _lsh_planes_values_sql() -> str:
+    rows = ", ".join(
+        f"({p}, {j}, {x!r})"
+        for p, plane in enumerate(SIM.lsh_planes(16, 64))
+        for j, x in enumerate(plane)
+    )
+    return f"(SELECT * FROM (VALUES {rows}) AS pl(p, j, h))"
+
+
+@query(
+    "sim_lsh_pairs_checked",
+    oracle=f"""
+    WITH el AS (
+      SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings)
+    ),
+    vn AS (
+      SELECT vec_id,
+             round(sqrt(CAST(SUM(CAST(round(x * x * 1000000000.0) AS BIGINT))
+                             AS BIGINT) / 1000000000.0), 6) AS vnorm
+      FROM el GROUP BY 1
+    ),
+    proj AS (
+      SELECT e.vec_id, pl.p,
+             CAST(SUM(CAST(round(e.x * pl.h * 1000000000.0) AS BIGINT))
+                  AS BIGINT) AS g
+      FROM el e JOIN {_lsh_planes_values_sql()} pl ON pl.j = e.i - 1
+      GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT vec_id, p // 2 AS band,
+             string_agg(CASE WHEN g >= 0 THEN '1' ELSE '0' END, ''
+                        ORDER BY p) AS band_sig
+      FROM proj GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT c.id_a, c.id_b,
+             CAST(SUM(CAST(round(ea.x * eb.x * 1000000000.0) AS BIGINT))
+                  AS BIGINT) AS dg
+      FROM cand c
+      JOIN el ea ON ea.vec_id = c.id_a
+      JOIN el eb ON eb.vec_id = c.id_b AND eb.i = ea.i
+      GROUP BY 1, 2
+    )
+    SELECT d.id_a, d.id_b,
+           round((dg / 1000000000.0) / (na.vnorm * nb.vnorm), 6) AS cosine
+    FROM dots d
+    JOIN vn na ON d.id_a = na.vec_id
+    JOIN vn nb ON d.id_b = nb.vec_id
+    WHERE round((dg / 1000000000.0) / (na.vnorm * nb.vnorm), 6) >= 0.35
+    """,
+    tags=("L2", "J2", "A1"),
+)
+def sim_lsh_pairs_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.lsh_similarity_join_exact(
+        e, threshold=0.35, n_planes=16, n_bands=8, seed=42, dim=64
+    )

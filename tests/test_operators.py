@@ -812,3 +812,24 @@ def test_results_invariant_to_execution_config(spark, sf_dir, qname):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_lsh_exact_twin_matches_float_variant(spark, sf_dir):
+    """The grid-exact LSH twin must produce the identical pair set as the
+    float-HOF engine default (same planes, same banding) — so RECALL.md's
+    measured numbers transfer to the oracled query."""
+    from ppdb_parser_spark.operators import similarity as SIM
+    from ppdb_parser_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = {
+        (r.id_a, r.id_b)
+        for r in SIM.lsh_similarity_join(emb, 0.35, 16, 8, 42, dim=64).collect()
+    }
+    b = {
+        (r.id_a, r.id_b)
+        for r in SIM.lsh_similarity_join_exact(
+            emb, 0.35, 16, 8, 42, dim=64
+        ).collect()
+    }
+    assert a == b and a
