@@ -698,3 +698,79 @@ def dedup_minhash_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.3,
         min_partitions=_par(spark),
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dup over the HASH-EXACT LSH tier: identical survivor
+# semantics as dedup_embedding, candidates from the grid-exact hyperplane
+# join — so the sub-quadratic scale path itself now carries a full
+# value-hash oracle (dedup_embedding_lsh stays as the float-HOF engine
+# default under the rows-only check).
+# --------------------------------------------------------------------------
+from .similarity import _lsh_planes_values_sql as _LSH_PLANES_SQL
+
+
+@query(
+    "dedup_embedding_checked",
+    oracle=f"""
+    WITH el AS (
+      SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings)
+    ),
+    vn AS (
+      SELECT vec_id,
+             round(sqrt(CAST(SUM(CAST(round(x * x * 1000000000.0) AS BIGINT))
+                             AS BIGINT) / 1000000000.0), 6) AS vnorm
+      FROM el GROUP BY 1
+    ),
+    proj AS (
+      SELECT e.vec_id, pl.p,
+             CAST(SUM(CAST(round(e.x * pl.h * 1000000000.0) AS BIGINT))
+                  AS BIGINT) AS g
+      FROM el e JOIN {_LSH_PLANES_SQL()} pl ON pl.j = e.i - 1
+      GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT vec_id, p // 2 AS band,
+             string_agg(CASE WHEN g >= 0 THEN '1' ELSE '0' END, ''
+                        ORDER BY p) AS band_sig
+      FROM proj GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT c.id_a, c.id_b,
+             CAST(SUM(CAST(round(ea.x * eb.x * 1000000000.0) AS BIGINT))
+                  AS BIGINT) AS dg
+      FROM cand c
+      JOIN el ea ON ea.vec_id = c.id_a
+      JOIN el eb ON eb.vec_id = c.id_b AND eb.i = ea.i
+      GROUP BY 1, 2
+    ),
+    drops AS (
+      SELECT DISTINCT d.id_b
+      FROM dots d
+      JOIN vn na ON d.id_a = na.vec_id
+      JOIN vn nb ON d.id_b = nb.vec_id
+      WHERE round((dg / 1000000000.0) / (na.vnorm * nb.vnorm), 6) >= 0.35
+    )
+    SELECT e.vec_id, e.label,
+           CASE WHEN dr.id_b IS NOT NULL THEN 'dropped' ELSE 'kept' END
+             AS status
+    FROM embeddings e LEFT JOIN drops dr ON e.vec_id = dr.id_b
+    """,
+    tags=("O6", "L2", "J3"),
+)
+def dedup_embedding_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = SIM.lsh_similarity_join_exact(
+        e, threshold=0.35, n_planes=16, n_bands=8, seed=42, dim=64
+    )
+    return _embedding_survivors(e, pairs)
