@@ -95,11 +95,13 @@ def test_coverage_order_seeds_never_checked_backlog_first():
     # re-checks (weakest check form, results already r1–r4 green and
     # locally parity-swept) may spill past the sample boundary.
     assert tuple(order[k : k + len(_ROUND5_MARQUEE)]) == _ROUND5_MARQUEE
-    n_oracle_marquee = sum(
-        1 for n in _ROUND5_MARQUEE if REGISTRY[n].oracle is not None
-    )
-    assert k + n_oracle_marquee <= 50
-    # and rows-only marquee entries must be ordered last within the tier
+    # the hard inside-the-sample guarantee applies to the BACKLOG (every
+    # query's FIRST driver row); marquee re-checks ride immediately behind
+    # and may spill once the backlog approaches the sample size — they
+    # already hold r1–r4 rows and are re-verified by the local parity
+    # sweep every session, so first-rows outrank re-checks by design.
+    assert k <= 50, "backlog no longer fits the driver sample"
+    # rows-only marquee entries must still be ordered last within the tier
     kinds = [REGISTRY[n].oracle is None for n in _ROUND5_MARQUEE]
     assert kinds == sorted(kinds)
 
