@@ -925,3 +925,162 @@ def lsh_similarity_join_exact(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    probe_id: int = 1,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_centroids: int = 16,
+    m: int = 8,
+    k: int = 10,
+    rerank: int = 50,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """IVF-PQ serving composition (Jégou et al. TPAMI'11 §V: coarse
+    inverted lists + product codes — the FAISS IVFPQ architecture): route
+    the probe to its ``n_probe`` nearest coarse cells, ADC-score ONLY the
+    vectors in those cells from their PQ codes, exact-rerank the top
+    ``rerank``. At 100 TB the scan touches n_probe/n_cells of the codes
+    table instead of all of it — the two pruning levels compose.
+
+    Simplification vs the paper (documented): codes quantize raw vectors,
+    not cell residuals — residual encoding needs per-cell codebooks
+    (n_cells × the training state); the routing/ADC/rerank plan shape is
+    identical. Coarse cells and codes both use the int64-grid arithmetic,
+    so the full composition is hash-exact cross-engine.
+
+    Zero driver jobs: coarse seeds, codebook, probe, and the probe's cell
+    list are all in-plan 1-row broadcast contexts.
+    """
+    seeds_row = df.filter(F.col(id_col) < n_cells).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).cast("int").alias("cell_id"),
+                    F.col(vec_col).alias("semb"),
+                )
+            )
+        ).alias("cells")
+    )
+
+    def _cell_ranked(vec: Column, vnorm6: Column) -> Column:
+        """array<struct<negcos, cell_id>> sorted: cosine desc, id asc —
+        grid-exact cosine so the ranking is engine-independent."""
+        return F.array_sort(
+            F.transform(
+                F.col("cells"),
+                lambda c: F.struct(
+                    (
+                        -F.round(
+                            (_grid_dot(vec, c["semb"]) / float(PQ_GRID))
+                            / (vnorm6 * _grid_norm6(c["semb"])),
+                            6,
+                        )
+                    ).alias("negcos"),
+                    c["cell_id"].alias("cell_id"),
+                ),
+            )
+        )
+
+    codes = pq_encode(
+        df, n_centroids, m, dim=dim, id_col=id_col, vec_col=vec_col,
+        keep_cols=keep_cols,
+    )
+    sub = dim // m
+    cb_row = df.filter(F.col(id_col) < n_centroids).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).cast("int").alias("cid"),
+                    F.col(vec_col).alias("cemb"),
+                )
+            )
+        ).alias("cb")
+    )
+    probe_row = df.filter(F.col(id_col) == probe_id).select(
+        F.col(vec_col).alias("q"), _grid_norm6(F.col(vec_col)).alias("qnorm")
+    )
+    ctx = (
+        probe_row.crossJoin(seeds_row)
+        .crossJoin(cb_row)
+        .withColumn(
+            "probe_cells",
+            F.slice(
+                F.transform(
+                    _cell_ranked(F.col("q"), F.col("qnorm")),
+                    lambda s: s["cell_id"],
+                ),
+                1,
+                n_probe,
+            ),
+        )
+        .withColumn(
+            "ptab",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.transform(
+                    F.col("cb"),
+                    lambda c: _grid_dot(
+                        F.slice(F.col("q"), s * sub + 1, sub),
+                        F.slice(c["cemb"], s * sub + 1, sub),
+                    ),
+                ),
+            ),
+        )
+        .select("q", "qnorm", "cells", "probe_cells", "ptab")
+    )
+    base = df.select(id_col, vec_col).join(codes.select(id_col, "codes", "vnorm"), id_col)
+    routed = (
+        base.crossJoin(F.broadcast(ctx))
+        .withColumn(
+            "cell_id",
+            F.element_at(
+                _cell_ranked(F.col(vec_col), F.col("vnorm")), 1
+            )["cell_id"],
+        )
+        .filter(
+            F.array_contains(F.col("probe_cells"), F.col("cell_id"))
+            & (F.col(id_col) != probe_id)
+        )
+    )
+    scored = routed.withColumn(
+        "adc_dot_grid",
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + F.get(F.get(F.col("ptab"), s), F.get(F.col("codes"), s)),
+        ),
+    ).withColumn(
+        "adc_cosine",
+        F.round(
+            (F.col("adc_dot_grid") / float(PQ_GRID))
+            / (F.col("vnorm") * F.col("qnorm")),
+            6,
+        ),
+    )
+    cands = scored.select(
+        id_col, "adc_cosine", "q", "qnorm", "vnorm"
+    ).orderBy(F.desc("adc_cosine"), F.asc(id_col)).limit(rerank)
+    reranked = df.select(id_col, *keep_cols, vec_col).join(
+        F.broadcast(cands), id_col
+    )
+    return (
+        reranked.withColumn(
+            "cosine",
+            F.round(
+                (_grid_dot(F.col(vec_col), F.col("q")) / float(PQ_GRID))
+                / (F.col("vnorm") * F.col("qnorm")),
+                6,
+            ),
+        )
+        .select(id_col, *keep_cols, "adc_cosine", "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

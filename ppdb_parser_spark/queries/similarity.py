@@ -525,3 +525,89 @@ def sim_lsh_pairs_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_similarity_join_exact(
         e, threshold=0.35, n_planes=16, n_bands=8, seed=42, dim=64
     )
+
+
+@query(
+    "sim_ivfpq_topk",
+    oracle=f"""
+    WITH {_PQ_EL_SQL},
+    cellv AS (SELECT vec_id AS cell_id, x, i FROM el WHERE vec_id < 8),
+    cn AS (
+      SELECT cell_id,
+             round(sqrt(CAST(SUM(CAST(round(x * x * 1000000000.0) AS BIGINT))
+                             AS BIGINT) / 1000000000.0), 6) AS cnorm
+      FROM cellv GROUP BY 1
+    ),
+    cdots AS (
+      SELECT e.vec_id, c.cell_id,
+             CAST(SUM(CAST(round(e.x * c.x * 1000000000.0) AS BIGINT))
+                  AS BIGINT) AS dg
+      FROM el e JOIN cellv c ON e.i = c.i
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT d.vec_id, d.cell_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.vec_id
+               ORDER BY round((dg / 1000000000.0)
+                              / (vn.vnorm * cn.cnorm), 6) DESC, d.cell_id
+             ) AS rk
+      FROM cdots d
+      JOIN vn ON d.vec_id = vn.vec_id
+      JOIN cn ON d.cell_id = cn.cell_id
+    ),
+    assign AS (SELECT vec_id, cell_id FROM ranked WHERE rk = 1),
+    pcells AS (SELECT cell_id FROM ranked WHERE vec_id = 1 AND rk <= 2),
+    routed AS (
+      SELECT a.vec_id FROM assign a JOIN pcells USING (cell_id)
+      WHERE a.vec_id <> 1
+    ),
+    pel AS (SELECT x, s, i FROM el WHERE vec_id = 1),
+    qn AS (
+      SELECT round(sqrt(CAST(SUM(CAST(round(x * x * 1000000000.0) AS BIGINT))
+                             AS BIGINT) / 1000000000.0), 6) AS qnorm
+      FROM pel
+    ),
+    pt AS (
+      SELECT c.c, c.s,
+             CAST(SUM(CAST(round(p.x * c.x * 1000000000.0) AS BIGINT))
+                  AS BIGINT) AS tg
+      FROM pel p JOIN cel c ON p.i = c.i
+      GROUP BY 1, 2
+    ),
+    adc AS (
+      SELECT code.vec_id, CAST(SUM(tg) AS BIGINT) AS adcg
+      FROM code JOIN pt USING (s, c) JOIN routed USING (vec_id)
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT a.vec_id,
+             round((adcg / 1000000000.0) / (vnorm * qnorm), 6) AS adc_cosine
+      FROM adc a JOIN vn USING (vec_id), qn
+    ),
+    cand AS (SELECT * FROM scored ORDER BY adc_cosine DESC, vec_id LIMIT 50),
+    ex AS (
+      SELECT e.vec_id,
+             CAST(SUM(CAST(round(e.x * p.x * 1000000000.0) AS BIGINT))
+                  AS BIGINT) AS exg
+      FROM el e JOIN pel p ON e.i = p.i
+      WHERE e.vec_id IN (SELECT vec_id FROM cand)
+      GROUP BY 1
+    )
+    SELECT c.vec_id, emb.label, c.adc_cosine,
+           round((ex.exg / 1000000000.0) / (vn.vnorm * qn.qnorm), 6) AS cosine
+    FROM cand c
+    JOIN ex USING (vec_id)
+    JOIN vn USING (vec_id)
+    JOIN embeddings emb ON emb.vec_id = c.vec_id, qn
+    ORDER BY cosine DESC, c.vec_id
+    LIMIT 10
+    """,
+    tags=("L1", "L2", "W1", "O2"),
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivfpq_topk(
+        e, probe_id=1, n_cells=8, n_probe=2, n_centroids=16, m=8, k=10,
+        rerank=50, dim=64,
+    )
