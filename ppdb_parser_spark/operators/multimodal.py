@@ -887,3 +887,89 @@ def extract_png_features(blobs: DataFrame, on_error: str = "raise") -> DataFrame
     if quarantine:
         schema += ", error string"
     return blobs.mapInPandas(_feat, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# Perceptual image hashing (dHash — difference hash, the standard
+# perceptual near-dup fingerprint popularized by pHash/imagehash; public
+# technique): sample the grayscale image on a 9×8 nearest-neighbor grid,
+# emit one bit per horizontal neighbor pair (left > right), 64 bits = 8
+# row-bytes. All-integer arithmetic (grayscale = B+G+R sum — monotone in
+# the mean, no division) so the hash is bit-reproducible everywhere.
+# --------------------------------------------------------------------------
+DHASH_W, DHASH_H = 9, 8
+
+
+def _dhash_row_bytes_from_gray(gray) -> list[int]:
+    """8 row-bytes from a (DHASH_H, DHASH_W) integer grayscale grid; bit
+    j of row r (MSB-first) = gray[r][j] > gray[r][j+1]."""
+    out = []
+    for r in range(DHASH_H):
+        b = 0
+        for j in range(DHASH_W - 1):
+            b = (b << 1) | (1 if gray[r][j] > gray[r][j + 1] else 0)
+        out.append(b)
+    return out
+
+
+def dhash_meta(i: int) -> tuple:
+    """Ground truth (file_name, dhash_hex, b0..b7) for generator image i —
+    computed from the _gen_pixel formula + the resize_nearest index rule
+    in pure Python, independent of the BMP encode/decode path."""
+    w, h = bmp_dims(i)
+    rs = [(r * h) // DHASH_H for r in range(DHASH_H)]
+    cs = [(c * w) // DHASH_W for c in range(DHASH_W)]
+    gray = [
+        [sum(_gen_pixel(i, x, h - 1 - y)) for x in cs]  # display row y
+        for y in rs
+    ]
+    bs = _dhash_row_bytes_from_gray(gray)
+    hx = "".join(f"{b:02x}" for b in bs)
+    return (f"img-{i:04d}.bmp", hx, *bs)
+
+
+def dhash_values_sql() -> str:
+    rows = ", ".join(
+        "('{}', '{}', {}, {}, {}, {}, {}, {}, {}, {})".format(*dhash_meta(i))
+        for i in range(N_BMP)
+    )
+    return (
+        f"(SELECT * FROM (VALUES {rows}) AS d(file_name, dhash, "
+        "b0, b1, b2, b3, b4, b5, b6, b7))"
+    )
+
+
+def image_dhash(blobs: DataFrame) -> DataFrame:
+    """dHash over decoded BMPs (Arrow-batched mapInPandas): returns
+    (file_name, dhash hex, b0..b7 row-byte longs — the byte columns feed
+    the hamming-distance pair join without string bit-twiddling)."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                arr = bmp_pixels(bytes(content))
+                h, w = arr.shape[0], arr.shape[1]
+                rs = [(r * h) // DHASH_H for r in range(DHASH_H)]
+                cs = [(c * w) // DHASH_W for c in range(DHASH_W)]
+                gray = [
+                    [int(arr[y][x][0]) + int(arr[y][x][1]) + int(arr[y][x][2])
+                     for x in cs]
+                    for y in rs
+                ]
+                bs = _dhash_row_bytes_from_gray(gray)
+                rows.append(
+                    (os.path.basename(path),
+                     "".join(f"{b:02x}" for b in bs), *bs)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["file_name", "dhash", "b0", "b1", "b2", "b3",
+                         "b4", "b5", "b6", "b7"],
+            )
+
+    return blobs.mapInPandas(
+        _hash,
+        schema="file_name string, dhash string, b0 long, b1 long, b2 long,"
+               " b3 long, b4 long, b5 long, b6 long, b7 long",
+    )

@@ -214,3 +214,77 @@ def mm_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pngs = spark.read.format("binaryFile").load(_os.path.join(d, "*.png"))
     return MM.extract_png_features(pngs)
+
+
+# --------------------------------------------------------------------------
+# L7: perceptual image hashing (dHash) + hamming near-dup pairs. The hash
+# is all-integer (9×8 nearest-neighbor grid, B+G+R grayscale, left>right
+# bits) so the Arrow-batched decode path is checked bit-for-bit against
+# the generator-formula ground truth; pair matching is an 8-way byte
+# unpivot self-join with SUM(bit_count(xor)) — pure relational hamming.
+# --------------------------------------------------------------------------
+@query(
+    "mm_dhash",
+    oracle=f"""
+    SELECT file_name, dhash FROM {MM.dhash_values_sql()} d
+    """,
+    tags=("L7", "U4"),
+)
+def mm_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = MM.ensure_media()
+    import os as _os
+
+    bmps = spark.read.format("binaryFile").load(_os.path.join(d, "*.bmp"))
+    return MM.image_dhash(bmps).select("file_name", "dhash")
+
+
+@query(
+    "mm_dhash_near",
+    oracle=f"""
+    WITH b AS (
+      SELECT file_name, u.idx AS idx, u.v AS v
+      FROM {MM.dhash_values_sql()} d,
+           (SELECT unnest([0,1,2,3,4,5,6,7]) AS idx) u_idx,
+           LATERAL (SELECT CASE u_idx.idx
+                      WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2
+                      WHEN 3 THEN b3 WHEN 4 THEN b4 WHEN 5 THEN b5
+                      WHEN 6 THEN b6 ELSE b7 END AS v,
+                    u_idx.idx AS idx) u
+    ),
+    pairs AS (
+      SELECT a.file_name AS file_a, bb.file_name AS file_b,
+             CAST(SUM(bit_count(xor(a.v, bb.v))) AS BIGINT) AS hamming
+      FROM b a JOIN b bb ON a.idx = bb.idx AND a.file_name < bb.file_name
+      GROUP BY 1, 2
+    )
+    SELECT file_a, file_b, hamming FROM pairs WHERE hamming <= 16
+    """,
+    tags=("L7", "O6", "J2", "A1"),
+)
+def mm_dhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = MM.ensure_media()
+    import os as _os
+
+    bmps = spark.read.format("binaryFile").load(_os.path.join(d, "*.bmp"))
+    hashed = MM.image_dhash(bmps)
+    byte_rows = hashed.select(
+        "file_name",
+        F.posexplode(
+            F.array(*[F.col(f"b{j}") for j in range(8)])
+        ).alias("idx", "v"),
+    )
+    a = byte_rows.select(
+        F.col("file_name").alias("file_a"), "idx", F.col("v").alias("va")
+    )
+    b = byte_rows.select(
+        F.col("file_name").alias("file_b"), "idx", F.col("v").alias("vb")
+    )
+    return (
+        a.join(b, "idx")
+        .filter(F.col("file_a") < F.col("file_b"))
+        .groupBy("file_a", "file_b")
+        .agg(
+            F.sum(F.bit_count(F.expr("va ^ vb"))).cast("long").alias("hamming")
+        )
+        .filter(F.col("hamming") <= 16)
+    )
