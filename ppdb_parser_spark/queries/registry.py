@@ -56,6 +56,12 @@ def query(
 # queries as of the round-4 close; re-frozen 2026-08-13 for round 5).
 # The driver prefix is built from the registry MINUS this set, so
 # anything new this round earns a row first.
+#
+# ROUND-6 NOTE: round 5 closed with the never-checked backlog at the
+# sample boundary (50 oracle-backed + 1 rows-only live twin). First move
+# next round: re-freeze this set to r1∪…∪r5 (the keys of
+# CORRECTNESS_r05.json ∪ this set) so new round-6 queries are again
+# guaranteed first driver rows.
 _DRIVER_CHECKED_R1_R4 = frozenset(
     {
         "agg_approx_distinct", "agg_approx_percentile", "agg_cube",

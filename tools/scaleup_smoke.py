@@ -167,7 +167,7 @@ def main() -> None:
         from ppdb_parser_spark.operators.dedup import winnow_match
 
         w1 = timed("winnow_match 1x", winnow_match(docs))
-        for k in (16,):
+        for k in (16, 64):
             wk = timed(
                 f"winnow_match {k}x", winnow_match(_fresh_vocab_union(docs, k))
             )
