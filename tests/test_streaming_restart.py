@@ -72,3 +72,67 @@ def test_stream_restart_recovers_offsets_and_state(spark, tmp_path):
     assert final.count() == 150
     assert final.select("event_id").distinct().count() == 150
     assert final.agg(F.min("event_id"), F.max("event_id")).first() == (0, 149)
+
+
+def test_stateful_counter_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState GroupState must reload from the checkpoint:
+    after a stop/restart with NEW input, the emitted per-user counters
+    include run-1's counts (cumulative), which is only possible if the
+    custom state store was recovered — the arbitrary-state analog of the
+    dropDuplicates test above."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def count_state(
+        key, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n = state.get[0] if state.exists else 0
+        for pdf in batches:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    def run(ids: range) -> None:
+        _write_batch(spark, src, ids)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, ts timestamp, value double"
+            )
+            .parquet(src)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                count_state,
+                outputStructType="user_id long, n_events long",
+                stateStructType="n long",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(range(0, 70))    # run 1: users 0..6 get 10 events each
+    run(range(70, 140))  # restart: same users, 10 more events each
+
+    latest = {
+        r["user_id"]: r["n_events"]
+        for r in spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    }
+    assert latest and all(v == 20 for v in latest.values()), latest
