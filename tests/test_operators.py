@@ -789,7 +789,8 @@ def test_text_ops_degenerate_inputs(spark):
 @pytest.mark.parametrize(
     "qname",
     ["flagship", "dedup_jaccard_prefix", "sim_pq_topk", "sim_pq_kmeans_topk",
-     "text_textrank", "dedup_minhash_relational"],
+     "sim_ivfpq_topk", "text_textrank", "dedup_minhash_relational",
+     "sim_lsh_pairs_checked"],
 )
 def test_results_invariant_to_execution_config(spark, sf_dir, qname):
     """Marquee results must be bit-identical with AQE disabled and a
