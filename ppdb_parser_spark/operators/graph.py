@@ -114,9 +114,13 @@ def pagerank(
     legitimate driver loop in this package stays `connected_components`).
 
     Determinism contract (hash-exact oracle): ranks are rounded to 1e-9
-    after every iteration and contribution sums are accumulated as int64
-    on the 1e-12 grid, so both engines produce bit-identical doubles
-    regardless of aggregation order.
+    after every iteration and EVERY float reduction — the out-weight sums
+    ``wdeg`` included — is accumulated as int64 on the 1e-12 grid, so both
+    engines produce bit-identical doubles regardless of aggregation order.
+    Weights are quantized to the 1e-12 grid on entry (exact for integer
+    weights like TextRank's co-occurrence counts; a ≤5e-13 perturbation —
+    identically applied in both engines — for arbitrary fractions).
+    Grid bound: |w| ≤ ~1e6 per edge keeps Σ round(w·1e12) inside int64.
 
     Scale shape per iteration: one (src)-keyed join of edges against the
     current rank relation and one (dst)-keyed hash aggregate — the classic
@@ -131,9 +135,21 @@ def pagerank(
         F.col(dst_col).alias("dst"),
         F.col(weight_col).cast("double").alias("w"),
     )
-    wdeg = e.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    # wdeg on the int64 grid: a plain SUM(double) is aggregation-order-
+    # dependent for fractional weights and would poison every downstream
+    # frac = w/wdeg; the grid sum is associative and engine-exact.
+    wdeg = e.groupBy("src").agg(
+        (
+            F.sum(F.round(F.col("w") * PR_GRID).cast("long")) / PR_GRID
+        ).alias("wdeg")
+    )
     frac = e.join(wdeg, "src").select(
-        "src", "dst", (F.col("w") / F.col("wdeg")).alias("frac")
+        "src",
+        "dst",
+        (
+            F.round(F.col("w") * PR_GRID).cast("long") / PR_GRID
+            / F.col("wdeg")
+        ).alias("frac"),
     )
     nodes = (
         e.select(F.col("src").alias("node"))

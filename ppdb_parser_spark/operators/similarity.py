@@ -89,10 +89,13 @@ def cosine_topk_by_id(
     TakeOrderedAndProject. The probe row is read from the same relation
     (one extra scan of a pruned single-row filter — at 100 TB this is a
     parquet min/max-pruned point lookup, not a full pass)."""
+    # limit(1): the id-filter is semantically 1-row (unique ids); the
+    # explicit limit makes it PROVABLY 1-row (maxRows=1) so the broadcast
+    # context registers as a bounded side in the cartesian plan sweep
     probe_row = df.filter(F.col(id_col) == probe_id).select(
         F.col(vec_col).alias("probe_emb"),
         _norm(F.col(vec_col)).alias("probe_nrm"),
-    )
+    ).limit(1)
     j = df.filter(F.col(id_col) != probe_id).crossJoin(F.broadcast(probe_row))
     cosine = F.round(
         _dot(F.col(vec_col), F.col("probe_emb"))
@@ -151,7 +154,7 @@ def ivf_topk(
     )
     probe_row = df.filter(F.col(id_col) == probe_id).select(
         F.col(vec_col).alias("probe_emb"), _norm(F.col(vec_col)).alias("probe_nrm")
-    )
+    ).limit(1)  # provably 1-row broadcast context (see cosine_topk_by_id)
 
     def _seed_cos(emb: Column, nrm: Column):
         """array<struct<negcos,cell_id>> sorted asc = cosine desc, id asc."""
@@ -446,7 +449,7 @@ def ivf_kmeans_topk(
     )
     probe_row = df.filter(F.col(id_col) == probe_id).select(
         F.col(vec_col).alias("probe_emb"), _norm(F.col(vec_col)).alias("probe_nrm")
-    )
+    ).limit(1)  # provably 1-row broadcast context (see cosine_topk_by_id)
     ctx = (
         probe_row.crossJoin(cent_row)
         .withColumn(
@@ -528,6 +531,36 @@ def _grid_norm6(a: Column) -> Column:
     return F.round(F.sqrt(_grid_sum(a, a, lambda x, y: x * y) / float(PQ_GRID)), 6)
 
 
+def _assert_contiguous_ids(
+    seeds: Column, id_field: str, n: int, what: str
+) -> Column:
+    """Validate that a 1-row, id-sorted codebook array covers ids 0..n-1
+    exactly, returning it unchanged.
+
+    ADC scoring indexes ptab/codebook arrays POSITIONALLY by code value
+    (``table[s][code]`` — an O(1) lookup per term in the hot codes scan).
+    That is only sound when the k-th entry of the id-sorted array has
+    id == k, i.e. the seed ids are 0-based and contiguous. Rather than pay
+    a per-row by-value search in the scan, assert the invariant once in
+    the 1-row broadcast context: a filtered relation or a 1-based id space
+    fails loudly here instead of silently shifting every adc score. The
+    assert is woven into the seeds value itself (``when(assert.isNull(),
+    seeds)``) so column pruning cannot elide it.
+    """
+    ok = F.transform(seeds, lambda c: c[id_field]) == F.sequence(
+        F.lit(0), F.lit(n - 1)
+    )
+    return F.when(
+        F.assert_true(
+            ok,
+            f"{what}: seed ids must be exactly 0..{n - 1} (0-based "
+            "contiguous) for positional ADC lookup — re-key the relation "
+            "(dense_rank the ids) or lower n to the available seed count",
+        ).isNull(),
+        seeds,
+    )
+
+
 def pq_encode(
     df: DataFrame,
     n_centroids: int = 16,
@@ -566,6 +599,10 @@ def pq_encode(
                     F.col(vec_col).alias("semb"),
                 )
             )
+        ).alias("seeds")
+    ).select(
+        _assert_contiguous_ids(
+            F.col("seeds"), "cell_id", n_centroids, "pq_encode codebook"
         ).alias("seeds")
     )
 
@@ -648,10 +685,14 @@ def pq_topk(
                 )
             )
         ).alias("seeds")
+    ).select(
+        _assert_contiguous_ids(
+            F.col("seeds"), "cell_id", n_centroids, "pq_topk ADC table"
+        ).alias("seeds")
     )
     probe_row = df.filter(F.col(id_col) == probe_id).select(
         F.col(vec_col).alias("q"), _grid_norm6(F.col(vec_col)).alias("qnorm")
-    )
+    ).limit(1)  # provably 1-row broadcast context (see cosine_topk_by_id)
     ctx = probe_row.crossJoin(seeds_row).select(
         "q",
         "qnorm",
@@ -776,7 +817,7 @@ def pq_kmeans_topk(
     )
     probe_row = df.filter(F.col(id_col) == probe_id).select(
         F.col(vec_col).alias("q"), _grid_norm6(F.col(vec_col)).alias("qnorm")
-    )
+    ).limit(1)  # provably 1-row broadcast context (see cosine_topk_by_id)
     ctx = probe_row.crossJoin(cents_row)
 
     def _sub_cents(s: Column) -> Column:
@@ -896,24 +937,36 @@ def lsh_similarity_join_exact(
         for b in range(n_bands)
     ]
     sig = sig.select(id_col, vec_col, *band_cols)
+    # Band the bare ids only: the Σdf² band fan-out and the pair-set
+    # distinct shuffle (id, band_sig) pairs, not dim-64 float arrays —
+    # the embeddings rejoin by id AFTER dedup, exactly the rerank pattern
+    # pq_topk uses (at 100 TB the candidate exchange shrinks ~30×; the
+    # id-keyed rejoin touches each surviving pair once).
     banded = sig.select(
         id_col,
-        vec_col,
         F.posexplode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias(
             "band", "band_sig"
         ),
     )
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "band", "band_sig"
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "band", "band_sig"
-    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_sig")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_sig")
     cand = (
         a.join(b, ["band", "band_sig"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    emb = df.select(F.col(id_col), F.col(vec_col))
+    cand = cand.join(
+        emb.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        ),
+        "id_a",
+    ).join(
+        emb.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        ),
+        "id_b",
     )
     cos = F.round(
         (_grid_dot(F.col("va"), F.col("vb")) / float(PQ_GRID))
@@ -1002,10 +1055,14 @@ def ivfpq_topk(
                 )
             )
         ).alias("cb")
+    ).select(
+        _assert_contiguous_ids(
+            F.col("cb"), "cid", n_centroids, "ivfpq_topk ADC table"
+        ).alias("cb")
     )
     probe_row = df.filter(F.col(id_col) == probe_id).select(
         F.col(vec_col).alias("q"), _grid_norm6(F.col(vec_col)).alias("qnorm")
-    )
+    ).limit(1)  # provably 1-row broadcast context (see cosine_topk_by_id)
     ctx = (
         probe_row.crossJoin(seeds_row)
         .crossJoin(cb_row)

@@ -105,3 +105,45 @@ def assert_partition_pruned(df: DataFrame, col: str, name: str = "") -> str:
     )
     assert hit, f"{name}: no partition filter on {col} reached the scan\n{plan}"
     return plan
+
+
+def unbounded_cross_joins(df: DataFrame, max_bounded_rows: int = 8) -> list[str]:
+    """Return a description of every Cross join in the OPTIMIZED logical
+    plan where NEITHER side has a bounded row count (``maxRows``) of at
+    most ``max_bounded_rows``.
+
+    1-row broadcast contexts (grouping-free aggregates: probe vectors,
+    codebooks, totals) report ``maxRows = Some(1)`` and are legitimate —
+    they are maps, not products. A Cross join between two unbounded
+    relations is the 100 TB scale-killer this sweep exists to catch.
+    """
+    jplan = df._jdf.queryExecution().optimizedPlan()
+    hits: list[str] = []
+
+    def bounded(node) -> bool:
+        mr = node.maxRows()
+        return mr.isDefined() and int(mr.get()) <= max_bounded_rows
+
+    def walk(node) -> None:
+        if node.getClass().getSimpleName() == "Join":
+            if node.joinType().toString() == "Cross":
+                kids = node.children()
+                sides = [kids.apply(i) for i in range(kids.length())]
+                if not any(bounded(s) for s in sides):
+                    hits.append(
+                        "Cross join, maxRows="
+                        + str(
+                            [
+                                int(s.maxRows().get())
+                                if s.maxRows().isDefined()
+                                else None
+                                for s in sides
+                            ]
+                        )
+                    )
+        kids = node.children()
+        for i in range(kids.length()):
+            walk(kids.apply(i))
+
+    walk(jplan)
+    return hits

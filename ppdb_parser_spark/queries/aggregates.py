@@ -80,15 +80,36 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# A3: approximate distinct (HLL). Estimates are engine-specific → rows-only;
-# the relative-error contract is asserted in tests instead.
+# A3: approximate distinct (HLL). The raw estimate is engine-specific, so the
+# query is SELF-CHECKING: it emits the exact count plus a boolean asserting
+# the HLL estimate landed within 3× its configured relative standard
+# deviation. DuckDB's oracle computes the exact side and a literal TRUE — a
+# drifting estimator flips the boolean and fails the driver's hash check,
+# turning the former rows-only query into a real correctness signal.
 # --------------------------------------------------------------------------
-@query("agg_approx_distinct", oracle=None, tags=("A3",))
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_3rsd
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("A3",),
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rsd = 0.02
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_partkey", rsd=rsd).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    ).select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 3 * rsd * F.col("exact_parts")
+        ).alias("within_3rsd"),
     )
 
 
@@ -264,15 +285,40 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# A7 (approx variant): percentile_approx — estimates are engine-specific →
-# rows-only; the error-vs-exact contract is asserted in tests.
+# A7 (approx variant): percentile_approx. Estimates are engine-specific, so
+# like agg_approx_distinct this is SELF-CHECKING: KLL/GK with accuracy=1000
+# bounds rank error by n/1000, which at any tested SF keeps the approximate
+# median well inside 2% of the exact value; the emitted boolean asserts that
+# and DuckDB's oracle emits the exact median plus literal TRUE. Prices sit on
+# the cents grid, so an even-count median sits on the half-cent grid: emit it
+# as BIGINT half-cents (×200) — immune to the one-ulp interpolation
+# differences raw doubles could carry across engines.
 # --------------------------------------------------------------------------
-@query("agg_approx_percentile", oracle=None, tags=("A7", "A3"))
+@query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(median(l_extendedprice) * 200) AS BIGINT)
+               AS exact_median_halfcents,
+           TRUE AS within_2pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("A7", "A3"),
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
         F.median("l_extendedprice").alias("exact_median"),
+    ).select(
+        "l_returnflag",
+        F.round(F.col("exact_median") * 200)
+        .cast("long")
+        .alias("exact_median_halfcents"),
+        (
+            F.abs(F.col("approx_median") - F.col("exact_median"))
+            <= 0.02 * F.col("exact_median")
+        ).alias("within_2pct"),
     )
 
 

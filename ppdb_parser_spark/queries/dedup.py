@@ -79,8 +79,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.3
     """,
     tags=("O6", "J2", "A1"),
+    tier="oracle-baseline",
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BASELINE TIER — intentionally naive. The uncapped shingle
+    self-join costs Σ df² over shingle document frequencies (quadratic in
+    the worst case); it exists as the exact ground truth the capped /
+    bitmap / prefix-filter tiers are verified against. At scale use
+    ``dedup_jaccard_prefix`` (AllPairs/PPJoin prefix filtering,
+    operators/dedup.py) — identical output on the fixtures, df-bounded
+    candidate generation."""
     return DD.jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
         threshold=0.3,

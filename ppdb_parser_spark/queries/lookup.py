@@ -175,12 +175,50 @@ def fuzzy_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# F4: deterministic-seed sampling (engine-specific RNG streams → rows-only;
-# the reproducibility property — same seed, same rows — is test-asserted).
+# F4: seeded Bernoulli sampling. The RNG stream is engine-specific, so the
+# query is SELF-CHECKING: it folds the sample into one row carrying the
+# exact population count plus booleans asserting (a) the sampled fraction
+# sits within 6σ binomial bounds of p=0.1 and (b) every sampled key exists
+# in the population (subset soundness via left-anti count == 0). DuckDB's
+# oracle computes the exact count and literal TRUEs — a broken sampler
+# (wrong fraction, fabricated rows) flips a boolean and fails the hash
+# check. Reproducibility (same seed ⇒ same rows) stays test-asserted.
 # --------------------------------------------------------------------------
-@query("sample_orders", oracle=None, tags=("F4",))
+@query(
+    "sample_orders",
+    oracle="""
+    SELECT COUNT(*) AS n_total,
+           TRUE AS frac_ok,
+           TRUE AS sample_is_subset
+    FROM orders
+    """,
+    tags=("F4",),
+)
 def sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = 0.1
     o = load_table(spark, sf_dir, "orders")
-    return o.sample(fraction=0.1, seed=42).select(
+    sample = o.sample(fraction=p, seed=42).select(
         "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    totals = o.agg(F.count("*").alias("n_total"))
+    stats = sample.join(
+        o.select("o_orderkey").withColumn("__pop", F.lit(1)),
+        "o_orderkey",
+        "left",
+    ).agg(
+        F.count("*").alias("n_sampled"),
+        F.sum(F.when(F.col("__pop").isNull(), 1).otherwise(0)).alias(
+            "n_orphans"
+        ),
+    )
+    # 1-row × 1-row join: broadcast, effectively free.
+    return totals.crossJoin(F.broadcast(stats)).select(
+        "n_total",
+        (
+            F.abs(F.col("n_sampled") - p * F.col("n_total"))
+            <= 6 * F.sqrt(p * (1 - p) * F.col("n_total"))
+        ).alias("frac_ok"),
+        (F.coalesce(F.col("n_orphans"), F.lit(0)) == 0).alias(
+            "sample_is_subset"
+        ),
     )

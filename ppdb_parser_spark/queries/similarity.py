@@ -90,8 +90,16 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.35
     """,
     tags=("L2", "J9"),
+    tier="oracle-baseline",
 )
 def sim_pairwise_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BASELINE TIER — intentionally O(n²). This is the exact
+    all-pairs ground truth that RECALL.md's recall measurements and the
+    LSH precision tests compare against; it is NOT a scale path (a true
+    cartesian over the vector relation). At scale use
+    ``sim_lsh_pairs_checked`` (grid-exact banded LSH,
+    operators/similarity.py::lsh_similarity_join_exact) — same output
+    contract, sub-quadratic candidate generation."""
     e = load_table(spark, sf_dir, "embeddings")
     return SIM.pairwise_cosine_pairs(e, threshold=0.35)
 

@@ -207,6 +207,13 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # J8: as-of join — latest 'click' at-or-before each 'purchase', per user.
 # Oracle uses DuckDB's native ASOF LEFT JOIN; the engine uses the
 # union+window operator (operators/joins.py).
+#
+# Duplicate-timestamp determinism: DuckDB's ASOF leaves the pick among
+# right rows tied on ts UNSPECIFIED, while the engine's window tie-break
+# picks the min payload struct — so BOTH sides pre-reduce the right
+# relation to MIN(event_id) per (user_id, ts). On fixtures with unique
+# per-user timestamps this is a no-op; with simultaneous events it pins
+# one well-defined answer instead of hash-parity luck.
 # --------------------------------------------------------------------------
 @query(
     "asof_purchase_click",
@@ -217,9 +224,10 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
            c.click_id AS click_id
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
     ASOF LEFT JOIN (
-        SELECT user_id, ts, event_id AS click_id,
+        SELECT user_id, ts, MIN(event_id) AS click_id,
                {_EPOCH_US_SQL.format(col="ts")} AS click_ts_us
         FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
     ) c ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
     tags=("J8",),
@@ -236,9 +244,10 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clicks = (
         e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("click_id"))
         .withColumn("click_ts_us", _epoch_us("ts"))
-        .select("user_id", F.col("ts").alias("click_ts"), "click_ts_us",
-                F.col("event_id").alias("click_id"))
+        .select("user_id", "click_ts_us", "click_id")
     )
     joined = asof_join(
         purchases,
@@ -334,9 +343,10 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
            p.purchase_ts_us - {_EPOCH_US_SQL.format(col="c.ts")} AS wait_us
     FROM (SELECT * FROM events WHERE event_type = 'click') c
     ASOF LEFT JOIN (
-        SELECT user_id, ts, event_id AS purchase_id,
+        SELECT user_id, ts, MIN(event_id) AS purchase_id,
                {_EPOCH_US_SQL.format(col="ts")} AS purchase_ts_us
         FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
     ) p ON c.user_id = p.user_id AND c.ts <= p.ts
     """,
     tags=("J8", "W3"),
@@ -350,12 +360,17 @@ def asof_click_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("click_ts_us", _epoch_us("ts"))
         .select(F.col("event_id").alias("click_id"), "user_id", "click_ts_us")
     )
+    # Same duplicate-ts pre-reduction as asof_purchase_click (see above):
+    # MIN(event_id) per (user_id, ts) makes the DuckDB ASOF pick
+    # well-defined instead of fixture-invariant-dependent.
     purchases = (
         e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("purchase_id"))
         .withColumn("purchase_ts_us", _epoch_us("ts"))
         .select(
             "user_id",
-            F.col("event_id").alias("purchase_id"),
+            "purchase_id",
             "purchase_ts_us",
         )
     )

@@ -834,3 +834,41 @@ def test_lsh_exact_twin_matches_float_variant(spark, sf_dir):
         ).collect()
     }
     assert a == b and a
+
+
+def test_pq_codebook_contiguity_assert_fires(spark, sf_dir):
+    """Positional ADC lookup is only sound for 0-based contiguous seed ids
+    (ADVICE r5): on a filtered relation (id 0 removed) the codebook ids are
+    1..15, and the in-plan contiguity assert must fail LOUDLY instead of
+    silently shifting every adc score."""
+    from ppdb_parser_spark.operators import similarity as SIM
+    from ppdb_parser_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= 1)
+    with pytest.raises(Exception, match="0-based"):
+        SIM.pq_encode(e, n_centroids=16, m=8, dim=64).collect()
+    with pytest.raises(Exception, match="0-based"):
+        SIM.ivfpq_topk(e, probe_id=1, dim=64).collect()
+
+
+def test_pagerank_fractional_weights_partition_invariant(spark):
+    """wdeg accumulates on the int64 grid (ADVICE r5): with fractional
+    weights whose double sum is order-dependent, ranks must still be
+    bit-identical across partition layouts."""
+    from ppdb_parser_spark.operators.graph import pagerank
+
+    rows = [
+        (f"n{i}", f"n{(i * 7 + j) % 23}", 0.1 + 0.3 * ((i * j) % 5))
+        for i in range(23)
+        for j in range(1, 4)
+    ]
+    edges = spark.createDataFrame(rows, "src string, dst string, w double")
+    r1 = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges.repartition(1)).collect()
+    }
+    r13 = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges.repartition(13)).collect()
+    }
+    assert r1 == r13 and abs(sum(r1.values()) - 1.0) < 1e-6

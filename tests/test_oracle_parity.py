@@ -50,18 +50,18 @@ def test_entry_smoke(spark):
     assert len(df.schema) >= 2
 
 
-def test_coverage_order_seeds_never_checked_backlog_first():
-    """Round-5 ordering contract: the driver samples a ~50-query PREFIX of
-    queries(), and after the round-5 re-freeze the checked set covers
-    r1∪r2∪r3∪r4 (all 137 round-4 registrations) — so the prefix's value
-    lies in (a) queries that have never earned a driver CORRECTNESS row
-    (anything new this round) and (b) the implementation-changed marquee
-    re-checks right behind them. Oracle-backed before rows-only inside
-    tier 1, and the full order still enumerates the entire registry with
-    every tag covered."""
+def test_coverage_order_round6_prefix_contract():
+    """Round-6 ordering contract (VERDICT r5 items 1-2): the driver samples
+    a ~50-query PREFIX of queries(), so the prefix must spend its rows on
+    (tier 1) queries with no driver CORRECTNESS row in any of r1-r5 —
+    the never-sampled live interval join plus anything new this round —
+    then (tier 2) the stale rows-only backlog (now partly self-checking
+    with oracles) and the round-5 marquee plan rewrites needing a second
+    consecutive green row. The full order still enumerates the entire
+    registry with every tag covered."""
     from ppdb_parser_spark.queries.registry import (
-        _DRIVER_CHECKED_R1_R4,
-        _ROUND5_MARQUEE,
+        _DRIVER_CHECKED_R1_R5,
+        _ROUND6_PRIORITY,
         coverage_order,
     )
 
@@ -74,42 +74,30 @@ def test_coverage_order_seeds_never_checked_backlog_first():
     never = {
         n
         for n in REGISTRY
-        if n not in _DRIVER_CHECKED_R1_R4 and n not in _ROUND5_MARQUEE
+        if n not in _DRIVER_CHECKED_R1_R5 and n not in _ROUND6_PRIORITY
     }
     k = len(never)
-    # the round-5 additions must be in the never-checked tier
-    assert {"pipeline_corpus_curation_v2", "text_unigram_logprob"} <= never
+    # the one query without any r1-r5 row must sit in tier 1
+    assert "stream_left_interval_join_live" in never
     assert set(order[:k]) == never, "tier 1 must be exactly the backlog"
-    # oracle-backed backlog entries precede rows-only ones (driver hash
-    # checks are stronger evidence than rows-only)
+    # oracle-backed backlog entries precede rows-only ones
     seen_rows_only = False
     for n in order[:k]:
         if REGISTRY[n].oracle is None:
             seen_rows_only = True
         else:
             assert not seen_rows_only, f"oracle-backed {n} after rows-only"
-    # tier 2: the implementation-changed marquee re-checks ride right
-    # behind. With 46 round-5 registrations the full marquee no longer
-    # fits a ~50-query prefix; the ORACLE-BACKED marquee (hash-value
-    # checks) must still land inside it — only the two rows-only LSH
-    # re-checks (weakest check form, results already r1–r4 green and
-    # locally parity-swept) may spill past the sample boundary.
-    assert tuple(order[k : k + len(_ROUND5_MARQUEE)]) == _ROUND5_MARQUEE
-    # the hard inside-the-sample guarantee applies to the BACKLOG (every
-    # query's FIRST driver row); marquee re-checks ride immediately behind
-    # and may spill once the backlog approaches the sample size — they
-    # already hold r1–r4 rows and are re-verified by the local parity
-    # sweep every session, so first-rows outrank re-checks by design.
-    n_oracle_backlog = sum(1 for n in order[:k] if REGISTRY[n].oracle is not None)
-    assert n_oracle_backlog <= 50, (
-        "oracle-backed backlog no longer fits the driver sample"
+    # tier 2 rides immediately behind tier 1, in declared order
+    assert tuple(order[k : k + len(_ROUND6_PRIORITY)]) == _ROUND6_PRIORITY
+    # the entire round-6 evidence plan must fit the ~50-query sample:
+    # every stale rows-only query and every marquee re-cert earns a row
+    assert k + len(_ROUND6_PRIORITY) <= 50, (
+        "round-6 priority tier no longer fits the driver sample"
     )
-    # rows-only backlog entries sort last inside the tier, so if anything
-    # spills past the ~50-query sample it is a rows-only live twin whose
-    # hash-checked batch twin sits inside the prefix — weakest check out
-    # rows-only marquee entries must still be ordered last within the tier
-    kinds = [REGISTRY[n].oracle is None for n in _ROUND5_MARQUEE]
-    assert kinds == sorted(kinds)
+    # the A3/F4 conversions are now oracle-backed (self-checking form) —
+    # their driver rows will be hash checks, not rows-only
+    for n in ("agg_approx_distinct", "agg_approx_percentile", "sample_orders"):
+        assert REGISTRY[n].oracle is not None, f"{n} lost its oracle"
 
 
 def test_contract_shape():

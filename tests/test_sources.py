@@ -54,3 +54,16 @@ def test_dynamic_partition_overwrite_is_idempotent(spark, sf_dir, tmp_path):
     for lang in before:
         if lang != "en":
             assert after[lang] == before[lang]  # every other partition intact
+
+
+def test_no_query_orphaned_from_driver_evidence():
+    """Anti-orphan audit (VERDICT r5 item 8): every registered query must
+    hold a driver CORRECTNESS row from a past round OR sit inside the
+    upcoming ~50-query driver sample prefix — so no query can silently
+    lose its driver evidence to a prefix reorder."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import gen_ledger
+
+    orphans, stale = gen_ledger.audit()
+    assert not orphans, f"queries with no driver evidence path: {orphans}"

@@ -197,16 +197,19 @@ def main() -> None:
         from ppdb_parser_spark.queries.text_analysis import text_textrank as _tt
         import ppdb_parser_spark.sources.tables as _tab
 
+        import ppdb_parser_spark.queries.text_analysis as _ta_mod
+
         orig = _tab.load_table
+        # capture the restore target BEFORE entering try: an exception in
+        # the try body must not turn the finally into a NameError that
+        # masks it
+        saved = _ta_mod.load_table
         try:
             _tab_load = lambda s, d, t: (
                 _shifted_union(orig(s, d, t), "doc_id", 16)
                 if t == "documents"
                 else orig(s, d, t)
             )
-            import ppdb_parser_spark.queries.text_analysis as _ta_mod
-
-            saved = _ta_mod.load_table
             _ta_mod.load_table = _tab_load
             t16 = timed("textrank 16x", _tt(spark, sf))
         finally:
