@@ -1141,3 +1141,104 @@ def ivfpq_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas, Tirumala, Simig,
+    Ganguli & Morcos 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication", arXiv:2303.09540 — public paper):
+    cluster embeddings into coarse cells, search near-duplicate pairs ONLY
+    within each cell, and keep one representative per duplicate relation.
+
+    The cell partition is exactly what makes web-scale semantic dedup
+    tractable: candidate-pair cost drops from n² to Σ|cell|², and
+    ``n_cells`` is the scale knob — grown ∝ n it keeps the expected
+    per-cell quadratic cost constant. Cells are seeded deterministically
+    (vectors with ``id < n_cells``, the ivf_topk convention) and assigned
+    by argmax of the 1e-6-rounded cosine with a cell-id tie-break, so the
+    whole operator is hash-exact cross-engine.
+
+    Drop rule (deterministic form of the paper's representative pick): x
+    is dropped iff some y with ``y.id < x.id`` sits in the same cell with
+    ``round(cos(x, y), 6) >= threshold`` — a dominance rule, not
+    transitive-closure grouping (the paper prunes per ε-cluster the same
+    way; components-based collapsing is :func:`~..operators.graph.
+    connected_components_star`'s job when chain semantics are wanted).
+
+    Plan shape: 1-row broadcast of the seed array → narrow per-row argmax
+    assignment (no shuffle) → cell-keyed self equi join (bounded fan-out)
+    → distinct dominated ids → left-anti keep mark. Returns
+    ``(id_col, cell_id, kept)`` for every input vector.
+    """
+    seeds_row = df.filter(F.col(id_col) < n_cells).agg(
+        F.collect_list(
+            F.struct(
+                F.col(id_col).cast("int").alias("cell_id"),
+                F.col(vec_col).alias("semb"),
+                _norm(F.col(vec_col)).alias("snorm"),
+            )
+        ).alias("seeds")
+    )
+    ranked = F.array_sort(
+        F.transform(
+            F.col("seeds"),
+            lambda s: F.struct(
+                (
+                    -F.round(
+                        _dot(F.col(vec_col), s["semb"])
+                        / (F.col("__nrm") * s["snorm"]),
+                        6,
+                    )
+                ).alias("negcos"),
+                s["cell_id"].alias("cell_id"),
+            ),
+        )
+    )
+    assigned = (
+        df.withColumn("__nrm", _norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(seeds_row))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            "__nrm",
+            F.element_at(ranked, 1)["cell_id"].alias("cell_id"),
+        )
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("__nrm").alias("na"),
+        "cell_id",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("__nrm").alias("nb"),
+        "cell_id",
+    )
+    dominated = (
+        a.join(b, "cell_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+            >= threshold
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dominated.withColumn("__dom", F.lit(1)), id_col, "left"
+        )
+        .select(
+            id_col,
+            "cell_id",
+            F.col("__dom").isNull().alias("kept"),
+        )
+    )

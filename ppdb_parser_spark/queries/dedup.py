@@ -354,6 +354,36 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# O6 at scale: the same duplicate groups computed with alternating
+# large-star/small-star rounds (Kiveris et al. SoCC'14) — O(log n) rounds
+# independent of graph diameter, vs min-label propagation's O(diameter).
+# Same unique fixpoint (component = min reachable id), same recursive-CTE
+# oracle as dedup_components; the O(log n) round certificate is asserted
+# on a 512-node path graph in tests/test_operators.py.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_components_star",
+    oracle=_COMPONENTS_ORACLE,
+    tags=("O6", "J2", "A1"),
+)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components_star
+
+    pairs = DD.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.5,
+        n=2,
+        max_doc_freq=40,
+        min_partitions=_par(spark),
+    ).select("id_a", "id_b")
+    labels, _rounds = connected_components_star(pairs)
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
+    return labels.join(sizes, "component").select(
+        "node", "component", F.col("group_size").cast("long").alias("group_size")
+    )
+
+
+# --------------------------------------------------------------------------
 # O6: MinHash-LSH approximate near-dup join (pyspark.ml, fixed seed).
 # Approximate candidate recall is engine-specific → rows-only check; the
 # "every reported pair really exceeds the Jaccard threshold" property is
@@ -782,3 +812,83 @@ def dedup_embedding_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, threshold=0.35, n_planes=16, n_bands=8, seed=42, dim=64
     )
     return _embedding_survivors(e, pairs)
+
+
+# --------------------------------------------------------------------------
+# O6/L2 semantic tier: SemDeDup (Abbas et al. 2023) — coarse-cell
+# clustering bounds the near-dup pair search to Σ|cell|² instead of n².
+# Fully deterministic (seeded cells, 1e-6 cosine grid, min-id dominance)
+# → full hash oracle: DuckDB recomputes the identical assignment, the
+# identical within-cell pairs, and the identical keep marks.
+# --------------------------------------------------------------------------
+_SEMANTIC_N_CELLS = 8
+_SEMANTIC_T = 0.35
+
+_SEMANTIC_ORACLE = f"""
+    WITH seeds AS (
+      SELECT vec_id AS cell_id, embedding FROM embeddings
+      WHERE vec_id < {_SEMANTIC_N_CELLS}
+    ),
+    vflat AS (
+      SELECT vec_id, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    sflat AS (
+      SELECT cell_id, unnest(embedding) AS s,
+             generate_subscripts(embedding, 1) AS i
+      FROM seeds
+    ),
+    cell_scores AS (
+      SELECT v.vec_id, s.cell_id,
+             round(SUM(CAST(v.x AS DOUBLE) * CAST(s.s AS DOUBLE))
+                   / (sqrt(SUM(CAST(v.x AS DOUBLE) * CAST(v.x AS DOUBLE)))
+                      * sqrt(SUM(CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE)))),
+                   6) AS cos
+      FROM vflat v JOIN sflat s ON v.i = s.i
+      GROUP BY v.vec_id, s.cell_id
+    ),
+    assign AS (
+      SELECT vec_id, CAST(cell_id AS INTEGER) AS cell_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, cell_id) AS rk
+        FROM cell_scores
+      ) WHERE rk = 1
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      FROM vflat GROUP BY vec_id
+    ),
+    pair_dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             SUM(CAST(va.x AS DOUBLE) * CAST(vb.x AS DOUBLE)) AS dot
+      FROM assign a
+      JOIN assign b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      JOIN vflat va ON va.vec_id = a.vec_id
+      JOIN vflat vb ON vb.vec_id = b.vec_id AND vb.i = va.i
+      GROUP BY 1, 2
+    ),
+    dominated AS (
+      SELECT DISTINCT p.id_b AS vec_id
+      FROM pair_dots p
+      JOIN norms na ON p.id_a = na.vec_id
+      JOIN norms nb ON p.id_b = nb.vec_id
+      WHERE round(p.dot / (na.nrm * nb.nrm), 6) >= {_SEMANTIC_T}
+    )
+    SELECT a.vec_id, a.cell_id, (d.vec_id IS NULL) AS kept
+    FROM assign a LEFT JOIN dominated d ON a.vec_id = d.vec_id
+"""
+
+
+@query(
+    "dedup_semantic",
+    oracle=_SEMANTIC_ORACLE,
+    tags=("O6", "L1", "L2"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e, n_cells=_SEMANTIC_N_CELLS, threshold=_SEMANTIC_T
+    )

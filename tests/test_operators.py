@@ -95,9 +95,14 @@ def test_session_live_subset_of_batch(spark, sf_dir):
 
 
 def test_approx_distinct_rsd(spark, sf_dir):
+    """Round 6 made the query SELF-CHECKING: it emits the exact count and
+    a within_3rsd boolean (the driver's oracle hashes both). Locally
+    assert every group's boolean is true and the exact counts are sane."""
     rows = REGISTRY["agg_approx_distinct"].fn(spark, sf_dir).collect()
+    assert rows
     for r in rows:
-        assert abs(r["approx_parts"] - r["exact_parts"]) <= 0.1 * r["exact_parts"]
+        assert r["within_3rsd"] is True
+        assert r["exact_parts"] > 0
 
 
 def test_multimodal_decode_stub_raises(spark):
@@ -451,9 +456,14 @@ def test_decode_media_meta_rejects_unknown_format(spark, tmp_path):
 
 
 def test_approx_percentile_close_to_exact(spark, sf_dir):
+    """Self-checking form (round 6): the within_2pct boolean carries the
+    approx-vs-exact contract; the exact median ships as BIGINT half-cents
+    so the driver hash is float-grid-safe."""
     rows = REGISTRY["agg_approx_percentile"].fn(spark, sf_dir).collect()
+    assert rows
     for r in rows:
-        assert abs(r["approx_median"] - r["exact_median"]) <= 0.05 * r["exact_median"]
+        assert r["within_2pct"] is True
+        assert r["exact_median_halfcents"] > 0
 
 
 def test_bmp_pixels_resize_roundtrip():
@@ -790,7 +800,7 @@ def test_text_ops_degenerate_inputs(spark):
     "qname",
     ["flagship", "dedup_jaccard_prefix", "sim_pq_topk", "sim_pq_kmeans_topk",
      "sim_ivfpq_topk", "text_textrank", "dedup_minhash_relational",
-     "sim_lsh_pairs_checked"],
+     "sim_lsh_pairs_checked", "dedup_components_star"],
 )
 def test_results_invariant_to_execution_config(spark, sf_dir, qname):
     """Marquee results must be bit-identical with AQE disabled and a
@@ -872,3 +882,75 @@ def test_pagerank_fractional_weights_partition_invariant(spark):
         for r in pagerank(edges.repartition(13)).collect()
     }
     assert r1 == r13 and abs(sum(r1.values()) - 1.0) < 1e-6
+
+
+def test_star_components_logn_rounds_on_path(spark):
+    """The large-star/small-star variant must label a 512-node PATH graph
+    (diameter 511) correctly in O(log n) rounds — the certificate that it
+    does not degrade to diameter-bound propagation like min-label
+    (VERDICT r5 item 4)."""
+    from ppdb_parser_spark.operators.graph import connected_components_star
+
+    n = 512
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    labels, rounds = connected_components_star(edges)
+    got = {r["node"]: r["component"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 2 * n.bit_length() + 2, (
+        f"star CC took {rounds} rounds on a {n}-path — not O(log n)"
+    )
+
+
+def test_star_components_match_min_label(spark):
+    """Star and min-label propagation share the unique fixpoint
+    (component = min reachable id) on a multi-component graph with
+    duplicate and reversed edges."""
+    from ppdb_parser_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    raw = [
+        (5, 2), (2, 5), (2, 9), (9, 14), (14, 5),   # cycle component -> 2
+        (30, 31), (31, 30),                          # pair -> 30
+        (100, 40), (40, 77), (77, 100), (40, 41),    # mixed -> 40
+        (7, 7),                                      # self loop (dropped)
+        (7, 8),                                      # pair -> 7
+    ]
+    edges = spark.createDataFrame(raw, "id_a long, id_b long")
+    star, _ = connected_components_star(edges)
+    plain = connected_components(edges)
+    s = {(r["node"], r["component"]) for r in star.collect()}
+    p = {(r["node"], r["component"]) for r in plain.collect()}
+    assert s == p and {c for _, c in s} == {2, 30, 40, 7}
+
+
+def test_semantic_dedup_dominance_and_cells(spark):
+    """SemDeDup semantics on a constructed fixture: cell assignment is
+    argmax cosine vs the seed vectors, and a vector is dropped iff a
+    SMALLER id in the SAME cell is within the cosine threshold (dominance,
+    not transitive grouping). Cross-cell near-dups are intentionally not
+    caught — that is the paper's recall/cost trade."""
+    from ppdb_parser_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),    # seed of cell 0 -> kept
+        (1, [0.0, 1.0, 0.0, 0.0]),    # seed of cell 1 -> kept
+        (2, [1.0, 0.01, 0.0, 0.0]),   # cell 0, ~dup of 0 -> dropped
+        (3, [0.0, 0.10, 1.0, 0.0]),   # cell 1, far from 1 -> kept
+        (4, [0.0, 0.12, 1.0, 0.0]),   # cell 1, ~dup of 3 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["cell_id"], r["kept"])
+        for r in semantic_dedup(df, n_cells=2, threshold=0.9).collect()
+    }
+    assert out == {
+        0: (0, True),
+        1: (1, True),
+        2: (0, False),
+        3: (1, True),
+        4: (1, False),
+    }

@@ -159,19 +159,28 @@ def main() -> None:
             print(f"  -> broadcast seeds context ~{ctx_kb:.0f} kB")
 
 
-    if not only or "winnow" in only:
+    if not only or "winnow" in only or "winnow256" in only:
         # winnowing + fingerprint match at growing corpus size: fresh-vocab
         # copies (disjoint k-gram universes) — fingerprint df stays tiny per
         # universe, so the match join must scale ~linearly like the prefix
-        # join, not quadratically
+        # join, not quadratically. `winnow256` extends to 256x (~3.2M docs)
+        # to find the first superlinear knee (VERDICT r5 item 7).
         from ppdb_parser_spark.operators.dedup import winnow_match
 
+        ks = (16, 64, 256) if "winnow256" in only else (16, 64)
         w1 = timed("winnow_match 1x", winnow_match(docs))
-        for k in (16, 64):
+        prev_k, prev_t = 1, w1
+        for k in ks:
             wk = timed(
                 f"winnow_match {k}x", winnow_match(_fresh_vocab_union(docs, k))
             )
-            print(f"  -> {wk / w1:.1f}x time for {k}x data")
+            step = (wk / prev_t) / (k / prev_k)
+            print(
+                f"  -> {wk / w1:.1f}x time for {k}x data "
+                f"(step efficiency {prev_k}x->{k}x: {step:.2f}; >1 = "
+                "superlinear knee)"
+            )
+            prev_k, prev_t = k, wk
 
     if not only or "repetition" in only:
         from ppdb_parser_spark.operators.text_analysis import repetition_stats
