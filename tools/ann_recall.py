@@ -20,7 +20,10 @@ paths, so driver-side set math is fine here.
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
@@ -136,17 +139,60 @@ def pq_sweep(spark, sf_dir, results):
                 print(json.dumps(row))
 
 
+def ivfpq_sweep(spark, sf_dir, results):
+    """IVF-PQ raw-code vs residual-code (IVFADC) recall@k at matched
+    routing/rerank budget — the measurement behind the round-6 note that
+    residual codes don't pay on ISOTROPIC synthetic data (residual
+    distribution ≈ raw distribution) while being the standard win on
+    clustered real embeddings."""
+    e = load_table(spark, sf_dir, "embeddings")
+    k = 10
+    for probe_id in (1, 7, 13, 29):
+        exact = [
+            r["vec_id"]
+            for r in SIM.cosine_topk_by_id(e, probe_id=probe_id, k=k).collect()
+        ]
+        for rerank in (50, 100):
+            for variant, fn in (("raw", SIM.ivfpq_topk),
+                                ("residual", SIM.ivfpq_residual_topk)):
+                got = [
+                    r["vec_id"]
+                    for r in fn(
+                        e, probe_id=probe_id, k=k, rerank=rerank, dim=64
+                    ).collect()
+                ]
+                row = {
+                    "metric": "ivfpq_recall_at_k", "sf_dir": sf_dir, "k": k,
+                    "probe_id": probe_id, "n_cells": 8, "n_probe": 2,
+                    "rerank": rerank, "codes": variant,
+                    "recall": round(len(set(got) & set(exact)) / k, 4),
+                }
+                results.append(row)
+                print(json.dumps(row))
+
+
 def main():
     spark = get_spark(app_name="ann-recall")
     results: list[dict] = []
     sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    only = None
+    if sf_dirs and sf_dirs[0].startswith("--only="):
+        only = sf_dirs[0][len("--only="):]
+        sf_dirs = sf_dirs[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
     for sf_dir in sf_dirs:
-        e = load_table(spark, sf_dir, "embeddings")
-        exact_pairs = pair_set(SIM.pairwise_cosine_pairs(e, threshold=THRESHOLD))
-        lsh_sweep(spark, sf_dir, exact_pairs, results)
-        dedup_agreement(spark, sf_dir, results)
-        ivf_sweep(spark, sf_dir, results)
-        pq_sweep(spark, sf_dir, results)
+        if only is None or only == "lsh":
+            e = load_table(spark, sf_dir, "embeddings")
+            exact_pairs = pair_set(
+                SIM.pairwise_cosine_pairs(e, threshold=THRESHOLD)
+            )
+            lsh_sweep(spark, sf_dir, exact_pairs, results)
+            dedup_agreement(spark, sf_dir, results)
+        if only is None or only == "ivf":
+            ivf_sweep(spark, sf_dir, results)
+        if only is None or only == "pq":
+            pq_sweep(spark, sf_dir, results)
+        if only is None or only == "ivfpq":
+            ivfpq_sweep(spark, sf_dir, results)
     print(json.dumps({"metric": "summary", "n_results": len(results)}))
 
 
