@@ -146,9 +146,12 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # node universe from the RAW edges, not the self-loop-filtered set: a
+    # node whose only edge is a self loop is still a (singleton)
+    # component and must receive a label (property-test regression)
     all_nodes = (
-        e.select(F.col("a").alias("node"))
-        .unionByName(e.select(F.col("b").alias("node")))
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
         .persist()
     )

@@ -744,3 +744,48 @@ def pipeline_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.chunk_text").alias("chunk_text"),
         F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic global shuffle + shard assignment — the training-data
+# EXPORT pattern: examples get a pseudo-random but fully reproducible
+# order (md5 of a seeded key), sharded so every window is PER-SHARD (a
+# global row_number would funnel 100 TB through one task; per-shard
+# windows parallelize and the (shard, pos) pair is still a total order:
+# shard-major, position-minor). Same-seed reruns and engine changes
+# reproduce the identical permutation — the property that makes training
+# runs comparable and resumable.
+# --------------------------------------------------------------------------
+@query(
+    "pipeline_shuffle_shards",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             md5('shuffle:42:' || CAST(doc_id AS VARCHAR)) AS hh
+      FROM documents
+    )
+    SELECT doc_id,
+           substr(hh, 1, 1) AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY substr(hh, 1, 1) ORDER BY hh, doc_id
+           ) AS BIGINT) AS pos,
+           hh AS shuffle_key
+    FROM h
+    """,
+    tags=("F4", "W2", "X1"),
+)
+def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("shuffle:42:"), F.col("doc_id").cast("string")))
+    keyed = docs.select(
+        "doc_id", h.alias("shuffle_key"), F.substring(h, 1, 1).alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+        "shuffle_key",
+    )

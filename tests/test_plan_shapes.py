@@ -398,3 +398,14 @@ def test_no_unjustified_cartesians_anywhere(spark, sf_dir):
     # and the two intentional O(n²) baselines stay labeled as such
     assert REGISTRY["sim_pairwise_cosine"].tier == "oracle-baseline"
     assert REGISTRY["dedup_jaccard_pairs"].tier == "oracle-baseline"
+
+
+def test_shuffle_shards_windows_are_per_shard(spark, sf_dir):
+    """The export shuffle must never plan a GLOBAL row_number — per-shard
+    window partitions only (one task per shard, not one task for the
+    corpus)."""
+    C.assert_partitioned_windows(
+        _df(spark, sf_dir, "pipeline_shuffle_shards"),
+        "shard",
+        name="pipeline_shuffle_shards",
+    )

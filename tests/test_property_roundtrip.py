@@ -105,3 +105,98 @@ def test_jaccard_prefix_equals_baseline_random_corpora(spark, corpus, threshold)
     assert key(jaccard_pairs_prefix(docs, threshold=threshold, n=2)) == key(
         jaccard_pairs(docs, threshold=threshold, n=2)
     )
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edges)
+def test_star_components_equal_min_label_random_graphs(spark, edges):
+    """large-star/small-star and min-label propagation share the unique
+    fixpoint (component = min reachable id) on arbitrary graphs — random
+    edge lists with self loops, duplicates, reversed pairs, and multiple
+    components."""
+    from ppdb_parser_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    star, _ = connected_components_star(df)
+    s = {(r["node"], r["component"]) for r in star.collect()}
+    p = {
+        (r["node"], r["component"])
+        for r in connected_components(df, max_iterations=50).collect()
+    }
+    # self-loop-only nodes: min-label keeps them (they appear in bidir);
+    # both operators must agree on the full node set and every label
+    assert s == p
+
+
+@st.composite
+def _vectors(draw):
+    n = draw(st.integers(6, 20))
+    dim = 4
+    vecs = [
+        [
+            round(draw(st.floats(-1, 1, allow_nan=False, allow_infinity=False)), 3)
+            for _ in range(dim)
+        ]
+        for _ in range(n)
+    ]
+    # ensure no zero vectors (cosine undefined) — bump first coord
+    return [[v[0] + 1.5, *v[1:]] for v in vecs]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(vecs=_vectors(), threshold=st.sampled_from([0.5, 0.9, 0.99]))
+def test_semantic_dedup_matches_python_reference(spark, vecs, threshold):
+    """semantic_dedup's cell assignment + dominance rule recomputed in
+    plain Python must match the Spark plan exactly (1e-6-rounded cosine,
+    argmax cell with id tie-break, drop iff a smaller same-cell id is
+    within threshold)."""
+    import math
+
+    from ppdb_parser_spark.operators.similarity import semantic_dedup
+
+    n_cells = min(3, len(vecs))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["cell_id"], r["kept"])
+        for r in semantic_dedup(df, n_cells=n_cells, threshold=threshold).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    cell = {
+        i: max(range(n_cells), key=lambda c: (cos(v, vecs[c]), -c))
+        for i, v in enumerate(vecs)
+    }
+    kept = {
+        i: not any(
+            j < i and cell[j] == cell[i] and cos(vecs[i], vecs[j]) >= threshold
+            for j in range(i)
+        )
+        for i in range(len(vecs))
+    }
+    assert got == {i: (cell[i], kept[i]) for i in range(len(vecs))}
