@@ -884,6 +884,7 @@ _SEMANTIC_ORACLE = f"""
     "dedup_semantic",
     oracle=_SEMANTIC_ORACLE,
     tags=("O6", "L1", "L2"),
+    bench=True,
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import semantic_dedup

@@ -430,3 +430,112 @@ def stream_static_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.run_stream_to_table(
         _static_enrich(ev, load_table(spark, sf_dir, "customer")), "append"
     )
+
+
+# --------------------------------------------------------------------------
+# Conversation/session ASSEMBLY — the chat-training-data pattern: gap
+# sessionization (same 5-min rule as stream_session_batch) plus an ORDERED
+# transcript per session (event_type@offset_s joined ' | '), the shape a
+# dialogue-tuning pipeline exports. Ordering inside the aggregate is made
+# deterministic by sorting (ts_us, event_id) structs in-plan — never
+# collect_list order luck; DuckDB's string_agg ORDER BY mirrors it.
+# Per-user windows and per-session aggregates only — no global ordering
+# anywhere, so the plan parallelizes by user at any scale.
+# --------------------------------------------------------------------------
+@query(
+    "pipeline_session_dialogues",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER w > 300000000
+                       OR LAG(ts_us) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS is_new
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    sessions AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    ),
+    sessions2 AS (
+      SELECT *, MIN(ts_us) OVER (PARTITION BY user_id, session_no)
+                  AS session_start_us
+      FROM sessions
+    ),
+    agg AS (
+      SELECT user_id, session_no,
+             ANY_VALUE(session_start_us) AS session_start_us,
+             COUNT(*) AS n_events,
+             (MAX(ts_us) - MIN(ts_us)) // 1000000 AS duration_s,
+             string_agg(
+               event_type || '@'
+                 || CAST((ts_us - session_start_us) // 1000000 AS VARCHAR),
+               ' | ' ORDER BY ts_us, event_id
+             ) AS transcript
+      FROM sessions2
+      GROUP BY user_id, session_no
+    )
+    SELECT user_id, session_start_us, CAST(n_events AS BIGINT) AS n_events,
+           CAST(duration_s AS BIGINT) AS duration_s, transcript
+    FROM agg
+    """,
+    tags=("T3", "W3", "A4", "X1"),
+    bench=True,
+)
+def pipeline_session_dialogues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = e.withColumn(
+        "is_new",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w) > 300_000_000)
+            | F.lag("ts_us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_no",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    grouped = sessions.groupBy("user_id", "session_no").agg(
+        F.min("ts_us").alias("session_start_us"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.floor((F.max("ts_us") - F.min("ts_us")) / 1_000_000)
+        .cast("long")
+        .alias("duration_s"),
+        F.array_sort(
+            F.collect_list(F.struct("ts_us", "event_id", "event_type"))
+        ).alias("ordered"),
+    )
+    transcript = F.array_join(
+        F.transform(
+            F.col("ordered"),
+            lambda s: F.concat(
+                s["event_type"],
+                F.lit("@"),
+                F.floor(
+                    (s["ts_us"] - F.col("session_start_us")) / 1_000_000
+                ).cast("long").cast("string"),
+            ),
+        ),
+        " | ",
+    )
+    return grouped.select(
+        "user_id",
+        "session_start_us",
+        "n_events",
+        "duration_s",
+        transcript.alias("transcript"),
+    )

@@ -773,6 +773,7 @@ def pipeline_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM h
     """,
     tags=("F4", "W2", "X1"),
+    bench=True,
 )
 def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
