@@ -790,3 +790,73 @@ def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("long").alias("pos"),
         "shuffle_key",
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement, per group (Efraimidis & Spirakis
+# 2006, "Weighted random sampling with a reservoir", IPL — public paper):
+# each document draws priority key -ln(u)/w with u a deterministic
+# md5-derived uniform and w ∝ n_chars; the k smallest keys per language
+# are the sample (equivalent to the paper's largest u^(1/w) form). The
+# standard quality-weighted subset selection for training mixtures —
+# longer/heavier documents proportionally likelier, yet fully
+# reproducible: no rand(), the uniform is the first 52 md5 bits (+1, so
+# u > 0) over 2^52+1, bit-identical cross-engine; keys round to 1e-9
+# before ranking with a doc_id tie-break (ln may differ by an ulp
+# between libms). Per-language windows only — scales like any grouped
+# top-k, no global ordering.
+# --------------------------------------------------------------------------
+@query(
+    "pipeline_weighted_sample",
+    oracle="""
+    WITH k AS (
+      SELECT lang, doc_id, n_chars,
+             round(-ln((CAST('0x' || substr(
+                           md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 13)
+                         AS BIGINT) + 1) / 4503599627370497.0)
+                   / CAST(GREATEST(n_chars, 1) AS DOUBLE), 9) AS skey
+      FROM documents
+    )
+    SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars, skey,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY skey, doc_id) AS rk
+      FROM k
+    )
+    WHERE rk <= 5
+    """,
+    tags=("F4", "W2", "X3"),
+)
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + 1) / 4503599627370497.0  # (h+1) / (2^52 + 1) ∈ (0, 1)
+    skey = F.round(
+        -F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)).cast("double"), 9
+    )
+    keyed = docs.select(
+        "lang", "doc_id", "n_chars", skey.alias("skey")
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("skey"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "lang",
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "skey",
+            "rk",
+        )
+    )

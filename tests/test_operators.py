@@ -860,6 +860,8 @@ def test_pq_codebook_contiguity_assert_fires(spark, sf_dir):
         SIM.pq_encode(e, n_centroids=16, m=8, dim=64).collect()
     with pytest.raises(Exception, match="0-based"):
         SIM.ivfpq_topk(e, probe_id=1, dim=64).collect()
+    with pytest.raises(Exception, match="0-based"):
+        SIM.ivfpq_residual_topk(e, probe_id=1, dim=64).collect()
 
 
 def test_pagerank_fractional_weights_partition_invariant(spark):
@@ -978,3 +980,37 @@ def test_ivfpq_residual_recall_and_decomposition(spark, sf_dir):
     top10 = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     recall = len({v for v, _ in top10} & {r["vec_id"] for r in res}) / 10
     assert recall >= 0.6, f"residual IVFADC recall@10 collapsed: {recall}"
+
+
+def test_weighted_sample_matches_python_reference(spark, sf_dir):
+    """pipeline_weighted_sample recomputed in plain Python (hashlib md5 →
+    52-bit uniform → -ln(u)/w key → per-lang top-5) must pick the same
+    documents — pinning the Efraimidis-Spirakis key derivation end to
+    end, not just cross-engine agreement."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from ppdb_parser_spark.sources.tables import load_table
+
+    got = {
+        (r["lang"], r["doc_id"], r["rk"])
+        for r in REGISTRY["pipeline_weighted_sample"].fn(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    ).collect()
+    by_lang = defaultdict(list)
+    for r in docs:
+        h = int(
+            hashlib.md5(f"ws:{r['doc_id']}".encode()).hexdigest()[:13], 16
+        )
+        u = (h + 1) / 4503599627370497.0
+        key = round(-math.log(u) / max(r["n_chars"], 1), 9)
+        by_lang[r["lang"]].append((key, r["doc_id"]))
+    want = {
+        (lang, doc_id, rk + 1)
+        for lang, items in by_lang.items()
+        for rk, (_, doc_id) in enumerate(sorted(items)[:5])
+    }
+    assert got == want and len(got) > 0
