@@ -1457,3 +1457,95 @@ def ivfpq_residual_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def lsh_multiprobe_topk(
+    df: DataFrame,
+    probe_id: int = 1,
+    n_planes: int = 8,
+    seed: int = 42,
+    k: int = 10,
+    max_flips: int = 2,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv, Josephson, Wang, Charikar & Li,
+    "Multi-probe LSH: efficient indexing for high-dimensional similarity
+    search", VLDB 2007 — public paper): instead of many hash tables, ONE
+    hyperplane signature table probed at the query's bucket AND every
+    bucket within ``max_flips`` bit perturbations (1 + C(n,1) + C(n,2)
+    probes at the default T=2) — the standard way to buy recall without
+    replicating the index. n_planes trades bucket selectivity against
+    probe count: 8 planes / 37 probes scans ~14% of an isotropic corpus;
+    more planes shrink buckets and the probed fraction.
+
+    Signatures are grid-exact sign bits packed into an int (bit p =
+    [Σ round(x·h_p·1e9) ≥ 0]), so the probed bucket SET is reproducible
+    cross-engine and the query carries a full hash oracle. Candidates pay
+    one exact grid cosine each; ranking is exact over the candidate set.
+
+    Plan: narrow signature map over the scan (n_planes grid dots/row, no
+    shuffle), 1-row broadcast probe-set ctx, bucket membership filter,
+    exact cosine on the surviving fraction, TakeOrderedAndProject.
+    """
+    planes = lsh_planes(n_planes, dim, seed)
+    sig = None
+    for i, p in enumerate(planes):
+        bit = (
+            F.when(
+                _grid_dot(F.col(vec_col), F.array(*[F.lit(x) for x in p]))
+                >= 0,
+                F.lit(1 << i).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+        )
+        sig = bit if sig is None else sig + bit
+    sigs = df.select(
+        F.col(id_col), *keep_cols, F.col(vec_col), sig.alias("sig")
+    )
+    probe_row = (
+        sigs.filter(F.col(id_col) == probe_id)
+        .select(
+            F.col(vec_col).alias("q"),
+            _grid_norm6(F.col(vec_col)).alias("qnorm"),
+            F.col("sig").alias("qsig"),
+        )
+        .limit(1)
+    )
+    from itertools import combinations
+
+    masks = [
+        sum(1 << i for i in c)
+        for t in range(max_flips + 1)
+        for c in combinations(range(n_planes), t)
+    ]
+    ctx = probe_row.select(
+        "q",
+        "qnorm",
+        F.array(
+            *[
+                F.col("qsig").bitwiseXOR(F.lit(m).cast("long"))
+                for m in masks
+            ]
+        ).alias("probe_sigs"),
+    )
+    cand = (
+        sigs.crossJoin(F.broadcast(ctx))
+        .filter(
+            F.array_contains(F.col("probe_sigs"), F.col("sig"))
+            & (F.col(id_col) != probe_id)
+        )
+    )
+    cosine = F.round(
+        (_grid_dot(F.col(vec_col), F.col("q")) / float(PQ_GRID))
+        / (_grid_norm6(F.col(vec_col)) * F.col("qnorm")),
+        6,
+    )
+    return (
+        cand.select(id_col, *keep_cols, cosine.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

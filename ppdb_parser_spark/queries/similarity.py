@@ -763,3 +763,83 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, probe_id=1, n_cells=8, n_probe=2, n_centroids=16, m=8, k=10,
         rerank=50, dim=64,
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-probe LSH (Lv et al. VLDB'07): one signature table (8 planes →
+# 256 buckets), probed at the query bucket and all ≤2-bit perturbations
+# (37 probes) — recall without index replication. Grid-exact sign bits →
+# the probed bucket set and the candidate relation are reproducible in
+# SQL → full hash oracle.
+# --------------------------------------------------------------------------
+@query(
+    "sim_lsh_multiprobe_topk",
+    oracle=f"""
+    WITH el AS (
+      SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings)
+    ),
+    vn AS (
+      SELECT vec_id,
+             round(sqrt(CAST(SUM(CAST(round(x * x * 1000000000.0) AS BIGINT))
+                             AS BIGINT) / 1000000000.0), 6) AS vnorm
+      FROM el GROUP BY 1
+    ),
+    proj AS (
+      SELECT e.vec_id, pl.p,
+             CAST(SUM(CAST(round(e.x * pl.h * 1000000000.0) AS BIGINT))
+                  AS BIGINT) AS g
+      FROM el e JOIN {_lsh_planes_values_sql()} pl ON pl.j = e.i - 1
+      WHERE pl.p < 8
+      GROUP BY 1, 2
+    ),
+    sigs AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN g >= 0
+                           THEN CAST(1 AS BIGINT) << p ELSE 0 END)
+                  AS BIGINT) AS sig
+      FROM proj GROUP BY 1
+    ),
+    qsig AS (SELECT sig FROM sigs WHERE vec_id = 1),
+    probeset AS (
+      SELECT sig FROM qsig
+      UNION
+      SELECT xor(qsig.sig, CAST(1 AS BIGINT) << CAST(f.range AS INTEGER))
+      FROM qsig, range(8) f
+      UNION
+      SELECT xor(qsig.sig,
+                 (CAST(1 AS BIGINT) << CAST(f1.range AS INTEGER))
+                 | (CAST(1 AS BIGINT) << CAST(f2.range AS INTEGER)))
+      FROM qsig, range(8) f1, range(8) f2
+      WHERE f1.range < f2.range
+    ),
+    cand AS (
+      SELECT s.vec_id FROM sigs s JOIN probeset p ON s.sig = p.sig
+      WHERE s.vec_id <> 1
+    ),
+    pel AS (SELECT x, i FROM el WHERE vec_id = 1),
+    qn AS (SELECT vnorm AS qnorm FROM vn WHERE vec_id = 1),
+    dots AS (
+      SELECT e.vec_id,
+             CAST(SUM(CAST(round(e.x * p.x * 1000000000.0) AS BIGINT))
+                  AS BIGINT) AS dg
+      FROM el e JOIN pel p ON e.i = p.i
+      JOIN cand c ON e.vec_id = c.vec_id
+      GROUP BY 1
+    )
+    SELECT d.vec_id, emb.label,
+           round((dg / 1000000000.0) / (vn.vnorm * qn.qnorm), 6) AS cosine
+    FROM dots d
+    JOIN vn USING (vec_id)
+    JOIN embeddings emb ON emb.vec_id = d.vec_id, qn
+    ORDER BY cosine DESC, d.vec_id
+    LIMIT 10
+    """,
+    tags=("L1", "L2", "W1", "O2"),
+)
+def sim_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.lsh_multiprobe_topk(
+        e, probe_id=1, n_planes=8, seed=42, k=10, max_flips=2, dim=64
+    )

@@ -1014,3 +1014,25 @@ def test_weighted_sample_matches_python_reference(spark, sf_dir):
         for rk, (_, doc_id) in enumerate(sorted(items)[:5])
     }
     assert got == want and len(got) > 0
+
+
+def test_lsh_multiprobe_expands_candidates_and_is_exact(spark, sf_dir):
+    """Multi-probe LSH: the probed bucket set strictly contains the
+    query's own bucket, so its candidate set (and hence recall) can only
+    grow vs single-bucket probing; every returned cosine must be the
+    exact cosine (candidates are ranked exactly, no ADC)."""
+    from ppdb_parser_spark.operators import similarity as SIM
+    from ppdb_parser_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    multi = SIM.lsh_multiprobe_topk(e, probe_id=1, k=10, dim=64).collect()
+    assert len(multi) == 10
+    exact = {
+        r["vec_id"]: r["cosine"]
+        for r in SIM.cosine_topk_by_id(e, 1, k=500).collect()
+    }
+    for r in multi:
+        assert exact[r["vec_id"]] == r["cosine"]
+    top10 = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    recall = len({v for v, _ in top10} & {r["vec_id"] for r in multi}) / 10
+    assert recall >= 0.2, f"multiprobe recall collapsed: {recall}"
