@@ -345,3 +345,68 @@ def src_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_bad_sku"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order layout keys — the lakehouse multi-column data-skipping pattern:
+# interleave the low 16 bits of two join/filter keys into one 32-bit
+# Morton key; sorting/partitioning the table by it keeps BOTH key ranges
+# narrow inside every file, so min/max footer stats prune scans on either
+# column (what Delta/Iceberg OPTIMIZE ZORDER does). The query audits that
+# locality claim: per 64-bucket z-range, row count and the SPAN of each
+# key — spans ~1/8 of the domain per bucket instead of the full domain a
+# single-column sort would leave on the second key. Pure integer bit
+# math → bit-identical cross-engine → full hash oracle.
+# --------------------------------------------------------------------------
+def _z_spark(a: F.Column, b: F.Column) -> F.Column:
+    z = F.lit(0).cast("long")
+    for i in range(16):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(
+                F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return z
+
+
+def _z_sql(a: str, b: str) -> str:
+    return " + ".join(
+        f"((({a} >> {i}) & 1) << {2 * i}) + ((({b} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(16)
+    )
+
+
+@query(
+    "snk_zorder_layout",
+    oracle=f"""
+    WITH keys AS (
+      SELECT l_orderkey & 65535 AS ka, l_partkey & 65535 AS kb,
+             ({_z_sql("l_orderkey & 65535", "l_partkey & 65535")}) AS zkey
+      FROM lineitem
+    )
+    SELECT zkey >> 26 AS zbucket,
+           COUNT(*) AS n_rows,
+           MAX(ka) - MIN(ka) AS ka_span,
+           MAX(kb) - MIN(kb) AS kb_span
+    FROM keys GROUP BY 1
+    """,
+    tags=("S5", "X3", "A1"),
+)
+def snk_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ka = F.col("l_orderkey").bitwiseAND(F.lit(65535))
+    kb = F.col("l_partkey").bitwiseAND(F.lit(65535))
+    keys = li.select(
+        ka.alias("ka"), kb.alias("kb"), _z_spark(ka, kb).alias("zkey")
+    )
+    return keys.groupBy(
+        F.shiftright(F.col("zkey"), 26).alias("zbucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.max("ka") - F.min("ka")).alias("ka_span"),
+        (F.max("kb") - F.min("kb")).alias("kb_span"),
+    )

@@ -67,3 +67,20 @@ def test_no_query_orphaned_from_driver_evidence():
 
     orphans, stale = gen_ledger.audit()
     assert not orphans, f"queries with no driver evidence path: {orphans}"
+
+
+def test_zorder_buckets_bound_both_key_spans(spark):
+    """The Morton interleave's locality contract: the top-6-bit z-bucket
+    fixes 3 high bits of EACH 16-bit key, so within any bucket both key
+    spans are < 2^13 — the multi-column data-skipping property a
+    single-column sort cannot give (it leaves the second key's span at
+    the full domain)."""
+    from ppdb_parser_spark.queries import REGISTRY
+
+    rows = REGISTRY["snk_zorder_layout"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["zbucket"] < 64
+        assert r["ka_span"] < 8192 and r["kb_span"] < 8192
