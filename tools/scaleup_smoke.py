@@ -236,6 +236,40 @@ def main() -> None:
               "(codes scan linear; rerank fixed at R)")
 
 
+    if not only or "semdedup" in only:
+        # SemDeDup scale claim: candidate-pair cost is Σ|cell|², so
+        # n_cells must grow ∝ n to keep per-cell quadratic cost flat.
+        # 16x embeddings (vec_id-shifted, dim-0 perturbed so copies are
+        # near- but not exact-dups and spread across cells) timed with
+        # FIXED cells (8 — per-cell size grows 16x, pairs ~256x) vs
+        # PROPORTIONAL cells (128 — per-cell size constant, pairs ~16x).
+        from ppdb_parser_spark.operators.similarity import semantic_dedup
+
+        emb = load_table(spark, sf, "embeddings")
+        s1 = timed("semantic_dedup 1x cells=8", semantic_dedup(emb, n_cells=8))
+        e16 = _shifted_union(emb, "vec_id", 16).withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: F.when(
+                    i == 0,
+                    x + (F.col("vec_id") / 10_000_000 % 16) * 0.11,
+                ).otherwise(x),
+            ),
+        )
+        sf16 = timed(
+            "semantic_dedup 16x cells=8 (FIXED)", semantic_dedup(e16, n_cells=8)
+        )
+        sp16 = timed(
+            "semantic_dedup 16x cells=128 (∝n)",
+            semantic_dedup(e16, n_cells=128),
+        )
+        print(
+            f"  -> fixed cells {sf16 / s1:.1f}x vs proportional "
+            f"{sp16 / s1:.1f}x time for 16x vectors (proportional cells "
+            "keep per-cell pair cost flat)"
+        )
+
     if not only or "ppl" in only:
         from ppdb_parser_spark.operators.text_analysis import bigram_perplexity
 
