@@ -65,6 +65,14 @@ def query(
 # round earns a row first. `stream_left_interval_join_live` is the one
 # intentional omission: it has never been sampled, so it stays out of the
 # frozen set and lands at the head of the round-6 prefix.
+#
+# ROUND-7 NOTE: first move next round — fold CORRECTNESS_r06.json's keys
+# into this set (rename to _DRIVER_CHECKED_R1_R6), replace
+# _ROUND6_PRIORITY with the next round's stale/marquee tier, and update
+# tests/test_oracle_parity.py::test_coverage_order_round6_prefix_contract
+# accordingly. Round 6 registered 8 new queries (all oracled) + left the
+# live left-interval join at the prefix head; all 23 tier-1/2 entries fit
+# the ~50-query sample with room for round-7 additions.
 _DRIVER_CHECKED_R1_R5 = frozenset(
     {
         'agg_approx_distinct', 'agg_approx_percentile', 'agg_cube',
