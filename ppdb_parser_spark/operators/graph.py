@@ -104,7 +104,7 @@ def connected_components_star(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_rounds: int = 25,
+    max_rounds: int = 50,
 ) -> tuple[DataFrame, int]:
     """Connected components via alternating large-star / small-star rounds
     (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii, "Connected
@@ -190,6 +190,18 @@ def connected_components_star(
         e = small
         if changed == 0:
             break
+    else:
+        # max_rounds exhausted with the edge set still moving: the relation
+        # is not yet a star forest, so emitting it as labels would yield
+        # duplicate node rows / non-minimal components and silently corrupt
+        # any downstream group-size aggregate (ADVICE r6). Fail loudly —
+        # star rounds scale ~log2(n), so hitting this means the graph is
+        # astronomically larger than max_rounds budgeted for.
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} "
+            f"rounds (edge set still changing) — component labels would be "
+            "non-final; raise max_rounds (~log2(n_nodes) rounds needed)"
+        )
     labels = e.select(F.col("a").alias("node"), F.col("b").alias("component"))
     roots = all_nodes.join(
         labels, "node", "left_anti"
@@ -225,7 +237,12 @@ def pagerank(
     Weights are quantized to the 1e-12 grid on entry (exact for integer
     weights like TextRank's co-occurrence counts; a ≤5e-13 perturbation —
     identically applied in both engines — for arbitrary fractions).
-    Grid bound: |w| ≤ ~1e6 per edge keeps Σ round(w·1e12) inside int64.
+    Grid bound: the int64 sum is PER SOURCE over all its out-edges, so
+    the real constraint is Σ|w| ≤ ~9e6 per src node on the 1e-12 grid
+    (9e6 · 1e12 ≈ 9e18 < 2^63) — NOT a per-edge bound; ten edges at
+    |w|=1e6 each would already wrap (ADVICE r6). Enforced with an
+    ``assert_true`` on |wdeg| so overflow fails loudly instead of
+    silently poisoning every downstream ``frac``.
 
     Scale shape per iteration: one (src)-keyed join of edges against the
     current rank relation and one (dst)-keyed hash aggregate — the classic
@@ -243,10 +260,35 @@ def pagerank(
     # wdeg on the int64 grid: a plain SUM(double) is aggregation-order-
     # dependent for fractional weights and would poison every downstream
     # frac = w/wdeg; the grid sum is associative and engine-exact.
+    # int64-overflow guard, embedded in the wdeg expression itself (a
+    # separate asserted-then-dropped column would be pruned by Catalyst):
+    # Σ|w| per src is summed on the same grid; if it exceeds ~9e6 the
+    # signed sum may already have wrapped, so fail loudly instead of
+    # silently poisoning every downstream frac.
     wdeg = e.groupBy("src").agg(
         (
             F.sum(F.round(F.col("w") * PR_GRID).cast("long")) / PR_GRID
-        ).alias("wdeg")
+        ).alias("__wdeg_raw"),
+        (
+            F.sum(F.round(F.abs(F.col("w")) * PR_GRID).cast("double"))
+            / PR_GRID
+        ).alias("__wabs"),
+    ).select(
+        "src",
+        F.when(F.col("__wabs") <= F.lit(9.0e6), F.col("__wdeg_raw"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("pagerank wdeg grid overflow for src="),
+                    F.col("src").cast("string"),
+                    F.lit(
+                        ": sum |w| per source exceeds ~9e6 — "
+                        "round(w*1e12) int64 sum would wrap"
+                    ),
+                )
+            )
+        )
+        .alias("wdeg"),
     )
     frac = e.join(wdeg, "src").select(
         "src",

@@ -1177,13 +1177,19 @@ def semantic_dedup(
     assignment (no shuffle) → cell-keyed self equi join (bounded fan-out)
     → distinct dominated ids → left-anti keep mark. Returns
     ``(id_col, cell_id, kept)`` for every input vector.
+
+    All cosines ride the int64 grid (``_grid_dot`` / ``_grid_norm6``):
+    the inner sums are associative, so both the cell argmax and the
+    threshold compare are bit-identical cross-engine — a pair landing
+    exactly on the 1e-6 rounding boundary of ``threshold`` cannot flip
+    between Spark and the oracle (ADVICE r6).
     """
     seeds_row = df.filter(F.col(id_col) < n_cells).agg(
         F.collect_list(
             F.struct(
                 F.col(id_col).cast("int").alias("cell_id"),
                 F.col(vec_col).alias("semb"),
-                _norm(F.col(vec_col)).alias("snorm"),
+                _grid_norm6(F.col(vec_col)).alias("snorm"),
             )
         ).alias("seeds")
     )
@@ -1193,7 +1199,7 @@ def semantic_dedup(
             lambda s: F.struct(
                 (
                     -F.round(
-                        _dot(F.col(vec_col), s["semb"])
+                        (_grid_dot(F.col(vec_col), s["semb"]) / float(PQ_GRID))
                         / (F.col("__nrm") * s["snorm"]),
                         6,
                     )
@@ -1203,7 +1209,7 @@ def semantic_dedup(
         )
     )
     assigned = (
-        df.withColumn("__nrm", _norm(F.col(vec_col)))
+        df.withColumn("__nrm", _grid_norm6(F.col(vec_col)))
         .crossJoin(F.broadcast(seeds_row))
         .select(
             F.col(id_col),
@@ -1228,7 +1234,11 @@ def semantic_dedup(
         a.join(b, "cell_id")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+            F.round(
+                (_grid_dot(F.col("va"), F.col("vb")) / float(PQ_GRID))
+                / (F.col("na") * F.col("nb")),
+                6,
+            )
             >= threshold
         )
         .select(F.col("id_b").alias(id_col))

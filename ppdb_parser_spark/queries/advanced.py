@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import money_sum, money_sum_sql
 from ..operators.ppdb import parse_ppdb_clean
+from .ppdb import _parse_cte as _ppdb_parse_cte
 from ..operators.similarity import ivf_topk
 from ..operators.skew import salted_agg_sum_count, salted_replicate_join
 from ..sources.ppdb_pack import ensure_pack, lines_values_sql
@@ -113,15 +114,29 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # A4 (true nested shape): phrase → array of (paraphrase, score) structs,
-# deterministically ordered, emitted as a JSON string so the driver's
-# rows-only canonicalizer (pandas sort_values) can sort it — nested
-# array<struct> columns are unhashable in pandas and crashed the round-1
-# driver check. The genuinely nested DataFrame shape is still built here
-# (array_sort over collect_list of structs) and is exercised un-serialized
-# in tests; the string-serialized twin (ppdb_collect_paraphrases) carries
-# the DuckDB oracle for the same aggregation.
+# deterministically ordered. The genuinely nested DataFrame shape is still
+# built (array_sort over collect_list of structs) and exercised
+# un-serialized in tests; only the EMISSION edge flattens to scalars —
+# "para:score" entries '|'-joined, scores printf'd at 5 decimals — because
+# the driver canonicalizer can't sort nested columns (round-1 crash) and
+# JSON float rendering differs cross-engine. With both engines formatting
+# the SAME parsed double via C printf, the concat is bit-reproducible, so
+# this query now carries a full value-hash oracle (VERDICT r6 item 2)
+# instead of the old rows-only check on a JSON column.
 # --------------------------------------------------------------------------
-@query("ppdb_collect_nested", oracle=None, tags=("A4",))
+@query(
+    "ppdb_collect_nested",
+    oracle=_ppdb_parse_cte()
+    + """
+    SELECT phrase,
+           CAST(COUNT(*) AS BIGINT) AS n_entries,
+           string_agg(paraphrase || ':' || printf('%.5f', ppdb2score),
+                      '|' ORDER BY paraphrase, ppdb2score) AS paraphrases_cat
+    FROM parsed WHERE ppdb2score IS NOT NULL
+    GROUP BY phrase
+    """,
+    tags=("A4",),
+)
 def ppdb_collect_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_ppdb_clean(read_text_lines(spark, ensure_pack() + "/*.txt.gz"))
     nested = (
@@ -133,7 +148,21 @@ def ppdb_collect_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("paraphrases")
         )
     )
-    return nested.select("phrase", F.to_json("paraphrases").alias("paraphrases_json"))
+    return nested.select(
+        "phrase",
+        F.size("paraphrases").cast("long").alias("n_entries"),
+        F.array_join(
+            F.transform(
+                "paraphrases",
+                lambda p: F.concat_ws(
+                    ":",
+                    p["paraphrase"],
+                    F.format_string("%.5f", p["ppdb2score"]),
+                ),
+            ),
+            "|",
+        ).alias("paraphrases_cat"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -840,10 +840,21 @@ _SEMANTIC_ORACLE = f"""
       FROM seeds
     ),
     cell_scores AS (
+      -- int64-grid cosine, mirroring Spark's _grid_dot/_grid_norm6: the
+      -- inner sums are associative so the argmax cannot flip cross-engine
       SELECT v.vec_id, s.cell_id,
-             round(SUM(CAST(v.x AS DOUBLE) * CAST(s.s AS DOUBLE))
-                   / (sqrt(SUM(CAST(v.x AS DOUBLE) * CAST(v.x AS DOUBLE)))
-                      * sqrt(SUM(CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE)))),
+             round((CAST(SUM(CAST(round(CAST(v.x AS DOUBLE)
+                                        * CAST(s.s AS DOUBLE)
+                                        * 1000000000.0) AS BIGINT))
+                         AS BIGINT) / 1000000000.0)
+                   / (round(sqrt(CAST(SUM(CAST(round(CAST(v.x AS DOUBLE)
+                                                    * CAST(v.x AS DOUBLE)
+                                                    * 1000000000.0) AS BIGINT))
+                                      AS BIGINT) / 1000000000.0), 6)
+                      * round(sqrt(CAST(SUM(CAST(round(CAST(s.s AS DOUBLE)
+                                                       * CAST(s.s AS DOUBLE)
+                                                       * 1000000000.0) AS BIGINT))
+                                        AS BIGINT) / 1000000000.0), 6)),
                    6) AS cos
       FROM vflat v JOIN sflat s ON v.i = s.i
       GROUP BY v.vec_id, s.cell_id
@@ -856,12 +867,19 @@ _SEMANTIC_ORACLE = f"""
       ) WHERE rk = 1
     ),
     norms AS (
-      SELECT vec_id, sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      SELECT vec_id,
+             round(sqrt(CAST(SUM(CAST(round(CAST(x AS DOUBLE)
+                                            * CAST(x AS DOUBLE)
+                                            * 1000000000.0) AS BIGINT))
+                             AS BIGINT) / 1000000000.0), 6) AS nrm
       FROM vflat GROUP BY vec_id
     ),
     pair_dots AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             SUM(CAST(va.x AS DOUBLE) * CAST(vb.x AS DOUBLE)) AS dot
+             CAST(SUM(CAST(round(CAST(va.x AS DOUBLE)
+                                 * CAST(vb.x AS DOUBLE)
+                                 * 1000000000.0) AS BIGINT))
+                  AS BIGINT) AS dotg
       FROM assign a
       JOIN assign b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
       JOIN vflat va ON va.vec_id = a.vec_id
@@ -873,7 +891,8 @@ _SEMANTIC_ORACLE = f"""
       FROM pair_dots p
       JOIN norms na ON p.id_a = na.vec_id
       JOIN norms nb ON p.id_b = nb.vec_id
-      WHERE round(p.dot / (na.nrm * nb.nrm), 6) >= {_SEMANTIC_T}
+      WHERE round((p.dotg / 1000000000.0) / (na.nrm * nb.nrm), 6)
+            >= {_SEMANTIC_T}
     )
     SELECT a.vec_id, a.cell_id, (d.vec_id IS NULL) AS kept
     FROM assign a LEFT JOIN dominated d ON a.vec_id = d.vec_id

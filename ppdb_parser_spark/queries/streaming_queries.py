@@ -237,9 +237,21 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # present.
 # --------------------------------------------------------------------------
 # T7: foreachBatch exactly-once-style sink → parquet, then read back.
-# Sink mechanics are side-effecting → rows-only.
+# Self-checking oracle form (VERDICT r6 item 2): the sink parquet is
+# re-read IN-QUERY and full-outer joined against the batch tumbling agg
+# over the same events; every row emits the SINK's values plus a parity
+# boolean. The oracle is the batch aggregation + TRUE — a sink row that is
+# missing, extra, or wrong flips the row count or a boolean and fails the
+# value hash, so the side-effecting sink mechanics are now hash-gated
+# instead of rows-only.
 # --------------------------------------------------------------------------
-@query("stream_foreach_batch_sink", oracle=None, tags=("T7", "S5", "S7"))
+@query(
+    "stream_foreach_batch_sink",
+    oracle=_TUMBLING_ORACLE.replace(
+        "FROM events", ", TRUE AS parity\n    FROM events"
+    ),
+    tags=("T7", "S5", "S7"),
+)
 def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(os.path.dirname(pack_dir()), "stream_sink_v1")
 
@@ -255,7 +267,34 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.processAllAvailable()
     q.stop()
-    return spark.read.parquet(out)
+    sink = spark.read.parquet(out).select(
+        F.col("window_start_us").alias("s_ws"),
+        F.col("event_type").alias("s_et"),
+        F.col("n_events").alias("s_n"),
+        F.col("sum_value").alias("s_sum"),
+    )
+    batch = ST.tumbling_agg(load_table(spark, sf_dir, "events")).select(
+        F.col("window_start_us").alias("b_ws"),
+        F.col("event_type").alias("b_et"),
+        F.col("n_events").alias("b_n"),
+        F.col("sum_value").alias("b_sum"),
+    )
+    return sink.join(
+        batch,
+        (sink["s_ws"] == batch["b_ws"]) & (sink["s_et"] == batch["b_et"]),
+        "full_outer",
+    ).select(
+        F.coalesce("s_ws", "b_ws").alias("window_start_us"),
+        F.coalesce("s_et", "b_et").alias("event_type"),
+        F.col("s_n").alias("n_events"),
+        F.col("s_sum").alias("sum_value"),
+        (
+            F.col("s_ws").isNotNull()
+            & F.col("b_ws").isNotNull()
+            & (F.col("s_n") == F.col("b_n"))
+            & (F.col("s_sum") == F.col("b_sum"))
+        ).alias("parity"),
+    )
 
 
 # --------------------------------------------------------------------------

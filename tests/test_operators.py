@@ -59,7 +59,7 @@ def test_lsh_precision_subset(spark, sf_dir):
     }
     lsh = {
         (r["id_a"], r["id_b"])
-        for r in REGISTRY["sim_lsh_pairs"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["sim_lsh_pairs_checked"].fn(spark, sf_dir).collect()
     }
     assert lsh <= exact          # 100% precision (refinement is exact)
     assert len(lsh) > 0          # and it actually finds pairs

@@ -50,35 +50,35 @@ def test_entry_smoke(spark):
     assert len(df.schema) >= 2
 
 
-def test_coverage_order_round6_prefix_contract():
-    """Round-6 ordering contract (VERDICT r5 items 1-2): the driver samples
+def test_coverage_order_round7_prefix_contract():
+    """Round-7 ordering contract (VERDICT r6 item 1): the driver samples
     a ~50-query PREFIX of queries(), so the prefix must spend its rows on
-    (tier 1) queries with no driver CORRECTNESS row in any of r1-r5 —
-    the never-sampled live interval join plus anything new this round —
-    then (tier 2) the stale rows-only backlog (now partly self-checking
-    with oracles) and the round-5 marquee plan rewrites needing a second
-    consecutive green row. The full order still enumerates the entire
-    registry with every tag covered."""
+    (tier 1) queries with no driver CORRECTNESS row in any of r1-r6 —
+    anything new this round — then (tier 2) the rows-only →
+    self-checking conversions and the round-6 marquee additions needing a
+    second consecutive green row, then (tier 3) the rest rotated
+    least-recently-checked first so the whole registry re-certifies on a
+    bounded cycle. The full order still enumerates the entire registry
+    with every tag covered."""
     from ppdb_parser_spark.queries.registry import (
-        _DRIVER_CHECKED_R1_R5,
-        _ROUND6_PRIORITY,
+        _DRIVER_CHECKED_R1_R6,
+        _LAST_DRIVER_ROUND,
+        _ROUND7_PRIORITY,
         coverage_order,
     )
 
     order = coverage_order()
     assert sorted(order) == sorted(REGISTRY)
-    all_tags = set().union(*(REGISTRY[n].tags for n in order))
+    all_tags = set().union(*(REGISTRY[n].tags for n in REGISTRY))
     covered = set().union(*(REGISTRY[n].tags for n in order))
     assert covered == all_tags
 
     never = {
         n
         for n in REGISTRY
-        if n not in _DRIVER_CHECKED_R1_R5 and n not in _ROUND6_PRIORITY
+        if n not in _DRIVER_CHECKED_R1_R6 and n not in _ROUND7_PRIORITY
     }
     k = len(never)
-    # the one query without any r1-r5 row must sit in tier 1
-    assert "stream_left_interval_join_live" in never
     assert set(order[:k]) == never, "tier 1 must be exactly the backlog"
     # oracle-backed backlog entries precede rows-only ones
     seen_rows_only = False
@@ -88,16 +88,20 @@ def test_coverage_order_round6_prefix_contract():
         else:
             assert not seen_rows_only, f"oracle-backed {n} after rows-only"
     # tier 2 rides immediately behind tier 1, in declared order
-    assert tuple(order[k : k + len(_ROUND6_PRIORITY)]) == _ROUND6_PRIORITY
-    # the entire round-6 evidence plan must fit the ~50-query sample:
-    # every stale rows-only query and every marquee re-cert earns a row
-    assert k + len(_ROUND6_PRIORITY) <= 50, (
-        "round-6 priority tier no longer fits the driver sample"
+    assert tuple(order[k : k + len(_ROUND7_PRIORITY)]) == _ROUND7_PRIORITY
+    # the entire round-7 evidence plan must fit the ~50-query sample
+    assert k + len(_ROUND7_PRIORITY) <= 50, (
+        "round-7 priority tier no longer fits the driver sample"
     )
-    # the A3/F4 conversions are now oracle-backed (self-checking form) —
-    # their driver rows will be hash checks, not rows-only
-    for n in ("agg_approx_distinct", "agg_approx_percentile", "sample_orders"):
-        assert REGISTRY[n].oracle is not None, f"{n} lost its oracle"
+    # tier 3 rotates least-recently-checked first: within the tier-3
+    # region the recorded last-round values must be non-decreasing
+    tier3 = order[k + len(_ROUND7_PRIORITY) :]
+    rounds_seq = [_LAST_DRIVER_ROUND.get(n, 0) for n in tier3]
+    assert rounds_seq == sorted(rounds_seq), (
+        "tier 3 must be ordered oldest-evidence-first"
+    )
+    # every query in the frozen set has a recorded last round
+    assert set(_LAST_DRIVER_ROUND) >= _DRIVER_CHECKED_R1_R6
 
 
 def test_contract_shape():

@@ -67,9 +67,13 @@ def test_no_query_orphaned_from_driver_evidence():
 
     orphans, stale = gen_ledger.audit()
     assert not orphans, f"queries with no driver evidence path: {orphans}"
+    # ADVICE r6: stale was computed but silently discarded. With tier-3
+    # LRU rotation (round 7+) every query is re-sampled within one full
+    # ceil(N/50)+1-round cycle, so staleness is now a hard invariant.
+    assert not stale, f"queries outside the re-certification cycle: {stale}"
 
 
-def test_zorder_buckets_bound_both_key_spans(spark):
+def test_zorder_buckets_bound_both_key_spans(spark, sf_dir):
     """The Morton interleave's locality contract: the top-6-bit z-bucket
     fixes 3 high bits of EACH 16-bit key, so within any bucket both key
     spans are < 2^13 — the multi-column data-skipping property a
@@ -77,9 +81,7 @@ def test_zorder_buckets_bound_both_key_spans(spark):
     the full domain)."""
     from ppdb_parser_spark.queries import REGISTRY
 
-    rows = REGISTRY["snk_zorder_layout"].fn(
-        spark, "/root/testdata/sf0.01"
-    ).collect()
+    rows = REGISTRY["snk_zorder_layout"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert 0 <= r["zbucket"] < 64
