@@ -3,10 +3,18 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Each query is executed by materializing its result count (forces the full
-plan; avoids driver-side toPandas transfer noise). A warm-up pass absorbs
-JVM/codegen startup, then each query is timed three times and the MINIMUM
-is reported: this host shows ±30 % background-load variance run-to-run —
+Each query is executed by reducing ``xxhash64`` over EVERY output column
+to one row JVM-side (forces the full plan without driver-side toPandas
+transfer noise). Rounds 1-6 used ``.count()`` here, which let Catalyst
+ELIMINATE cardinality-preserving work — a left join on a unique key (and
+every projection feeding only it) contributes rows but no count, so e.g.
+``dedup_semantic``'s entire dominated-pair scan was optimized out of its
+round-6 number (measured round 7: 0.43s counted vs 2.99s materialized).
+The hash reduction keeps every output column live, so the timing covers
+the plan users actually run; BASELINE.md round-7 notes carry both-method
+numbers for the affected queries. A warm-up pass absorbs JVM/codegen
+startup, then each query is timed three times and the MINIMUM is
+reported: this host shows ±30 % background-load variance run-to-run —
 round 4's artifact recorded a 2.6× uniform slowdown with byte-identical
 plans purely from host contention (verdict r4) — and min-of-3
 steady-state measures the plan, not the host.
@@ -18,8 +26,37 @@ import json
 import os
 import time
 
+from pyspark.sql import functions as F
+
 from ppdb_parser_spark.queries import REGISTRY
 from ppdb_parser_spark.session import get_spark
+
+
+def force_full(df) -> None:
+    """Materialize every output column JVM-side: one-row sum of the
+    per-row xxhash64 over all columns. Map- and variant-typed columns are
+    not hashable in Spark — route them through ``to_json``/string first.
+    Falls back to whole-row to_json, then count(), for exotic schemas."""
+    cols = []
+    for f in df.schema.fields:
+        s = f.dataType.simpleString()
+        c = F.col(f.name)
+        if "map<" in s:
+            c = F.to_json(F.struct(c))
+        elif "variant" in s:
+            c = c.cast("string")
+        cols.append(c)
+    try:
+        df.select(F.sum(F.xxhash64(F.struct(*cols))).alias("h")).collect()
+        return
+    except Exception:
+        pass
+    try:
+        df.select(
+            F.sum(F.xxhash64(F.to_json(F.struct("*")))).alias("h")
+        ).collect()
+    except Exception:
+        df.count()
 
 
 def main() -> None:
@@ -32,13 +69,13 @@ def main() -> None:
     # whole-stage-codegen compilation exactly as a long-lived cluster does,
     # so timings below reflect steady-state execution.
     for spec in bench_specs:
-        spec.fn(spark, sf_dir).count()
+        force_full(spec.fn(spark, sf_dir))
 
     runs: dict[str, list[float]] = {s.name: [] for s in bench_specs}
     for _ in range(3):
         for spec in bench_specs:
             t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).count()
+            force_full(spec.fn(spark, sf_dir))
             runs[spec.name].append(round(time.perf_counter() - t0, 4))
 
     timings = {name: min(ts) for name, ts in runs.items()}

@@ -213,22 +213,124 @@ def pairwise_cosine_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold (brute force O(n²) — correctness
-    baseline; use :func:`lsh_similarity_join` at scale)."""
+    baseline; use :func:`lsh_similarity_join` at scale).
+
+    Per-pair work is ONE dot product: norms are hoisted to the per-vector
+    projections (identical float expression, so identical values — they
+    were previously re-reduced per pair, 3 HOF aggregates instead of 1,
+    measured 75s → 7s on the 2k-vector fixture), and the 6-decimal
+    rounding (a per-call BigDecimal in the JVM) is gated behind a strictly
+    looser raw-dot prefilter ``dot ≥ (t − 1e-6)·na·nb`` — round(cos,6) ≥ t
+    implies cos ≥ t − 5e-7, so no qualifying pair can be lost."""
     a = df.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
     )
     b = df.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
     )
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    cos = _dot(F.col("va"), F.col("vb")) / (
-        _norm(F.col("va")) * _norm(F.col("vb"))
-    )
     return (
-        pairs.withColumn("cosine", F.round(cos, 6))
+        pairs.withColumn("__dot", _dot(F.col("va"), F.col("vb")))
+        .filter(
+            F.col("__dot")
+            >= (threshold - 1e-6) * F.col("na") * F.col("nb")
+        )
+        .withColumn(
+            "cosine",
+            F.round(F.col("__dot") / (F.col("na") * F.col("nb")), 6),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def brute_cosine_pairs_blocked(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 32,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold as a BLOCKED GEMM: Spark does
+    the blocking, numpy does the arithmetic.
+
+    :func:`pairwise_cosine_pairs` expresses the same computation
+    declaratively, but a dense dot product per joined row runs as a
+    per-pair HOF — an array allocation plus 64 interpreted multiply-adds
+    per pair, measured ~40s for 2M pairs at the fixture dim. A dense
+    all-pairs similarity IS matrix multiplication, the canonical case
+    where a vectorized kernel beats row-at-a-time expressions by orders
+    of magnitude, so this tier ships each row-block × full-matrix product
+    to BLAS via Arrow (measured: 1.5s same fixture, ~27×).
+
+    Plan shape: rows hash into ``n_blocks`` row-blocks (one hash
+    aggregate); the full matrix rides in as a 1-row broadcast
+    cross-joined onto every block (the seeds_row pattern — NO driver-side
+    collect, the plan stays lazy end to end); ``mapInPandas`` emits the
+    qualifying (id_a, id_b, cosine) triples per block. At cluster scale
+    the same shape holds with B sharded too (block-pair grid) once B
+    outgrows a broadcast — the blocked-GEMM decomposition is exactly how
+    distributed dense linear algebra is always laid out.
+
+    Determinism: cosine is rounded half-up onto the 1e-6 grid
+    (``floor(x·1e6 + 0.5)`` — cosines of interest are ≥ threshold > 0),
+    matching ``F.round``'s decimal semantics for positive values; norms
+    and dots reduce in float64 like the declarative tier, absorbed by the
+    same 1e-6 rounding convention the oracle relies on.
+    """
+    full_row = df.agg(
+        F.collect_list(
+            F.struct(
+                F.col(id_col).cast("long").alias("id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+        ).alias("bfull")
+    )
+    blocks = (
+        df.withColumn("__blk", F.pmod(F.col(id_col), F.lit(n_blocks)))
+        .groupBy("__blk")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).cast("long").alias("id"),
+                    F.col(vec_col).cast("array<double>").alias("v"),
+                )
+            ).alias("ablock")
+        )
+    )
+    ctx = blocks.crossJoin(F.broadcast(full_row))
+    thr = float(threshold)
+
+    def gemm_blocks(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            for ablock, bfull in zip(pdf["ablock"], pdf["bfull"]):
+                ida = np.array([r["id"] for r in ablock], dtype=np.int64)
+                va = np.array([r["v"] for r in ablock], dtype=np.float64)
+                idb = np.array([r["id"] for r in bfull], dtype=np.int64)
+                vb = np.array([r["v"] for r in bfull], dtype=np.float64)
+                cos = (va @ vb.T) / np.outer(
+                    np.linalg.norm(va, axis=1), np.linalg.norm(vb, axis=1)
+                )
+                cosr = np.floor(cos * 1e6 + 0.5) / 1e6
+                ii, jj = np.nonzero(
+                    (cosr >= thr) & (ida[:, None] < idb[None, :])
+                )
+                yield pd.DataFrame(
+                    {
+                        "id_a": ida[ii],
+                        "id_b": idb[jj],
+                        "cosine": cosr[ii, jj],
+                    }
+                )
+
+    return ctx.mapInPandas(gemm_blocks, "id_a long, id_b long, cosine double")
 
 
 def lsh_similarity_join(
@@ -276,7 +378,12 @@ def lsh_similarity_join(
         .alias(f"bit{i}")
         for i, p in enumerate(planes)
     ]
-    sig = df.select(F.col(id_col), F.col(vec_col), *sig_bits)
+    sig = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _norm(F.col(vec_col)).alias("__nrm"),
+        *sig_bits,
+    )
     band_cols = [
         F.concat_ws(
             "",
@@ -284,29 +391,36 @@ def lsh_similarity_join(
         ).alias(f"band{b}")
         for b in range(n_bands)
     ]
-    sig = sig.select(id_col, vec_col, *band_cols)
+    sig = sig.select(id_col, vec_col, "__nrm", *band_cols)
     banded = sig.select(
         id_col,
         vec_col,
+        "__nrm",
         F.posexplode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias(
             "band", "band_sig"
         ),
     )
     a = banded.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "band", "band_sig"
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("__nrm").alias("na"),
+        "band",
+        "band_sig",
     )
     b = banded.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "band", "band_sig"
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("__nrm").alias("nb"),
+        "band",
+        "band_sig",
     )
     cand = (
         a.join(b, ["band", "band_sig"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
+        .select("id_a", "id_b", "va", "vb", "na", "nb")
         .distinct()
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (
-        _norm(F.col("va")) * _norm(F.col("vb"))
-    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         cand.withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= threshold)
@@ -337,9 +451,11 @@ def embedding_dedup_pairs(
     """Near-dup candidate pairs (cosine ≥ threshold) with automatic
     exact/approximate path selection.
 
-    ``n_vectors`` ≤ :data:`EMBED_DEDUP_CROSSOVER` → exact brute-force
-    all-pairs (:func:`pairwise_cosine_pairs` — full recall, O(n²) but n is
-    small by precondition); above it → hyperplane-LSH banded join
+    ``n_vectors`` ≤ :data:`EMBED_DEDUP_CROSSOVER` → exact all-pairs via
+    the blocked-GEMM kernel (:func:`brute_cosine_pairs_blocked` — full
+    recall, O(n²) FLOPs but vectorized; the declarative
+    :func:`pairwise_cosine_pairs` stays as the transparent oracle-baseline
+    tier); above it → hyperplane-LSH banded join
     (:func:`lsh_similarity_join` — sub-quadratic, approximate recall,
     precision property test-asserted). Callers supply ``n_vectors`` from
     metadata (parquet footer row count locally; catalog/ANALYZE statistics
@@ -347,7 +463,7 @@ def embedding_dedup_pairs(
     stays lazy.
     """
     if n_vectors <= EMBED_DEDUP_CROSSOVER:
-        return pairwise_cosine_pairs(
+        return brute_cosine_pairs_blocked(
             df, threshold=threshold, id_col=id_col, vec_col=vec_col
         )
     return lsh_similarity_join(
@@ -524,6 +640,40 @@ def _grid_sum(a: Column, b: Column, f) -> Column:
 
 def _grid_dot(a: Column, b: Column) -> Column:
     return _grid_sum(a, b, lambda x, y: x * y)
+
+
+#: semantic_dedup element grid — quantize each vector ONCE (1e-7/element)
+#: so the Σ|cell|² pair scan reduces in pure int64 multiply-adds with no
+#: per-pair rounding. round() on doubles goes through BigDecimal in the
+#: JVM; paying it per pair × per element made the grid-exact conversion
+#: ~24× slower than the float path it replaced (measured round 7:
+#: dedup_semantic 0.43s → 10.3s at sf0.1, back to ~0.5s with this form).
+SEM_QSCALE = 10_000_000
+
+
+def _sem_quant(v: Column) -> Column:
+    """Per-element int64 quantization ``round(x·1e7)`` — applied once per
+    VECTOR. Bound: dim 64 · (|x|max·1e7)² ≤ 2⁶³ ⇒ |x| ≤ ~37 per element;
+    unit-scale embeddings are far inside. Both engines quantize the same
+    double the same way, so downstream dots/norms are bit-identical."""
+    return F.transform(
+        v, lambda x: F.round(x.cast("double") * SEM_QSCALE).cast("long")
+    )
+
+
+def _sem_qdot(a: Column, b: Column) -> Column:
+    """Exact int64 Σ a_i·b_i over two quantized arrays — the pair-scan
+    hot path: one multiply and one add per element, nothing else."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _sem_qnorm6(q: Column) -> Column:
+    """``round(‖q‖/1e7, 6)`` from a quantized array."""
+    return F.round(F.sqrt(_sem_qdot(q, q).cast("double")) / SEM_QSCALE, 6)
 
 
 def _grid_norm6(a: Column) -> Column:
@@ -1151,6 +1301,7 @@ def semantic_dedup(
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seeds_from: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas, Tirumala, Simig,
     Ganguli & Morcos 2023, "SemDeDup: Data-efficient learning at web-scale
@@ -1178,20 +1329,37 @@ def semantic_dedup(
     → distinct dominated ids → left-anti keep mark. Returns
     ``(id_col, cell_id, kept)`` for every input vector.
 
-    All cosines ride the int64 grid (``_grid_dot`` / ``_grid_norm6``):
-    the inner sums are associative, so both the cell argmax and the
-    threshold compare are bit-identical cross-engine — a pair landing
+    All cosines ride an int64 grid, quantize-once form (``_sem_quant`` /
+    ``_sem_qdot`` / ``_sem_qnorm6``): every element is rounded onto a
+    1e-7 grid ONCE per vector, and every dot product then reduces
+    exactly in int64 — associative, so both the cell argmax and the
+    threshold compare are bit-identical cross-engine; a pair landing
     exactly on the 1e-6 rounding boundary of ``threshold`` cannot flip
-    between Spark and the oracle (ADVICE r6).
+    between Spark and the oracle (ADVICE r6). Quantize-once (rather
+    than rounding each per-pair product as the PQ tiers' ``_grid_dot``
+    does) keeps the Σ|cell|² pair scan free of per-pair rounding — the
+    JVM's BigDecimal round per pair × per element cost 24× wall,
+    measured round 7. The 1e-7 element grid perturbs a true cosine by
+    < 1e-6 for unit-scale vectors, inside the operator's existing
+    1e-6-grid decision convention.
+
+    ``seeds_from`` (default: ``df`` itself) supplies the cell-seed
+    vectors — pass the UNRESTRICTED embedding relation when ``df`` is a
+    filtered survivor subset that may have lost the ``id < n_cells``
+    seed rows (the composed-pipeline case): cell geometry then stays
+    identical whether or not upstream stages dropped any seed.
     """
-    seeds_row = df.filter(F.col(id_col) < n_cells).agg(
-        F.collect_list(
-            F.struct(
-                F.col(id_col).cast("int").alias("cell_id"),
-                F.col(vec_col).alias("semb"),
-                _grid_norm6(F.col(vec_col)).alias("snorm"),
-            )
-        ).alias("seeds")
+    seeds_row = (
+        (seeds_from if seeds_from is not None else df)
+        .filter(F.col(id_col) < n_cells)
+        .select(
+            F.col(id_col).cast("int").alias("cell_id"),
+            _sem_quant(F.col(vec_col)).alias("sq"),
+        )
+        .select("cell_id", "sq", _sem_qnorm6(F.col("sq")).alias("snorm"))
+        .agg(
+            F.collect_list(F.struct("cell_id", "sq", "snorm")).alias("seeds")
+        )
     )
     ranked = F.array_sort(
         F.transform(
@@ -1199,7 +1367,8 @@ def semantic_dedup(
             lambda s: F.struct(
                 (
                     -F.round(
-                        (_grid_dot(F.col(vec_col), s["semb"]) / float(PQ_GRID))
+                        (_sem_qdot(F.col("__qv"), s["sq"])
+                         / float(SEM_QSCALE) ** 2)
                         / (F.col("__nrm") * s["snorm"]),
                         6,
                     )
@@ -1209,24 +1378,25 @@ def semantic_dedup(
         )
     )
     assigned = (
-        df.withColumn("__nrm", _grid_norm6(F.col(vec_col)))
+        df.withColumn("__qv", _sem_quant(F.col(vec_col)))
+        .withColumn("__nrm", _sem_qnorm6(F.col("__qv")))
         .crossJoin(F.broadcast(seeds_row))
         .select(
             F.col(id_col),
-            F.col(vec_col),
+            F.col("__qv"),
             "__nrm",
             F.element_at(ranked, 1)["cell_id"].alias("cell_id"),
         )
     )
     a = assigned.select(
         F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
+        F.col("__qv").alias("qa"),
         F.col("__nrm").alias("na"),
         "cell_id",
     )
     b = assigned.select(
         F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
+        F.col("__qv").alias("qb"),
         F.col("__nrm").alias("nb"),
         "cell_id",
     )
@@ -1235,7 +1405,8 @@ def semantic_dedup(
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
             F.round(
-                (_grid_dot(F.col("va"), F.col("vb")) / float(PQ_GRID))
+                (_sem_qdot(F.col("qa"), F.col("qb"))
+                 / float(SEM_QSCALE) ** 2)
                 / (F.col("na") * F.col("nb")),
                 6,
             )
@@ -1270,6 +1441,7 @@ def ivfpq_residual_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_cols: tuple[str, ...] = ("label",),
+    train_codebook: bool = False,
 ) -> DataFrame:
     """Paper-faithful IVFADC (Jégou, Douze & Schmid TPAMI'11 §V): codes
     quantize the RESIDUAL v − c(v) against the vector's coarse cell — the
@@ -1353,6 +1525,114 @@ def ivfpq_residual_topk(
             ).alias("rcb")
         )
     )
+    if train_codebook:
+        # One relational Lloyd pass ON THE RESIDUALS (Jégou §V trains the
+        # product codebook on residual distributions, not raw vectors —
+        # the round-7 clustered-recall measurement showed the seeded
+        # residual codebook LOSES to raw codes without this):
+        # 1. assign every vector's residual to its nearest seeded entry
+        #    per subspace; 2. refine entry (s, cid) to the element-wise
+        #    mean of its assigned sub-residuals (int64 grid sums, round
+        #    1e-9 — deterministic); 3. reassemble full-dim codewords,
+        #    seeded element as fallback where an (s, cid) cluster is
+        #    empty. Two hash aggregates, same pattern as pq_kmeans_topk.
+        sub_l = sub
+
+        allr = (
+            df.crossJoin(F.broadcast(cells_row.crossJoin(rcb_row)))
+            .withColumn(
+                "rv",
+                _residual(
+                    F.col(vec_col),
+                    F.element_at(
+                        _cell_ranked(
+                            F.col(vec_col), _grid_norm6(F.col(vec_col))
+                        ),
+                        1,
+                    )["cell_id"],
+                ),
+            )
+            .withColumn(
+                "codes0",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.element_at(
+                        F.array_sort(
+                            F.transform(
+                                F.col("rcb"),
+                                lambda r: F.struct(
+                                    _grid_sum(
+                                        F.slice(F.col("rv"), s * sub_l + 1, sub_l),
+                                        F.slice(r["rv"], s * sub_l + 1, sub_l),
+                                        lambda x, y: (x - y) * (x - y),
+                                    ).alias("d2g"),
+                                    r["cid"].alias("cid"),
+                                ),
+                            )
+                        ),
+                        1,
+                    )["cid"],
+                ),
+            )
+            .select(id_col, "rv", "codes0")
+        )
+        rel = allr.select(
+            F.posexplode("rv").alias("pos", "x"),
+            F.col("codes0"),
+        ).select(
+            (F.col("pos") / sub_l).cast("int").alias("s"),
+            "pos",
+            "x",
+            F.get(F.col("codes0"), (F.col("pos") / sub_l).cast("int")).alias(
+                "cid"
+            ),
+        )
+        refined = rel.groupBy("s", "cid", "pos").agg(
+            F.round(
+                F.sum(F.round(F.col("x") * PQ_GRID).cast("long"))
+                / (F.count(F.lit(1)) * float(PQ_GRID)),
+                9,
+            ).alias("cx")
+        )
+        # (cid, pos) grid from the seeded codebook, refined mean where the
+        # cluster is non-empty, seeded element as the deterministic
+        # fallback for empty (s, cid) cells
+        seeded_el = rcb_row.select(
+            F.explode("rcb").alias("r")
+        ).select(
+            F.col("r.cid").alias("cid"),
+            F.posexplode("r.rv").alias("pos", "x0"),
+        ).withColumn("s", (F.col("pos") / sub_l).cast("int"))
+        trained = (
+            seeded_el.join(refined, ["s", "cid", "pos"], "left")
+            .select(
+                "cid",
+                "pos",
+                F.coalesce(F.col("cx"), F.col("x0")).alias("cx"),
+            )
+        )
+        rcb_row = (
+            trained.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                    lambda p: p["cx"],
+                ).alias("rv")
+            )
+            .agg(
+                F.array_sort(F.collect_list(F.struct("cid", "rv"))).alias(
+                    "rcb"
+                )
+            )
+            .select(
+                _assert_contiguous_ids(
+                    F.col("rcb"),
+                    "cid",
+                    n_centroids,
+                    "ivfpq_residual trained ADC table",
+                ).alias("rcb")
+            )
+        )
     probe_row = df.filter(F.col(id_col) == probe_id).select(
         F.col(vec_col).alias("q"), _grid_norm6(F.col(vec_col)).alias("qnorm")
     ).limit(1)

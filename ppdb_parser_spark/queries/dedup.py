@@ -825,39 +825,40 @@ _SEMANTIC_N_CELLS = 8
 _SEMANTIC_T = 0.35
 
 _SEMANTIC_ORACLE = f"""
-    WITH seeds AS (
-      SELECT vec_id AS cell_id, embedding FROM embeddings
+    WITH qflat AS MATERIALIZED (
+      -- quantize-once element grid mirroring Spark's _sem_quant: each
+      -- element rounded onto the 1e-7 grid ONCE per vector; every dot
+      -- below reduces exactly in int64 (associative — the argmax and
+      -- threshold compares cannot flip cross-engine)
+      SELECT vec_id,
+             CAST(round(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT) AS qx,
+             i
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ),
+    sq AS MATERIALIZED (
+      SELECT vec_id AS cell_id, qx, i FROM qflat
       WHERE vec_id < {_SEMANTIC_N_CELLS}
     ),
-    vflat AS (
-      SELECT vec_id, unnest(embedding) AS x,
-             generate_subscripts(embedding, 1) AS i
-      FROM embeddings
+    norms AS MATERIALIZED (
+      SELECT vec_id,
+             round(sqrt(CAST(CAST(SUM(qx * qx) AS BIGINT) AS DOUBLE))
+                   / 10000000.0, 6) AS nrm
+      FROM qflat GROUP BY vec_id
     ),
-    sflat AS (
-      SELECT cell_id, unnest(embedding) AS s,
-             generate_subscripts(embedding, 1) AS i
-      FROM seeds
+    cell_dots AS (
+      SELECT v.vec_id, s.cell_id, CAST(SUM(v.qx * s.qx) AS BIGINT) AS dg
+      FROM qflat v JOIN sq s ON v.i = s.i
+      GROUP BY 1, 2
     ),
     cell_scores AS (
-      -- int64-grid cosine, mirroring Spark's _grid_dot/_grid_norm6: the
-      -- inner sums are associative so the argmax cannot flip cross-engine
-      SELECT v.vec_id, s.cell_id,
-             round((CAST(SUM(CAST(round(CAST(v.x AS DOUBLE)
-                                        * CAST(s.s AS DOUBLE)
-                                        * 1000000000.0) AS BIGINT))
-                         AS BIGINT) / 1000000000.0)
-                   / (round(sqrt(CAST(SUM(CAST(round(CAST(v.x AS DOUBLE)
-                                                    * CAST(v.x AS DOUBLE)
-                                                    * 1000000000.0) AS BIGINT))
-                                      AS BIGINT) / 1000000000.0), 6)
-                      * round(sqrt(CAST(SUM(CAST(round(CAST(s.s AS DOUBLE)
-                                                       * CAST(s.s AS DOUBLE)
-                                                       * 1000000000.0) AS BIGINT))
-                                        AS BIGINT) / 1000000000.0), 6)),
-                   6) AS cos
-      FROM vflat v JOIN sflat s ON v.i = s.i
-      GROUP BY v.vec_id, s.cell_id
+      SELECT d.vec_id, d.cell_id,
+             round((CAST(d.dg AS DOUBLE) / 100000000000000.0)
+                   / (n.nrm * sn.nrm), 6) AS cos
+      FROM cell_dots d
+      JOIN norms n ON d.vec_id = n.vec_id
+      JOIN norms sn ON sn.vec_id = d.cell_id
     ),
     assign AS (
       SELECT vec_id, CAST(cell_id AS INTEGER) AS cell_id FROM (
@@ -866,24 +867,13 @@ _SEMANTIC_ORACLE = f"""
         FROM cell_scores
       ) WHERE rk = 1
     ),
-    norms AS (
-      SELECT vec_id,
-             round(sqrt(CAST(SUM(CAST(round(CAST(x AS DOUBLE)
-                                            * CAST(x AS DOUBLE)
-                                            * 1000000000.0) AS BIGINT))
-                             AS BIGINT) / 1000000000.0), 6) AS nrm
-      FROM vflat GROUP BY vec_id
-    ),
     pair_dots AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             CAST(SUM(CAST(round(CAST(va.x AS DOUBLE)
-                                 * CAST(vb.x AS DOUBLE)
-                                 * 1000000000.0) AS BIGINT))
-                  AS BIGINT) AS dotg
+             CAST(SUM(va.qx * vb.qx) AS BIGINT) AS dotg
       FROM assign a
       JOIN assign b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
-      JOIN vflat va ON va.vec_id = a.vec_id
-      JOIN vflat vb ON vb.vec_id = b.vec_id AND vb.i = va.i
+      JOIN qflat va ON va.vec_id = a.vec_id
+      JOIN qflat vb ON vb.vec_id = b.vec_id AND vb.i = va.i
       GROUP BY 1, 2
     ),
     dominated AS (
@@ -891,7 +881,8 @@ _SEMANTIC_ORACLE = f"""
       FROM pair_dots p
       JOIN norms na ON p.id_a = na.vec_id
       JOIN norms nb ON p.id_b = nb.vec_id
-      WHERE round((p.dotg / 1000000000.0) / (na.nrm * nb.nrm), 6)
+      WHERE round((CAST(p.dotg AS DOUBLE) / 100000000000000.0)
+                  / (na.nrm * nb.nrm), 6)
             >= {_SEMANTIC_T}
     )
     SELECT a.vec_id, a.cell_id, (d.vec_id IS NULL) AS kept

@@ -457,6 +457,364 @@ def govern_documents(
 
 
 # --------------------------------------------------------------------------
+# The FULL-CORPUS marquee pipeline (round-7, VERDICT r6 item 5): every
+# screen/dedup/governance tier composed into ONE lineage, in the order a
+# real 100 TB corpus build runs them —
+#
+#   winnow screen  → cheap fingerprint candidate generation restricts the
+#                    expensive exact tier to docs that share >= 2 winnowed
+#                    fingerprints (the unique bulk of the corpus never
+#                    enters a pair join);
+#   prefix-exact   → AllPairs/PPJoin exact 2-gram Jaccard >= 0.5, run ONLY
+#   Jaccard          on the screened subset;
+#   star-CC        → large-star/small-star components over the dup edges;
+#   election         the component-minimum doc survives (canonical copy),
+#                    every other member is dropped — transitive-chain
+#                    semantics the per-pair dominance rule can't give;
+#   SemDeDup       → cell-bounded semantic near-dup drop over the
+#                    survivors' embeddings (seeds from the UNRESTRICTED
+#                    embedding relation so cell geometry is stable);
+#   quality gate   → Gopher-style rule filter;
+#   decontaminate  → eval-slice 8-gram broadcast anti-join;
+#   mixture        → per-language hash-rate downsampling;
+#   shard export   → deterministic md5 shuffle-shard manifest: per shard,
+#                    doc count, token sum, and an md5 over the ordered
+#                    doc-id manifest — pinning MEMBERSHIP AND ORDER of
+#                    every shard in one scalar the oracle can recompute.
+#
+# Scale shape: the only pair joins run on winnow-screened docs (stage 2)
+# and within semantic cells (stage 5); every governance stage is a filter,
+# a broadcast semi/anti join, or a hash aggregate. The DuckDB oracle
+# recomputes all eight stages (recursive CTE for the components), so the
+# entire composition is value-hash-gated end to end.
+# --------------------------------------------------------------------------
+_V3_SEM_CELLS = 8
+_V3_SEM_T = 0.35
+
+_CURATION_V3_ORACLE = f"""
+    WITH RECURSIVE
+    ex0 AS MATERIALIZED (
+      SELECT doc_id, lang, text FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ),
+    {{winnow_fp_sql}},
+    winnow_m AS MATERIALIZED (SELECT doc_id, fingerprint FROM winnow_fp),
+    wfreq AS (
+      SELECT fingerprint, COUNT(*) AS fp_df FROM winnow_m GROUP BY 1
+    ),
+    wkept AS MATERIALIZED (
+      SELECT w.doc_id, w.fingerprint
+      FROM winnow_m w JOIN wfreq USING (fingerprint)
+      WHERE fp_df <= 64
+    ),
+    wpairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM wkept a JOIN wkept b
+        ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    screened AS (
+      SELECT id_a AS doc_id FROM wpairs UNION SELECT id_b FROM wpairs
+    ),
+    spt AS (
+      SELECT d.doc_id,
+             unnest(str_split(d.text, ' ')) AS token,
+             generate_subscripts(str_split(d.text, ' '), 1) AS pos
+      FROM ex0 d JOIN screened USING (doc_id)
+    ),
+    ssh AS (
+      SELECT DISTINCT doc_id,
+             token || ' ' || lead(token) OVER (PARTITION BY doc_id
+                                               ORDER BY pos) AS shingle
+      FROM spt
+    ),
+    sshn AS MATERIALIZED (SELECT doc_id, shingle FROM ssh WHERE shingle IS NOT NULL
+             AND len(str_split(shingle, ' ')) = 2),
+    ssz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_sh FROM sshn GROUP BY 1),
+    sint AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sshn a JOIN sshn b ON a.shingle = b.shingle
+                             AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a, id_b FROM sint
+      JOIN ssz sa ON sint.id_a = sa.doc_id
+      JOIN ssz sb ON sint.id_b = sb.doc_id
+      WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    ),
+    bidir AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM edges
+              UNION SELECT id_b, id_a FROM edges),
+    reach(a, b) AS (
+      SELECT a, b FROM bidir
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a
+    ),
+    labeled AS (
+      SELECT a AS node, LEAST(a, MIN(b)) AS component
+      FROM reach GROUP BY a
+    ),
+    drop1 AS (SELECT node AS doc_id FROM labeled WHERE node <> component),
+    surv1 AS MATERIALIZED (
+      SELECT d.doc_id, d.lang, d.text
+      FROM ex0 d LEFT JOIN drop1 USING (doc_id)
+      WHERE drop1.doc_id IS NULL
+    ),
+    qeflat AS MATERIALIZED (
+      -- quantize-once element grid mirroring Spark's _sem_quant (see
+      -- _SEMANTIC_ORACLE in queries/dedup.py for the rationale)
+      SELECT vec_id,
+             CAST(round(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT) AS qx,
+             i
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings)
+    ),
+    semseed AS MATERIALIZED (
+      SELECT vec_id AS cell_id, qx, i FROM qeflat
+      WHERE vec_id < {_V3_SEM_CELLS}
+    ),
+    semv AS MATERIALIZED (
+      SELECT e.vec_id, e.qx, e.i
+      FROM qeflat e JOIN surv1 s ON e.vec_id = s.doc_id
+    ),
+    sem_norms AS MATERIALIZED (
+      SELECT vec_id,
+             round(sqrt(CAST(CAST(SUM(qx * qx) AS BIGINT) AS DOUBLE))
+                   / 10000000.0, 6) AS nrm
+      FROM qeflat GROUP BY vec_id
+    ),
+    sem_cell_dots AS (
+      SELECT v.vec_id, s.cell_id, CAST(SUM(v.qx * s.qx) AS BIGINT) AS dg
+      FROM semv v JOIN semseed s ON v.i = s.i
+      GROUP BY 1, 2
+    ),
+    sem_scores AS (
+      SELECT d.vec_id, d.cell_id,
+             round((CAST(d.dg AS DOUBLE) / 100000000000000.0)
+                   / (n.nrm * sn.nrm), 6) AS cos
+      FROM sem_cell_dots d
+      JOIN sem_norms n ON d.vec_id = n.vec_id
+      JOIN sem_norms sn ON sn.vec_id = d.cell_id
+    ),
+    sem_assign AS MATERIALIZED (
+      SELECT vec_id, CAST(cell_id AS INTEGER) AS cell_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, cell_id) AS rk
+        FROM sem_scores
+      ) WHERE rk = 1
+    ),
+    sem_dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(SUM(va.qx * vb.qx) AS BIGINT) AS dotg
+      FROM sem_assign a
+      JOIN sem_assign b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      JOIN semv va ON va.vec_id = a.vec_id
+      JOIN semv vb ON vb.vec_id = b.vec_id AND vb.i = va.i
+      GROUP BY 1, 2
+    ),
+    drop2 AS (
+      SELECT DISTINCT p.id_b AS doc_id
+      FROM sem_dots p
+      JOIN sem_norms na ON p.id_a = na.vec_id
+      JOIN sem_norms nb ON p.id_b = nb.vec_id
+      WHERE round((CAST(p.dotg AS DOUBLE) / 100000000000000.0)
+                  / (na.nrm * nb.nrm), 6)
+            >= {_V3_SEM_T}
+    ),
+    surv2 AS MATERIALIZED (
+      SELECT s.doc_id, s.lang, s.text
+      FROM surv1 s LEFT JOIN drop2 USING (doc_id)
+      WHERE drop2.doc_id IS NULL
+    ),
+    q3 AS (
+      SELECT doc_id, lang, text FROM surv2 WHERE {{gopher_sql}}
+    ),
+    fl3 AS MATERIALIZED (
+      SELECT *, {{bucket_eval}} < '{{eval_max}}' AS is_eval FROM q3
+    ),
+    g83 AS MATERIALIZED (
+      SELECT doc_id, is_eval,
+             unnest(list_distinct([array_to_string(t[i:i+{{ngram}}-1], ' ')
+                                   for i in range(1, len(t)-{{ngram}}+2)])) AS g
+      FROM (SELECT doc_id, is_eval, str_split(text, ' ') AS t FROM fl3)
+      WHERE len(t) >= {{ngram}}
+    ),
+    ev3 AS (SELECT DISTINCT g FROM g83 WHERE is_eval),
+    cont3 AS (
+      SELECT DISTINCT s.doc_id FROM g83 s JOIN ev3 USING (g)
+      WHERE NOT s.is_eval
+    ),
+    train3 AS (
+      SELECT f.doc_id, f.lang, f.text
+      FROM fl3 f LEFT JOIN cont3 c USING (doc_id)
+      WHERE NOT f.is_eval AND c.doc_id IS NULL
+    ),
+    mixed3 AS (
+      SELECT * FROM train3
+      WHERE {{bucket_mix}} <
+            CASE lang WHEN 'en' THEN '{{mix_en}}'
+                      WHEN 'de' THEN '{{mix_de}}'
+                      ELSE '{{mix_default}}' END
+    ),
+    sharded AS (
+      SELECT doc_id, text,
+             md5('shuffle:42:' || CAST(doc_id AS VARCHAR)) AS hh
+      FROM mixed3
+    )
+    SELECT substr(hh, 1, 1) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS sum_tokens,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY hh, doc_id)) AS manifest_md5
+    FROM sharded GROUP BY 1
+"""
+
+
+from .text_analysis import WINNOW_FP_SQL as _WINNOW_FP_SQL_V3
+
+
+@query(
+    "pipeline_corpus_curation_v3",
+    oracle=_CURATION_V3_ORACLE.format(
+        winnow_fp_sql=_WINNOW_FP_SQL_V3.replace("FROM documents", "FROM ex0"),
+        gopher_sql=_GOPHER_PASS_SQL,
+        bucket_eval=_BUCKET_SQL.format(salt="eval:"),
+        eval_max=_EVAL_MAX,
+        ngram=_NGRAM,
+        bucket_mix=_BUCKET_SQL.format(salt="mix:"),
+        mix_en=_MIX_RATES["en"],
+        mix_de=_MIX_RATES["de"],
+        mix_default=_MIX_DEFAULT,
+    ),
+    tags=("O5", "O6", "L1", "L2", "L6", "L7", "J2", "J4", "J5",
+          "A1", "W2", "F4", "X1"),
+    bench=True,
+)
+def pipeline_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return govern_documents_v3(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        min_partitions=spark.sparkContext.defaultParallelism,
+    )
+
+
+def govern_documents_v3(
+    docs: DataFrame,
+    emb: DataFrame,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """The eight-stage marquee lineage on arbitrary (documents,
+    embeddings) frames — the registered query binds the fixture tables;
+    scale smokes feed key-shifted unions through the identical plan."""
+    from ..operators.graph import connected_components_star
+    from ..operators.similarity import semantic_dedup
+
+    from pyspark.sql import Window
+
+    # 0. exact content-hash collapse: min-id per md5(text). Runs BEFORE
+    #    any fingerprinting so massive exact duplication (the dominant
+    #    duplication mode at web scale) costs one uniform md5-keyed
+    #    shuffle instead of inflating every downstream pair join.
+    d0 = (
+        docs.select("doc_id", "lang", "text")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    # 1. winnow screen: only docs sharing >= 2 df-capped fingerprints
+    #    ever enter a pair join
+    wm = DD.winnow_match(d0)
+    screened = (
+        wm.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(wm.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sub = d0.join(screened, "doc_id", "left_semi")
+
+    # 2. prefix-exact Jaccard on the screened subset
+    edges = DD.jaccard_pairs_prefix(
+        sub, threshold=0.5, n=2, min_partitions=min_partitions
+    ).select("id_a", "id_b")
+
+    # 3. star-CC canonical election: component minimum survives
+    labels, _rounds = connected_components_star(edges)
+    drop1 = labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    surv1 = d0.join(drop1, "doc_id", "left_anti")
+
+    # 4. SemDeDup over the survivors' embeddings (seeds from the full
+    #    embedding relation — cell geometry independent of upstream drops)
+    sem_in = emb.join(
+        surv1.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    sem = semantic_dedup(
+        sem_in, n_cells=_V3_SEM_CELLS, threshold=_V3_SEM_T, seeds_from=emb
+    )
+    drop2 = sem.filter(~F.col("kept")).select(F.col("vec_id").alias("doc_id"))
+    # Materialize the post-dedup survivor relation: four downstream
+    # branches (eval shingles, contamination probe, train filter, final
+    # shard export) all consume it, and without a cut each branch would
+    # re-run the semantic cell self-join. The star-CC stage above already
+    # truncates lineage per round, so this is the one additional
+    # materialization point — at cluster scale it is the natural
+    # "curated corpus" checkpoint a real build persists anyway.
+    surv2 = surv1.join(drop2, "doc_id", "left_anti").localCheckpoint(eager=True)
+
+    # 5. quality gate
+    q = surv2.filter(gopher_pass_all())
+
+    # 6. decontaminate: eval-slice 8-grams, broadcast anti probe
+    is_eval = _bucket("eval:") < _EVAL_MAX
+    sh = DD.word_shingles(q, n=_NGRAM, min_partitions=min_partitions)
+    eval_shingles = sh.filter(is_eval).select("shingle").distinct()
+    contaminated = (
+        sh.filter(~is_eval)
+        .join(F.broadcast(eval_shingles), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    train = q.filter(~is_eval).join(contaminated, "doc_id", "left_anti")
+
+    # 7. mixture
+    mix_threshold = (
+        F.when(F.col("lang") == "en", F.lit(_MIX_RATES["en"]))
+        .when(F.col("lang") == "de", F.lit(_MIX_RATES["de"]))
+        .otherwise(F.lit(_MIX_DEFAULT))
+    )
+    mixed = train.filter(_bucket("mix:") < mix_threshold)
+
+    # 8. deterministic shuffle-shard manifest export
+    sharded = mixed.withColumn(
+        "hh", F.md5(F.concat(F.lit("shuffle:42:"), F.col("doc_id").cast("string")))
+    ).withColumn("shard", F.substring("hh", 1, 1))
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("sum_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("hh"), F.col("doc_id")))
+                    ),
+                    lambda s: s["doc_id"].cast("string"),
+                ),
+                ",",
+            )
+        ).alias("manifest_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Deterministic fixed-size stratified sample: EXACTLY k docs per language,
 # selected by md5 rank (salt-keyed) — reproducible across reruns, cluster
 # sizes, and corpus partitionings, where rand()-based sampleBy gives only

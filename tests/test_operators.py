@@ -1036,3 +1036,112 @@ def test_lsh_multiprobe_expands_candidates_and_is_exact(spark, sf_dir):
     top10 = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     recall = len({v for v, _ in top10} & {r["vec_id"] for r in multi}) / 10
     assert recall >= 0.2, f"multiprobe recall collapsed: {recall}"
+
+
+def test_ivfpq_residual_trained_codebook_is_live_and_exact(spark, sf_dir):
+    """train_codebook=True (one relational Lloyd pass on the residuals,
+    Jégou §V) must actually change the ADC table — trained adc_cosine
+    values differ from the seeded codebook's — while the exact-rerank
+    contract (returned cosines are TRUE cosines) holds for both, and the
+    top-k id set stays deterministic across reruns."""
+    from ppdb_parser_spark.operators import similarity as SIM
+    from ppdb_parser_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    seeded = SIM.ivfpq_residual_topk(e, probe_id=1, dim=64).collect()
+    trained = SIM.ivfpq_residual_topk(
+        e, probe_id=1, dim=64, train_codebook=True
+    ).collect()
+    assert len(trained) == 10
+    exact = {
+        r["vec_id"]: r["cosine"]
+        for r in SIM.cosine_topk_by_id(e, 1, k=500).collect()
+    }
+    for r in trained:
+        assert exact[r["vec_id"]] == r["cosine"]
+    # the trained codebook is live: at least one candidate's ADC estimate
+    # moved (identical tables would make the option dead code)
+    assert {(r["vec_id"], r["adc_cosine"]) for r in seeded} != {
+        (r["vec_id"], r["adc_cosine"]) for r in trained
+    }
+    rerun = SIM.ivfpq_residual_topk(
+        e, probe_id=1, dim=64, train_codebook=True
+    ).collect()
+    assert [r["vec_id"] for r in rerun] == [r["vec_id"] for r in trained]
+
+
+def test_semantic_dedup_seeds_from_preserves_cell_geometry(spark):
+    """seeds_from: deduping a FILTERED subset that lost a seed row must
+    keep the unrestricted relation's cell geometry (the composed-pipeline
+    case — upstream stages may drop ids < n_cells). Row 0 (seed of cell
+    0) is filtered out of df: with seeds_from the remaining rows keep
+    their original cells, and row 2 — previously dominated by row 0 —
+    becomes kept because its dominator is gone from the DATA while the
+    cell frame is unchanged."""
+    from ppdb_parser_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [1.0, 0.01, 0.0, 0.0]),
+        (3, [0.0, 0.10, 1.0, 0.0]),
+        (4, [0.0, 0.12, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sub = df.filter(F.col("vec_id") != 0)
+    out = {
+        r["vec_id"]: (r["cell_id"], r["kept"])
+        for r in semantic_dedup(
+            sub, n_cells=2, threshold=0.9, seeds_from=df
+        ).collect()
+    }
+    assert out == {
+        1: (1, True),
+        2: (0, True),
+        3: (1, True),
+        4: (1, False),
+    }
+
+
+def test_corpus_curation_v3_absorbs_exact_duplication(spark, sf_dir):
+    """The marquee v3 lineage's stage-0 contract: an input corpus with
+    every document exactly duplicated 4x (id-shifted copies, embeddings
+    unchanged) must produce BIT-IDENTICAL shard manifests to the 1x run —
+    the content-hash collapse absorbs exact duplication before any
+    fingerprint or pair tier sees it."""
+    from ppdb_parser_spark.queries.training_data import govern_documents_v3
+    from ppdb_parser_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    d4 = docs
+    for i in range(1, 4):
+        d4 = d4.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        )
+    out1 = sorted(map(tuple, govern_documents_v3(docs, emb).collect()))
+    out4 = sorted(map(tuple, govern_documents_v3(d4, emb).collect()))
+    assert out1 == out4 and len(out1) > 0
+
+
+def test_brute_cosine_blocked_matches_declarative(spark, sf_dir):
+    """The blocked-GEMM kernel must emit EXACTLY the declarative
+    baseline's pairs — same ids, same 1e-6-rounded cosines — across the
+    whole fixture (the vectorized tier is a physical rewrite, not a
+    semantic variant), and block boundaries must not lose cross-block
+    pairs (n_blocks=5 doesn't divide the id space evenly)."""
+    from ppdb_parser_spark.operators import similarity as SIM
+    from ppdb_parser_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    want = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in SIM.pairwise_cosine_pairs(e, threshold=0.35).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in SIM.brute_cosine_pairs_blocked(
+            e, threshold=0.35, n_blocks=5
+        ).collect()
+    }
+    assert got == want and len(got) > 0

@@ -171,6 +171,120 @@ def ivfpq_sweep(spark, sf_dir, results):
                 print(json.dumps(row))
 
 
+def make_clustered(spark, n=2000, dim=64, n_clusters=16, seed=7, spread=0.18):
+    """Seeded mixture-of-Gaussians embedding fixture (round-7, VERDICT r6
+    item 3): unit-norm cluster centers, Gaussian spread around each — the
+    CLUSTERED geometry real text embeddings have, vs the isotropic
+    fixture where residual coding demonstrably can't pay (residual
+    distribution ≈ raw distribution). Deterministic: numpy RandomState
+    with a fixed seed, built driver-side once (diagnostic tool, not an
+    engine path)."""
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    centers = rs.normal(0.0, 1.0, (n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rs.randint(0, n_clusters, n)
+    pts = centers[assign] + rs.normal(0.0, spread, (n, dim))
+    rows = [
+        (i, f"c{assign[i]}", [float(x) for x in pts[i]]) for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    ).repartition(8, "vec_id")
+
+
+def clustered_sweep(spark, results):
+    """recall@10 for every ANN tier on the clustered fixture — the
+    measurement that replaces the tier table's 'residual should win on
+    clustered data' footnote with numbers."""
+    e = make_clustered(spark).localCheckpoint(eager=True)
+    k = 10
+    tiers = [
+        ("ivf_seeded", lambda p: SIM.ivf_topk(
+            e, n_cells=8, probe_id=p, n_probe=2, k=k)),
+        ("ivf_kmeans", lambda p: SIM.ivf_kmeans_topk(
+            e, n_cells=8, probe_id=p, n_probe=2, k=k)),
+        ("pq_seeded", lambda p: SIM.pq_topk(
+            e, probe_id=p, k=k, rerank=50, dim=64)),
+        ("pq_kmeans", lambda p: SIM.pq_kmeans_topk(
+            e, probe_id=p, k=k, rerank=50, dim=64)),
+        ("ivfpq_raw", lambda p: SIM.ivfpq_topk(
+            e, probe_id=p, k=k, rerank=50, dim=64)),
+        ("ivfpq_residual", lambda p: SIM.ivfpq_residual_topk(
+            e, probe_id=p, k=k, rerank=50, dim=64)),
+        ("ivfpq_residual_trained", lambda p: SIM.ivfpq_residual_topk(
+            e, probe_id=p, k=k, rerank=50, dim=64, train_codebook=True)),
+        ("lsh_multiprobe", lambda p: SIM.lsh_multiprobe_topk(
+            e, probe_id=p, k=k, dim=64)),
+    ]
+    per_tier: dict[str, list[float]] = {}
+    for probe_id in (1, 7, 13, 29, 57, 101):
+        exact = [
+            r["vec_id"]
+            for r in SIM.cosine_topk_by_id(e, probe_id=probe_id, k=k).collect()
+        ]
+        for name, fn in tiers:
+            got = [r["vec_id"] for r in fn(probe_id).collect()]
+            rec = len(set(got) & set(exact)) / k
+            per_tier.setdefault(name, []).append(rec)
+            row = {
+                "metric": "clustered_recall_at_k", "fixture": "mog16",
+                "k": k, "probe_id": probe_id, "tier": name,
+                "recall": round(rec, 4),
+            }
+            results.append(row)
+            print(json.dumps(row))
+    for name, recs in per_tier.items():
+        row = {
+            "metric": "clustered_recall_mean", "fixture": "mog16",
+            "k": k, "tier": name, "n_probes": len(recs),
+            "mean_recall": round(sum(recs) / len(recs), 4),
+        }
+        results.append(row)
+        print(json.dumps(row))
+
+    # Coarse-resolution sweep for the IVF-PQ family: the offline ceiling
+    # experiment (numpy, 25-iter converged k-means — see BASELINE.md)
+    # shows residual coding only overtakes raw codes once the coarse
+    # quantizer OVER-resolves the true cluster count; measure the in-plan
+    # tiers along the same axis (8/16/32 cells over 16 true clusters,
+    # scan fraction held at 1/4 via n_probe).
+    for n_cells, n_probe in ((8, 2), (16, 4), (32, 8)):
+        fam = [
+            ("ivfpq_raw", lambda p, c=n_cells, np_=n_probe: SIM.ivfpq_topk(
+                e, probe_id=p, n_cells=c, n_probe=np_, k=k, rerank=50,
+                dim=64)),
+            ("ivfpq_residual",
+             lambda p, c=n_cells, np_=n_probe: SIM.ivfpq_residual_topk(
+                 e, probe_id=p, n_cells=c, n_probe=np_, k=k, rerank=50,
+                 dim=64)),
+            ("ivfpq_residual_trained",
+             lambda p, c=n_cells, np_=n_probe: SIM.ivfpq_residual_topk(
+                 e, probe_id=p, n_cells=c, n_probe=np_, k=k, rerank=50,
+                 dim=64, train_codebook=True)),
+        ]
+        for name, fn in fam:
+            recs = []
+            for probe_id in (1, 7, 13, 29, 57, 101):
+                exact = {
+                    r["vec_id"]
+                    for r in SIM.cosine_topk_by_id(
+                        e, probe_id=probe_id, k=k
+                    ).collect()
+                }
+                got = {r["vec_id"] for r in fn(probe_id).collect()}
+                recs.append(len(got & exact) / k)
+            row = {
+                "metric": "clustered_cells_sweep", "fixture": "mog16",
+                "k": k, "n_cells": n_cells, "n_probe": n_probe,
+                "tier": name,
+                "mean_recall": round(sum(recs) / len(recs), 4),
+            }
+            results.append(row)
+            print(json.dumps(row))
+
+
 def main():
     spark = get_spark(app_name="ann-recall")
     results: list[dict] = []
@@ -193,6 +307,8 @@ def main():
             pq_sweep(spark, sf_dir, results)
         if only is None or only == "ivfpq":
             ivfpq_sweep(spark, sf_dir, results)
+    if only is None or only == "clustered":
+        clustered_sweep(spark, results)
     print(json.dumps({"metric": "summary", "n_results": len(results)}))
 
 

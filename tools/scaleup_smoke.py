@@ -270,6 +270,137 @@ def main() -> None:
             "keep per-cell pair cost flat)"
         )
 
+    if "semdedup256" in only:
+        # Round-7 extension of the 16x scale law (VERDICT r6 item 4): 64x
+        # and 256x embeddings with cells ∝ n. Σ|cell|² ∝ n when cells
+        # grow with n, so the PAIR JOIN should stay ~linear; what this
+        # smoke also exposes is the other term — per-row cell ASSIGNMENT
+        # is O(n_cells · dim)/row, so with cells ∝ n assignment cost is
+        # O(n²/const)·dim and eventually becomes the binding resource
+        # (the remedy at cluster scale is hierarchical 2-level
+        # assignment, exactly IVF's coarse quantizer story).
+        from ppdb_parser_spark.operators.similarity import semantic_dedup
+
+        emb = load_table(spark, sf, "embeddings")
+
+        def perturbed_union(e, k):
+            return _shifted_union(e, "vec_id", k).withColumn(
+                "embedding",
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, i: F.when(
+                        i == 0,
+                        x + (F.col("vec_id") / 10_000_000 % k) * 0.11,
+                    ).otherwise(x),
+                ),
+            )
+
+        s1 = timed("semantic_dedup 1x cells=8", semantic_dedup(emb, n_cells=8))
+        prev_k, prev_t = 1, s1
+        for k in (16, 64, 256):
+            ek = perturbed_union(emb, k)
+            # seeds must exist: vec_id < n_cells ⊆ original id range
+            cells = 8 * k
+            tk = timed(
+                f"semantic_dedup {k}x cells={cells} (∝n)",
+                semantic_dedup(ek, n_cells=cells),
+            )
+            step = (tk / prev_t) / (k / prev_k)
+            print(
+                f"  -> {tk / s1:.1f}x time for {k}x vectors "
+                f"(step efficiency {prev_k}x->{k}x: {step:.2f}; "
+                "assignment term grows with cells — watch for the knee)"
+            )
+            prev_k, prev_t = k, tk
+
+    if "starcc" in only:
+        # Round-7 (VERDICT r6 item 4): star CC on a 64x-edges near-dup
+        # graph vs the min-label fallback. Universe-shifted copies of the
+        # sf0.1 exact-Jaccard edge set: component structure per universe
+        # is preserved, so rounds should stay ~flat (log of the LARGEST
+        # component, not of |E|) while wall grows with the edge volume.
+        from ppdb_parser_spark.operators.dedup import jaccard_pairs_prefix
+        from ppdb_parser_spark.operators.graph import (
+            connected_components,
+            connected_components_star,
+        )
+
+        edges1 = (
+            jaccard_pairs_prefix(docs, 0.5, 2)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+        n_e1 = edges1.count()
+        print(f"edge set 1x: {n_e1} edges")
+
+        def star_run(label, e):
+            t0 = time.perf_counter()
+            labels, rounds = connected_components_star(e)
+            n = labels.count()
+            dt = time.perf_counter() - t0
+            print(f"{label}: {dt:.2f} s ({n} labels, {rounds} star rounds)")
+            return dt
+
+        def minlabel_run(label, e):
+            t0 = time.perf_counter()
+            labels = connected_components(e, checkpoint_every=4)
+            n = labels.count()
+            dt = time.perf_counter() - t0
+            print(f"{label}: {dt:.2f} s ({n} labels)")
+            return dt
+
+        s1 = star_run("star CC 1x", edges1)
+        m1 = minlabel_run("min-label CC 1x", edges1)
+        e64 = edges1
+        for i in range(1, 64):
+            e64 = e64.unionByName(
+                edges1.select(
+                    (F.col("id_a") + i * 10_000_000).alias("id_a"),
+                    (F.col("id_b") + i * 10_000_000).alias("id_b"),
+                )
+            )
+        e64 = e64.localCheckpoint(eager=True)
+        print(f"edge set 64x: {e64.count()} edges")
+        s64 = star_run("star CC 64x", e64)
+        m64 = minlabel_run("min-label CC 64x", e64)
+        print(
+            f"  -> star {s64 / s1:.1f}x vs min-label {m64 / m1:.1f}x wall "
+            "for 64x edges (rounds flat: per-universe diameter unchanged)"
+        )
+
+    if "v3" in only:
+        # Round-7 marquee (VERDICT r6 item 5): the full 9-stage corpus
+        # pipeline at 16x exact duplication — id-shifted copies of every
+        # document, embeddings unchanged. Stage 0 (content-hash collapse)
+        # must absorb the growth BEFORE any fingerprint/pair stage, so
+        # the 16x output is IDENTICAL to 1x (asserted) and wall grows by
+        # ~the one md5-keyed collapse shuffle, not by 16x of the join
+        # tiers.
+        from ppdb_parser_spark.queries.training_data import govern_documents_v3
+
+        emb = load_table(spark, sf, "embeddings")
+        t0 = time.perf_counter()
+        out1 = sorted(
+            map(tuple, govern_documents_v3(docs, emb).collect())
+        )
+        t1 = time.perf_counter() - t0
+        print(f"v3 1x: {t1:.2f} s ({len(out1)} shard rows)")
+        d16 = _shifted_union(docs, "doc_id", 16)
+        t0 = time.perf_counter()
+        out16 = sorted(
+            map(tuple, govern_documents_v3(d16, emb).collect())
+        )
+        t16 = time.perf_counter() - t0
+        print(f"v3 16x: {t16:.2f} s ({len(out16)} shard rows)")
+        assert out16 == out1, (
+            "v3 16x exact-duplication output DIFFERS from 1x — stage-0 "
+            "collapse failed to absorb the copies"
+        )
+        print(
+            f"  -> {t16 / t1:.1f}x time for 16x exact-duplicated corpus; "
+            "output identical to 1x (asserted)"
+        )
+
     if not only or "ppl" in only:
         from ppdb_parser_spark.operators.text_analysis import bigram_perplexity
 
