@@ -32,11 +32,25 @@ from ppdb_parser_spark.queries import REGISTRY
 from ppdb_parser_spark.session import get_spark
 
 
-def force_full(df) -> None:
-    """Materialize every output column JVM-side: one-row sum of the
-    per-row xxhash64 over all columns. Map- and variant-typed columns are
-    not hashable in Spark — route them through ``to_json``/string first.
-    Falls back to whole-row to_json, then count(), for exotic schemas."""
+def force_full(df) -> str:
+    """Materialize every output column JVM-side: one-row bit_xor of the
+    per-row xxhash64 over all columns (bit_xor, not sum — summing int64
+    hashes overflows under ANSI mode on enough rows; the old bare-except
+    then silently degraded exactly those queries to count(), the failure
+    mode this function exists to eliminate). Map- and variant-typed
+    columns are not hashable in Spark — route them through
+    ``to_json``/string first.
+
+    Returns the method used: ``"hash"`` (the intended full-plan
+    methodology), ``"json"`` (whole-row to_json hash — still forces every
+    column), or ``"count"`` (weakest: Catalyst may eliminate work; only
+    legal for schemas to_json cannot serialize). Only analysis-time
+    failures (unhashable/unserializable schema) trigger a fallback —
+    genuine EXECUTION errors propagate, so a query that breaks under full
+    materialization fails the bench loudly instead of being silently
+    timed with a weaker methodology (ADVICE r7)."""
+    from pyspark.errors import AnalysisException
+
     cols = []
     for f in df.schema.fields:
         s = f.dataType.simpleString()
@@ -47,16 +61,18 @@ def force_full(df) -> None:
             c = c.cast("string")
         cols.append(c)
     try:
-        df.select(F.sum(F.xxhash64(F.struct(*cols))).alias("h")).collect()
-        return
-    except Exception:
+        df.select(F.bit_xor(F.xxhash64(F.struct(*cols))).alias("h")).collect()
+        return "hash"
+    except AnalysisException:
         pass
     try:
         df.select(
-            F.sum(F.xxhash64(F.to_json(F.struct("*")))).alias("h")
+            F.bit_xor(F.xxhash64(F.to_json(F.struct("*")))).alias("h")
         ).collect()
-    except Exception:
+        return "json"
+    except AnalysisException:
         df.count()
+        return "count"
 
 
 def main() -> None:
@@ -68,8 +84,9 @@ def main() -> None:
     # Warm-up pass over every headline query: amortizes JVM startup +
     # whole-stage-codegen compilation exactly as a long-lived cluster does,
     # so timings below reflect steady-state execution.
+    methods: dict[str, str] = {}
     for spec in bench_specs:
-        force_full(spec.fn(spark, sf_dir))
+        methods[spec.name] = force_full(spec.fn(spark, sf_dir))
 
     runs: dict[str, list[float]] = {s.name: [] for s in bench_specs}
     for _ in range(3):
@@ -92,6 +109,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spreads": spreads,
+                # Any query NOT timed under the full-column hash method is
+                # named here with the method actually used (ADVICE r7: no
+                # silent methodology degradation).
+                "fallbacks": {
+                    n: m for n, m in methods.items() if m != "hash"
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -37,13 +37,26 @@ def connected_components(
     vertex id reachable from it (its component id).
 
     Returns (node, component). Deterministic: min-label propagation has a
-    unique fixpoint. ``checkpoint_every`` > 0 checkpoints the label frame
-    periodically (needed for long chains at scale; off by default for the
-    short-diameter dedup graphs)."""
+    unique fixpoint. ``checkpoint_every`` > 0 swaps the per-round lineage
+    truncation to a RELIABLE ``checkpoint`` every k rounds (cluster-scale
+    durability across executor loss; local runs keep the cheaper
+    ``localCheckpoint``).
+
+    Lineage discipline (same as :func:`connected_components_star`): the
+    adjacency is checkpointed ONCE and every round's label frame ends in
+    an EAGER checkpoint. Each round's plan embeds the previous round's
+    plan TWICE (the neighbor-min join and the label join), so plain
+    ``persist`` leaves the LOGICAL plan compounding exponentially even
+    though the data is cached — round ~30 of a slow-converging chain
+    spent 45+ minutes inside ``withNewExecutionId`` just BUILDING the
+    plan-description string for the convergence count (measured round 8,
+    hypothesis long-chain graph at max_iterations=50; the star variant
+    measured the same failure class at 2.8s→27.5s by round 2)."""
     bidir = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         bidir.select(F.col("a").alias("node"))
@@ -78,11 +91,11 @@ def connected_components(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             new_labels = new_labels.checkpoint(eager=True)
         else:
-            new_labels = new_labels.persist()
+            new_labels = new_labels.localCheckpoint(eager=True)
         n_changed = new_labels.filter(F.col("changed")).count()
-        # the count above materialized new_labels' cache; the previous
-        # iteration's cached frame is no longer referenced — release it so
-        # long runs don't accumulate cached partitions
+        # the checkpoint above materialized new_labels; the previous
+        # iteration's blocks are no longer referenced — release them so
+        # long runs don't accumulate checkpointed partitions
         if prev_cached is not None:
             prev_cached.unpersist()
         prev_cached = new_labels

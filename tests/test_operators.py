@@ -959,6 +959,129 @@ def test_semantic_dedup_dominance_and_cells(spark):
     }
 
 
+def test_semantic_dedup_two_level_routing_and_dominance(spark):
+    """Two-level SemDeDup on a constructed fixture: rows route super →
+    child (so a row lands in the best child OF ITS SUPER, even when a
+    child of another super is globally closer), every super parents
+    itself, and the within-cell dominance rule is unchanged."""
+    from ppdb_parser_spark.operators.similarity import (
+        semantic_dedup_two_level,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),     # super 0 / child 0
+        (1, [0.0, 1.0, 0.0, 0.0]),     # super 1 / child 1
+        (2, [0.9, 0.0, 0.5, 0.0]),     # child 2 -> parent 0
+        (3, [0.0, 0.9, 0.0, 0.5]),     # child 3 -> parent 1
+        # near child 2 but ALSO mildly near child 3's axis: its super
+        # argmax picks super 0, so only children {0, 2} are candidates
+        (4, [0.88, 0.1, 0.52, 0.0]),   # -> cell 2, dup of 2 -> dropped
+        (5, [0.0, 0.88, 0.0, 0.52]),   # -> cell 3, dup of 3 -> dropped
+        (6, [0.6, 0.0, -0.8, 0.0]),    # cell 0 region, far -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["cell_id"], r["kept"])
+        for r in semantic_dedup_two_level(
+            df, n_cells=4, n_super=2, threshold=0.95
+        ).collect()
+    }
+    # seeds keep themselves; 4/5 are dominated inside their routed cells
+    assert out[0] == (0, True)
+    assert out[1] == (1, True)
+    assert out[2] == (2, True)
+    assert out[3] == (3, True)
+    assert out[4] == (2, False)
+    assert out[5] == (3, False)
+    assert out[6][1] is True
+
+
+def test_sem_quant_overflow_guard_raises(spark):
+    """_sem_quant's int64 bound (|x| ≤ ~37 at dim 64) is ENFORCED: an
+    out-of-range element fails loudly instead of silently wrapping the
+    grid dot (ADVICE r7)."""
+    import pytest
+
+    from ppdb_parser_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [1e9, 1.0]),  # would wrap round(x*1e7)² in int64
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="quantization overflow"):
+        semantic_dedup(df, n_cells=2, threshold=0.9).collect()
+
+
+def test_round6_half_up_matches_spark_round(spark):
+    """The GEMM kernel's rounding helper must agree with F.round(x, 6)
+    (BigDecimal-on-shortest-repr HALF_UP) on adversarial doubles — the
+    exact divergence class ADVICE r7 flagged for floor(x·1e6 + 0.5):
+    shortest reprs ending in '5' whose binary value sits below the
+    decimal midpoint."""
+    from ppdb_parser_spark.operators.similarity import _round6_half_up
+
+    vals = [
+        0.1234565,   # repr ends in 5, binary below midpoint
+        0.1234575,
+        0.9999995,
+        0.3500005,
+        0.0000005,
+        0.1234564999999,
+        0.12345650000001,
+        -0.1234565,
+        0.35, 1.0, 0.0,
+    ]
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "x double"
+    ).select(F.col("x"), F.round("x", 6).alias("r"))
+    for row in df.collect():
+        assert _round6_half_up(row["x"]) == row["r"], row["x"]
+
+
+def test_brute_blocked_matches_declarative_and_string_ids(spark):
+    """blocked-GEMM tier == declarative tier pair-for-pair AND
+    cosine-for-cosine on a dim-2 fixture (at dim 2 both engines' dot and
+    norm are single-addition float ops — bit-identical — so the test
+    isolates the ROUNDING semantics), and non-numeric ids now work
+    (blocking rides xxhash64(id); pmod(id, n) silently NULLed them —
+    ADVICE r7)."""
+    import random
+
+    from ppdb_parser_spark.operators.similarity import (
+        brute_cosine_pairs_blocked,
+        pairwise_cosine_pairs,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1), rng.uniform(-1, 1)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in brute_cosine_pairs_blocked(df, threshold=0.5).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in pairwise_cosine_pairs(df, threshold=0.5).collect()
+    }
+    assert got == want and len(want) > 50
+
+    sdf = spark.createDataFrame(
+        [(f"doc-{i:03d}", v) for i, v in rows],
+        "vec_id string, embedding array<double>",
+    )
+    sgot = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in brute_cosine_pairs_blocked(sdf, threshold=0.5).collect()
+    }
+    assert sgot == {
+        (f"doc-{a:03d}", f"doc-{b:03d}"): c for (a, b), c in want.items()
+    }
+
+
 def test_ivfpq_residual_recall_and_decomposition(spark, sf_dir):
     """IVFADC residual variant: final cosines must be EXACT (rerank), the
     recall floor holds, and the inner-product decomposition is verified —
@@ -1142,6 +1265,71 @@ def test_brute_cosine_blocked_matches_declarative(spark, sf_dir):
         (r["id_a"], r["id_b"], r["cosine"])
         for r in SIM.brute_cosine_pairs_blocked(
             e, threshold=0.35, n_blocks=5
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_recommend_ann_tier_pinned_to_recall_md():
+    """recommend_ann_tier encodes RECALL.md's MEASURED serving rule
+    (VERDICT r7 item 8) — each branch asserted against the table row
+    that justifies it, so guidance cannot drift from the evidence."""
+    from ppdb_parser_spark.operators import similarity as SIM
+
+    r = SIM.recommend_ann_tier
+
+    # small corpus: exact scan, no index (recall 1.0 by definition)
+    assert r(500, 64, clusters_hint=16)["tier"] == "cosine_topk"
+
+    # clustered + vectors fit I/O: ivf_kmeans (mog16 measured 0.92,
+    # the best of every tier in RECALL.md §clustered)
+    best = r(2_000_000, 64, clusters_hint=16)
+    assert best["tier"] == "ivf_kmeans_topk"
+
+    # clustered + vectors exceed budget: RAW-code PQ, never residual
+    # (raw 0.68-0.80 vs residual 0.22-0.60 at practical budgets)
+    tight = r(2_000_000, 64, clusters_hint=16, bytes_per_vector_budget=64)
+    assert tight["tier"] == "ivfpq_topk"
+
+    # isotropic/unknown: ivf_topk with the n_probe knob; hyperplane
+    # buckets (lsh_multiprobe measured 0.30 isotropic) never appear
+    iso = r(2_000_000, 64)
+    assert iso["tier"] == "ivf_topk" and iso["params"]["n_probe"] >= 2
+    for case in (best, tight, iso):
+        assert "lsh" not in case["tier"]
+
+    # residual gate: only when the coarse quantizer OVER-resolves the
+    # clusters (n_cells >= 2x), and then only with a trained codebook
+    # (offline ceiling crossover: raw 0.78 vs residual 0.83 at 32 cells
+    # over 16 true clusters; at 16 cells residual loses 0.22 vs 0.72)
+    assert not r(2_000_000, 64, clusters_hint=16, n_cells=16)["residual_ok"]
+    under = r(2_000_000, 64, clusters_hint=16, n_cells=31)
+    assert not under["residual_ok"]
+    over = r(2_000_000, 64, clusters_hint=16, n_cells=32)
+    assert over["residual_ok"]
+    assert over["residual_requires"] == {"train_codebook": True}
+
+
+def test_brute_blocked_b_shards_pair_identical(spark, sf_dir):
+    """The block-pair GRID (B sharded into column blocks, VERDICT r7
+    item 6) must emit EXACTLY the single-broadcast tier's pairs — each
+    (a, b) lands in exactly one (row-block × B-shard) cell, so sharding
+    is a pure physical decomposition. n_blocks=5 / n_b_shards=3 are
+    coprime to the id space so both boundaries are exercised."""
+    from ppdb_parser_spark.operators import similarity as SIM
+    from ppdb_parser_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    want = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in SIM.brute_cosine_pairs_blocked(
+            e, threshold=0.35, n_blocks=5
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in SIM.brute_cosine_pairs_blocked(
+            e, threshold=0.35, n_blocks=5, n_b_shards=3
         ).collect()
     }
     assert got == want and len(got) > 0

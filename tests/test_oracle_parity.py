@@ -50,20 +50,22 @@ def test_entry_smoke(spark):
     assert len(df.schema) >= 2
 
 
-def test_coverage_order_round7_prefix_contract():
-    """Round-7 ordering contract (VERDICT r6 item 1): the driver samples
+def test_coverage_order_round8_prefix_contract():
+    """Round-8 ordering contract (VERDICT r7 item 2): the driver samples
     a ~50-query PREFIX of queries(), so the prefix must spend its rows on
-    (tier 1) queries with no driver CORRECTNESS row in any of r1-r6 —
-    anything new this round — then (tier 2) the rows-only →
-    self-checking conversions and the round-6 marquee additions needing a
+    (tier 1) queries with no driver CORRECTNESS row in any of r1-r7 —
+    anything new this round — then (tier 2) the queries whose
+    implementations change this round plus the round-7 marquee needing a
     second consecutive green row, then (tier 3) the rest rotated
     least-recently-checked first so the whole registry re-certifies on a
     bounded cycle. The full order still enumerates the entire registry
-    with every tag covered."""
+    with every tag covered. The freeze literals must also be an EXACT
+    subset of the live registry (VERDICT r7 item 7 — no deregistered
+    residue like the retired ``sim_lsh_pairs``)."""
     from ppdb_parser_spark.queries.registry import (
-        _DRIVER_CHECKED_R1_R6,
+        _DRIVER_CHECKED_R1_R7,
         _LAST_DRIVER_ROUND,
-        _ROUND7_PRIORITY,
+        _ROUND8_PRIORITY,
         coverage_order,
     )
 
@@ -73,10 +75,18 @@ def test_coverage_order_round7_prefix_contract():
     covered = set().union(*(REGISTRY[n].tags for n in order))
     assert covered == all_tags
 
+    # freeze literals are an exact subset of the live registry
+    assert _DRIVER_CHECKED_R1_R7 <= set(REGISTRY), (
+        "frozen checked-set contains deregistered names"
+    )
+    assert set(_LAST_DRIVER_ROUND) <= set(REGISTRY), (
+        "last-round map contains deregistered names"
+    )
+
     never = {
         n
         for n in REGISTRY
-        if n not in _DRIVER_CHECKED_R1_R6 and n not in _ROUND7_PRIORITY
+        if n not in _DRIVER_CHECKED_R1_R7 and n not in _ROUND8_PRIORITY
     }
     k = len(never)
     assert set(order[:k]) == never, "tier 1 must be exactly the backlog"
@@ -88,20 +98,20 @@ def test_coverage_order_round7_prefix_contract():
         else:
             assert not seen_rows_only, f"oracle-backed {n} after rows-only"
     # tier 2 rides immediately behind tier 1, in declared order
-    assert tuple(order[k : k + len(_ROUND7_PRIORITY)]) == _ROUND7_PRIORITY
-    # the entire round-7 evidence plan must fit the ~50-query sample
-    assert k + len(_ROUND7_PRIORITY) <= 50, (
-        "round-7 priority tier no longer fits the driver sample"
+    assert tuple(order[k : k + len(_ROUND8_PRIORITY)]) == _ROUND8_PRIORITY
+    # the entire round-8 evidence plan must fit the ~50-query sample
+    assert k + len(_ROUND8_PRIORITY) <= 50, (
+        "round-8 priority tier no longer fits the driver sample"
     )
     # tier 3 rotates least-recently-checked first: within the tier-3
     # region the recorded last-round values must be non-decreasing
-    tier3 = order[k + len(_ROUND7_PRIORITY) :]
+    tier3 = order[k + len(_ROUND8_PRIORITY) :]
     rounds_seq = [_LAST_DRIVER_ROUND.get(n, 0) for n in tier3]
     assert rounds_seq == sorted(rounds_seq), (
         "tier 3 must be ordered oldest-evidence-first"
     )
     # every query in the frozen set has a recorded last round
-    assert set(_LAST_DRIVER_ROUND) >= _DRIVER_CHECKED_R1_R6
+    assert set(_LAST_DRIVER_ROUND) >= _DRIVER_CHECKED_R1_R7
 
 
 def test_contract_shape():

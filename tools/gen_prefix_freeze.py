@@ -19,19 +19,28 @@ from __future__ import annotations
 import glob
 import json
 import os
+import sys
 import textwrap
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    # Names that were deregistered after earning a row (e.g. the retired
+    # ``sim_lsh_pairs``) must NOT survive into the freeze literals — the
+    # frozen sets stay an exact subset of the live registry (VERDICT r7
+    # item 7).
+    sys.path.insert(0, REPO)
+    from ppdb_parser_spark.queries.registry import REGISTRY
+
     last: dict[str, int] = {}
     rounds: list[int] = []
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(os.path.basename(path)[len("CORRECTNESS_r") : -len(".json")])
         rounds.append(rnd)
         for name in json.load(open(path)):
-            last[name] = max(last.get(name, 0), rnd)
+            if name in REGISTRY:
+                last[name] = max(last.get(name, 0), rnd)
     hi = max(rounds)
     names = textwrap.fill(
         ", ".join(repr(n) for n in sorted(last)),
