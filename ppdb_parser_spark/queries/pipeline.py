@@ -377,3 +377,112 @@ def pipeline_rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("long").alias("total_tokens"),
         F.sum(F.col("n_copies") - 1).cast("long").alias("n_dups_removed"),
     )
+
+
+# --------------------------------------------------------------------------
+# In-engine OLS quality regression (operators/regression.py): fit lexical
+# diversity on (mean word length, token count) with ONE exact int64
+# aggregation, solve the normal equations with Cramer's rule — the SAME
+# SQL expression text spliced into both engines — and score through a
+# broadcast 1-row coefficient context. No ML library, no iteration, no
+# collect; the distributed cost is one 9-sum aggregate + one narrow
+# projection pass.
+# --------------------------------------------------------------------------
+def _regression_oracle() -> str:
+    from ..operators.regression import CRAMER_SQL as CR
+
+    return f"""
+    WITH feats AS MATERIALIZED (
+      SELECT lang,
+             CAST(floor((len(text) - (len(str_split(text, ' ')) - 1))
+                        * 1000.0 / len(str_split(text, ' '))) AS BIGINT) AS f1,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS f2,
+             CAST(floor(len(list_distinct(str_split(text, ' ')))
+                        * 1000.0 / len(str_split(text, ' '))) AS BIGINT) AS y
+      FROM documents
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(SUM(f1) AS DOUBLE) AS s1,
+             CAST(SUM(f2) AS DOUBLE) AS s2,
+             CAST(SUM(f1 * f1) AS DOUBLE) AS s11,
+             CAST(SUM(f1 * f2) AS DOUBLE) AS s12,
+             CAST(SUM(f2 * f2) AS DOUBLE) AS s22,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(f1 * y) AS DOUBLE) AS s1y,
+             CAST(SUM(f2 * y) AS DOUBLE) AS s2y
+      FROM feats
+    ),
+    coefs AS (
+      SELECT {CR['det0']} / {CR['det']} AS b0,
+             {CR['det1']} / {CR['det']} AS b1,
+             {CR['det2']} / {CR['det']} AS b2
+      FROM sums
+    ),
+    resid AS (
+      SELECT f.lang,
+             CAST(round(c.b0 + c.b1 * f.f1 + c.b2 * f.f2 - f.y)
+                  AS BIGINT) AS rq,
+             c.b0, c.b1, c.b2
+      FROM feats f CROSS JOIN coefs c
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(abs(rq)) AS BIGINT) AS sum_abs_resid_milli,
+           round(CAST(SUM(abs(rq)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS mae_milli,
+           round(min(b0), 6) AS b0_6,
+           round(min(b1), 6) AS b1_6,
+           round(min(b2), 6) AS b2_6
+    FROM resid
+    GROUP BY lang
+    """
+
+
+@query(
+    "pipeline_quality_regression",
+    oracle=_regression_oracle(),
+    tags=("A1", "J1", "X3", "U6"),
+)
+def pipeline_quality_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed OLS fit + score in one declarative plan. The Cramer
+    solve runs on the 1-row sums aggregate INSIDE the plan (F.expr of the
+    shared CRAMER_SQL text), so Spark and DuckDB execute bit-identical
+    double arithmetic on bit-identical integer sums; residuals re-grid to
+    integer per-mille, keeping the per-lang MAE reduction exact."""
+    from ..operators.regression import ols_fit_2f, ols_score_residual_milli
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("long")
+    feats = docs.select(
+        "lang",
+        F.floor(
+            (F.length("text") - (n_tok - F.lit(1)))
+            * F.lit(1000.0)
+            / n_tok
+        ).cast("long").alias("f1"),
+        n_tok.alias("f2"),
+        F.floor(
+            F.size(F.array_distinct(toks)).cast("long")
+            * F.lit(1000.0)
+            / n_tok
+        ).cast("long").alias("y"),
+    )
+    coefs = ols_fit_2f(feats)
+    scored = feats.crossJoin(F.broadcast(coefs)).withColumn(
+        "rq",
+        ols_score_residual_milli(F.col("f1"), F.col("f2"), F.col("y")),
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.abs(F.col("rq"))).cast("long").alias("sum_abs_resid_milli"),
+        F.round(
+            F.sum(F.abs(F.col("rq"))).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mae_milli"),
+        F.round(F.min("b0"), 6).alias("b0_6"),
+        F.round(F.min("b1"), 6).alias("b1_6"),
+        F.round(F.min("b2"), 6).alias("b2_6"),
+    )

@@ -1333,3 +1333,36 @@ def test_brute_blocked_b_shards_pair_identical(spark, sf_dir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_ols_fit_matches_numpy_and_guards_singular(spark):
+    """The in-plan Cramer solve must agree with numpy's lstsq on a
+    well-conditioned integer fixture (to float tolerance — numpy uses
+    SVD, we use exact normal equations), and a collinear feature must
+    raise the embedded singular-matrix guard rather than emit NaNs."""
+    import numpy as np
+
+    from ppdb_parser_spark.operators.regression import ols_fit_2f
+
+    rows = [
+        (int(f1), int(f2), int(3 + 2 * f1 - 5 * f2 + (i % 7) - 3))
+        for i, (f1, f2) in enumerate(
+            (i * 13 % 40, i * 7 % 23) for i in range(200)
+        )
+    ]
+    df = spark.createDataFrame(rows, "f1 long, f2 long, y long")
+    got = ols_fit_2f(df).collect()[0]
+    X = np.array([[1.0, f1, f2] for f1, f2, _ in rows])
+    yv = np.array([float(y) for *_, y in rows])
+    want, *_ = np.linalg.lstsq(X, yv, rcond=None)
+    assert abs(got["b0"] - want[0]) < 1e-8
+    assert abs(got["b1"] - want[1]) < 1e-8
+    assert abs(got["b2"] - want[2]) < 1e-8
+
+    import pytest as _pytest
+
+    collinear = spark.createDataFrame(
+        [(i, 2 * i, i + 1) for i in range(50)], "f1 long, f2 long, y long"
+    )
+    with _pytest.raises(Exception, match="singular"):
+        ols_fit_2f(collinear).collect()

@@ -313,6 +313,63 @@ def main() -> None:
             )
             prev_k, prev_t = k, tk
 
+    if "semdedup256h2" in only:
+        # Round-8 (VERDICT r7 item 5): the SAME cells ∝ n ladder through
+        # 256x, but with the hierarchical two-level coarse assignment
+        # (n_super = round(sqrt(cells))) — per-row assignment work drops
+        # from O(cells) dots to O(sqrt(cells)) (supers + one super's
+        # children), so the step efficiency that climbed 0.20→0.53→0.88
+        # on the single-level ladder (BASELINE.md §SemDeDup-256x) should
+        # fall back out of its knee. Output is the h2 assignment (a
+        # different, coarser-routed partition than flat argmax — that is
+        # the point); sanity: one row per vector, all kept/dropped
+        # decisions boolean.
+        import math as _math
+
+        from ppdb_parser_spark.operators.similarity import (
+            semantic_dedup_two_level,
+        )
+
+        emb = load_table(spark, sf, "embeddings")
+
+        def perturbed_union_h2(e, k):
+            return _shifted_union(e, "vec_id", k).withColumn(
+                "embedding",
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, i: F.when(
+                        i == 0,
+                        x + (F.col("vec_id") / 10_000_000 % k) * 0.11,
+                    ).otherwise(x),
+                ),
+            )
+
+        n1 = emb.count()
+        s1 = timed(
+            "semantic_dedup_h2 1x cells=8 super=3",
+            semantic_dedup_two_level(emb, n_cells=8, n_super=3),
+        )
+        prev_k, prev_t = 1, s1
+        for k in (16, 64, 256):
+            ek = perturbed_union_h2(emb, k)
+            cells = 8 * k
+            sup = round(_math.sqrt(cells))
+            df_k = semantic_dedup_two_level(
+                ek, n_cells=cells, n_super=sup
+            )
+            n_out = df_k.count()  # warm pass + row-count sanity
+            assert n_out == n1 * k, (n_out, n1 * k)
+            t0 = time.perf_counter()
+            df_k.count()
+            tk = time.perf_counter() - t0
+            step = (tk / prev_t) / (k / prev_k)
+            print(
+                f"semantic_dedup_h2 {k}x cells={cells} super={sup}: "
+                f"{tk:.2f} s -> {tk / s1:.1f}x time for {k}x vectors "
+                f"(step efficiency {prev_k}x->{k}x: {step:.2f})"
+            )
+            prev_k, prev_t = k, tk
+
     if "starcc" in only:
         # Round-7 (VERDICT r6 item 4): star CC on a 64x-edges near-dup
         # graph vs the min-label fallback. Universe-shifted copies of the
