@@ -119,3 +119,47 @@ def ols_score_residual_milli(
     (MAE, bias) are exact integer sums again."""
     yhat = F.col("b0") + F.col("b1") * f1 + F.col("b2") * f2
     return F.round(yhat - y, 0).cast("long")
+
+
+def ols_fit_2f_by(
+    feats: DataFrame,
+    keys: list[str],
+    f1: str = "f1",
+    f2: str = "f2",
+    y: str = "y",
+) -> DataFrame:
+    """One OLS model PER KEY GROUP in a single pass — the grouped variant
+    of :func:`ols_fit_2f`: the nine exact int64 sums aggregate under
+    ``groupBy(keys)`` (still one map-side-combinable shuffle, now keyed),
+    and the Cramer solve evaluates per GROUP ROW. Fitting a million
+    per-domain/per-language models costs exactly one aggregation — no
+    per-group jobs, no loops, no pandas. Returns (keys..., b0, b1, b2).
+
+    Degenerate groups (constant/collinear features within a group) raise
+    the same loud singular-matrix guard; filter such groups beforehand
+    (e.g. ``HAVING count(*) >= k`` and non-constant features) if they are
+    expected."""
+    c1, c2, cy = F.col(f1), F.col(f2), F.col(y)
+    sums = feats.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(c1).cast("double").alias("s1"),
+        F.sum(c2).cast("double").alias("s2"),
+        F.sum(c1 * c1).cast("double").alias("s11"),
+        F.sum(c1 * c2).cast("double").alias("s12"),
+        F.sum(c2 * c2).cast("double").alias("s22"),
+        F.sum(cy).cast("double").alias("sy"),
+        F.sum(c1 * cy).cast("double").alias("s1y"),
+        F.sum(c2 * cy).cast("double").alias("s2y"),
+    )
+    det = F.expr(CRAMER_SQL["det"])
+    guard = F.assert_true(
+        det != F.lit(0.0),
+        "ols_fit_2f_by: singular normal equations in a key group — a "
+        "feature is constant or collinear within the group",
+    )
+    return sums.select(
+        *keys,
+        F.when(guard.isNull(), F.expr(CRAMER_SQL["det0"]) / det).alias("b0"),
+        (F.expr(CRAMER_SQL["det1"]) / det).alias("b1"),
+        (F.expr(CRAMER_SQL["det2"]) / det).alias("b2"),
+    )

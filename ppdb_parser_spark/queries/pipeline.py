@@ -486,3 +486,110 @@ def pipeline_quality_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("b1"), 6).alias("b1_6"),
         F.round(F.min("b2"), 6).alias("b2_6"),
     )
+
+
+def _regression_by_lang_oracle() -> str:
+    from ..operators.regression import CRAMER_SQL as CR
+
+    return f"""
+    WITH feats AS MATERIALIZED (
+      SELECT lang,
+             CAST(floor((len(text) - (len(str_split(text, ' ')) - 1))
+                        * 1000.0 / len(str_split(text, ' '))) AS BIGINT) AS f1,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS f2,
+             CAST(floor(len(list_distinct(str_split(text, ' ')))
+                        * 1000.0 / len(str_split(text, ' '))) AS BIGINT) AS y
+      FROM documents
+    ),
+    sums AS (
+      SELECT lang,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(SUM(f1) AS DOUBLE) AS s1,
+             CAST(SUM(f2) AS DOUBLE) AS s2,
+             CAST(SUM(f1 * f1) AS DOUBLE) AS s11,
+             CAST(SUM(f1 * f2) AS DOUBLE) AS s12,
+             CAST(SUM(f2 * f2) AS DOUBLE) AS s22,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(f1 * y) AS DOUBLE) AS s1y,
+             CAST(SUM(f2 * y) AS DOUBLE) AS s2y
+      FROM feats GROUP BY lang
+    ),
+    coefs AS (
+      SELECT lang,
+             {CR['det0']} / {CR['det']} AS b0,
+             {CR['det1']} / {CR['det']} AS b1,
+             {CR['det2']} / {CR['det']} AS b2
+      FROM sums
+    ),
+    resid AS (
+      SELECT f.lang,
+             CAST(round(c.b0 + c.b1 * f.f1 + c.b2 * f.f2 - f.y)
+                  AS BIGINT) AS rq,
+             c.b0, c.b1, c.b2
+      FROM feats f JOIN coefs c ON f.lang = c.lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(abs(rq)) AS BIGINT) AS sum_abs_resid_milli,
+           round(CAST(SUM(abs(rq)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS mae_milli,
+           round(min(b0), 6) AS b0_6,
+           round(min(b1), 6) AS b1_6,
+           round(min(b2), 6) AS b2_6
+    FROM resid
+    GROUP BY lang
+    """
+
+
+@query(
+    "pipeline_quality_regression_by_lang",
+    oracle=_regression_by_lang_oracle(),
+    tags=("A1", "J1", "X3", "U6"),
+)
+def pipeline_quality_regression_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Grouped model fitting: ONE aggregation fits an independent OLS
+    model per language (operators/regression.ols_fit_2f_by — the sums
+    shuffle is keyed, so a million groups cost the same single exchange),
+    then each document scores against ITS group's coefficients via a
+    broadcast equi join on the tiny coefficient relation. Demonstrates
+    the fit-N-models-in-one-pass shape a per-domain corpus pipeline
+    needs; per-lang MAE shows the grouped fits beating the global model
+    on their own groups by construction."""
+    from ..operators.regression import ols_fit_2f_by, ols_score_residual_milli
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("long")
+    feats = docs.select(
+        "lang",
+        F.floor(
+            (F.length("text") - (n_tok - F.lit(1)))
+            * F.lit(1000.0)
+            / n_tok
+        ).cast("long").alias("f1"),
+        n_tok.alias("f2"),
+        F.floor(
+            F.size(F.array_distinct(toks)).cast("long")
+            * F.lit(1000.0)
+            / n_tok
+        ).cast("long").alias("y"),
+    )
+    coefs = ols_fit_2f_by(feats, ["lang"])
+    scored = feats.join(F.broadcast(coefs), "lang").withColumn(
+        "rq",
+        ols_score_residual_milli(F.col("f1"), F.col("f2"), F.col("y")),
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.abs(F.col("rq"))).cast("long").alias("sum_abs_resid_milli"),
+        F.round(
+            F.sum(F.abs(F.col("rq"))).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mae_milli"),
+        F.round(F.min("b0"), 6).alias("b0_6"),
+        F.round(F.min("b1"), 6).alias("b1_6"),
+        F.round(F.min("b2"), 6).alias("b2_6"),
+    )

@@ -1366,3 +1366,32 @@ def test_ols_fit_matches_numpy_and_guards_singular(spark):
     )
     with _pytest.raises(Exception, match="singular"):
         ols_fit_2f(collinear).collect()
+
+
+def test_grouped_ols_matches_per_group_numpy(spark):
+    """ols_fit_2f_by must equal an independent numpy lstsq per group —
+    grouped fitting is N exact fits in one aggregation, not an
+    approximation."""
+    import numpy as np
+
+    from ppdb_parser_spark.operators.regression import ols_fit_2f_by
+
+    rows = []
+    for g, (a, b, c) in enumerate([(3, 2, -5), (-1, 4, 2), (10, -3, 1)]):
+        for i in range(120):
+            f1, f2 = (i * 13 + g) % 40, (i * 7 + 2 * g) % 23
+            rows.append(
+                (f"g{g}", f1, f2, a + b * f1 + c * f2 + (i % 5) - 2)
+            )
+    df = spark.createDataFrame(rows, "k string, f1 long, f2 long, y long")
+    got = {
+        r["k"]: (r["b0"], r["b1"], r["b2"])
+        for r in ols_fit_2f_by(df, ["k"]).collect()
+    }
+    for g in ("g0", "g1", "g2"):
+        sub = [r for r in rows if r[0] == g]
+        X = np.array([[1.0, f1, f2] for _, f1, f2, _ in sub])
+        yv = np.array([float(y) for *_, y in sub])
+        want, *_ = np.linalg.lstsq(X, yv, rcond=None)
+        for gi, wi in zip(got[g], want):
+            assert abs(gi - wi) < 1e-8, (g, got[g], want)
