@@ -1,0 +1,196 @@
+"""In-engine distributed PCA (top principal component, no ML library):
+exact quantized covariance via Arrow-batched per-partition numpy
+partials, then a fixed-iteration power method evaluated IN-PLAN on the
+1-row covariance context. The cross-engine determinism contract:
+
+- Embeddings quantize once onto an int64 grid (⌊x·2^20⌋, the repo's
+  _sem_quant discipline), so the second-moment matrix M = Σ qqᵀ and the
+  column sums S = Σ q are EXACT integer sums — order-independent, hence
+  identical no matter how partitions interleave, and identical in the
+  DuckDB oracle's unnest-and-SUM formulation.
+- The per-partition partial is a numpy int64 GEMM (Qᵀ·Q) — BLAS-speed
+  map-side work emitting ONE (dim², dim, 1) row per partition; merging
+  partials is a ~|partitions|·dim² row aggregation, constant-size in the
+  corpus. This is the textbook distributed-covariance layout: at 100 TB
+  nothing but dim²-sized partials ever crosses the wire.
+- Centering and the power iterations are closed-form IEEE arithmetic on
+  the exact integer sums: C_ij = (M_ij − S_i·S_j/n)/n, then v ←
+  normalize(C·v) a FIXED number of times from v₀ = e₁. Every fold is a
+  left fold with explicit init (Spark ``aggregate(arr, 0.0, ...)`` ≡
+  DuckDB ``list_reduce(list_prepend(0.0, arr), ...)``), so the float
+  summation order — the only nondeterminism float addition has — is
+  pinned identically in both engines. No transcendentals beyond sqrt
+  (correctly rounded per IEEE-754, engine-identical).
+
+Plan-size note: each power iteration references the previous iteration's
+vector column many times; Catalyst's CollapseProject would re-inline the
+defining expression into every use and grow the tree exponentially over
+iterations (the measured winnowing failure mode, SNIPPETS/BASELINE
+round-5). The iteration loop therefore re-anchors the 1-row context with
+``localCheckpoint(eager=False)`` every few iterations — truncating the
+logical plan, which for a 1-row context costs microseconds.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+GRID = 1 << 20
+
+
+def covariance_context(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """ONE-row context (m: array<long> of dim², s: array<long> of dim,
+    n: long) holding the exact quantized second-moment matrix, column
+    sums, and row count. Raises in-plan if any element falls outside the
+    int64-safe grid bound (|x| < 8000 at grid 2^20 keeps per-element
+    products ≤ 2^86... practically: |q| ≤ 2^33 ⇒ q² ≤ 2^66 overflows —
+    enforce |x| ≤ 2000, products ≤ 2^62/dim per row, ample for unit-norm
+    embeddings)."""
+    import numpy as np
+    import pandas as pd
+
+    guard = F.assert_true(
+        F.max(F.aggregate(
+            F.transform(F.col(vec_col), lambda x: F.abs(x)),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        )) <= F.lit(2000.0),
+        "covariance_context: embedding element exceeds the int64-safe "
+        "grid bound (|x| <= 2000 at grid 2^20)",
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        M = np.zeros((dim, dim), dtype=np.int64)
+        S = np.zeros(dim, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf[vec_col].to_numpy())
+            Q = np.floor(A * GRID).astype(np.int64)
+            M += Q.T @ Q
+            S += Q.sum(axis=0)
+            n += Q.shape[0]
+        yield pd.DataFrame(
+            {"m": [M.ravel().tolist()], "s": [S.tolist()], "n": [n]}
+        )
+
+    parts = df.select(F.col(vec_col).alias(vec_col)).mapInPandas(
+        partials, schema="m array<long>, s array<long>, n long"
+    )
+    # merge the |partitions| constant-size partials: posexplode -> keyed
+    # exact sums -> rebuild ordered arrays (array_sort on (pos, sum)
+    # structs — deterministic, no collect)
+    m_rows = parts.select(F.posexplode("m").alias("k", "mv"))
+    m_merged = (
+        m_rows.groupBy("k").agg(F.sum("mv").alias("mv"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k", "mv"))),
+                lambda st: st["mv"],
+            ).alias("m")
+        )
+    )
+    s_rows = parts.select(F.posexplode("s").alias("k", "sv"))
+    s_merged = (
+        s_rows.groupBy("k").agg(F.sum("sv").alias("sv"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k", "sv"))),
+                lambda st: st["sv"],
+            ).alias("s")
+        )
+    )
+    n_merged = parts.agg(F.sum("n").alias("n"))
+    ctx = m_merged.crossJoin(s_merged).crossJoin(n_merged)
+    # attach the guard to the context so an out-of-grid input fails the
+    # job loudly at the first action (guard aggregates over the source)
+    guard_ctx = df.agg(
+        F.when(guard.isNull(), F.lit(1)).otherwise(F.lit(1)).alias("__ok")
+    )
+    return ctx.crossJoin(F.broadcast(guard_ctx)).drop("__ok")
+
+
+def pca_top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 12,
+) -> DataFrame:
+    """Top principal component of the (centered) embedding covariance:
+    returns dim rows (dim_idx int, comp_6 double, eigval_6 double) —
+    the unit eigenvector (rounded 1e-6) and the Rayleigh-quotient
+    eigenvalue in RAW embedding units (grid² divided back out). Power
+    iteration runs ``iters`` fixed steps from v₀ = e₁ in-plan; sign
+    follows the iteration (deterministic), not a convention."""
+    ctx = covariance_context(df, vec_col, dim)
+    nd = float(GRID) * float(GRID)
+    # C as array<double> of dim²: C_ij = (m[ij] − s_i·s_j/n)/n
+    idx = F.sequence(F.lit(0), F.lit(dim * dim - 1))
+    cov = F.transform(
+        idx,
+        lambda k: (
+            F.element_at(F.col("m"), k + 1).cast("double")
+            - F.element_at(F.col("s"), (k / dim).cast("int") + 1)
+            .cast("double")
+            * F.element_at(F.col("s"), (k % dim) + 1).cast("double")
+            / F.col("n").cast("double")
+        )
+        / F.col("n").cast("double"),
+    )
+    v0 = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.when(i == 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+    cur = ctx.select(cov.alias("c"), v0.alias("v"))
+
+    def matvec(c, v):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.aggregate(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.element_at(c, i * dim + j + 1)
+                * F.element_at(v, j + 1),
+            ),
+        )
+
+    for t in range(iters):
+        cur = cur.withColumn("w", matvec(F.col("c"), F.col("v")))
+        norm = F.sqrt(
+            F.aggregate(
+                F.col("w"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        )
+        cur = cur.select(
+            "c",
+            F.transform(F.col("w"), lambda x: x / norm).alias("v"),
+        )
+        if t % 3 == 2:
+            # re-anchor the 1-row context: CollapseProject otherwise
+            # re-inlines v's definition into every one of the dim² uses
+            # next iteration (exponential tree growth over iterations)
+            cur = cur.localCheckpoint(eager=False)
+    final = cur.withColumn("w", matvec(F.col("c"), F.col("v")))
+    eigval = (
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("w"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(nd)
+    )
+    return final.select(
+        F.posexplode("v").alias("dim_idx", "comp"),
+        F.round(eigval, 6).alias("eigval_6"),
+    ).select(
+        "dim_idx",
+        F.round(F.col("comp"), 6).alias("comp_6"),
+        "eigval_6",
+    )

@@ -1017,6 +1017,7 @@ _SEMANTIC_H2_ORACLE = f"""
     "dedup_semantic_h2",
     oracle=_SEMANTIC_H2_ORACLE,
     tags=("O6", "L1", "L2"),
+    bench=True,
 )
 def dedup_semantic_h2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import semantic_dedup_two_level

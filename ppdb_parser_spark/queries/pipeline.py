@@ -443,6 +443,7 @@ def _regression_oracle() -> str:
     "pipeline_quality_regression",
     oracle=_regression_oracle(),
     tags=("A1", "J1", "X3", "U6"),
+    bench=True,
 )
 def pipeline_quality_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed OLS fit + score in one declarative plan. The Cramer
@@ -589,6 +590,150 @@ def pipeline_quality_regression_by_lang(
             / F.count(F.lit(1)).cast("double"),
             6,
         ).alias("mae_milli"),
+        F.round(F.min("b0"), 6).alias("b0_6"),
+        F.round(F.min("b1"), 6).alias("b1_6"),
+        F.round(F.min("b2"), 6).alias("b2_6"),
+    )
+
+
+def _classifier_oracle() -> str:
+    from ..operators.regression import CRAMER_SQL as CR
+    from ..operators.regression import LOGIT_SQL as LG
+    from .training_data import _GOPHER_PASS_SQL
+
+    return f"""
+    WITH feats AS MATERIALIZED (
+      SELECT lang,
+             CAST(floor((len(text) - (len(str_split(text, ' ')) - 1))
+                        * 1000.0 / len(str_split(text, ' '))) AS BIGINT) AS f1,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS f2,
+             CAST(CASE WHEN {_GOPHER_PASS_SQL} THEN 1 ELSE 0 END
+                  AS BIGINT) AS y
+      FROM documents
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(SUM(f1) AS DOUBLE) AS s1,
+             CAST(SUM(f2) AS DOUBLE) AS s2,
+             CAST(SUM(f1 * f1) AS DOUBLE) AS s11,
+             CAST(SUM(f1 * f2) AS DOUBLE) AS s12,
+             CAST(SUM(f2 * f2) AS DOUBLE) AS s22,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(f1 * y) AS DOUBLE) AS s1y,
+             CAST(SUM(f2 * y) AS DOUBLE) AS s2y
+      FROM feats
+    ),
+    step1_rhs AS (
+      SELECT n, s1, s2, s11, s12, s22,
+             (4 * (sy - n / 2)) AS sy,
+             (4 * (s1y - s1 / 2)) AS s1y,
+             (4 * (s2y - s2 / 2)) AS s2y
+      FROM sums
+    ),
+    coefs1 AS (
+      SELECT {CR['det0']} / {CR['det']} AS b0,
+             {CR['det1']} / {CR['det']} AS b1,
+             {CR['det2']} / {CR['det']} AS b2
+      FROM step1_rhs
+    ),
+    rows0 AS (
+      SELECT f.f1, f.f2, f.y, c.b0, c.b1, c.b2
+      FROM feats f CROSS JOIN coefs1 c
+    ),
+    rows1 AS (SELECT *, {LG['z']} AS z FROM rows0),
+    rows2 AS (SELECT *, {LG['s']} AS s FROM rows1),
+    rows3 AS (
+      SELECT *, {LG['wq']} AS wq, {LG['vq']} AS vq FROM rows2
+    ),
+    wsums AS (
+      SELECT CAST(SUM(wq) AS DOUBLE) AS n,
+             CAST(SUM(wq * f1) AS DOUBLE) AS s1,
+             CAST(SUM(wq * f2) AS DOUBLE) AS s2,
+             CAST(SUM(wq * f1 * f1) AS DOUBLE) AS s11,
+             CAST(SUM(wq * f1 * f2) AS DOUBLE) AS s12,
+             CAST(SUM(wq * f2 * f2) AS DOUBLE) AS s22,
+             CAST(SUM(vq) AS DOUBLE) AS sy,
+             CAST(SUM(vq * f1) AS DOUBLE) AS s1y,
+             CAST(SUM(vq * f2) AS DOUBLE) AS s2y
+      FROM rows3
+    ),
+    coefs AS (
+      SELECT {CR['det0']} / {CR['det']} AS b0,
+             {CR['det1']} / {CR['det']} AS b1,
+             {CR['det2']} / {CR['det']} AS b2
+      FROM wsums
+    ),
+    scored0 AS (
+      SELECT f.lang, f.f1, f.f2, f.y, c.b0, c.b1, c.b2
+      FROM feats f CROSS JOIN coefs c
+    ),
+    scored AS (
+      SELECT *, {LG['z']} AS z FROM scored0
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN z >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pred_pass,
+           CAST(SUM(CASE WHEN (z >= 0) = (y = 1) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(floor(SUM(CASE WHEN (z >= 0) = (y = 1) THEN 1 ELSE 0 END)
+                      * 1000.0 / count(*)) AS BIGINT) AS acc_milli,
+           round(min(b0), 6) AS b0_6,
+           round(min(b1), 6) AS b1_6,
+           round(min(b2), 6) AS b2_6
+    FROM scored
+    GROUP BY lang
+    """
+
+
+@query(
+    "pipeline_quality_classifier",
+    oracle=_classifier_oracle(),
+    tags=("A1", "J1", "X3", "U6"),
+)
+def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap-proxy quality classifier: two-step Newton/IRLS logistic fit
+    (operators/regression.logit_fit_2f) predicting the EXPENSIVE Gopher
+    quality gate from two cheap lexical features — the standard curation
+    trick of screening 100 TB with a 2-feature linear score and reserving
+    the full gate for the survivors. Distributed cost: two 9-sum
+    map-side-combinable aggregations (the Cramer solves run in-plan on
+    the 1-row aggregates) + one broadcast-scored scan; the per-row IRLS
+    weights quantize onto a 2^20 integer grid and sum as DECIMAL(38,0),
+    so fit and metrics are exact order-independent arithmetic — the same
+    cross-engine hash-oracle discipline as the OLS family (shared
+    expression texts: CRAMER_SQL + LOGIT_SQL)."""
+    from ..operators.regression import LOGIT_SQL, logit_fit_2f
+    from .training_data import gopher_pass_all
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("long")
+    feats = docs.select(
+        "lang",
+        F.floor(
+            (F.length("text") - (n_tok - F.lit(1)))
+            * F.lit(1000.0)
+            / n_tok
+        ).cast("long").alias("f1"),
+        n_tok.alias("f2"),
+        gopher_pass_all().cast("long").alias("y"),
+    )
+    coefs = logit_fit_2f(feats)
+    scored = feats.crossJoin(F.broadcast(coefs)).withColumn(
+        "z", F.expr(LOGIT_SQL["z"])
+    )
+    pred = F.col("z") >= F.lit(0.0)
+    hit = pred == (F.col("y") == F.lit(1))
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("y").cast("long").alias("n_pass"),
+        F.sum(pred.cast("long")).cast("long").alias("n_pred_pass"),
+        F.sum(hit.cast("long")).cast("long").alias("n_correct"),
+        F.floor(
+            F.sum(hit.cast("long")) * F.lit(1000.0) / F.count(F.lit(1))
+        ).cast("long").alias("acc_milli"),
         F.round(F.min("b0"), 6).alias("b0_6"),
         F.round(F.min("b1"), 6).alias("b1_6"),
         F.round(F.min("b2"), 6).alias("b2_6"),

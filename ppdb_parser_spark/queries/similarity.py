@@ -840,3 +840,91 @@ def sim_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_multiprobe_topk(
         e, probe_id=1, n_planes=8, seed=42, k=10, max_flips=2, dim=64
     )
+
+
+# --------------------------------------------------------------------------
+# In-engine distributed PCA (operators/linalg.py): exact int64-grid
+# covariance via Arrow-batched numpy partials (one dim^2 partial per
+# partition — the only thing that ever crosses the wire), then a fixed
+# 12-step power iteration evaluated in-plan on the 1-row context. The
+# oracle replays the identical arithmetic: exact integer M/S/n sums via
+# unnest, then the same left-fold float sequences (list_reduce with a
+# prepended 0.0 init == Spark's aggregate(arr, 0.0, ...)).
+# --------------------------------------------------------------------------
+def _pca_oracle(dim: int = 64, iters: int = 12) -> str:
+    d2 = dim * dim
+    head = f"""
+    WITH q AS (
+      SELECT list_transform(embedding,
+                            x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    mi AS (
+      SELECT k, SUM(qv[k // {dim} + 1] * qv[k % {dim} + 1]) AS mv
+      FROM q, (SELECT unnest(range({d2})) AS k)
+      GROUP BY k
+    ),
+    mm AS (SELECT list(mv ORDER BY k) AS m FROM mi),
+    si AS (
+      SELECT i, SUM(qv[i + 1]) AS sv
+      FROM q, (SELECT unnest(range({dim})) AS i)
+      GROUP BY i
+    ),
+    ss AS (SELECT list(sv ORDER BY i) AS s FROM si),
+    nn AS (SELECT COUNT(*) AS n FROM q),
+    it0 AS (
+      SELECT list_transform(range({d2}),
+               k -> (CAST(m[k + 1] AS DOUBLE)
+                     - CAST(s[k // {dim} + 1] AS DOUBLE)
+                       * CAST(s[k % {dim} + 1] AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                    / CAST(n AS DOUBLE)) AS c,
+             list_transform(range({dim}),
+               i -> CASE WHEN i = 0 THEN CAST(1.0 AS DOUBLE)
+                         ELSE CAST(0.0 AS DOUBLE) END) AS v
+      FROM mm, ss, nn
+    )"""
+    matvec = (
+        f"list_transform(range({dim}), i -> list_reduce("
+        f"list_prepend(CAST(0.0 AS DOUBLE), list_transform(range({dim}), "
+        f"j -> c[i * {dim} + j + 1] * v[j + 1])), (acc, x) -> acc + x))"
+    )
+    norm_of_w = (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(w, y -> y * y)), (acc, x) -> acc + x))"
+    )
+    steps = []
+    for t in range(1, iters + 1):
+        prev = "it0" if t == 1 else f"it{t - 1}"
+        steps.append(f"w{t} AS (SELECT c, {matvec} AS w FROM {prev})")
+        steps.append(
+            f"it{t} AS (SELECT c, list_transform(w, x -> x / "
+            f"{norm_of_w}) AS v FROM w{t})"
+        )
+    final = f"""
+    wf AS (SELECT c, v, {matvec} AS w FROM it{iters}),
+    eig AS (
+      SELECT v,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range({dim}), i -> v[i + 1] * w[i + 1])),
+               (acc, x) -> acc + x) / (1048576.0 * 1048576.0) AS ev
+      FROM wf
+    )
+    SELECT CAST(i AS INTEGER) AS dim_idx,
+           round(v[i + 1], 6) AS comp_6,
+           round(ev, 6) AS eigval_6
+    FROM eig, (SELECT unnest(range({dim})) AS i)
+    """
+    return head + ",\n" + ",\n".join(steps) + "," + final
+
+
+@query(
+    "sim_pca_top_component",
+    oracle=_pca_oracle(),
+    tags=("L1", "U4", "X3", "X4"),
+)
+def sim_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linalg import pca_top_component
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return pca_top_component(e, "embedding", dim=64, iters=12)

@@ -755,3 +755,37 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exact heavy hitters via sketch-then-verify (operators/sketch.py): a
+# bounded-memory Misra-Gries candidate pass per partition (coverage
+# guarantee: supersets every global θ-heavy hitter), then exact counts of
+# ONLY the candidates — so the result equals the naive full-histogram
+# GROUP BY/HAVING row-for-row while shuffling candidate values instead of
+# one record per token occurrence. The oracle IS the naive plan.
+# --------------------------------------------------------------------------
+@query(
+    "text_heavy_hitters",
+    oracle="""
+    WITH t AS (
+      SELECT unnest(str_split(text, ' ')) AS value FROM documents
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t
+            WHERE value IS NOT NULL)
+    SELECT t.value,
+           CAST(count(*) AS BIGINT) AS freq,
+           CAST(min(tot.n) AS BIGINT) AS n
+    FROM t CROSS JOIN tot
+    WHERE t.value IS NOT NULL
+    GROUP BY t.value
+    HAVING count(*) * 30 >= min(tot.n)
+    """,
+    tags=("A1", "U4", "L4"),
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    return heavy_hitters(toks, "tok", theta=30)

@@ -1218,3 +1218,133 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Mixture design as exact water-filling (operators/allocation.py): split a
+# data-derived token budget (40 % of the corpus) across sources
+# proportionally to a per-source quality weight, capped by availability —
+# saturate the low-capacity/high-weight sources, level the rest at a
+# common rational water line, and hand out the floor residue
+# deterministically so Σ alloc == budget token-for-token. Everything is
+# int64 cross-multiplication / DIV arithmetic (no float decisions), so
+# the full allocation is hash-oracle-able.
+# --------------------------------------------------------------------------
+_WATERFILL_ORACLE = """
+    WITH feats AS (
+      SELECT source,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS uniq
+      FROM documents
+    ),
+    per_source AS (
+      SELECT source,
+             CAST(SUM(n_tok) AS BIGINT) AS cap,
+             GREATEST(1, CAST(SUM((1000 * uniq) // n_tok) AS BIGINT)
+                          // CAST(COUNT(*) AS BIGINT)) AS weight
+      FROM feats GROUP BY source
+    ),
+    bctx AS (
+      SELECT CAST((2 * SUM(cap)) // 5 AS BIGINT) AS budget FROM per_source
+    ),
+    j AS (SELECT p.*, b.budget FROM per_source p CROSS JOIN bctx b),
+    r1 AS (
+      SELECT *, CAST((cap * 1000000) // weight AS BIGINT) AS ratio_key
+      FROM j
+    ),
+    r2 AS (
+      SELECT *,
+        CAST(COALESCE(SUM(cap) OVER (
+               ORDER BY ratio_key, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS prefix_cap,
+        CAST(SUM(weight) OVER (
+               ORDER BY ratio_key, source
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS BIGINT) AS suffix_w,
+        CAST(SUM(cap) OVER () AS BIGINT) AS total_cap
+      FROM r1
+    ),
+    r3 AS (
+      SELECT *,
+        CASE WHEN (LEAST(budget, total_cap) - prefix_cap) * weight
+                  >= cap * suffix_w
+             THEN 1 ELSE 0 END AS pred
+      FROM r2
+    ),
+    r4 AS (
+      SELECT *,
+        (MIN(pred) OVER (
+           ORDER BY ratio_key, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1) AS sat
+      FROM r3
+    ),
+    r5 AS (
+      SELECT *,
+        CAST(LEAST(budget, total_cap)
+             - COALESCE(SUM(CASE WHEN sat THEN cap END) OVER (), 0)
+             AS BIGINT) AS num,
+        CAST(COALESCE(SUM(CASE WHEN NOT sat THEN weight END) OVER (), 0)
+             AS BIGINT) AS den
+      FROM r4
+    ),
+    r6 AS (
+      SELECT *,
+        CASE WHEN sat THEN cap
+             ELSE (weight * num) // den END AS base_alloc,
+        CASE WHEN sat THEN -1 ELSE (weight * num) % den END AS rem
+      FROM r5
+    ),
+    r7 AS (
+      SELECT *,
+        CAST(num - COALESCE(
+               SUM(CASE WHEN NOT sat THEN base_alloc END) OVER (), 0)
+             AS BIGINT) AS leftover,
+        ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rem_rank
+      FROM r6
+    )
+    SELECT source, cap, weight,
+           CAST(base_alloc + CASE WHEN NOT sat AND rem_rank <= leftover
+                                  THEN 1 ELSE 0 END AS BIGINT) AS alloc,
+           CAST(CASE WHEN sat THEN 1 ELSE 0 END AS INTEGER) AS saturated
+    FROM r7
+"""
+
+
+@query(
+    "pipeline_mixture_waterfill",
+    oracle=_WATERFILL_ORACLE,
+    tags=("A1", "W4", "O1", "X3"),
+)
+def pipeline_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget allocation across sources: cap = Σ tokens available,
+    weight = mean per-doc distinct-token per-mille (integer DIV — exact),
+    budget = 40 % of all tokens, allocated by
+    operators/allocation.waterfill_alloc. The per-source relation this
+    sorts is the tiny aggregate, never the corpus; the budget context is
+    computed in-plan (1-row cross join), no collect anywhere."""
+    from ..operators.allocation import waterfill_alloc
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    feats = docs.select(
+        "source",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("uniq"),
+    )
+    per_source = (
+        feats.withColumn("ratio_milli", F.expr("(1000 * uniq) div n_tok"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_tok").cast("long").alias("cap"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr("sum(ratio_milli) div count(1)"),
+            ).alias("weight"),
+        )
+    )
+    budget_ctx = per_source.agg(
+        F.expr("(2 * sum(cap)) div 5").alias("budget")
+    )
+    j = per_source.crossJoin(F.broadcast(budget_ctx))
+    return waterfill_alloc(j, "budget")

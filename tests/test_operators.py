@@ -1395,3 +1395,167 @@ def test_grouped_ols_matches_per_group_numpy(spark):
         want, *_ = np.linalg.lstsq(X, yv, rcond=None)
         for gi, wi in zip(got[g], want):
             assert abs(gi - wi) < 1e-8, (g, got[g], want)
+
+
+def test_logit_fit_matches_numpy_irls_and_guards_singular(spark):
+    """logit_fit_2f must reproduce an independent numpy implementation of
+    the SAME fixed procedure (2 Newton steps from b=0, rational-sigmoid
+    link, 2^20 weight quantization) to float tolerance, and its decision
+    direction must track the planted signal. Collinear features raise the
+    singular guard."""
+    import numpy as np
+
+    from ppdb_parser_spark.operators.regression import logit_fit_2f
+
+    rows = [
+        (
+            int(f1),
+            int(f2),
+            int(1 if (2 * f1 - 3 * f2 + ((i * 11) % 9) - 4) > 10 else 0),
+        )
+        for i, (f1, f2) in enumerate(
+            ((i * 13) % 40, (i * 7) % 23) for i in range(400)
+        )
+    ]
+    df = spark.createDataFrame(rows, "f1 long, f2 long, y long")
+    got = logit_fit_2f(df).collect()[0]
+
+    X = np.array([[1.0, f1, f2] for f1, f2, _ in rows])
+    yv = np.array([float(y) for *_, y in rows])
+    # step 1: b = 4 (X'X)^-1 X'(y - 1/2)
+    b = 4.0 * np.linalg.solve(X.T @ X, X.T @ (yv - 0.5))
+    # step 2: quantized IRLS re-fit
+    z = X @ b
+    s = 0.5 + z / (2.0 * (1.0 + np.abs(z)))
+    wq = np.floor(s * (1 - s) * 1048576)
+    vq = np.floor((s * (1 - s) * z + (yv - s)) * 1048576)
+    H = X.T @ (X * wq[:, None])
+    rhs = X.T @ vq
+    want = np.linalg.solve(H, rhs)
+    assert abs(got["b0"] - want[0]) < 1e-6
+    assert abs(got["b1"] - want[1]) < 1e-6
+    assert abs(got["b2"] - want[2]) < 1e-6
+    # direction: planted rule is +f1 / -f2
+    assert got["b1"] > 0 and got["b2"] < 0
+
+    collinear = spark.createDataFrame(
+        [(i, 2 * i, i % 2) for i in range(50)], "f1 long, f2 long, y long"
+    )
+    with pytest.raises(Exception, match="singular"):
+        logit_fit_2f(collinear).collect()
+
+
+def test_heavy_hitters_exact_vs_naive_and_partition_adversarial(spark):
+    """heavy_hitters must equal the naive GROUP BY/HAVING result exactly,
+    including when a heavy value's occurrences are SPREAD thin across
+    many partitions (the case where a per-partition top-k would miss it
+    but the Misra-Gries ratio guarantee cannot)."""
+    from ppdb_parser_spark.operators.sketch import heavy_hitters
+
+    # 10 partitions, heavy values spread evenly (MG sees per-partition
+    # RATIOS, so spreading cannot hide a global heavy hitter); the
+    # adversarial part is the long tail of distinct filler values
+    # churning the bounded counter set.
+    rows = []
+    for i in range(5000):
+        if i % 8 == 0:
+            rows.append(("hot",))
+        elif i % 9 == 0:
+            rows.append(("warm",))
+        else:
+            rows.append((f"rare_{i}",))
+    df = spark.createDataFrame(rows, "v string").repartition(10)
+    got = {
+        (r["value"], r["freq"], r["n"])
+        for r in heavy_hitters(df, "v", theta=20).collect()
+    }
+    from collections import Counter
+
+    c = Counter(v for (v,) in rows)
+    n = sum(c.values())
+    want = {(v, f, n) for v, f in c.items() if f * 20 >= n}
+    assert got == want and len(want) >= 2
+
+
+def test_waterfill_alloc_invariants(spark):
+    """waterfill_alloc must hit the budget EXACTLY, respect caps,
+    saturate exactly the low-ratio prefix, and level the unsaturated
+    sources to within one token of proportional fairness."""
+    from ppdb_parser_spark.operators.allocation import waterfill_alloc
+
+    rows = [
+        ("s0", 50, 10),     # tiny cap, big weight -> saturates
+        ("s1", 10_000, 1),
+        ("s2", 7_000, 7),
+        ("s3", 12_345, 5),
+        ("s4", 400, 4),     # saturates
+        ("s5", 9_999, 3),
+        ("s6", 9_999, 3),   # exact tie with s5
+    ]
+    df = spark.createDataFrame(rows, "source string, cap long, weight long")
+    for budget in (17, 5_000, 20_000, 49_793, 10**9):
+        out = {
+            r["source"]: r
+            for r in waterfill_alloc(df, budget).collect()
+        }
+        total_cap = sum(c for _, c, _ in rows)
+        assert sum(r["alloc"] for r in out.values()) == min(
+            budget, total_cap
+        ), budget
+        for _, c, _ in rows:
+            pass
+        for name, c, w in rows:
+            r = out[name]
+            assert 0 <= r["alloc"] <= c, (budget, name)
+            if r["saturated"]:
+                assert r["alloc"] == c, (budget, name)
+        # every saturated ratio <= every unsaturated ratio
+        sat_keys = [
+            c * 1_000_000 // w
+            for name, c, w in rows
+            if out[name]["saturated"]
+        ]
+        unsat = [(name, c, w) for name, c, w in rows
+                 if not out[name]["saturated"]]
+        if sat_keys and unsat:
+            assert max(sat_keys) <= min(
+                c * 1_000_000 // w for _, c, w in unsat
+            ), budget
+        # pairwise fairness among unsaturated: allocs proportional to
+        # weights within one-token floor/residual granularity
+        for i, (na, ca, wa) in enumerate(unsat):
+            for nb, cb, wb in unsat[i + 1:]:
+                aa, ab = out[na]["alloc"], out[nb]["alloc"]
+                assert abs(aa * wb - ab * wa) <= wa + wb, (
+                    budget, na, nb, aa, ab,
+                )
+
+
+def test_pca_top_component_matches_numpy_eigh(spark):
+    """pca_top_component's fixed-iteration power method must land on
+    numpy's true top eigenvector (|cos| >= 0.999) and eigenvalue (rel
+    1e-3) for a spectrum with a clear gap — quantization at 2^20 and 12
+    iterations are ample for embedding-scale data."""
+    import numpy as np
+
+    from ppdb_parser_spark.operators.linalg import pca_top_component
+
+    rng = np.random.RandomState(7)
+    dim = 16
+    # anisotropic cloud: dominant direction u with sigma 5x the rest
+    u = rng.randn(dim)
+    u /= np.linalg.norm(u)
+    X = rng.randn(800, dim) * 0.3 + np.outer(rng.randn(800) * 1.5, u)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    ).repartition(6)
+    out = pca_top_component(df, "embedding", dim=dim, iters=12).collect()
+    got = np.array([r["comp_6"] for r in sorted(out, key=lambda r: r["dim_idx"])])
+    eig = out[0]["eigval_6"]
+
+    C = np.cov(X.T, bias=True)
+    w, V = np.linalg.eigh(C)
+    top = V[:, -1]
+    assert abs(float(got @ top)) >= 0.999, float(got @ top)
+    assert abs(eig - w[-1]) <= max(1e-3 * w[-1], 5e-3), (eig, w[-1])

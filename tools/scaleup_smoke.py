@@ -344,31 +344,67 @@ def main() -> None:
                 ),
             )
 
-        n1 = emb.count()
-        s1 = timed(
-            "semantic_dedup_h2 1x cells=8 super=3",
-            semantic_dedup_two_level(emb, n_cells=8, n_super=3),
-        )
-        prev_k, prev_t = 1, s1
-        for k in (16, 64, 256):
-            ek = perturbed_union_h2(emb, k)
-            cells = 8 * k
-            sup = round(_math.sqrt(cells))
-            df_k = semantic_dedup_two_level(
-                ek, n_cells=cells, n_super=sup
-            )
-            n_out = df_k.count()  # warm pass + row-count sanity
-            assert n_out == n1 * k, (n_out, n1 * k)
+        # count() timing is WRONG here (the bench-v2 finding): the kept
+        # left join preserves cardinality, so Catalyst prunes the
+        # dominance pair scan AND the per-row argmax projections under a
+        # count — both ladders would mostly time the scan+union. Force
+        # every output column with the bench.py reduction instead. And
+        # the timed pass must run on a FRESH plan build (like bench.py's
+        # per-run spec.fn call): re-collecting the SAME DataFrame lets
+        # the scheduler skip every map stage whose shuffle files the
+        # warm pass already wrote — the per-row assignment work this
+        # ladder exists to measure is exactly what gets skipped
+        # (observed: flat 16x "0.09s, step efficiency 0.05").
+        def forced(build):
+            def agg(df):
+                return df.select(
+                    F.bit_xor(F.xxhash64(F.struct("*"))).alias("h")
+                )
+
+            warm = build()
+            warm.count()  # row-count sanity / warm scan
+            agg(warm).collect()  # warm (codegen + JIT)
             t0 = time.perf_counter()
-            df_k.count()
-            tk = time.perf_counter() - t0
-            step = (tk / prev_t) / (k / prev_k)
-            print(
-                f"semantic_dedup_h2 {k}x cells={cells} super={sup}: "
-                f"{tk:.2f} s -> {tk / s1:.1f}x time for {k}x vectors "
-                f"(step efficiency {prev_k}x->{k}x: {step:.2f})"
-            )
-            prev_k, prev_t = k, tk
+            agg(build()).collect()  # fresh lineage: no stage skipping
+            return time.perf_counter() - t0
+
+        from ppdb_parser_spark.operators.similarity import semantic_dedup
+
+        n1 = emb.count()
+        # flat's FORCED assignment at 256x is ~1e9 interpreted cell dots
+        # (tens of minutes) — its ladder stops at 64x; the 64x->256x flat
+        # step is already the knee the r7 smoke extrapolated, and h2's
+        # 256x row against flat's 64x trend is the comparison that
+        # matters.
+        for label, ks, fit in (
+            ("flat", (16, 64), lambda e, c, s: semantic_dedup(e, n_cells=c)),
+            (
+                "h2",
+                (16, 64, 256),
+                lambda e, c, s: semantic_dedup_two_level(
+                    e, n_cells=c, n_super=s
+                ),
+            ),
+        ):
+            s1 = forced(lambda: fit(emb, 8, 3))
+            print(f"semantic_dedup[{label}] 1x cells=8: {s1:.2f} s")
+            prev_k, prev_t = 1, s1
+            for k in ks:
+                cells = 8 * k
+                sup = round(_math.sqrt(cells))
+                tk = forced(
+                    lambda k=k, cells=cells, sup=sup: fit(
+                        perturbed_union_h2(emb, k), cells, sup
+                    )
+                )
+                step = (tk / prev_t) / (k / prev_k)
+                print(
+                    f"semantic_dedup[{label}] {k}x cells={cells}"
+                    f"{' super=' + str(sup) if label == 'h2' else ''}: "
+                    f"{tk:.2f} s -> {tk / s1:.1f}x time for {k}x vectors "
+                    f"(step efficiency {prev_k}x->{k}x: {step:.2f})"
+                )
+                prev_k, prev_t = k, tk
 
     if "starcc" in only:
         # Round-7 (VERDICT r6 item 4): star CC on a 64x-edges near-dup
