@@ -33,12 +33,131 @@ logical plan, which for a 1-row context costs microseconds.
 
 from __future__ import annotations
 
+import hashlib
 from typing import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 GRID = 1 << 20
+
+#: JL quantization grid — the repo's quantize-once discipline
+#: (operators/similarity.SEM_QSCALE): elements round onto a 1e-7 grid
+#: ONCE per vector, projections then reduce exactly in int64.
+JL_QSCALE = 10_000_000
+
+
+def jl_signs(
+    dim_in: int = 64, dim_out: int = 16, salt: str = "jl:"
+) -> list[list[int]]:
+    """Deterministic ±1 sign matrix for a signed (Achlioptas-style)
+    Johnson–Lindenstrauss projection: sign[j][i] from the first byte of
+    ``md5(f"{salt}{j}:{i}")``. md5 is the repo's one cross-engine
+    deterministic hash; the matrix is a driver-side CONSTANT (data-
+    independent), embedded as a literal into BOTH the Spark plan and the
+    DuckDB oracle, so there is exactly one source of truth."""
+    return [
+        [
+            1
+            if hashlib.md5(f"{salt}{j}:{i}".encode()).digest()[0] % 2 == 0
+            else -1
+            for i in range(dim_in)
+        ]
+        for j in range(dim_out)
+    ]
+
+
+def jl_signs_sql(dim_in: int = 64, dim_out: int = 16) -> str:
+    """The SAME sign matrix as a DuckDB nested-list literal."""
+    rows = jl_signs(dim_in, dim_out)
+    return (
+        "["
+        + ", ".join("[" + ", ".join(str(s) for s in r) + "]" for r in rows)
+        + "]"
+    )
+
+
+def jl_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim_in: int = 64,
+    dim_out: int = 16,
+    out_col: str = "jl",
+) -> DataFrame:
+    """Append ``out_col``: the exact int64 signed-JL projection of
+    ``vec_col`` onto ``dim_out`` dimensions — out[j] = Σᵢ q(xᵢ)·sign[j][i]
+    with q(x) = round(x·1e7) (quantize-once, so the reduction is
+    order-independent integer arithmetic, bit-identical in any engine and
+    any partitioning). One narrow map over the scan: NO shuffle, no UDF —
+    dim_out in-plan integer folds per row inside whole-stage codegen.
+
+    This is a 100 TB *blocking/sketching* primitive, not a fine ranker:
+    a 64→16 projection cuts every downstream distance/dot evaluation
+    (LSH banding, coarse bucketing, cell assignment) 4× while keeping
+    pairwise distance estimates UNBIASED — measured on the embeddings
+    fixture (2k random pairs, tests/test_operators.py::
+    test_jl_projection_distortion_and_recall): ratio
+    ‖P(x−y)‖²/(dout·‖x−y‖²) has mean 1.017, p05 0.498, p95 1.652 at
+    dout=16 (0.633–1.449 at 32). The ±50% tails mean top-k recall on
+    concentrated isotropic unit vectors is intrinsically LOW — measured
+    top-5-in-top-C recall at dout=16: 0.204 (C=20), 0.552 (C=100),
+    0.716 (C=150); dout=32 reaches 0.868 at C=150. Serving rule: use JL
+    for coarse candidate blocking with C ≳ 20–30× k, or as the distance
+    column inside LSH/IVF buckets; for high-recall ANN use the measured
+    IVF tiers (operators/similarity.recommend_ann_tier). An earlier
+    draft claimed ≥0.9 top-5 recall at C=20 — falsified by this
+    measurement and recorded here per the repo's RECALL.md discipline.
+
+    Overflow bound (ENFORCED in-plan, the pagerank-wdeg pattern):
+    |out[j]| ≤ dim_in·max|q| — with the same |x| ≤ 37 element bound as
+    ``_sem_quant`` the sum stays ≤ 64·3.7e8 ≪ 2⁶³; an out-of-range
+    element raises rather than silently wrapping the projection."""
+    signs = F.array(
+        *[
+            F.array(*[F.lit(s) for s in row])
+            for row in jl_signs(dim_in, dim_out)
+        ]
+    )
+    v = F.col(vec_col)
+    q = F.transform(
+        v, lambda x: F.round(x.cast("double") * JL_QSCALE).cast("long")
+    )
+    max_abs = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    guard = F.assert_true(
+        max_abs <= F.lit(37.0),
+        "jl_project: embedding element exceeds the int64-safe grid "
+        "bound (|x| <= 37 at grid 1e7)",
+    )
+    qg = F.when(guard.isNull(), q)
+    proj = F.transform(
+        signs,
+        lambda srow: F.aggregate(
+            F.zip_with(qg, srow, lambda a, s: a * s),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return df.withColumn(out_col, proj)
+
+
+def jl_project_sql(
+    vec_expr: str, dim_in: int = 64, dim_out: int = 16
+) -> str:
+    """DuckDB expression computing the IDENTICAL projection list for
+    ``vec_expr`` (a DOUBLE[] column): same md5 sign constants, same
+    quantization text as the dedup_semantic oracle family
+    (``CAST(round(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)``), same
+    exact integer reduction."""
+    return f"""
+      list_transform({jl_signs_sql(dim_in, dim_out)}, srow ->
+        list_sum(list_transform(range(1, {dim_in + 1}), i ->
+          CAST(round(CAST({vec_expr}[i] AS DOUBLE) * 10000000.0)
+               AS BIGINT) * srow[i])))
+    """
 
 
 def covariance_context(

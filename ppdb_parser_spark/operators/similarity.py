@@ -1131,6 +1131,58 @@ def lsh_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def _lsh_band_candidates(
+    df: DataFrame,
+    n_planes: int,
+    n_bands: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+) -> DataFrame:
+    """Grid-exact hyperplane-LSH candidate generation shared by the
+    checked LSH join and its JL-screened variant: signature bits from
+    int64-grid plane projections, banded, then a band equi-join over the
+    BARE ids — the Σdf² band fan-out and the pair-set distinct shuffle
+    (id, band_sig) pairs, not dim-64 float arrays; embeddings (or JL
+    sketches) rejoin by id AFTER dedup, the pq_topk rerank pattern (at
+    100 TB the candidate exchange shrinks ~30×). Returns distinct
+    (id_a, id_b) with id_a < id_b."""
+    planes = lsh_planes(n_planes, dim, seed)
+    bits_per_band = n_planes // n_bands
+    bit_cols = [
+        F.when(
+            _grid_dot(F.col(vec_col), F.array(*[F.lit(x) for x in p])) >= 0, 1
+        )
+        .otherwise(0)
+        .alias(f"bit{i}")
+        for i, p in enumerate(planes)
+    ]
+    sig = df.select(F.col(id_col), F.col(vec_col), *bit_cols)
+    band_cols = [
+        F.concat_ws(
+            "",
+            *[F.col(f"bit{b * bits_per_band + j}") for j in range(bits_per_band)],
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    sig = sig.select(id_col, vec_col, *band_cols)
+    banded = sig.select(
+        id_col,
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias(
+            "band", "band_sig"
+        ),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_sig")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_sig")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def lsh_similarity_join_exact(
     df: DataFrame,
     threshold: float = 0.35,
@@ -1152,43 +1204,8 @@ def lsh_similarity_join_exact(
     hash-exact oracle. Same scale shape as the float variant: narrow
     signature map → band equi-join → exact refine.
     """
-    planes = lsh_planes(n_planes, dim, seed)
-    bits_per_band = n_planes // n_bands
-    bit_cols = [
-        F.when(
-            _grid_dot(F.col(vec_col), F.array(*[F.lit(x) for x in p])) >= 0, 1
-        )
-        .otherwise(0)
-        .alias(f"bit{i}")
-        for i, p in enumerate(planes)
-    ]
-    sig = df.select(F.col(id_col), F.col(vec_col), *bit_cols)
-    band_cols = [
-        F.concat_ws(
-            "",
-            *[F.col(f"bit{b * bits_per_band + j}") for j in range(bits_per_band)],
-        ).alias(f"band{b}")
-        for b in range(n_bands)
-    ]
-    sig = sig.select(id_col, vec_col, *band_cols)
-    # Band the bare ids only: the Σdf² band fan-out and the pair-set
-    # distinct shuffle (id, band_sig) pairs, not dim-64 float arrays —
-    # the embeddings rejoin by id AFTER dedup, exactly the rerank pattern
-    # pq_topk uses (at 100 TB the candidate exchange shrinks ~30×; the
-    # id-keyed rejoin touches each surviving pair once).
-    banded = sig.select(
-        id_col,
-        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias(
-            "band", "band_sig"
-        ),
-    )
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_sig")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_sig")
-    cand = (
-        a.join(b, ["band", "band_sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    cand = _lsh_band_candidates(
+        df, n_planes, n_bands, seed, id_col, vec_col, dim
     )
     emb = df.select(F.col(id_col), F.col(vec_col))
     cand = cand.join(
@@ -1209,6 +1226,125 @@ def lsh_similarity_join_exact(
     )
     return (
         cand.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def jl_screen_bound(
+    threshold: float, jl_dim: int, slack_num: int = 2, slack_den: int = 1
+) -> int:
+    """The exact integer JL-screen bound: keep a candidate pair iff its
+    projected squared distance Σⱼ(paⱼ−pbⱼ)² ≤ slack·jl_dim·2(1−τ)·Q²
+    (Q = linalg.JL_QSCALE). Derivation: on unit vectors cosine ≥ τ ⟺
+    ‖x−y‖² ≤ 2(1−τ); the projection is unbiased with
+    E[‖P(x−y)‖²] = jl_dim·‖x−y‖²·Q², and the measured p95 distortion
+    ratio at jl_dim=16 is 1.652 (tests/test_operators.py::
+    test_jl_projection_distortion_and_recall), so the default slack 2
+    covers the 95%+ tail. Computed in exact rational arithmetic from the
+    threshold's DECIMAL string (never float multiplication), so both
+    engines compare against the identical integer literal."""
+    from fractions import Fraction
+
+    from .linalg import JL_QSCALE
+
+    tau = Fraction(str(threshold))
+    return int(
+        Fraction(slack_num, slack_den)
+        * jl_dim
+        * 2
+        * (1 - tau)
+        * JL_QSCALE
+        * JL_QSCALE
+    )
+
+
+def lsh_jl_screened_pairs(
+    df: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 16,
+    n_bands: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    dim: int,
+    jl_dim: int = 16,
+    slack_num: int = 2,
+    slack_den: int = 1,
+) -> DataFrame:
+    """:func:`lsh_similarity_join_exact` with a 16-dim integer JL screen
+    between banding and the exact refine — the three-tier ladder the JL
+    sketch exists for:
+
+    1. band equi-join over bare ids (shared `_lsh_band_candidates`);
+    2. candidates rejoin the 16×int64 JL sketch (~128 B/row vs ~512 B
+       for the dim-64 double vector: the pair-stage exchange is 4×
+       lighter) and pairs whose PROJECTED squared distance exceeds
+       :func:`jl_screen_bound` are dropped before any dim-64 work;
+    3. only screen survivors rejoin the full embeddings for the exact
+       grid cosine ≥ τ refine.
+
+    Every stage is deterministic integer arithmetic (the screen compares
+    a DECIMAL(38,0) sum against an exact rational-derived integer), so
+    the whole ladder carries a full value-hash DuckDB oracle. The screen
+    is APPROXIMATE BY CONTRACT — a true-positive pair whose projected
+    distance lands beyond the slack·p95 tail is dropped. Measured
+    (tests/test_operators.py::test_jl_screened_lsh_pairs), both regimes:
+
+    - near-dup regime (τ=0.9, planted jittered duplicates): the screen
+      kills 99.9% of ~161k band candidates (165 survive) at recall 1.0
+      — the dim-64 refine runs on 0.1% of the collisions. This is the
+      deployment regime: dedup thresholds are high, and band collisions
+      at petabyte n dominate the pair count.
+    - bulk-overlap regime (τ=0.35 on the isotropic fixture, where the
+      τ-ball overlaps the typical inter-point distance d²≈2): only ~20%
+      of candidates screened out, recall 0.992–0.996 vs the unscreened
+      checked join (strict subset). When 2(1−τ)·slack exceeds the bulk
+      distance the screen can't help — use the unscreened tier there."""
+    from .linalg import jl_project
+
+    cand = _lsh_band_candidates(
+        df, n_planes, n_bands, seed, id_col, vec_col, dim
+    )
+    jl = jl_project(
+        df.select(F.col(id_col), F.col(vec_col)),
+        vec_col,
+        dim_in=dim,
+        dim_out=jl_dim,
+    ).select(F.col(id_col), F.col("jl"))
+    bound = jl_screen_bound(threshold, jl_dim, slack_num, slack_den)
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("jla"),
+            F.col("jlb"),
+            lambda x, y: (x - y).cast("decimal(19,0)")
+            * (x - y).cast("decimal(19,0)"),
+        ),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, v: acc + v,
+    )
+    screened = (
+        cand.join(jl.select(F.col(id_col).alias("id_a"), F.col("jl").alias("jla")), "id_a")
+        .join(jl.select(F.col(id_col).alias("id_b"), F.col("jl").alias("jlb")), "id_b")
+        .filter(d2 <= F.lit(bound).cast("decimal(38,0)"))
+        .select("id_a", "id_b")
+    )
+    emb = df.select(F.col(id_col), F.col(vec_col))
+    pairs = screened.join(
+        emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")),
+        "id_a",
+    ).join(
+        emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")),
+        "id_b",
+    )
+    cos = F.round(
+        (_grid_dot(F.col("va"), F.col("vb")) / float(PQ_GRID))
+        / (_grid_norm6(F.col("va")) * _grid_norm6(F.col("vb"))),
+        6,
+    )
+    return (
+        pairs.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

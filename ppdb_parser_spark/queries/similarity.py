@@ -532,6 +532,92 @@ def sim_lsh_pairs_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jl_screened_oracle() -> str:
+    from ..operators.linalg import jl_project_sql
+    from ..operators.similarity import jl_screen_bound
+
+    bound = jl_screen_bound(0.35, 16)
+    return f"""
+    WITH el AS (
+      SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings)
+    ),
+    vn AS (
+      SELECT vec_id,
+             round(sqrt(CAST(SUM(CAST(round(x * x * 1000000000.0) AS BIGINT))
+                             AS BIGINT) / 1000000000.0), 6) AS vnorm
+      FROM el GROUP BY 1
+    ),
+    proj AS (
+      SELECT e.vec_id, pl.p,
+             CAST(SUM(CAST(round(e.x * pl.h * 1000000000.0) AS BIGINT))
+                  AS BIGINT) AS g
+      FROM el e JOIN {_lsh_planes_values_sql()} pl ON pl.j = e.i - 1
+      GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT vec_id, p // 2 AS band,
+             string_agg(CASE WHEN g >= 0 THEN '1' ELSE '0' END, ''
+                        ORDER BY p) AS band_sig
+      FROM proj GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.vec_id < b.vec_id
+    ),
+    jls AS (
+      SELECT vec_id, {jl_project_sql('embedding')} AS jl FROM embeddings
+    ),
+    scr AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN jls a ON a.vec_id = c.id_a
+      JOIN jls b ON b.vec_id = c.id_b
+      WHERE list_sum(list_transform(range(1, 17), j ->
+              CAST(a.jl[j] - b.jl[j] AS HUGEINT)
+              * CAST(a.jl[j] - b.jl[j] AS HUGEINT)))
+            <= CAST({bound} AS HUGEINT)
+    ),
+    dots AS (
+      SELECT c.id_a, c.id_b,
+             CAST(SUM(CAST(round(ea.x * eb.x * 1000000000.0) AS BIGINT))
+                  AS BIGINT) AS dg
+      FROM scr c
+      JOIN el ea ON ea.vec_id = c.id_a
+      JOIN el eb ON eb.vec_id = c.id_b AND eb.i = ea.i
+      GROUP BY 1, 2
+    )
+    SELECT d.id_a, d.id_b,
+           round((dg / 1000000000.0) / (na.vnorm * nb.vnorm), 6) AS cosine
+    FROM dots d
+    JOIN vn na ON d.id_a = na.vec_id
+    JOIN vn nb ON d.id_b = nb.vec_id
+    WHERE round((dg / 1000000000.0) / (na.vnorm * nb.vnorm), 6) >= 0.35
+    """
+
+
+@query(
+    "sim_lsh_jl_screened_pairs",
+    oracle=_jl_screened_oracle(),
+    tags=("L2", "J2", "X4"),
+)
+def sim_lsh_jl_screened_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded-LSH pair join with the 16-dim integer JL screen between
+    banding and the dim-64 exact refine (operators/similarity.py::
+    lsh_jl_screened_pairs): the pair-stage exchange carries 16 int64s
+    instead of 64 doubles and the exact refine runs only on screen
+    survivors. Same planes/bands/threshold as `sim_lsh_pairs_checked`,
+    so the two queries' outputs measure the screen's recall directly —
+    pinned in tests/test_operators.py::test_jl_screened_lsh_pairs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.lsh_jl_screened_pairs(
+        e, threshold=0.35, n_planes=16, n_bands=8, seed=42, dim=64
+    )
+
+
 @query(
     "sim_ivfpq_topk",
     oracle=f"""
@@ -928,3 +1014,118 @@ def sim_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return pca_top_component(e, "embedding", dim=64, iters=12)
+
+
+# --------------------------------------------------------------------------
+# Signed Johnson–Lindenstrauss projection (operators/linalg.jl_project):
+# the 100 TB dimensionality pre-filter — one shuffle-free narrow map that
+# cuts every downstream pair/dot evaluation dim_in/dim_out (here 4×).
+# --------------------------------------------------------------------------
+def _jl_sig_oracle() -> str:
+    from ..operators.linalg import jl_project_sql
+
+    return f"""
+    SELECT vec_id,
+           array_to_string(
+             list_transform({jl_project_sql('embedding')},
+                            v -> CAST(v AS VARCHAR)), '-') AS jl_sig
+    FROM embeddings
+    """
+
+
+@query(
+    "sim_jl_project",
+    oracle=_jl_sig_oracle(),
+    tags=("L1", "X4"),
+)
+def sim_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact int64 JL signatures for every vector — the md5-derived ±1
+    sign matrix and the 1e-7 quantize-once grid are shared verbatim with
+    the oracle (operators/linalg.jl_signs / jl_project_sql), so the
+    16-dim projection is value-hash exact cross-engine."""
+    from ..operators.linalg import jl_project
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return jl_project(e, "embedding").select(
+        "vec_id",
+        F.concat_ws(
+            "-", F.transform("jl", lambda x: x.cast("string"))
+        ).alias("jl_sig"),
+    )
+
+
+def _jl_topk_oracle() -> str:
+    from ..operators.linalg import jl_project_sql
+
+    p = jl_project_sql("embedding")
+    return f"""
+    WITH pr AS (
+      SELECT {p} AS pjl FROM embeddings WHERE vec_id = 0
+    ),
+    cd AS (
+      SELECT vec_id, label, {p} AS cjl FROM embeddings WHERE vec_id <> 0
+    )
+    SELECT vec_id, label,
+           CAST(list_sum(list_transform(range(1, 17), j ->
+             CAST(cjl[j] - pjl[j] AS HUGEINT)
+             * CAST(cjl[j] - pjl[j] AS HUGEINT))) AS DOUBLE) AS d2
+    FROM cd, pr
+    ORDER BY d2, vec_id
+    LIMIT 10
+    """
+
+
+@query(
+    "sim_jl_topk",
+    oracle=_jl_topk_oracle(),
+    tags=("L1", "O2", "X4"),
+)
+def sim_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest neighbors of probe 0 in PROJECTED space: exact integer
+    squared-L2 over the 16-dim JL signatures (diffs cast to decimal
+    before squaring — |diff|² · 16 overflows int64 at the 1e-7 grid, and
+    the DECIMAL(38,0) sum is exact where a double sum would rank by
+    ulp), then the one cross-engine-safe emission: the exact integer
+    cast to double (correctly rounded from the same integer on both
+    sides). TakeOrderedAndProject over a narrow map — the probe is a
+    1-row broadcast, no shuffle of the candidate relation.
+
+    At 100 TB this ordering is the coarse candidate stage: project once
+    (4× smaller), take top-C in projected space, re-rank only the C
+    survivors with exact cosine. The recall of that composition is
+    MEASURED, not assumed (tests/test_operators.py::
+    test_jl_projection_distortion_and_recall): on concentrated isotropic
+    unit vectors dout=16 retains 0.204 of exact top-5 at C=20 and 0.552
+    at C=100 — so C must be ≳20–30× k here, and high-recall serving
+    belongs to the IVF tiers (recommend_ann_tier). The projection's
+    distance estimates themselves are unbiased (distortion mean 1.017,
+    p05/p95 0.50/1.65), which is what makes it a sound blocking key."""
+    from ..operators.linalg import jl_project
+
+    e = load_table(spark, sf_dir, "embeddings")
+    proj = jl_project(e, "embedding")
+    probe = proj.filter(F.col("vec_id") == 0).select(
+        F.col("jl").alias("pjl")
+    )
+    cand = proj.filter(F.col("vec_id") != 0)
+    diff2 = F.aggregate(
+        F.zip_with(
+            F.col("jl"),
+            F.col("pjl"),
+            lambda c, p: (
+                (c - p).cast("decimal(19,0)") * (c - p).cast("decimal(19,0)")
+            ),
+        ),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "label",
+            diff2.cast("double").alias("d2"),
+        )
+        .orderBy("d2", "vec_id")
+        .limit(10)
+    )

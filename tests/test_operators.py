@@ -1559,3 +1559,166 @@ def test_pca_top_component_matches_numpy_eigh(spark):
     top = V[:, -1]
     assert abs(float(got @ top)) >= 0.999, float(got @ top)
     assert abs(eig - w[-1]) <= max(1e-3 * w[-1], 5e-3), (eig, w[-1])
+
+
+def test_jl_projection_distortion_and_recall(spark):
+    """Pins jl_project's MEASURED quality claims (the numbers its
+    docstring cites) on the deterministic sf0.001 fixture:
+
+    - pairwise distortion ratio ‖P(x−y)‖²/(dout·‖x−y‖²) over 2k seeded
+      random pairs is unbiased (mean ≈ 1.017) with p05/p95 ≈ 0.50/1.65
+      at dout=16 — the real JL guarantee;
+    - top-5-in-top-C recall on concentrated isotropic unit vectors is
+      intrinsically low: ≈0.20 at C=20, ≈0.55 at C=100 (50 probes).
+      An earlier ≥0.9-at-C=20 claim was falsified by this measurement.
+
+    Also checks the projection is the exact integer the sign matrix
+    implies on a hand vector."""
+    import numpy as np
+
+    from ppdb_parser_spark.operators.linalg import jl_project, jl_signs
+    from ppdb_parser_spark.sources.tables import load_table
+
+    # hand-check: one vector, exact integer expectation
+    v = [0.5, -1.25] + [0.0] * 62
+    hand = spark.createDataFrame([(1, v)], "vec_id long, embedding array<double>")
+    got = jl_project(hand, "embedding").select("jl").head()[0]
+    S = jl_signs()
+    q = [round(x * 10_000_000) for x in v]
+    want = [sum(qi * row[i] for i, qi in enumerate(q)) for row in S]
+    assert got == want
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    pdf = (
+        jl_project(emb, "embedding")
+        .select("vec_id", "embedding", "jl")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    X = np.stack(pdf["embedding"].to_numpy())
+    P = np.stack(pdf["jl"].to_numpy()).astype(np.float64) / 1e7
+
+    # distortion: unbiased, heavy tails at dout=16 (deterministic seed)
+    rng = np.random.default_rng(0)
+    ii = rng.integers(0, len(X), 2000)
+    jj = rng.integers(0, len(X), 2000)
+    m = ii != jj
+    ii, jj = ii[m], jj[m]
+    d2 = ((X[ii] - X[jj]) ** 2).sum(axis=1)
+    p2 = ((P[ii] - P[jj]) ** 2).sum(axis=1) / 16.0
+    ratio = p2 / d2
+    assert 0.95 <= ratio.mean() <= 1.08, ratio.mean()
+    assert np.quantile(ratio, 0.05) >= 0.45
+    assert np.quantile(ratio, 0.95) <= 1.75
+
+    # recall curve: measured 0.204 (C=20), 0.552 (C=100) — pin lower
+    # bounds just under the measured values, and an UPPER bound at C=20
+    # so the docstring's "intrinsically low" statement stays honest.
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cos = Xn @ Xn.T
+    np.fill_diagonal(cos, -np.inf)
+    rec = {}
+    for C in (20, 100):
+        hits = total = 0
+        for qi in range(50):
+            exact5 = np.argsort(-cos[qi])[:5]
+            dd = ((P - P[qi]) ** 2).sum(axis=1)
+            dd[qi] = np.inf
+            hits += len(set(np.argsort(dd)[:C]) & set(exact5))
+            total += 5
+        rec[C] = hits / total
+    assert rec[20] >= 0.18, rec
+    assert rec[20] <= 0.45, rec
+    assert rec[100] >= 0.50, rec
+
+
+def test_jl_guard_raises_out_of_grid(spark):
+    from ppdb_parser_spark.operators.linalg import jl_project
+
+    bad = spark.createDataFrame(
+        [(1, [50.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="int64-safe grid"):
+        jl_project(bad, "embedding").collect()
+
+
+def test_jl_screened_lsh_pairs(spark):
+    """Pins lsh_jl_screened_pairs' measured two-regime contract:
+
+    near-dup regime (τ=0.9, 100 planted jittered duplicates over the
+    sf0.001 embeddings): the 16-dim integer JL screen kills ≥99% of the
+    ~161k band candidates and the screened ladder still finds EVERY pair
+    the unscreened checked join finds (recall 1.0).
+
+    bulk-overlap regime (τ=0.35, isotropic fixture): screened output is
+    a strict subset of the unscreened output with recall ≥ 0.99 (the
+    screen is honest — it drops only slack-tail pairs), but selectivity
+    is weak (~20%) because 2(1−τ)·slack exceeds the bulk distance."""
+    import numpy as np
+
+    from ppdb_parser_spark.operators.linalg import jl_project
+    from ppdb_parser_spark.operators.similarity import (
+        _lsh_band_candidates,
+        jl_screen_bound,
+        lsh_jl_screened_pairs,
+        lsh_similarity_join_exact,
+    )
+    from ppdb_parser_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    X = np.stack(pdf.embedding.to_numpy())
+    rng = np.random.default_rng(3)
+    idx = rng.integers(0, len(X), 100)
+    D = X[idx] + 0.05 * rng.normal(size=(100, 64))
+    D /= np.linalg.norm(D, axis=1, keepdims=True)
+    rows = [(int(i), [float(v) for v in X[i]]) for i in range(len(X))] + [
+        (1000 + k, [float(v) for v in D[k]]) for k in range(100)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # near-dup regime: selectivity + perfect recall at tau=0.9
+    cand = _lsh_band_candidates(df, 16, 8, 42, "vec_id", "embedding", 64)
+    n_cand = cand.count()
+    jl = jl_project(df.select("vec_id", "embedding"), "embedding").select(
+        "vec_id", "jl"
+    )
+    from pyspark.sql import functions as F
+
+    d2 = F.aggregate(
+        F.zip_with(
+            "jla",
+            "jlb",
+            lambda x, y: (x - y).cast("decimal(19,0)")
+            * (x - y).cast("decimal(19,0)"),
+        ),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda a, v: a + v,
+    )
+    surv = (
+        cand.join(
+            jl.select(F.col("vec_id").alias("id_a"), F.col("jl").alias("jla")),
+            "id_a",
+        )
+        .join(
+            jl.select(F.col("vec_id").alias("id_b"), F.col("jl").alias("jlb")),
+            "id_b",
+        )
+        .filter(d2 <= F.lit(jl_screen_bound(0.9, 16)).cast("decimal(38,0)"))
+        .count()
+    )
+    assert n_cand > 100_000, n_cand
+    assert surv / n_cand <= 0.01, (surv, n_cand)
+    s = lsh_jl_screened_pairs(df, threshold=0.9, dim=64).toPandas()
+    u = lsh_similarity_join_exact(df, threshold=0.9, dim=64).toPandas()
+    sp = set(zip(s.id_a, s.id_b))
+    up = set(zip(u.id_a, u.id_b))
+    assert len(up) == 100 and sp == up, (len(sp), len(up))
+
+    # bulk-overlap regime on the raw fixture: subset + recall >= 0.99
+    s2 = lsh_jl_screened_pairs(emb, threshold=0.35, dim=64).toPandas()
+    u2 = lsh_similarity_join_exact(emb, threshold=0.35, dim=64).toPandas()
+    sp2 = set(zip(s2.id_a, s2.id_b))
+    up2 = set(zip(u2.id_a, u2.id_b))
+    assert sp2 <= up2
+    assert len(sp2) / len(up2) >= 0.99, (len(sp2), len(up2))
