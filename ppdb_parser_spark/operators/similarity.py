@@ -206,6 +206,126 @@ def ivf_topk(
     )
 
 
+def ivf_batch_topk(
+    df: DataFrame,
+    probe_pred: Column,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """Batched IVF ANN: top-``k`` for EVERY probe selected by
+    ``probe_pred`` in one plan — the realistic serving shape (queries
+    arrive in batches; per-probe plans re-scan and re-assign the corpus
+    m times, this does it once).
+
+    Scale shape vs m× :func:`ivf_topk`:
+
+    - the seeds context row and the per-row cell ASSIGNMENT (the
+      O(n·cells) narrow map that dominates the single-probe plan) are
+      computed ONCE and shared by all probes;
+    - the probe relation — (probed_cell, probe_id, probe_emb) with
+      n_probe rows per probe — is a broadcast; candidates come from an
+      equi-join of assigned rows to it ON the cell id, so each data row
+      is evaluated only against probes probing ITS cell (never a
+      per-probe pass, never a cartesian against the probe batch);
+    - the per-probe top-k is one window over the candidate set
+      (partitioned by probe, full cosine/id tie-break), shuffling only
+      candidates (probed-cell populations × colliding probes), not the
+      corpus.
+
+    All distances are grid-exact (int64 dots, round-6 cosines) so the
+    batch carries a full value-hash DuckDB oracle; assignment argmax and
+    per-probe ranking tie-break on cell/vec id."""
+    from pyspark.sql import Window
+
+    seeds = df.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).cast("int").alias("cell_id"),
+        F.col(vec_col).alias("semb"),
+    )
+    seeds_row = seeds.agg(
+        F.collect_list(
+            F.struct(
+                F.col("cell_id"),
+                F.col("semb"),
+                _grid_norm6(F.col("semb")).alias("snorm"),
+            )
+        ).alias("seeds")
+    )
+
+    def _seed_cos(emb: Column, nrm: Column) -> Column:
+        return F.array_sort(
+            F.transform(
+                F.col("seeds"),
+                lambda s: F.struct(
+                    (
+                        -F.round(
+                            (_grid_dot(emb, s["semb"]) / float(PQ_GRID))
+                            / (nrm * s["snorm"]),
+                            6,
+                        )
+                    ).alias("negcos"),
+                    s["cell_id"].alias("cell_id"),
+                ),
+            )
+        )
+
+    j = df.withColumn("__nrm", _grid_norm6(F.col(vec_col))).crossJoin(
+        F.broadcast(seeds_row)
+    )
+    assigned = j.withColumn(
+        "cell_id",
+        F.element_at(_seed_cos(F.col(vec_col), F.col("__nrm")), 1)["cell_id"],
+    ).drop("seeds")
+
+    probes = (
+        df.filter(probe_pred)
+        .select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("probe_emb"),
+            _grid_norm6(F.col(vec_col)).alias("probe_nrm"),
+        )
+        .crossJoin(F.broadcast(seeds_row))
+        .select(
+            "probe_id",
+            "probe_emb",
+            "probe_nrm",
+            F.explode(
+                F.slice(
+                    F.transform(
+                        _seed_cos(F.col("probe_emb"), F.col("probe_nrm")),
+                        lambda s: s["cell_id"],
+                    ),
+                    1,
+                    n_probe,
+                )
+            ).alias("cell_id"),
+        )
+    )
+
+    cand = assigned.join(F.broadcast(probes), "cell_id").filter(
+        F.col(id_col) != F.col("probe_id")
+    )
+    cosine = F.round(
+        (_grid_dot(F.col(vec_col), F.col("probe_emb")) / float(PQ_GRID))
+        / (F.col("__nrm") * F.col("probe_nrm")),
+        6,
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        cand.select(
+            "probe_id", F.col(id_col), *keep_cols, cosine.alias("cosine")
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("probe_id", id_col, *keep_cols, "cosine")
+    )
+
+
 def pairwise_cosine_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -1788,6 +1908,126 @@ def semantic_dedup_two_level(
             ).alias("cell_id"),
         )
     )
+    return _sem_cell_dominance(assigned, threshold, id_col)
+
+
+def semantic_dedup_gemm(
+    df: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seeds_from: DataFrame | None = None,
+    n_blocks: int = 32,
+    checkpoint: bool = False,
+) -> DataFrame:
+    """:func:`semantic_dedup` with the cell ASSIGNMENT as a blocked int64
+    GEMM (the :func:`brute_cosine_pairs_blocked` layout) instead of
+    per-row nested-HOF argmax.
+
+    Why this exists — measured, round 8: nested higher-order functions
+    (a lambda inside ``array_sort(transform(...))``) are NOT whole-stage
+    codegen'd; the per-row interpreted argmax costs ~1 ms/row at 512
+    cells (150 s for 128k rows on local[32] — forced-methodology, fresh
+    plan). Hierarchical routing (:func:`semantic_dedup_two_level`) cuts
+    the per-row FLOP count to O(√cells) but keeps the interpreter; this
+    tier removes the interpreter: rows ship as Arrow blocks and numpy
+    does exact int64 ``Q @ Sᵀ`` against the seed matrix — the same
+    assignment arithmetic at BLAS-adjacent speed, O(n·cells) flops that
+    cost less wall than the hierarchy's O(n·√cells) interpreted ones.
+
+    Determinism contract (its OWN rule, mirrored exactly by the DuckDB
+    oracle — a separate query surface, like h2):
+
+    - elements quantize once in-plan via ``_sem_quant`` (JVM
+      ``F.round`` semantics, with the |x| ≤ 37 overflow guard), and
+      ``__nrm`` is the in-plan ``_sem_qnorm6``; numpy receives ONLY
+      exact int64 arrays and pre-rounded norms through Arrow — it never
+      rounds anything;
+    - assignment = argmax over cells of the UNROUNDED double cosine
+      ``(Q·sᵀ as double) / ((nrm · snorm) · 1e14)``, ties to the
+      smaller cell id. int64→double conversion and IEEE division are
+      correctly rounded and parenthesization is pinned, so numpy, the
+      JVM and DuckDB produce bit-identical doubles. (The flat/h2 tiers
+      round the assignment cosine to 1e-6 first; rounding exists there
+      to protect an in-plan BigDecimal boundary, which this kernel does
+      not have — dropping it removes the one per-cell rounding step
+      from the hot loop.)
+    - the within-cell dominance tail is the shared
+      :func:`_sem_cell_dominance` (round-6 ≥ threshold), unchanged.
+
+    ``checkpoint=True`` materializes the assignment once
+    (``localCheckpoint``) before the dominance tail's three consumers —
+    engine default stays lazy; large-scale harnesses opt in so the
+    Python stage runs once, not three times."""
+    import pandas as pd
+
+    id_type = dict(df.dtypes)[id_col]
+    seeds_row = (
+        (seeds_from if seeds_from is not None else df)
+        .filter(F.col(id_col) < n_cells)
+        .select(
+            F.col(id_col).cast("int").alias("cell_id"),
+            _sem_quant(F.col(vec_col)).alias("sq"),
+        )
+        .select("cell_id", "sq", _sem_qnorm6(F.col("sq")).alias("snorm"))
+        .agg(
+            F.collect_list(F.struct("cell_id", "sq", "snorm")).alias("seeds")
+        )
+    )
+    q = df.select(
+        F.col(id_col), _sem_quant(F.col(vec_col)).alias("__qv")
+    ).withColumn("__nrm", _sem_qnorm6(F.col("__qv")))
+    blocks = (
+        q.withColumn(
+            "__blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+        )
+        .groupBy("__blk")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), "__qv", "__nrm")
+            ).alias("ablock")
+        )
+    )
+    ctx = blocks.crossJoin(F.broadcast(seeds_row))
+
+    def assign_blocks(batches):
+        import numpy as np
+
+        for pdf in batches:
+            for ablock, seeds in zip(pdf["ablock"], pdf["seeds"]):
+                srt = sorted(seeds, key=lambda s: s["cell_id"])
+                cells = np.array([s["cell_id"] for s in srt], dtype=np.int32)
+                S = np.array([s["sq"] for s in srt], dtype=np.int64)
+                sn = np.array([s["snorm"] for s in srt], dtype=np.float64)
+                ids = [r["id"] for r in ablock]
+                Q = np.array([r["__qv"] for r in ablock], dtype=np.int64)
+                na = np.array(
+                    [r["__nrm"] for r in ablock], dtype=np.float64
+                )
+                # exact int64 GEMM (bounded by the in-plan |x|<=37 guard),
+                # then the pinned (nrm*snorm)*1e14 denominator
+                cos = (Q @ S.T).astype(np.float64) / (
+                    np.outer(na, sn) * 1e14
+                )
+                # argmax, ties to the smaller cell id: seeds sorted by
+                # cell_id and np.argmax returns the FIRST maximum
+                pick = cells[np.argmax(cos, axis=1)]
+                yield pd.DataFrame(
+                    {
+                        "id": ids,
+                        "__qv": [r["__qv"] for r in ablock],
+                        "__nrm": na,
+                        "cell_id": pick,
+                    }
+                )
+
+    assigned = ctx.mapInPandas(
+        assign_blocks,
+        f"id {id_type}, __qv array<long>, __nrm double, cell_id int",
+    ).withColumnRenamed("id", id_col)
+    if checkpoint:
+        assigned = assigned.localCheckpoint(eager=True)
     return _sem_cell_dominance(assigned, threshold, id_col)
 
 

@@ -1029,3 +1029,91 @@ def dedup_semantic_h2(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_super=_SEMANTIC_H2_SUPER,
         threshold=_SEMANTIC_T,
     )
+
+
+# --------------------------------------------------------------------------
+# GEMM-assigned SemDeDup: same seeds and dominance tail as dedup_semantic,
+# but the per-row cell argmax runs as an Arrow-batched exact int64 GEMM
+# (operators/similarity.py::semantic_dedup_gemm) and on the UNROUNDED
+# double cosine (ties to smaller cell id) — its own deterministic rule,
+# so a separate oracle-checked surface. The kernel never rounds: elements
+# quantize in-plan (F.round semantics), numpy sees only int64s and
+# pre-rounded norms, and int64→double + IEEE division with pinned
+# parenthesization are bit-identical across numpy/JVM/DuckDB.
+# --------------------------------------------------------------------------
+_SEMANTIC_GEMM_ORACLE = f"""
+    WITH qflat AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(round(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT) AS qx,
+             i
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ),
+    sq AS MATERIALIZED (
+      SELECT vec_id AS cell_id, qx, i FROM qflat
+      WHERE vec_id < {_SEMANTIC_N_CELLS}
+    ),
+    norms AS MATERIALIZED (
+      SELECT vec_id,
+             round(sqrt(CAST(CAST(SUM(qx * qx) AS BIGINT) AS DOUBLE))
+                   / 10000000.0, 6) AS nrm
+      FROM qflat GROUP BY vec_id
+    ),
+    cell_dots AS (
+      SELECT v.vec_id, s.cell_id, CAST(SUM(v.qx * s.qx) AS BIGINT) AS dg
+      FROM qflat v JOIN sq s ON v.i = s.i
+      GROUP BY 1, 2
+    ),
+    cell_scores AS (
+      -- UNROUNDED double cosine with the kernel's exact parenthesization
+      SELECT d.vec_id, d.cell_id,
+             CAST(d.dg AS DOUBLE)
+               / ((n.nrm * sn.nrm) * 100000000000000.0) AS cos
+      FROM cell_dots d
+      JOIN norms n ON d.vec_id = n.vec_id
+      JOIN norms sn ON sn.vec_id = d.cell_id
+    ),
+    assign AS (
+      SELECT vec_id, CAST(cell_id AS INTEGER) AS cell_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, cell_id) AS rk
+        FROM cell_scores
+      ) WHERE rk = 1
+    ),
+    pair_dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(SUM(va.qx * vb.qx) AS BIGINT) AS dotg
+      FROM assign a
+      JOIN assign b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      JOIN qflat va ON va.vec_id = a.vec_id
+      JOIN qflat vb ON vb.vec_id = b.vec_id AND vb.i = va.i
+      GROUP BY 1, 2
+    ),
+    dominated AS (
+      SELECT DISTINCT p.id_b AS vec_id
+      FROM pair_dots p
+      JOIN norms na ON p.id_a = na.vec_id
+      JOIN norms nb ON p.id_b = nb.vec_id
+      WHERE round((CAST(p.dotg AS DOUBLE) / 100000000000000.0)
+                  / (na.nrm * nb.nrm), 6)
+            >= {_SEMANTIC_T}
+    )
+    SELECT a.vec_id, a.cell_id, (d.vec_id IS NULL) AS kept
+    FROM assign a LEFT JOIN dominated d ON a.vec_id = d.vec_id
+"""
+
+
+@query(
+    "dedup_semantic_gemm",
+    oracle=_SEMANTIC_GEMM_ORACLE,
+    tags=("O6", "L1", "L2", "U4"),
+    bench=True,
+)
+def dedup_semantic_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_dedup_gemm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_gemm(
+        e, n_cells=_SEMANTIC_N_CELLS, threshold=_SEMANTIC_T
+    )

@@ -532,6 +532,95 @@ def sim_lsh_pairs_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_ivf_batch_topk",
+    oracle="""
+    WITH el AS (
+      SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings)
+    ),
+    vn AS (
+      SELECT vec_id,
+             round(sqrt(CAST(SUM(CAST(round(x * x * 1000000000.0) AS BIGINT))
+                             AS BIGINT) / 1000000000.0), 6) AS vnorm
+      FROM el GROUP BY 1
+    ),
+    sdot AS (
+      SELECT e.vec_id, s.vec_id AS cell_id,
+             CAST(SUM(CAST(round(e.x * s.x * 1000000000.0) AS BIGINT))
+                  AS BIGINT) AS dg
+      FROM el e JOIN el s ON s.i = e.i AND s.vec_id < 8
+      GROUP BY 1, 2
+    ),
+    scos AS (
+      SELECT d.vec_id, d.cell_id,
+             round((dg / 1000000000.0) / (v.vnorm * sn.vnorm), 6) AS cosg
+      FROM sdot d
+      JOIN vn v ON v.vec_id = d.vec_id
+      JOIN vn sn ON sn.vec_id = d.cell_id
+    ),
+    assign AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cosg DESC, cell_id) AS rk
+        FROM scos
+      ) WHERE rk = 1
+    ),
+    pcells AS (
+      SELECT vec_id AS probe_id, cell_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cosg DESC, cell_id) AS rk
+        FROM scos WHERE vec_id % 100 = 1
+      ) WHERE rk <= 2
+    ),
+    cand AS (
+      SELECT p.probe_id, a.vec_id
+      FROM assign a JOIN pcells p ON a.cell_id = p.cell_id
+      WHERE a.vec_id <> p.probe_id
+    ),
+    cd AS (
+      SELECT c.probe_id, c.vec_id,
+             CAST(SUM(CAST(round(ea.x * eb.x * 1000000000.0) AS BIGINT))
+                  AS BIGINT) AS dg
+      FROM cand c
+      JOIN el ea ON ea.vec_id = c.vec_id
+      JOIN el eb ON eb.vec_id = c.probe_id AND eb.i = ea.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT cd.probe_id, cd.vec_id, emb.label,
+             round((dg / 1000000000.0) / (va.vnorm * vb.vnorm), 6) AS cosine
+      FROM cd
+      JOIN vn va ON va.vec_id = cd.vec_id
+      JOIN vn vb ON vb.vec_id = cd.probe_id
+      JOIN embeddings emb ON emb.vec_id = cd.vec_id
+    )
+    SELECT probe_id, vec_id, label, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY cosine DESC, vec_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+    tags=("L1", "J1", "W1", "W2"),
+)
+def sim_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF serving (operators/similarity.py::ivf_batch_topk):
+    every vector with vec_id % 100 == 1 is a probe; ONE corpus scan +
+    cell assignment answers all of them, candidates come from an
+    equi-join of assigned rows against the broadcast (probed_cell,
+    probe) relation, and the per-probe top-5 is one window. Grid-exact
+    cosines end-to-end, so the full batch is value-hash checked."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_batch_topk(
+        e,
+        probe_pred=F.col("vec_id") % 100 == 1,
+        n_cells=8,
+        n_probe=2,
+        k=5,
+    )
+
+
 def _jl_screened_oracle() -> str:
     from ..operators.linalg import jl_project_sql
     from ..operators.similarity import jl_screen_bound

@@ -1722,3 +1722,74 @@ def test_jl_screened_lsh_pairs(spark):
     up2 = set(zip(u2.id_a, u2.id_b))
     assert sp2 <= up2
     assert len(sp2) / len(up2) >= 0.99, (len(sp2), len(up2))
+
+
+def test_ivf_batch_topk_matches_numpy(spark):
+    """ivf_batch_topk's full batch (assignment, probed cells, per-probe
+    top-k, grid-exact round-6 cosines) equals an independent numpy
+    reimplementation of the same semantics on the sf0.001 fixture."""
+    import numpy as np
+
+    from ppdb_parser_spark.operators.similarity import ivf_batch_topk
+    from ppdb_parser_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = (
+        ivf_batch_topk(
+            emb, probe_pred=F.col("vec_id") % 100 == 1, n_cells=8, n_probe=2, k=5
+        )
+        .orderBy("probe_id", F.desc("cosine"), "vec_id")
+        .collect()
+    )
+
+    pdf = emb.select("vec_id", "embedding").orderBy("vec_id").toPandas()
+    ids = pdf.vec_id.to_numpy()
+    X = np.stack(pdf.embedding.to_numpy())
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x):
+        # F.round semantics: HALF_UP on the shortest decimal repr —
+        # Python's round() is half-even on the binary value and diverges
+        # on exact .xxxxx5 boundaries.
+        return float(
+            Decimal(repr(float(x))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    def gdot(a, b):
+        return int(np.round(a * b * 1e9).sum())
+
+    def gnorm6(a):
+        return r6(np.sqrt(gdot(a, a) / 1e9))
+
+    norms = {int(i): gnorm6(X[j]) for j, i in enumerate(ids)}
+    vec = {int(i): X[j] for j, i in enumerate(ids)}
+    seeds = [i for i in sorted(vec) if i < 8]
+
+    def seed_rank(v, nrm):
+        cs = [
+            (r6((gdot(v, vec[s]) / 1e9) / (nrm * norms[s])), s)
+            for s in seeds
+        ]
+        return sorted(cs, key=lambda t: (-t[0], t[1]))
+
+    assign = {i: seed_rank(vec[i], norms[i])[0][1] for i in vec}
+    want = []
+    for p in sorted(i for i in vec if i % 100 == 1):
+        cells = {s for _, s in seed_rank(vec[p], norms[p])[:2]}
+        cand = [
+            (
+                r6((gdot(vec[i], vec[p]) / 1e9) / (norms[i] * norms[p])),
+                i,
+            )
+            for i in vec
+            if assign[i] in cells and i != p
+        ]
+        for c, i in sorted(cand, key=lambda t: (-t[0], t[1]))[:5]:
+            want.append((p, i, c))
+
+    got_t = [(r.probe_id, r.vec_id, r.cosine) for r in got]
+    assert got_t == want, (got_t[:3], want[:3])

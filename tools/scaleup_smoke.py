@@ -332,16 +332,35 @@ def main() -> None:
 
         emb = load_table(spark, sf, "embeddings")
 
+        # ROUND-8 FIXTURE FIX: the original perturbation shifted
+        # coordinate 0 by ~0.11·universe — at 64x the largest shift is
+        # ~7.0, which routes 85,191 of 128,000 rows into ONE cell
+        # (measured), so the dominance tail goes quadratic and the smoke
+        # measures fixture skew, not the ladder. The fixed fixture (a)
+        # shifts a DIFFERENT coordinate per universe (i == u % 64) by a
+        # constant 0.45, so universes separate without a global gradient,
+        # and (b) seeds cells per universe (cells ∝ n via cells/k seeds
+        # from EACH universe, remapped to dense ids) — per-cell occupancy
+        # then stays flat by construction, the SemDeDup contract.
+        _U = 10_000_000
+
         def perturbed_union_h2(e, k):
+            u = (F.col("vec_id") / _U).cast("long")
             return _shifted_union(e, "vec_id", k).withColumn(
                 "embedding",
                 F.transform(
                     F.col("embedding"),
                     lambda x, i: F.when(
-                        i == 0,
-                        x + (F.col("vec_id") / 10_000_000 % k) * 0.11,
+                        i == (u % 64).cast("int"), x + F.lit(0.45)
                     ).otherwise(x),
                 ),
+            )
+
+        def seeds_for(pu, cells, k):
+            cpu = max(1, cells // k)
+            u = (F.col("vec_id") / _U).cast("long")
+            return pu.filter(F.col("vec_id") % _U < cpu).withColumn(
+                "vec_id", u * cpu + F.col("vec_id") % _U
             )
 
         # count() timing is WRONG here (the bench-v2 finding): the kept
@@ -368,35 +387,53 @@ def main() -> None:
             agg(build()).collect()  # fresh lineage: no stage skipping
             return time.perf_counter() - t0
 
-        from ppdb_parser_spark.operators.similarity import semantic_dedup
+        from ppdb_parser_spark.operators.similarity import (
+            semantic_dedup,
+            semantic_dedup_gemm,
+        )
 
         n1 = emb.count()
-        # flat's FORCED assignment at 256x is ~1e9 interpreted cell dots
-        # (tens of minutes) — its ladder stops at 64x; the 64x->256x flat
-        # step is already the knee the r7 smoke extrapolated, and h2's
-        # 256x row against flat's 64x trend is the comparison that
-        # matters.
+        # Ladder budget (measured round 8, forced methodology): the
+        # interpreted nested-HOF argmax costs ~1 ms/row at 512 cells
+        # (150 s assignment-only at 64x), so flat and h2 stop at 16x —
+        # their 16x rows already show the trend (flat superlinear, h2
+        # ~2x better). The GEMM tier (Arrow int64 Q@S.T, checkpoint=True
+        # so the kernel runs once) is the one that ladders to 256x.
         for label, ks, fit in (
-            ("flat", (16, 64), lambda e, c, s: semantic_dedup(e, n_cells=c)),
+            (
+                "gemm",
+                (16, 64, 256),
+                lambda e, c, s, sd: semantic_dedup_gemm(
+                    e, n_cells=c, seeds_from=sd, checkpoint=True
+                ),
+            ),
             (
                 "h2",
-                (16, 64, 256),
-                lambda e, c, s: semantic_dedup_two_level(
-                    e, n_cells=c, n_super=s
+                (16,),
+                lambda e, c, s, sd: semantic_dedup_two_level(
+                    e, n_cells=c, n_super=s, seeds_from=sd
+                ),
+            ),
+            (
+                "flat",
+                (16,),
+                lambda e, c, s, sd: semantic_dedup(
+                    e, n_cells=c, seeds_from=sd
                 ),
             ),
         ):
-            s1 = forced(lambda: fit(emb, 8, 3))
+            s1 = forced(lambda: fit(emb, 8, 3, None))
             print(f"semantic_dedup[{label}] 1x cells=8: {s1:.2f} s")
             prev_k, prev_t = 1, s1
             for k in ks:
                 cells = 8 * k
                 sup = round(_math.sqrt(cells))
-                tk = forced(
-                    lambda k=k, cells=cells, sup=sup: fit(
-                        perturbed_union_h2(emb, k), cells, sup
-                    )
-                )
+
+                def build(k=k, cells=cells, sup=sup):
+                    pu = perturbed_union_h2(emb, k)
+                    return fit(pu, cells, sup, seeds_for(pu, cells, k))
+
+                tk = forced(build)
                 step = (tk / prev_t) / (k / prev_k)
                 print(
                     f"semantic_dedup[{label}] {k}x cells={cells}"
