@@ -1920,6 +1920,8 @@ def semantic_dedup_gemm(
     seeds_from: DataFrame | None = None,
     n_blocks: int = 32,
     checkpoint: bool = False,
+    two_level: bool = False,
+    n_super: int | None = None,
 ) -> DataFrame:
     """:func:`semantic_dedup` with the cell ASSIGNMENT as a blocked int64
     GEMM (the :func:`brute_cosine_pairs_blocked` layout) instead of
@@ -1959,8 +1961,26 @@ def semantic_dedup_gemm(
     ``checkpoint=True`` materializes the assignment once
     (``localCheckpoint``) before the dominance tail's three consumers —
     engine default stays lazy; large-scale harnesses opt in so the
-    Python stage runs once, not three times."""
+    Python stage runs once, not three times.
+
+    ``two_level=True`` (with ``n_super``) composes the hierarchy INTO
+    the kernel — the answer to the measured 256× knee (BASELINE.md
+    round-8: flat GEMM step efficiency 2.42 at 512k vectors / 2048
+    cells, the O(n·cells) flop law with the interpreter gone): child
+    seeds parent to their argmax super, each row routes through its
+    argmax super and then argmaxes only among that super's children —
+    O(n·(supers + cells/supers)·dim) flops at kernel speed, the
+    coarse-quantizer + SIMD layout of every billion-scale ANN system.
+    Same unrounded-cosine/smaller-id rule at every level (the
+    :func:`semantic_dedup_two_level` structure with this tier's
+    arithmetic), mirrored by the ``dedup_semantic_gemm_h2`` oracle.
+    Routing changes which cell near-boundary rows land in (hierarchical
+    coarse quantization is an approximation — the h2 docstring's
+    point), so it is again a separate query surface."""
     import pandas as pd
+
+    if two_level and not n_super:
+        raise ValueError("two_level=True requires n_super")
 
     id_type = dict(df.dtypes)[id_col]
     seeds_row = (
@@ -1994,6 +2014,13 @@ def semantic_dedup_gemm(
     def assign_blocks(batches):
         import numpy as np
 
+        def _ucos(Qm, nq, Sm, ns):
+            # exact int64 GEMM (bounded by the in-plan |x|<=37 guard),
+            # then the pinned (nrm*snorm)*1e14 denominator
+            return (Qm @ Sm.T).astype(np.float64) / (
+                np.outer(nq, ns) * 1e14
+            )
+
         for pdf in batches:
             for ablock, seeds in zip(pdf["ablock"], pdf["seeds"]):
                 srt = sorted(seeds, key=lambda s: s["cell_id"])
@@ -2005,14 +2032,34 @@ def semantic_dedup_gemm(
                 na = np.array(
                     [r["__nrm"] for r in ablock], dtype=np.float64
                 )
-                # exact int64 GEMM (bounded by the in-plan |x|<=37 guard),
-                # then the pinned (nrm*snorm)*1e14 denominator
-                cos = (Q @ S.T).astype(np.float64) / (
-                    np.outer(na, sn) * 1e14
-                )
-                # argmax, ties to the smaller cell id: seeds sorted by
-                # cell_id and np.argmax returns the FIRST maximum
-                pick = cells[np.argmax(cos, axis=1)]
+                # argmax with ties to the smaller cell id everywhere:
+                # seeds sorted by cell_id and np.argmax returns the
+                # FIRST maximum
+                if not two_level:
+                    pick = cells[np.argmax(_ucos(Q, na, S, sn), axis=1)]
+                else:
+                    m = cells < n_super
+                    supids = cells[m]
+                    Ssup, snsup = S[m], sn[m]
+                    # child -> super parenting (identical rule)
+                    parent = supids[
+                        np.argmax(_ucos(S, sn, Ssup, snsup), axis=1)
+                    ]
+                    rsup = supids[
+                        np.argmax(_ucos(Q, na, Ssup, snsup), axis=1)
+                    ]
+                    pick = np.empty(len(ids), dtype=np.int32)
+                    for s in supids:
+                        rows = np.nonzero(rsup == s)[0]
+                        if rows.size == 0:
+                            continue
+                        ch = np.nonzero(parent == s)[0]
+                        pick[rows] = cells[ch][
+                            np.argmax(
+                                _ucos(Q[rows], na[rows], S[ch], sn[ch]),
+                                axis=1,
+                            )
+                        ]
                 yield pd.DataFrame(
                     {
                         "id": ids,

@@ -1117,3 +1117,122 @@ def dedup_semantic_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_gemm(
         e, n_cells=_SEMANTIC_N_CELLS, threshold=_SEMANTIC_T
     )
+
+
+# --------------------------------------------------------------------------
+# Two-level routing INSIDE the GEMM kernel — h2's hierarchy with gemm's
+# arithmetic (the composition BASELINE.md's 256× knee calls for):
+# child→super parenting, per-row super argmax, then child argmax among
+# that super's children, all on the UNROUNDED double cosine with
+# smaller-id ties; dominance unchanged (round-6 ≥ τ).
+# --------------------------------------------------------------------------
+_SEMANTIC_GEMM_H2_ORACLE = f"""
+    WITH qflat AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(round(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT) AS qx,
+             i
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ),
+    sq AS MATERIALIZED (
+      SELECT vec_id AS cell_id, qx, i FROM qflat
+      WHERE vec_id < {_SEMANTIC_H2_CELLS}
+    ),
+    norms AS MATERIALIZED (
+      SELECT vec_id,
+             round(sqrt(CAST(CAST(SUM(qx * qx) AS BIGINT) AS DOUBLE))
+                   / 10000000.0, 6) AS nrm
+      FROM qflat GROUP BY vec_id
+    ),
+    cseed_scores AS (
+      SELECT d.cell_id, d.super_id,
+             CAST(d.dg AS DOUBLE)
+               / ((nc.nrm * ns.nrm) * 100000000000000.0) AS cos
+      FROM (
+        SELECT c.cell_id, s.cell_id AS super_id,
+               CAST(SUM(c.qx * s.qx) AS BIGINT) AS dg
+        FROM sq c
+        JOIN sq s ON c.i = s.i AND s.cell_id < {_SEMANTIC_H2_SUPER}
+        GROUP BY 1, 2
+      ) d
+      JOIN norms nc ON nc.vec_id = d.cell_id
+      JOIN norms ns ON ns.vec_id = d.super_id
+    ),
+    cparent AS (
+      SELECT cell_id, super_id AS parent FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cell_id
+                                     ORDER BY cos DESC, super_id) AS rk
+        FROM cseed_scores
+      ) WHERE rk = 1
+    ),
+    cell_scores AS MATERIALIZED (
+      SELECT d.vec_id, d.cell_id,
+             CAST(d.dg AS DOUBLE)
+               / ((n.nrm * sn.nrm) * 100000000000000.0) AS cos
+      FROM (
+        SELECT v.vec_id, s.cell_id, CAST(SUM(v.qx * s.qx) AS BIGINT) AS dg
+        FROM qflat v JOIN sq s ON v.i = s.i
+        GROUP BY 1, 2
+      ) d
+      JOIN norms n ON d.vec_id = n.vec_id
+      JOIN norms sn ON sn.vec_id = d.cell_id
+    ),
+    vsuper AS (
+      SELECT vec_id, cell_id AS super_id FROM (
+        SELECT vec_id, cell_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cell_id) AS rk
+        FROM cell_scores WHERE cell_id < {_SEMANTIC_H2_SUPER}
+      ) WHERE rk = 1
+    ),
+    assign AS (
+      SELECT vec_id, CAST(cell_id AS INTEGER) AS cell_id FROM (
+        SELECT cs.vec_id, cs.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY cs.vec_id
+                                  ORDER BY cs.cos DESC, cs.cell_id) AS rk
+        FROM cell_scores cs
+        JOIN cparent cp ON cp.cell_id = cs.cell_id
+        JOIN vsuper v ON v.vec_id = cs.vec_id
+                     AND cp.parent = v.super_id
+      ) WHERE rk = 1
+    ),
+    pair_dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(SUM(va.qx * vb.qx) AS BIGINT) AS dotg
+      FROM assign a
+      JOIN assign b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      JOIN qflat va ON va.vec_id = a.vec_id
+      JOIN qflat vb ON vb.vec_id = b.vec_id AND vb.i = va.i
+      GROUP BY 1, 2
+    ),
+    dominated AS (
+      SELECT DISTINCT p.id_b AS vec_id
+      FROM pair_dots p
+      JOIN norms na ON p.id_a = na.vec_id
+      JOIN norms nb ON p.id_b = nb.vec_id
+      WHERE round((CAST(p.dotg AS DOUBLE) / 100000000000000.0)
+                  / (na.nrm * nb.nrm), 6)
+            >= {_SEMANTIC_T}
+    )
+    SELECT a.vec_id, a.cell_id, (d.vec_id IS NULL) AS kept
+    FROM assign a LEFT JOIN dominated d ON a.vec_id = d.vec_id
+"""
+
+
+@query(
+    "dedup_semantic_gemm_h2",
+    oracle=_SEMANTIC_GEMM_H2_ORACLE,
+    tags=("O6", "L1", "L2", "U4"),
+)
+def dedup_semantic_gemm_h2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_dedup_gemm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_gemm(
+        e,
+        n_cells=_SEMANTIC_H2_CELLS,
+        threshold=_SEMANTIC_T,
+        two_level=True,
+        n_super=_SEMANTIC_H2_SUPER,
+    )

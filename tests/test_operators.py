@@ -1793,3 +1793,12 @@ def test_ivf_batch_topk_matches_numpy(spark):
 
     got_t = [(r.probe_id, r.vec_id, r.cosine) for r in got]
     assert got_t == want, (got_t[:3], want[:3])
+
+
+def test_semantic_dedup_gemm_two_level_requires_super(spark):
+    from ppdb_parser_spark.operators.similarity import semantic_dedup_gemm
+    from ppdb_parser_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="n_super"):
+        semantic_dedup_gemm(e, n_cells=16, two_level=True)
