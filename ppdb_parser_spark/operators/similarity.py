@@ -2576,3 +2576,69 @@ def recommend_ann_tier(
         params={"n_probe": 4},
     )
     return rec
+
+
+def recommend_semantic_dedup_tier(
+    n: int,
+    n_cells: int,
+    *,
+    hierarchical_hint: bool = False,
+    interpreted_row_cost_s: float = 1e-3,
+) -> dict:
+    """Assignment-tier recommendation for SemDeDup, pinned to the
+    round-8 MEASURED ladders (BASELINE.md §"SemDeDup assignment" and
+    §"when hierarchical coarse assignment helps") the same way
+    :func:`recommend_ann_tier` is pinned to RECALL.md — the unit test
+    asserts each branch against the table rows that justify it.
+
+    Decision rule, with the measured row behind each branch:
+
+    - in-plan HOF argmax (``semantic_dedup`` / ``semantic_dedup_two_
+      level``) ONLY while the interpreted assignment is negligible:
+      nested HOFs are not codegen'd and cost ~1 ms/row at 512 cells
+      (measured 150 s for 128k rows assignment-only). Estimated
+      assignment wall ``n · cells/512 · 1ms`` must stay under ~10 s.
+    - otherwise ``semantic_dedup_gemm`` (flat): the Arrow int64 kernel
+      removed the interpreter (64×: 21.7 s full vs 287 s in-plan-h2 /
+      >40 min flat ladder leg); step efficiency stays ≤ 1 through 64×
+      with cells ∝ n.
+    - ``two_level=True`` ONLY with ``hierarchical_hint`` (supers are
+      real cluster centroids and children sub-centroids): measured
+      256× step efficiency 0.75 vs flat's 1.82 on 2-level data, but
+      occupancy COLLAPSE on flat data (max 7,169/128k vs 580 — the
+      stage-1 winner also wins stage 2) and on 1-level clusters (the
+      center beats every member under cosine argmax; max 2,996,
+      median 2). Without the hint, hierarchy is strictly worse.
+    - the flat-GEMM flop law (O(n·cells), step efficiency 2.42 at 512k
+      rows × 2048 cells) binds roughly beyond ~100k rows at cells ∝ n —
+      at that point either supply real hierarchy or grow cells
+      sub-linearly (the returned ``cells_advice``).
+    """
+    interpreted_s = n * (n_cells / 512.0) * interpreted_row_cost_s
+    rec = {"threshold_note": "dominance tail identical across tiers"}
+    if interpreted_s <= 10.0:
+        rec.update(
+            tier="semantic_dedup",
+            why="interpreted assignment negligible at this scale "
+            f"(~{interpreted_s:.1f}s est; measured 1ms/row at 512 cells)",
+        )
+        return rec
+    if hierarchical_hint:
+        rec.update(
+            tier="semantic_dedup_gemm",
+            params={"two_level": True, "checkpoint": True},
+            why="2-level structure: measured 256x step efficiency 0.75 "
+            "vs flat 1.82 (BASELINE.md semdedupcluster ladder)",
+        )
+        return rec
+    rec.update(
+        tier="semantic_dedup_gemm",
+        params={"two_level": False, "checkpoint": True},
+        why="kernel removes the ~1ms/row interpreter (measured 150s -> "
+        "in-kernel at 64x); hierarchy without real 2-level structure "
+        "collapses occupancy (measured max 7,169/128k vs 580)",
+        cells_advice="grow cells sub-linearly (~sqrt(n)) past ~100k rows "
+        "or supply hierarchical_hint: flat GEMM flops are O(n*cells) "
+        "(measured step efficiency 2.42 at 512k x 2048)",
+    )
+    return rec

@@ -1193,8 +1193,10 @@ def sim_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     proj = jl_project(e, "embedding")
-    probe = proj.filter(F.col("vec_id") == 0).select(
-        F.col("jl").alias("pjl")
+    probe = (
+        proj.filter(F.col("vec_id") == 0)
+        .select(F.col("jl").alias("pjl"))
+        .limit(1)  # provably 1-row broadcast context (cartesian sweep)
     )
     cand = proj.filter(F.col("vec_id") != 0)
     diff2 = F.aggregate(

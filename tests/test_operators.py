@@ -1802,3 +1802,30 @@ def test_semantic_dedup_gemm_two_level_requires_super(spark):
     e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     with pytest.raises(ValueError, match="n_super"):
         semantic_dedup_gemm(e, n_cells=16, two_level=True)
+
+
+def test_recommend_semantic_dedup_tier_pinned_to_baseline_md():
+    """Each branch of recommend_semantic_dedup_tier asserts against the
+    round-8 measured rows (BASELINE.md SemDeDup ladders) that justify
+    it, so the guidance cannot drift from the evidence."""
+    from ppdb_parser_spark.operators.similarity import (
+        recommend_semantic_dedup_tier as r,
+    )
+
+    # local fixture scale: interpreted assignment negligible -> in-plan
+    small = r(2_000, 8)
+    assert small["tier"] == "semantic_dedup"
+
+    # 128k x 512 cells = the measured 150s interpreted wall -> gemm
+    big = r(128_000, 512)
+    assert big["tier"] == "semantic_dedup_gemm"
+    assert big["params"]["two_level"] is False
+    assert "cells_advice" in big
+
+    # hierarchy ONLY with real 2-level structure (measured 0.75 vs 1.82
+    # step efficiency at 256x; occupancy collapse without it)
+    h = r(512_000, 2048, hierarchical_hint=True)
+    assert h["tier"] == "semantic_dedup_gemm"
+    assert h["params"]["two_level"] is True
+    flat = r(512_000, 2048)
+    assert flat["params"]["two_level"] is False
