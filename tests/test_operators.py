@@ -1829,3 +1829,88 @@ def test_recommend_semantic_dedup_tier_pinned_to_baseline_md():
     assert h["params"]["two_level"] is True
     flat = r(512_000, 2048)
     assert flat["params"]["two_level"] is False
+
+
+def test_semantic_dedup_gemm_matches_python_reimplementation(spark):
+    """The GEMM kernel's full deterministic rule (F.round-exact element
+    quantization, round-6 norms, unrounded-double argmax with smaller-id
+    ties, round-6 dominance) reproduced independently in pure Python over
+    seeded random inputs — flat AND two_level paths, including n >> rows
+    per block and non-fixture geometry."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ppdb_parser_spark.operators.similarity import semantic_dedup_gemm
+
+    def rq(x, q):
+        return Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP)
+
+    def quant(v):
+        return [int(rq(x * 10_000_000.0, Decimal("1"))) for x in v]
+
+    def norm6(qv):
+        qd = sum(a * a for a in qv)
+        return float(rq((qd ** 0.5) / 10_000_000.0, Decimal("0.000001")))
+
+    def r6(x):
+        return float(rq(x, Decimal("0.000001")))
+
+    for seed, (n_cells, two_level, n_super) in (
+        (0, (4, False, None)),
+        (1, (6, True, 2)),
+        (2, (5, False, None)),
+    ):
+        rng = np.random.default_rng(seed)
+        n, dim = 40, 8
+        X = rng.normal(size=(n, dim)) * 0.5
+        rows = [(i, [float(v) for v in X[i]]) for i in range(n)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {
+            r.vec_id: (r.cell_id, r.kept)
+            for r in semantic_dedup_gemm(
+                df,
+                n_cells=n_cells,
+                threshold=0.6,
+                two_level=two_level,
+                n_super=n_super,
+            ).collect()
+        }
+
+        qv = {i: quant(X[i]) for i in range(n)}
+        nm = {i: norm6(qv[i]) for i in range(n)}
+        seeds = list(range(n_cells))
+
+        def ucos(a, s):
+            d = sum(x * y for x, y in zip(qv[a], qv[s]))
+            return float(d) / ((nm[a] * nm[s]) * 1e14)
+
+        def argmax_cells(i, cands):
+            best = max(cands, key=lambda s: (ucos(i, s), -s))
+            return best
+
+        if not two_level:
+            assign = {i: argmax_cells(i, seeds) for i in range(n)}
+        else:
+            sups = [s for s in seeds if s < n_super]
+            parent = {c: argmax_cells(c, sups) for c in seeds}
+            assign = {}
+            for i in range(n):
+                s = argmax_cells(i, sups)
+                ch = [c for c in seeds if parent[c] == s]
+                assign[i] = argmax_cells(i, ch)
+
+        kept = {}
+        for i in range(n):
+            dom = any(
+                j < i
+                and assign[j] == assign[i]
+                and r6(
+                    (float(sum(x * y for x, y in zip(qv[i], qv[j]))) / 1e14)
+                    / (nm[i] * nm[j])
+                )
+                >= 0.6
+                for j in range(n)
+            )
+            kept[i] = not dom
+        want = {i: (assign[i], kept[i]) for i in range(n)}
+        assert got == want, (seed, {k: (got[k], want[k]) for k in got if got[k] != want[k]})
