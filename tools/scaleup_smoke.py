@@ -469,6 +469,64 @@ def main() -> None:
                 )
                 prev_k, prev_t = k, tk
 
+    if "jlscreen" in only:
+        # Round-8: wall-clock value of the 16-int64 JL screen inside the
+        # banded-LSH near-dup join at 16x (32.5k vectors, τ=0.9 — the
+        # deployment regime). Banding is scale-tuned (32 planes / 4
+        # bands = 8 bits/band; the fixture default 2-bit bands collide
+        # quadratically at this n) and 500 jittered duplicates are
+        # planted with a deterministic in-plan perturbation so the
+        # output is non-degenerate. Both tiers share the identical
+        # candidate stage; the only difference is whether candidates pay
+        # the 16-int screen before the dim-64 grid refine.
+        from ppdb_parser_spark.operators.similarity import (
+            lsh_jl_screened_pairs,
+            lsh_similarity_join_exact,
+        )
+
+        emb = load_table(spark, sf, "embeddings")
+        dups = (
+            emb.filter(F.col("vec_id") < 500)
+            .withColumn(
+                "embedding",
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, i: x
+                    + (
+                        F.pmod(F.xxhash64(F.col("vec_id"), i), F.lit(1000))
+                        / 1000.0
+                        - 0.5
+                    )
+                    * 0.04,
+                ),
+            )
+            .withColumn("vec_id", F.col("vec_id") + F.lit(900_000_000))
+        )
+        base = _shifted_union(emb, "vec_id", 16).unionByName(
+            dups.select("vec_id", "label", "embedding")
+        )
+        n = base.count()
+        for name, fn in (
+            (
+                "unscreened",
+                lambda: lsh_similarity_join_exact(
+                    base, threshold=0.9, n_planes=32, n_bands=4, dim=64
+                ),
+            ),
+            (
+                "jl-screened",
+                lambda: lsh_jl_screened_pairs(
+                    base, threshold=0.9, n_planes=32, n_bands=4, dim=64
+                ),
+            ),
+        ):
+            t = forced(fn)
+            npairs = fn().count()
+            print(
+                f"jlscreen 16x ({n} vectors, tau=0.9) {name}: "
+                f"{t:.2f} s ({npairs} pairs)"
+            )
+
     if "semdedupcluster" in only:
         # Round-8: the gemm_h2 POSITIVE case. Two prior fixtures showed
         # two-stage routing COLLAPSING occupancy: on the quasi-isotropic
