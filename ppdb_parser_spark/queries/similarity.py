@@ -603,6 +603,7 @@ def sim_lsh_pairs_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rk <= 5
     """,
     tags=("L1", "J1", "W1", "W2"),
+    bench=True,
 )
 def sim_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched IVF serving (operators/similarity.py::ivf_batch_topk):
