@@ -1814,15 +1814,25 @@ def semantic_dedup_two_level(
     seeds_from: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`semantic_dedup` with a HIERARCHICAL (two-level) coarse
-    assignment — the remedy its own 256× scale smoke names (BASELINE.md
-    §"SemDeDup scale law"): with cells grown ∝ n, the single-level
-    per-row argmax over ALL cells becomes the binding O(n·cells) term
-    (measured step efficiency climbing 0.20→0.88 by 256×). Routing each
-    row through ``n_super ≈ √cells`` top-level seeds first, then
-    refining only within the chosen super's child cells, keeps per-row
-    work O(√cells) — the standard inverted-multi-index/coarse-quantizer
-    layout for billion-scale ANN (Babenko & Lempitsky 2012, "The
-    inverted multi-index", CVPR — public paper).
+    assignment: routing each row through ``n_super ≈ √cells`` top-level
+    seeds first, then refining only within the chosen super's child
+    cells, keeps per-row FLOPs O(√cells) — the inverted-multi-index /
+    coarse-quantizer layout (Babenko & Lempitsky 2012, "The inverted
+    multi-index", CVPR — public paper).
+
+    SUPERSEDED AS THE SCALE PATH by round-8 measurement (BASELINE.md
+    §"SemDeDup assignment"): the binding cost of in-plan assignment is
+    the nested-HOF INTERPRETER (~1 ms/row at 512 cells), not the FLOP
+    count — halving FLOPs while keeping the interpreter only halves the
+    wall, and at 128 cells this form's two-argmax overhead actually
+    loses to flat (22.2 s vs 14.8 s forced at 16×). The production
+    tiers are :func:`semantic_dedup_gemm` (flat kernel) and its
+    ``two_level=True`` composition (this routing at kernel speed —
+    measured 0.75 vs 1.82 step efficiency at 256× on genuinely 2-level
+    data, occupancy collapse otherwise); pick via
+    :func:`recommend_semantic_dedup_tier`. This in-plan form stays as
+    the structural reference surface (`dedup_semantic_h2`, oracle-
+    checked) and the no-Python-boundary fallback.
 
     Deterministic rule, mirrored exactly by the DuckDB oracle:
 
