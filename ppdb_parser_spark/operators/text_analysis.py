@@ -456,3 +456,81 @@ def bigram_perplexity(
         "avg_nll",
         F.round(F.exp(F.col("avg_nll")), 6).alias("ppl"),
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """BM25 retrieval scoring (Robertson & Zaragoza 2009, "The
+    Probabilistic Relevance Framework: BM25 and Beyond" — public paper)
+    for a literal query-term set, fully relational and hash-exact:
+
+    - corpus statistics (N, total token count, per-term document
+      frequency) are ONE 1-row aggregate broadcast back onto the scan —
+      no driver collect, no second pass over text;
+    - idf uses the always-positive Lucene form
+      ``ln(1 + (N − df + 0.5)/(df + 0.5))`` rounded to 9 decimals (the
+      repo's transcendental discipline — ln is not guaranteed
+      correctly-rounded across engines, the 1e-9 grid is);
+    - the tf normalization ``tf·(k1+1) / (tf + k1·(1−b + b·len/avglen))``
+      is evaluated with PINNED literals and parenthesization
+      (``1.2 * (0.25 + 0.75 * nd)``, ``avglen = CAST(total AS DOUBLE)/N``)
+      so both engines fold the identical IEEE doubles; the final score is
+      one left-associated sum over the terms in call order, rounded to 6.
+
+    Scale shape: narrow per-row work (array size + per-term element
+    counts over the token array) inside the scan, a 1-row broadcast, and
+    TakeOrderedAndProject — the same zero-shuffle-until-topk shape as
+    ivf_topk. At 100 TB this is the scoring pass of a distributed grep:
+    the only exchange is the final k-row reduce."""
+    tk = F.split(F.col(text_col), " ")
+    per_term_df = [
+        F.sum(
+            F.when(F.array_contains(tk, F.lit(t)), 1).otherwise(0)
+        ).alias(f"df_{i}")
+        for i, t in enumerate(terms)
+    ]
+    ctx = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tk)).cast("long").alias("total_tok"),
+        *per_term_df,
+    )
+    scored = df.crossJoin(F.broadcast(ctx))
+    avglen = F.col("total_tok").cast("double") / F.col("n_docs")
+    nd = F.size(tk).cast("double") / avglen
+    denom_norm = F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * nd
+    )
+    score = None
+    for i, t in enumerate(terms):
+        tf = F.size(F.filter(tk, lambda x: x == F.lit(t))).cast("double")
+        idf = F.round(
+            F.log(
+                F.lit(1.0)
+                + (
+                    (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+                    / (F.col(f"df_{i}") + F.lit(0.5))
+                )
+            ),
+            9,
+        )
+        term = idf * (tf * F.lit(BM25_K1 + 1.0)) / (tf + denom_norm)
+        score = term if score is None else score + term
+    return (
+        scored.select(
+            F.col(id_col),
+            *keep_cols,
+            F.round(score, 6).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )

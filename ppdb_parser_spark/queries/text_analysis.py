@@ -789,3 +789,57 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
     return heavy_hitters(toks, "tok", theta=30)
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval scoring (Robertson & Zaragoza 2009; Lucene idf form):
+# the scoring pass of a distributed grep — corpus stats in one 1-row
+# broadcast, narrow per-row term math, TakeOrderedAndProject. Floats are
+# pinned (literals 1.2/0.25/0.75/2.2 parse to identical doubles; ln on
+# the 1e-9 grid; one left-associated term sum), so the top-k is
+# value-hash exact.
+# --------------------------------------------------------------------------
+_BM25_TERMS = ("query", "stream", "merge")
+
+
+def _bm25_oracle() -> str:
+    stats_df = ",\n             ".join(
+        f"SUM(CASE WHEN list_contains(str_split(text, ' '), '{t}') "
+        f"THEN 1 ELSE 0 END) AS df_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    terms = " + ".join(
+        f"""(round(ln(1.0 + ((n_docs - df_{i} + 0.5) / (df_{i} + 0.5))), 9)
+         * (CAST(len(list_filter(str_split(text, ' '), x -> x = '{t}'))
+                 AS DOUBLE) * 2.2)
+         / (CAST(len(list_filter(str_split(text, ' '), x -> x = '{t}'))
+                 AS DOUBLE)
+            + 1.2 * (0.25 + 0.75 * (CAST(len(str_split(text, ' '))
+                                         AS DOUBLE)
+                                    / (CAST(total_tok AS DOUBLE)
+                                       / n_docs)))))"""
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    return f"""
+    WITH stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS total_tok,
+             {stats_df}
+      FROM documents
+    )
+    SELECT doc_id, lang, round({terms}, 6) AS bm25
+    FROM documents, stats
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """
+
+
+@query(
+    "text_bm25_topk",
+    oracle=_bm25_oracle(),
+    tags=("L4", "O2", "X1", "A1"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.bm25_topk(
+        load_table(spark, sf_dir, "documents"), terms=_BM25_TERMS, k=10
+    )
