@@ -738,3 +738,77 @@ def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("b1"), 6).alias("b1_6"),
         F.round(F.min("b2"), 6).alias("b2_6"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus datacard: the per-language reporting artifact a training-data
+# pipeline publishes with every corpus release (counts, token budget,
+# length median, exact-dup rate, quality mass). One hash aggregate over
+# one scan; every emitted number rides an integer grid — median of
+# integer token counts lands on the half-integer grid (×2 as BIGINT),
+# per-doc quality (a pinned-expression double, identical cross-engine)
+# rounds onto a 1e-6 grid BEFORE the sum so the aggregate is an exact
+# int64 reduction, immune to float summation order.
+# --------------------------------------------------------------------------
+from .text_analysis import _STOP_SQL as _DC_STOP_SQL  # noqa: E402
+
+
+@query(
+    "pipeline_corpus_datacard",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             len(str_split(text, ' ')) AS n_tok,
+             len(list_distinct(str_split(text, ' '))) AS n_uniq,
+             len(list_filter(str_split(text, ' '),
+                             x -> x IN ({_DC_STOP_SQL}))) AS n_stop
+      FROM documents
+    ),
+    q AS (
+      SELECT lang, n_tok, text,
+             CAST(round((least(n_tok / 100.0, 1.0) * 0.4
+                         + (n_uniq / n_tok) * 0.4
+                         + least(n_stop / 5.0, 1.0) * 0.2) * 1000000.0)
+                  AS BIGINT) AS q_micro
+      FROM t
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(round(median(n_tok) * 2) AS BIGINT) AS med_tokens_x2,
+           COUNT(DISTINCT md5(text)) AS n_distinct_texts,
+           CAST(SUM(q_micro) AS BIGINT) AS quality_sum_micro
+    FROM q
+    GROUP BY lang
+    """,
+    tags=("A1", "A2", "A7", "L6"),
+)
+def pipeline_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    len_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    uniq_term = F.size(F.array_distinct(toks)) / n_tok
+    stop_term = F.least(
+        F.size(F.filter(toks, lambda t: t.isin(*TA.STOPWORDS))) / F.lit(5.0),
+        F.lit(1.0),
+    )
+    q_micro = F.round(
+        (len_term * 0.4 + uniq_term * 0.4 + stop_term * 0.2) * 1_000_000.0
+    ).cast("long")
+    return (
+        docs.select(
+            "lang",
+            n_tok.alias("n_tok"),
+            F.md5("text").alias("h"),
+            q_micro.alias("q_micro"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.round(F.median("n_tok") * 2).cast("long").alias("med_tokens_x2"),
+            F.countDistinct("h").alias("n_distinct_texts"),
+            F.sum("q_micro").cast("long").alias("quality_sum_micro"),
+        )
+    )
