@@ -700,3 +700,101 @@ def analytics_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Ordered-sequence funnel (view -> click -> purchase): the product-
+# analytics staple. Stage k's entry time is the user's FIRST qualifying
+# event strictly after their stage-(k-1) entry and inside a 24 h
+# conversion window (the selectivity that makes a funnel a funnel:
+# 150 -> 60 -> 25 users at sf0.01) — three per-user min
+# aggregates chained by strictly-after joins, every shuffle on user_id
+# (at 100 TB the three stages co-partition; nothing global). Timestamps
+# compare as epoch microseconds (bigint), the repo's events convention.
+# --------------------------------------------------------------------------
+def _funnel_epoch_us(col: str):
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {col})"
+    )
+
+
+@query(
+    "analytics_event_funnel",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events
+    ),
+    s1 AS (
+      SELECT user_id, MIN(ts_us) AS t1 FROM ev
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts_us) AS t2
+      FROM ev e JOIN s1 ON e.user_id = s1.user_id AND e.ts_us > s1.t1
+                        AND e.ts_us <= s1.t1 + 86400000000
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts_us) AS t3
+      FROM ev e JOIN s2 ON e.user_id = s2.user_id AND e.ts_us > s2.t2
+                        AND e.ts_us <= s2.t2 + 86400000000
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage, 'view' AS event_type,
+             COUNT(*) AS n_users,
+             CAST(SUM(t1) AS BIGINT) AS entry_us_sum
+      FROM s1
+      UNION ALL
+      SELECT 2, 'click', COUNT(*), CAST(SUM(t2) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 3, 'purchase', COUNT(*), CAST(SUM(t3) AS BIGINT) FROM s3
+    )
+    """,
+    tags=("A1", "J2", "W1", "X2"),
+)
+def analytics_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", _funnel_epoch_us("ts").alias("ts_us")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts_us") > F.col("t1"))
+            & (F.col("ts_us") <= F.col("t1") + F.lit(86_400_000_000))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts_us") > F.col("t2"))
+            & (F.col("ts_us") <= F.col("t2") + F.lit(86_400_000_000))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+
+    def _stage(df, n, name, tcol):
+        return df.agg(
+            F.lit(n).alias("stage"),
+            F.lit(name).alias("event_type"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(tcol).cast("long").alias("entry_us_sum"),
+        )
+
+    return (
+        _stage(s1, 1, "view", "t1")
+        .unionByName(_stage(s2, 2, "click", "t2"))
+        .unionByName(_stage(s3, 3, "purchase", "t3"))
+    )
