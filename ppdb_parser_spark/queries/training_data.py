@@ -1348,3 +1348,101 @@ def pipeline_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = per_source.crossJoin(F.broadcast(budget_ctx))
     return waterfill_alloc(j, "budget")
+
+
+# --------------------------------------------------------------------------
+# Temperature-resampled mixture (the multilingual-sampling rule, α = 0.5:
+# p_i ∝ share_i^α — upweights low-resource sources; Lample & Conneau
+# 2019 "Cross-lingual Language Model Pretraining", public paper). Exact
+# end to end: sqrt is IEEE-correctly-rounded (identical double in every
+# engine), immediately quantized onto a 1e-9 int64 grid, and the
+# largest-remainder apportionment runs in pure integer arithmetic
+# (base = budget·q div S, +1 to the largest budget·q mod S, ties by
+# source) — no float sum anywhere, so the allocation hash-matches no
+# matter how partitions interleave. The allocated relation is the tiny
+# per-source aggregate; the corpus is touched once for token counts.
+# --------------------------------------------------------------------------
+@query(
+    "pipeline_mixture_temperature",
+    oracle="""
+    WITH per_source AS (
+      SELECT source,
+             CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tok
+      FROM documents GROUP BY source
+    ),
+    grid AS (
+      SELECT source, n_tok,
+             CAST(round(sqrt(CAST(n_tok AS DOUBLE)) * 1000000000.0)
+                  AS BIGINT) AS q
+      FROM per_source
+    ),
+    ctx AS (
+      SELECT CAST(SUM(q) AS BIGINT) AS s_total,
+             CAST((2 * SUM(n_tok)) // 5 AS BIGINT) AS budget
+      FROM grid
+    ),
+    based AS (
+      SELECT g.source, g.n_tok, g.q,
+             (ctx.budget * g.q) // ctx.s_total AS base,
+             (ctx.budget * g.q) % ctx.s_total AS rem,
+             ctx.budget AS budget
+      FROM grid g, ctx
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+             CAST(SUM(base) OVER () AS BIGINT) AS base_total
+      FROM based
+    )
+    SELECT source, n_tok, q,
+           CAST(base + CASE WHEN rk <= budget - base_total THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_tokens
+    FROM ranked
+    """,
+    tags=("A1", "W2", "X3", "J1"),
+)
+def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = (
+        docs.select(
+            "source", F.size(F.split("text", " ")).cast("long").alias("nt")
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").cast("long").alias("n_tok"))
+    )
+    grid = per_source.withColumn(
+        "q",
+        F.round(F.sqrt(F.col("n_tok").cast("double")) * 1e9).cast("long"),
+    )
+    ctx = grid.agg(
+        F.sum("q").cast("long").alias("s_total"),
+        F.expr("(2 * sum(n_tok)) div 5").cast("long").alias("budget"),
+    )
+    based = grid.crossJoin(F.broadcast(ctx)).select(
+        "source",
+        "n_tok",
+        "q",
+        F.expr("(budget * q) div s_total").alias("base"),
+        ((F.col("budget") * F.col("q")) % F.col("s_total")).alias("rem"),
+        "budget",
+    )
+    w_rank = Window.orderBy(F.desc("rem"), F.asc("source"))
+    w_all = Window.partitionBy()
+    ranked = based.withColumn("rk", F.row_number().over(w_rank)).withColumn(
+        "base_total", F.sum("base").over(w_all).cast("long")
+    )
+    return ranked.select(
+        "source",
+        "n_tok",
+        "q",
+        (
+            F.col("base")
+            + F.when(
+                F.col("rk") <= F.col("budget") - F.col("base_total"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_tokens"),
+    )
