@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     aggregates,
     analytics,
     dedup,
+    governance,
     lookup,
     multimodal,
     patterns,
@@ -13,6 +14,7 @@ from . import (  # noqa: F401
     relational,
     scalars,
     similarity,
+    sketches,
     sources_io,
     streaming_queries,
     subqueries,

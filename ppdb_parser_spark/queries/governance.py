@@ -1,0 +1,358 @@
+"""Corpus-governance extensions: Bloom-filter decontamination, exact
+substring-span dedup, and DSIR-style importance reweighting (SURVEY.md
+§2.9 — the corpus-build steps a 100 TB training-data pipeline runs
+between raw scan and shard manifest).
+
+Everything here is hash-oracle-exact by construction:
+
+- randomness → content hashing (the ``md5(salt || id)`` bucket idiom
+  from queries/training_data.py);
+- integer hashing → the 60-bit md5-prefix idiom both engines compute
+  byte-identically (Spark ``conv(substr(md5(x),1,15),16,10)``, DuckDB
+  ``CAST('0x' || substr(md5(x),1,15) AS BIGINT)`` — same contract as
+  operators/dedup.py:_token_hash60);
+- ratios → integer cross-multiplication or integer division on a fixed
+  grid, never float rounding.
+
+Scale notes are per-query; the common theme is that every structure a
+probe side touches (Bloom word table, bucket-weight table) is O(constant)
+or O(vocabulary-bucket) sized — broadcastable no matter how large the
+corpus grows — so the corpus side stays a narrow scan + one aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup as DD
+from ..sources.tables import load_table
+from .registry import query
+from .training_data import _BUCKET_SQL, _EVAL_MAX, _GOPHER_PASS_SQL, _bucket, gopher_pass_all
+
+# --------------------------------------------------------------------------
+# Shared hashing idioms (mirrored token-for-token in the oracles below).
+# --------------------------------------------------------------------------
+
+
+def _md5_int60(col: F.Column) -> F.Column:
+    """First 15 hex chars of md5 → non-negative 60-bit integer, identical
+    in both engines (see operators/dedup.py:_token_hash60)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_MD5_INT60_SQL = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# pipeline_decontaminate_bloom — Bloom-filter benchmark decontamination.
+#
+# pipeline_decontaminate (training_data.py) broadcasts the *exact* eval
+# 8-gram set. That is right while the eval suite is small, but a
+# decontamination pass against a large held-out corpus (or a union of
+# many benchmarks) can't broadcast millions of shingle strings. The
+# 100 TB answer is the classic one: build a fixed-size Bloom filter over
+# the eval shingles (here 2^16 bits in 60-bit words → ~1.1k rows
+# regardless of eval size; production would size m/k to the target FPR)
+# and broadcast THAT; the corpus side probes k=3 positions per shingle
+# with integer ops only. Bloom filters are deterministic, so the whole
+# query — including its false positives — is hash-oracle-exact, and the
+# query's output quantifies the price: per language, docs flagged by the
+# Bloom probe vs the exact semi-join (bloom ⊇ exact; no false negatives
+# by construction).
+# --------------------------------------------------------------------------
+_B_NGRAM = 8
+_B_M = 65536  # Bloom bits (2^16)
+_B_WORD = 60  # bits packed per int64 word (0..59 keeps shifts sign-free)
+_B_SEEDS = (0, 1, 2)  # k = 3 hash functions
+
+_B_POS_SQL = (
+    "(" + _MD5_INT60_SQL.format(x="'bloom' || CAST({s} AS VARCHAR) || ':' || g")
+    + f" % {_B_M})"
+)
+
+_DECON_BLOOM_ORACLE = f"""
+    WITH docs AS (
+      SELECT doc_id, lang, str_split(text, ' ') AS t,
+             {_BUCKET_SQL.format(salt='eval:')} < '{_EVAL_MAX}' AS is_eval
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, is_eval,
+             unnest(list_distinct([array_to_string(t[i:i+{_B_NGRAM}-1], ' ')
+                                   for i in range(1, len(t)-{_B_NGRAM}+2)])) AS g
+      FROM docs WHERE len(t) >= {_B_NGRAM}
+    ),
+    ev AS (SELECT DISTINCT g FROM sh WHERE is_eval),
+    bloom AS (
+      SELECT p // {_B_WORD} AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % {_B_WORD} AS INTEGER)) AS bits
+      FROM (SELECT {_B_POS_SQL.format(s='s')} AS p
+            FROM ev, (SELECT unnest([0, 1, 2]) AS s))
+      GROUP BY p // {_B_WORD}
+    ),
+    trainsh AS (SELECT doc_id, g FROM sh WHERE NOT is_eval),
+    probe AS (
+      SELECT doc_id, g, {_B_POS_SQL.format(s='s')} AS p
+      FROM trainsh, (SELECT unnest([0, 1, 2]) AS s)
+    ),
+    hits AS (
+      SELECT doc_id, g, COUNT(*) AS k
+      FROM probe JOIN bloom ON probe.p // {_B_WORD} = bloom.word
+      WHERE ((bits >> CAST(p % {_B_WORD} AS INTEGER)) & 1) = 1
+      GROUP BY doc_id, g
+    ),
+    bloomdocs AS (SELECT DISTINCT doc_id FROM hits WHERE k = {len(_B_SEEDS)}),
+    exactdocs AS (SELECT DISTINCT t.doc_id FROM trainsh t JOIN ev USING (g)),
+    train AS (SELECT doc_id, lang FROM docs WHERE NOT is_eval)
+    SELECT lang,
+           COUNT(*) AS n_train,
+           CAST(COUNT(b.doc_id) AS BIGINT) AS n_bloom_flagged,
+           CAST(COUNT(e.doc_id) AS BIGINT) AS n_exact_flagged,
+           CAST(COUNT(b.doc_id) - COUNT(e.doc_id) AS BIGINT) AS n_false_pos
+    FROM train
+    LEFT JOIN bloomdocs b USING (doc_id)
+    LEFT JOIN exactdocs e USING (doc_id)
+    GROUP BY lang
+"""
+
+
+def _bloom_pos(shingle: F.Column, seed: int) -> F.Column:
+    return _md5_int60(F.concat(F.lit(f"bloom{seed}:"), shingle)) % _B_M
+
+
+@query(
+    "pipeline_decontaminate_bloom",
+    oracle=_DECON_BLOOM_ORACLE,
+    tags=("J1", "J4", "A1", "X3"),
+)
+def pipeline_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = DD.word_shingles(
+        docs, n=_B_NGRAM, min_partitions=spark.sparkContext.defaultParallelism
+    ).withColumn("is_eval", _bucket("eval:") < _EVAL_MAX)
+
+    eval_sh = sh.filter("is_eval").select("shingle").distinct()
+    # Fixed-size Bloom word table: ≤ ceil(m / 60) rows however large the
+    # eval set — THE broadcastable decontamination structure at scale.
+    bloom_words = (
+        eval_sh.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("shingle"), s) for s in _B_SEEDS])
+            ).alias("p")
+        )
+        .select(
+            F.expr(f"p div {_B_WORD}").alias("word"),
+            F.expr(f"shiftleft(cast(1 as bigint), cast(p % {_B_WORD} as int))").alias(
+                "one_bit"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(one_bit)").alias("bits"))
+    )
+
+    train_sh = sh.filter(~F.col("is_eval")).select("doc_id", "shingle")
+    probe = train_sh.select(
+        "doc_id",
+        "shingle",
+        F.explode(
+            F.array(*[_bloom_pos(F.col("shingle"), s) for s in _B_SEEDS])
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        "shingle",
+        F.expr(f"p div {_B_WORD}").alias("word"),
+        F.expr(f"cast(p % {_B_WORD} as int)").alias("bit"),
+    )
+    bloom_docs = (
+        probe.join(F.broadcast(bloom_words), "word")
+        .filter(F.expr("(shiftright(bits, bit) & 1) = 1"))
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") == len(_B_SEEDS))
+        .select("doc_id")
+        .distinct()
+        .withColumn("bloom_hit", F.lit(1))
+    )
+    exact_docs = (
+        train_sh.join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("exact_hit", F.lit(1))
+    )
+    train = docs.filter(_bucket("eval:") >= _EVAL_MAX).select("doc_id", "lang")
+    return (
+        train.join(bloom_docs, "doc_id", "left")
+        .join(exact_docs, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.count("bloom_hit").alias("n_bloom_flagged"),
+            F.count("exact_hit").alias("n_exact_flagged"),
+            (F.count("bloom_hit") - F.count("exact_hit")).alias("n_false_pos"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_substring_spans — exact duplicated-substring mass per document.
+#
+# The span-level complement of document-level near-dup (Lee et al. 2022,
+# arXiv:2107.06499, "Deduplicating Training Data Makes Language Models
+# Better" — their ExactSubstr pass): a span duplicated ACROSS documents
+# is memorization fuel even when the documents as wholes are distinct.
+# Suffix arrays don't distribute; the Spark-native equivalent is the
+# rolling n-gram span table: every 12-token span (stride 1, distinct per
+# doc), one shuffle on the span to count distinct carrying docs, then a
+# windowed count re-keyed per doc — no self-join of the span table.
+# Output: every doc carrying ≥1 cross-doc duplicated span, with its
+# duplicated-span mass in integer basis points.
+#
+# Scale: span cardinality ~ token count, so the one exchange is ~corpus
+# sized — same cost class as the winnow/minhash shuffles; at 100 TB the
+# span key becomes xxhash64-int64 (collision-safe at these densities)
+# instead of the md5-friendly raw string the oracle shares, and
+# boilerplate mega-spans (df in the millions) get the same df-cap the
+# prefix-Jaccard tier documents.
+# --------------------------------------------------------------------------
+_SPAN_N = 12
+
+_SUBSTRING_SPANS_ORACLE = f"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+{_SPAN_N}-1], ' ')
+                                   for i in range(1, len(t)-{_SPAN_N}+2)])) AS g
+      FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= {_SPAN_N}
+    ),
+    spans AS (
+      SELECT doc_id, COUNT(*) OVER (PARTITION BY g) AS n_docs
+      FROM sh
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           CAST(COUNT(CASE WHEN n_docs >= 2 THEN 1 END) AS BIGINT) AS n_dup_spans,
+           CAST(COUNT(CASE WHEN n_docs >= 2 THEN 1 END) * 10000 AS BIGINT)
+             // COUNT(*) AS dup_bp
+    FROM spans
+    GROUP BY doc_id
+    HAVING COUNT(CASE WHEN n_docs >= 2 THEN 1 END) > 0
+"""
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=_SUBSTRING_SPANS_ORACLE,
+    tags=("O6", "A1", "X4", "W4"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = DD.word_shingles(
+        docs, n=_SPAN_N, min_partitions=spark.sparkContext.defaultParallelism
+    )
+    # One shuffle: window over the span key counts carrying docs (rows are
+    # distinct per doc), then the per-doc rollup rides the same exchange.
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    dup = F.when(F.col("n_docs") >= 2, 1)
+    return (
+        sh.withColumn("n_docs", n_docs)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count(dup).alias("n_dup_spans"),
+            F.expr(
+                "cast(count(case when n_docs >= 2 then 1 end) * 10000 as bigint)"
+                " div count(1)"
+            ).alias("dup_bp"),
+        )
+        .filter(F.col("n_dup_spans") > 0)
+    )
+
+
+# --------------------------------------------------------------------------
+# pipeline_dsir_weights — hashed-n-gram importance reweighting (DSIR).
+#
+# Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169) scores raw documents by how target-like their hashed
+# n-gram features are. The float log-likelihood-ratio of the paper is
+# replaced by an integer-grid ratio so the score is hash-exact across
+# engines: per bucket b (60-bit md5 hash of the unigram mod 4096),
+# w(b) = (cnt_target(b)+1) * 1e6 div (cnt_raw(b)+1) — the same
+# add-one-smoothed target/raw contrast, monotone in the paper's ratio,
+# on exact integers. A document's score is the sum of w over its token
+# multiset; the query returns the top 50 raw docs (total order:
+# score desc, doc_id asc).
+#
+# Scale: the bucket-weight table is O(4096) rows whatever the corpus
+# size — broadcast; the corpus side is one narrow tokenize map + one
+# per-doc aggregate. The only wide exchange is the bucket-count
+# aggregate, which map-side-combines down to ≤ 4096 rows per task.
+# --------------------------------------------------------------------------
+_DSIR_BUCKETS = 4096
+_DSIR_SCALE = 1_000_000
+_DSIR_TOPK = 50
+
+_DSIR_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             ({_GOPHER_PASS_SQL} AND lang = 'en') AS is_target,
+             unnest(str_split(text, ' ')) AS token
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, is_target,
+             ({_MD5_INT60_SQL.format(x='token')} % {_DSIR_BUCKETS}) AS b
+      FROM toks
+    ),
+    w AS (
+      SELECT b,
+             (COUNT(CASE WHEN is_target THEN 1 END) + 1) * {_DSIR_SCALE}
+               // (COUNT(CASE WHEN NOT is_target THEN 1 END) + 1) AS wt
+      FROM bucketed GROUP BY b
+    ),
+    scored AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, SUM(wt) AS score
+      FROM bucketed JOIN w USING (b)
+      WHERE NOT is_target
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id, d.lang,
+           n_tokens, CAST(score AS BIGINT) AS score
+    FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    ORDER BY score DESC, s.doc_id ASC
+    LIMIT {_DSIR_TOPK}
+"""
+
+
+@query(
+    "pipeline_dsir_weights",
+    oracle=_DSIR_ORACLE,
+    tags=("A6", "J1", "A1", "X3", "F4"),
+)
+def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        (gopher_pass_all() & (F.col("lang") == "en")).alias("is_target"),
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    ).withColumn("b", _md5_int60(F.col("token")) % _DSIR_BUCKETS)
+
+    weights = toks.groupBy("b").agg(
+        F.expr(
+            f"(count(case when is_target then 1 end) + 1) * {_DSIR_SCALE}"
+            " div (count(case when not is_target then 1 end) + 1)"
+        ).alias("wt")
+    )
+    scored = (
+        toks.filter(~F.col("is_target"))
+        .join(F.broadcast(weights), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("wt").alias("score"),
+        )
+    )
+    return scored.select("doc_id", "lang", "n_tokens", "score").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    ).limit(_DSIR_TOPK)

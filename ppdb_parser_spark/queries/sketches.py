@@ -1,0 +1,261 @@
+"""Mergeable cardinality/frequency sketches on exact integer arithmetic
+(SURVEY.md §2.5 A3 "approx distinct" extended to first-class sketch
+surfaces — the structures a 100 TB profile pass actually ships between
+executors instead of exact distinct sets).
+
+Spark's built-ins (``approx_count_distinct``/HLL++, count-min via
+``stat.freqItems``) are JVM-internal and not reproducible in DuckDB, so
+these queries build the classic sketches *relationally* from the same
+60-bit md5 hash both engines compute byte-identically:
+
+- **HyperLogLog** (Flajolet et al. 2007): m=64 registers keyed by the
+  hash's top 6 bits; the register is the leading-zero rank of the low
+  54 bits. The harmonic mean is folded on a dyadic integer grid —
+  ``sum(1 << (CAP - reg))`` with the register capped at CAP=20 — so the
+  estimate is a pure int64 division, no float pow/log anywhere. The
+  registers are max-mergeable; tests/test_sketches.py asserts the
+  half-corpus merge law max(regs_A, regs_B) == regs_{A∪B}.
+- **Count-Min** (Cormode & Muthukrishnan 2005): depth 3 × width 1024
+  conditional-sum rows; the point estimate is the min over rows, always
+  ≥ the true count (one-sided error, asserted per row in the output).
+
+Scale: both sketches aggregate map-side to O(m·depth) rows per task —
+the shuffle carries registers, never tokens. That is the entire point
+at 100 TB: profile passes become bandwidth-free.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .governance import _MD5_INT60_SQL, _md5_int60
+from .registry import query
+
+# --------------------------------------------------------------------------
+# agg_hll_sketch — integer-grid HyperLogLog vs exact distinct, per lang.
+# --------------------------------------------------------------------------
+_HLL_M = 64  # registers (top 6 hash bits)
+_HLL_LOW = 54  # low bits feeding the leading-zero rank (rho ∈ 1..55)
+_HLL_CAP = 20  # register cap: keeps the dyadic fold inside int64
+# alpha_64 * m^2 on a rational grid: 0.7213/(1+1.079/64) = 0.709365…;
+# A = floor(alpha_num * m^2 * 2^CAP / alpha_den) precomputed exactly.
+_HLL_A = (70937 * _HLL_M * _HLL_M * (1 << _HLL_CAP)) // 100000
+# Small-range (linear counting) correction: when est_raw <= 2.5*m and
+# V = #empty registers > 0, the estimate is m*ln(m/V). ln is NOT
+# cross-engine ulp-safe, so the 64 possible values are precomputed here
+# as integer literals embedded identically in the Spark expression and
+# the DuckDB SQL (V is 1-indexed into this table).
+_HLL_LC = [round(_HLL_M * math.log(_HLL_M / v)) for v in range(1, _HLL_M + 1)]
+_HLL_SMALL = (5 * _HLL_M) // 2  # 2.5 * m on the integer grid
+
+_HLL_ORACLE = f"""
+    WITH toks AS (
+      SELECT lang, unnest(str_split(text, ' ')) AS token FROM documents
+    ),
+    hashed AS (
+      SELECT lang, token,
+             {_MD5_INT60_SQL.format(x='token')} AS h
+      FROM toks
+    ),
+    regs AS (
+      SELECT lang, h >> {_HLL_LOW} AS j,
+             MAX(least(CASE WHEN h % {1 << _HLL_LOW} = 0 THEN {_HLL_LOW + 1}
+                            ELSE {_HLL_LOW + 1} - length(bin(h % {1 << _HLL_LOW}))
+                       END, {_HLL_CAP})) AS reg
+      FROM hashed GROUP BY lang, h >> {_HLL_LOW}
+    ),
+    folded AS (
+      SELECT lang,
+             SUM(CAST(1 AS BIGINT) << CAST({_HLL_CAP} - reg AS INTEGER))
+               + ({_HLL_M} - COUNT(*)) * {1 << _HLL_CAP} AS s,
+             {_HLL_M} - COUNT(*) AS v
+      FROM regs GROUP BY lang
+    ),
+    est AS (
+      SELECT lang,
+             CASE WHEN {_HLL_A} // s <= {_HLL_SMALL} AND v > 0
+                  THEN [{', '.join(str(x) for x in _HLL_LC)}][CAST(v AS INTEGER)]
+                  ELSE {_HLL_A} // s END AS hll_est
+      FROM folded
+    ),
+    exact AS (
+      SELECT lang, COUNT(DISTINCT token) AS n_exact FROM toks GROUP BY lang
+    )
+    SELECT e.lang, n_exact,
+           CAST(hll_est AS BIGINT) AS hll_est,
+           CAST(abs(hll_est - n_exact) * 10000 // n_exact AS BIGINT) AS err_bp
+    FROM exact e JOIN est f ON e.lang = f.lang
+"""
+
+
+def hll_registers(df: DataFrame, key_cols: list[str], item_col: str) -> DataFrame:
+    """(key…, j, reg) HyperLogLog register table — max-mergeable: unioning
+    two register tables and re-maxing equals sketching the unioned input
+    (asserted in tests/test_sketches.py)."""
+    h = _md5_int60(F.col(item_col))
+    w = h % (1 << _HLL_LOW)
+    rho = F.when(w == 0, F.lit(_HLL_LOW + 1)).otherwise(
+        F.lit(_HLL_LOW + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(*key_cols, F.shiftright(h, _HLL_LOW).alias("j"),
+                  F.least(rho, F.lit(_HLL_CAP)).alias("rho"))
+        .groupBy(*key_cols, "j")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_estimate(regs: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Fold a register table to (key…, hll_est) on the dyadic int grid,
+    with the standard linear-counting small-range branch (integer-table
+    lookup, see _HLL_LC)."""
+    term = F.expr(f"shiftleft(cast(1 as bigint), cast({_HLL_CAP} - reg as int))")
+    lc = ", ".join(str(x) for x in _HLL_LC)
+    return (
+        regs.groupBy(*key_cols)
+        .agg(
+            (
+                F.sum(term)
+                + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(1 << _HLL_CAP)
+            ).alias("s"),
+            (F.lit(_HLL_M) - F.count(F.lit(1))).alias("v"),
+        )
+        .select(
+            *key_cols,
+            F.expr(
+                f"case when {_HLL_A} div s <= {_HLL_SMALL} and v > 0"
+                f" then element_at(array({lc}), cast(v as int))"
+                f" else {_HLL_A} div s end"
+            )
+            .cast("long")
+            .alias("hll_est"),
+        )
+    )
+
+
+@query("agg_hll_sketch", oracle=_HLL_ORACLE, tags=("A3", "A1", "X3"))
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    regs = hll_registers(toks, ["lang"], "token")
+    est = hll_estimate(regs, ["lang"])
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("token").alias("n_exact")
+    )
+    return exact.join(est, "lang").select(
+        "lang",
+        "n_exact",
+        "hll_est",
+        F.expr("abs(hll_est - n_exact) * 10000 div n_exact").alias("err_bp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text_cms_heavy_hitters — Count-Min point estimates for the exact top-20
+# tokens. The sketch is depth×width conditional sums (3 × W rows,
+# broadcastable whatever the corpus size); the estimate min-folds the
+# depth rows and is provably ≥ the exact count (one-sided collisions).
+# W=16 is sized DOWN to the fixture's ~31-token synthetic vocabulary so
+# collisions (the sketch's entire error model) actually occur; production
+# sizes W ≈ e/ε for additive error ε·N and the query shape is unchanged.
+# --------------------------------------------------------------------------
+_CMS_W = 16
+_CMS_DEPTH = (0, 1, 2)
+_CMS_TOPK = 20
+
+_CMS_BUCKET_SQL = (
+    "(" + _MD5_INT60_SQL.format(x="'cms' || CAST({d} AS VARCHAR) || ':' || token")
+    + f" % {_CMS_W})"
+)
+
+_CMS_ORACLE = f"""
+    WITH toks AS (
+      SELECT unnest(str_split(text, ' ')) AS token FROM documents
+    ),
+    rows_ AS (
+      SELECT d, {_CMS_BUCKET_SQL.format(d='d')} AS b, COUNT(*) AS c
+      FROM toks, (SELECT unnest([0, 1, 2]) AS d)
+      GROUP BY d, {_CMS_BUCKET_SQL.format(d='d')}
+    ),
+    top_ AS (
+      SELECT token, COUNT(*) AS n_exact
+      FROM toks GROUP BY token
+      ORDER BY n_exact DESC, token ASC LIMIT {_CMS_TOPK}
+    ),
+    probe AS (
+      SELECT token, n_exact, d, {_CMS_BUCKET_SQL.format(d='d')} AS b
+      FROM top_, (SELECT unnest([0, 1, 2]) AS d)
+    )
+    SELECT p.token, p.n_exact, MIN(r.c) AS cm_est,
+           CAST((MIN(r.c) - p.n_exact) * 10000 // p.n_exact AS BIGINT)
+             AS overest_bp
+    FROM probe p JOIN rows_ r ON p.d = r.d AND p.b = r.b
+    GROUP BY p.token, p.n_exact
+"""
+
+
+def _cms_bucket(token: F.Column, d: int) -> F.Column:
+    return _md5_int60(F.concat(F.lit(f"cms{d}:"), token)) % _CMS_W
+
+
+@query("text_cms_heavy_hitters", oracle=_CMS_ORACLE, tags=("A3", "A1", "O2", "J1"))
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    # depth×width sketch rows: the explode is a constant ×3 map; the
+    # aggregate map-side-combines to ≤ 3·1024 rows per task.
+    cms = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            _cms_bucket(F.col("token"), d).alias("b"),
+                        )
+                        for d in _CMS_DEPTH
+                    ]
+                )
+            ).alias("e")
+        )
+        .groupBy("e.d", "e.b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("token").asc())
+        .limit(_CMS_TOPK)
+    )
+    probe = top.select(
+        "token",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(F.col("token"), d).alias("b"),
+                    )
+                    for d in _CMS_DEPTH
+                ]
+            )
+        ).alias("e"),
+    ).select("token", "n_exact", "e.d", "e.b")
+    return (
+        probe.join(F.broadcast(cms), ["d", "b"])
+        .groupBy("token", "n_exact")
+        .agg(F.min("c").alias("cm_est"))
+        .select(
+            "token",
+            "n_exact",
+            "cm_est",
+            F.expr("(cm_est - n_exact) * 10000 div n_exact").alias("overest_bp"),
+        )
+    )
