@@ -858,5 +858,63 @@ def main() -> None:
             print(f"  -> {mk / m1:.1f}x time for {k}x data "
                   "(fresh vocab: band buckets stay per-universe)")
 
+    if "v364" in only:
+        # Round-8 extension of the 16x v3 smoke (VERDICT r7 item 4 "64x if
+        # wall permits"): same identity contract — 64 exact id-shifted
+        # copies must collapse at stage 0, output byte-identical to 1x.
+        from ppdb_parser_spark.queries.training_data import govern_documents_v3
+
+        emb = load_table(spark, sf, "embeddings")
+        t0 = time.perf_counter()
+        out1 = sorted(map(tuple, govern_documents_v3(docs, emb).collect()))
+        t1 = time.perf_counter() - t0
+        print(f"v3 1x: {t1:.2f} s ({len(out1)} shard rows)")
+        d64 = _shifted_union(docs, "doc_id", 64)
+        t0 = time.perf_counter()
+        out64 = sorted(map(tuple, govern_documents_v3(d64, emb).collect()))
+        t64 = time.perf_counter() - t0
+        print(f"v3 64x: {t64:.2f} s ({len(out64)} shard rows)")
+        assert out64 == out1, (
+            "v3 64x exact-duplication output DIFFERS from 1x — stage-0 "
+            "collapse failed to absorb the copies"
+        )
+        print(
+            f"  -> {t64 / t1:.1f}x time for 64x exact-duplicated corpus; "
+            "output identical to 1x (asserted)"
+        )
+
+    if "sketchscale" in only:
+        # HLL / Count-Min under k exact copies: the distinct set is
+        # unchanged and every count scales exactly k, so the HLL output
+        # must be IDENTICAL and the CMS relative overestimate invariant —
+        # while the only exchange stays O(registers), not O(tokens).
+        from ppdb_parser_spark.queries.sketches import (
+            hll_estimate,
+            hll_registers,
+        )
+
+        def run(frame):
+            toks = frame.select(
+                "lang", F.explode(F.split("text", " ")).alias("token")
+            )
+            return hll_estimate(hll_registers(toks, ["lang"], "token"), ["lang"])
+
+        t0 = time.perf_counter()
+        h1 = sorted(map(tuple, run(docs).collect()))
+        t1 = time.perf_counter() - t0
+        print(f"hll 1x: {t1:.2f} s ({h1})")
+        for k in (16, 64):
+            dk = _shifted_union(docs, "doc_id", k)
+            t0 = time.perf_counter()
+            hk = sorted(map(tuple, run(dk).collect()))
+            tk = time.perf_counter() - t0
+            assert hk == h1, f"HLL output changed under {k}x exact copies"
+            print(
+                f"hll {k}x: {tk:.2f} s -> {tk / t1:.1f}x time for {k}x "
+                "tokens; output identical (asserted — shuffle carries "
+                "registers, not tokens)"
+            )
+
+
 if __name__ == "__main__":
     main()
