@@ -356,3 +356,94 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", "lang", "n_tokens", "score").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     ).limit(_DSIR_TOPK)
+
+
+# --------------------------------------------------------------------------
+# govern_luhn_scan — checksum-validated numeric-PII classification.
+#
+# A PII scrubber that masks every digit run destroys useful numbers; real
+# pipelines classify first — a digit run that passes the Luhn checksum
+# (ISO/IEC 7812, the card-number check digit) is payment-card-shaped and
+# gets fully masked, anything else keeps its last 4 for referential
+# utility. The checksum is pure digit algebra (double every second digit
+# from the right, subtract 9 over 9, sum % 10 == 0), expressible as a
+# higher-order fold over the digit array in BOTH engines — no UDF.
+# customer.c_name's zero-padded 9-digit account run ("Customer#0000…")
+# supplies the fixture's deterministic digit runs (the fixture has no
+# phone/card column; the classification algebra is source-agnostic).
+#
+# Scale: narrow per-row map (regexp + 15-element fold), one aggregate
+# exchange on (nation, validity). Nothing here is data-size sensitive.
+# --------------------------------------------------------------------------
+_LUHN_SUM_SQL = """list_aggregate(list_transform(
+        range(1, length(digits) + 1),
+        i -> CASE WHEN (length(digits) - i) % 2 = 1
+                  THEN CASE WHEN 2 * CAST(substr(digits, i, 1) AS INTEGER) > 9
+                            THEN 2 * CAST(substr(digits, i, 1) AS INTEGER) - 9
+                            ELSE 2 * CAST(substr(digits, i, 1) AS INTEGER) END
+                  ELSE CAST(substr(digits, i, 1) AS INTEGER) END), 'sum')"""
+
+_LUHN_ORACLE = f"""
+    WITH d AS (
+      SELECT c_nationkey, regexp_replace(c_name, '[^0-9]', '', 'g') AS digits
+      FROM customer
+    ),
+    cls AS (
+      SELECT c_nationkey, digits,
+             ({_LUHN_SUM_SQL}) % 10 = 0 AS luhn_valid
+      FROM d
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS n_customers,
+           CAST(COUNT(CASE WHEN luhn_valid THEN 1 END) AS BIGINT)
+             AS n_luhn_valid,
+           MIN(CASE WHEN luhn_valid
+                    THEN repeat('*', length(digits)) END) AS full_mask,
+           MIN(CASE WHEN NOT luhn_valid
+                    THEN repeat('*', length(digits) - 4)
+                         || substr(digits, length(digits) - 3, 4) END)
+             AS sample_partial_mask
+    FROM cls GROUP BY c_nationkey
+"""
+
+
+@query("govern_luhn_scan", oracle=_LUHN_ORACLE, tags=("X1", "X4", "A6", "F3"))
+def govern_luhn_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    d = cust.select(
+        "c_nationkey",
+        F.regexp_replace(F.col("c_name"), "[^0-9]", "").alias("digits"),
+    )
+    digits = F.col("digits")
+    n = F.length(digits)
+
+    def luhn_term(i: F.Column) -> F.Column:
+        dgt = digits.substr(i, F.lit(1)).cast("int")
+        doubled = F.when(2 * dgt > 9, 2 * dgt - 9).otherwise(2 * dgt)
+        return F.when((n - i) % 2 == 1, doubled).otherwise(dgt)
+
+    cls = d.select(
+        "c_nationkey",
+        "digits",
+        (
+            F.aggregate(
+                F.sequence(F.lit(1), n), F.lit(0), lambda acc, i: acc + luhn_term(i)
+            )
+            % 10
+            == 0
+        ).alias("luhn_valid"),
+    )
+    valid = F.col("luhn_valid")
+    return cls.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.count(F.when(valid, 1)).alias("n_luhn_valid"),
+        F.min(F.when(valid, F.repeat(F.lit("*"), n))).alias("full_mask"),
+        F.min(
+            F.when(
+                ~valid,
+                F.concat(
+                    F.repeat(F.lit("*"), n - 4), digits.substr(n - 3, F.lit(4))
+                ),
+            )
+        ).alias("sample_partial_mask"),
+    )

@@ -305,6 +305,75 @@ def ts_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ts_ewma_dyadic — exponentially weighted moving average with α = 1/2 on
+# a dyadic integer grid. True EWMA is a sequential recurrence (not
+# window-expressible without pow(), whose float rounding is not
+# ulp-stable cross-engine); the dyadic 8-tap truncation makes it exact:
+# weight 2^(7-k) for the k-th lag, so numerator and present-weight
+# denominator are pure int64 sums of lag() columns and the result is one
+# integer division. Truncation error of the dropped tail is ≤ 2^-8 of
+# the weight mass — below the output grid. One shuffle (the per-user
+# window sort); at scale this is the standard time-series layout:
+# partition by series key, sort within partition — no global sort.
+# --------------------------------------------------------------------------
+_EWMA_TAPS = 8
+
+_EWMA_TERMS_SQL = " + ".join(
+    f"COALESCE(lag(vmilli, {k}) OVER w * {1 << (_EWMA_TAPS - 1 - k)}, 0)"
+    for k in range(_EWMA_TAPS)
+)
+_EWMA_DEN_SQL = " + ".join(
+    f"(CASE WHEN lag(vmilli, {k}) OVER w IS NOT NULL"
+    f" THEN {1 << (_EWMA_TAPS - 1 - k)} ELSE 0 END)"
+    for k in range(_EWMA_TAPS)
+)
+
+_EWMA_ORACLE = f"""
+    WITH purchases AS (
+      SELECT user_id, event_id,
+             CAST(floor(value * 1000) AS BIGINT) AS vmilli
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, event_id, vmilli,
+           ({_EWMA_TERMS_SQL}) * 1000 // ({_EWMA_DEN_SQL}) AS ewma_micro
+    FROM purchases
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+"""
+
+
+@query("ts_ewma_dyadic", oracle=_EWMA_ORACLE, tags=("W3", "X3", "W4"))
+def ts_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("vmilli"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    num = sum(
+        F.coalesce(F.lag("vmilli", k).over(w) * (1 << (_EWMA_TAPS - 1 - k)), F.lit(0))
+        for k in range(_EWMA_TAPS)
+    )
+    den = sum(
+        F.when(
+            F.lag("vmilli", k).over(w).isNotNull(),
+            F.lit(1 << (_EWMA_TAPS - 1 - k)),
+        ).otherwise(F.lit(0))
+        for k in range(_EWMA_TAPS)
+    )
+    return (
+        purchases.withColumn("_num", (num * 1000).cast("long"))
+        .withColumn("_den", den.cast("long"))
+        .select(
+            "user_id",
+            "event_id",
+            "vmilli",
+            F.expr("_num div _den").alias("ewma_micro"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Recursive CTE (Spark 4 WITH RECURSIVE): a month spine generated by
 # LINEAR recursion (one row per step — no path explosion; Spark's UNION
 # ALL-only recursion is safe exactly for this acyclic shape) left-joined
