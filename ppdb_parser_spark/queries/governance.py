@@ -407,6 +407,26 @@ _LUHN_ORACLE = f"""
 """
 
 
+def luhn_valid(digits: F.Column) -> F.Column:
+    """Luhn checksum validity of a digit-run string column as a pure
+    higher-order fold (no UDF). Property-tested against a reference
+    Python implementation in tests/test_governance.py."""
+    n = F.length(digits)
+
+    def luhn_term(i: F.Column) -> F.Column:
+        dgt = digits.substr(i, F.lit(1)).cast("int")
+        doubled = F.when(2 * dgt > 9, 2 * dgt - 9).otherwise(2 * dgt)
+        return F.when((n - i) % 2 == 1, doubled).otherwise(dgt)
+
+    return (
+        F.aggregate(
+            F.sequence(F.lit(1), n), F.lit(0), lambda acc, i: acc + luhn_term(i)
+        )
+        % 10
+        == 0
+    )
+
+
 @query("govern_luhn_scan", oracle=_LUHN_ORACLE, tags=("X1", "X4", "A6", "F3"))
 def govern_luhn_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
@@ -416,22 +436,10 @@ def govern_luhn_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     digits = F.col("digits")
     n = F.length(digits)
-
-    def luhn_term(i: F.Column) -> F.Column:
-        dgt = digits.substr(i, F.lit(1)).cast("int")
-        doubled = F.when(2 * dgt > 9, 2 * dgt - 9).otherwise(2 * dgt)
-        return F.when((n - i) % 2 == 1, doubled).otherwise(dgt)
-
     cls = d.select(
         "c_nationkey",
         "digits",
-        (
-            F.aggregate(
-                F.sequence(F.lit(1), n), F.lit(0), lambda acc, i: acc + luhn_term(i)
-            )
-            % 10
-            == 0
-        ).alias("luhn_valid"),
+        luhn_valid(digits).alias("luhn_valid"),
     )
     valid = F.col("luhn_valid")
     return cls.groupBy("c_nationkey").agg(

@@ -52,43 +52,54 @@ _HLL_A = (70937 * _HLL_M * _HLL_M * (1 << _HLL_CAP)) // 100000
 _HLL_LC = [round(_HLL_M * math.log(_HLL_M / v)) for v in range(1, _HLL_M + 1)]
 _HLL_SMALL = (5 * _HLL_M) // 2  # 2.5 * m on the integer grid
 
-_HLL_ORACLE = f"""
-    WITH toks AS (
-      SELECT lang, unnest(str_split(text, ' ')) AS token FROM documents
-    ),
-    hashed AS (
-      SELECT lang, token,
-             {_MD5_INT60_SQL.format(x='token')} AS h
-      FROM toks
+
+
+def hll_sql(src: str, key: str, item_sql: str, exact_sql: str | None = None) -> str:
+    """DuckDB oracle for the relational HLL over ``src`` grouped by ``key``,
+    hashing ``item_sql``. With ``exact_sql`` (an exact-distinct aggregate
+    over the same source) the output carries the n_exact/err_bp columns of
+    agg_hll_sketch; without it, just (key, hll_est) — the streaming-twin
+    shape. Token-for-token the same register/fold/linear-counting algebra
+    as the Spark builders below."""
+    lc = ", ".join(str(x) for x in _HLL_LC)
+    exact_cte = (
+        f", exact AS (SELECT {key}, {exact_sql} AS n_exact FROM {src} GROUP BY {key})"
+        if exact_sql
+        else ""
+    )
+    select = (
+        f"""SELECT e.{key}, n_exact, CAST(hll_est AS BIGINT) AS hll_est,
+           CAST(abs(hll_est - n_exact) * 10000 // n_exact AS BIGINT) AS err_bp
+           FROM exact e JOIN est f ON e.{key} = f.{key}"""
+        if exact_sql
+        else f"SELECT {key}, CAST(hll_est AS BIGINT) AS hll_est FROM est"
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT {key}, {_MD5_INT60_SQL.format(x=item_sql)} AS h FROM {src}
     ),
     regs AS (
-      SELECT lang, h >> {_HLL_LOW} AS j,
+      SELECT {key}, h >> {_HLL_LOW} AS j,
              MAX(least(CASE WHEN h % {1 << _HLL_LOW} = 0 THEN {_HLL_LOW + 1}
                             ELSE {_HLL_LOW + 1} - length(bin(h % {1 << _HLL_LOW}))
                        END, {_HLL_CAP})) AS reg
-      FROM hashed GROUP BY lang, h >> {_HLL_LOW}
+      FROM hashed GROUP BY {key}, h >> {_HLL_LOW}
     ),
     folded AS (
-      SELECT lang,
+      SELECT {key},
              SUM(CAST(1 AS BIGINT) << CAST({_HLL_CAP} - reg AS INTEGER))
                + ({_HLL_M} - COUNT(*)) * {1 << _HLL_CAP} AS s,
              {_HLL_M} - COUNT(*) AS v
-      FROM regs GROUP BY lang
+      FROM regs GROUP BY {key}
     ),
     est AS (
-      SELECT lang,
+      SELECT {key},
              CASE WHEN {_HLL_A} // s <= {_HLL_SMALL} AND v > 0
-                  THEN [{', '.join(str(x) for x in _HLL_LC)}][CAST(v AS INTEGER)]
+                  THEN [{lc}][CAST(v AS INTEGER)]
                   ELSE {_HLL_A} // s END AS hll_est
       FROM folded
-    ),
-    exact AS (
-      SELECT lang, COUNT(DISTINCT token) AS n_exact FROM toks GROUP BY lang
-    )
-    SELECT e.lang, n_exact,
-           CAST(hll_est AS BIGINT) AS hll_est,
-           CAST(abs(hll_est - n_exact) * 10000 // n_exact AS BIGINT) AS err_bp
-    FROM exact e JOIN est f ON e.lang = f.lang
+    ){exact_cte}
+    {select}
 """
 
 
@@ -135,6 +146,14 @@ def hll_estimate(regs: DataFrame, key_cols: list[str]) -> DataFrame:
             .alias("hll_est"),
         )
     )
+
+
+_HLL_ORACLE = hll_sql(
+    "(SELECT lang, unnest(str_split(text, ' ')) AS token FROM documents)",
+    "lang",
+    "token",
+    exact_sql="COUNT(DISTINCT token)",
+)
 
 
 @query("agg_hll_sketch", oracle=_HLL_ORACLE, tags=("A3", "A1", "X3"))

@@ -578,3 +578,68 @@ def pipeline_session_dialogues(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_s",
         transcript.alias("transcript"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming sketch maintenance: the HLL register table as a stateful
+# streaming aggregation (complete mode — registers are max-monotone, so
+# the incremental output is deterministic and carries the SAME full hash
+# oracle as a batch build over the whole table). The fold from registers
+# to the estimate is a 64-row batch map over the drained sink. At scale
+# this is the streaming profile pattern: state is O(keys × 64) registers,
+# the stream shuffles register updates, never raw identifiers.
+# --------------------------------------------------------------------------
+from .sketches import hll_estimate, hll_registers, hll_sql  # noqa: E402
+
+_HLL_USERS_BATCH_ORACLE = hll_sql(
+    "events",
+    "event_type",
+    "CAST(user_id AS VARCHAR)",
+    exact_sql="COUNT(DISTINCT user_id)",
+)
+_HLL_USERS_LIVE_ORACLE = hll_sql(
+    "events", "event_type", "CAST(user_id AS VARCHAR)"
+)
+
+
+def _hll_user_regs(events: DataFrame) -> DataFrame:
+    """Per-event-type HLL registers over user_id — one shape for batch and
+    streaming inputs (the groupBy-max is Spark's streaming stateful agg)."""
+    return hll_registers(
+        events.select(
+            "event_type", F.col("user_id").cast("string").alias("uid")
+        ),
+        ["event_type"],
+        "uid",
+    )
+
+
+@query(
+    "stream_hll_batch",
+    oracle=_HLL_USERS_BATCH_ORACLE,
+    tags=("A3", "A1", "T1"),
+)
+def stream_hll_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    est = hll_estimate(_hll_user_regs(ev), ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "n_exact",
+        "hll_est",
+        F.expr("abs(hll_est - n_exact) * 10000 div n_exact").alias("err_bp"),
+    )
+
+
+@query(
+    "stream_hll_live",
+    oracle=_HLL_USERS_LIVE_ORACLE,
+    tags=("A3", "S7", "T7", "T1"),
+)
+def stream_hll_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    regs = ST.run_stream_to_table(
+        _hll_user_regs(ST.events_stream(spark, sf_dir)), "complete"
+    )
+    return hll_estimate(regs, ["event_type"])

@@ -6,7 +6,12 @@ tests/test_oracle_parity.py (they are registered queries)."""
 
 from __future__ import annotations
 
+import random
+
+from pyspark.sql import functions as F
+
 from ppdb_parser_spark.queries import REGISTRY
+from ppdb_parser_spark.queries.governance import luhn_valid
 
 
 def test_bloom_decontaminate_superset_of_exact(spark, sf_dir):
@@ -29,6 +34,38 @@ def test_substring_spans_mass_well_formed(spark, sf_dir):
     # the fixture plants exact full-document copies: at least one doc
     # must be duplicated wall-to-wall (every span shared)
     assert any(r.dup_bp == 10000 for r in rows)
+
+
+def _luhn_ref(digits: str) -> bool:
+    """Reference Luhn (ISO/IEC 7812): double every second digit from the
+    right, subtract 9 over 9, sum divisible by 10."""
+    total = 0
+    for k, ch in enumerate(reversed(digits)):
+        d = int(ch)
+        if k % 2 == 1:
+            d = d * 2 - 9 if d * 2 > 9 else d * 2
+        total += d
+    return total % 10 == 0
+
+
+def test_luhn_fold_matches_reference(spark):
+    """The in-plan HOF fold vs a plain-Python Luhn over 300 seeded random
+    digit runs of mixed length (plus known-valid card test numbers)."""
+    rng = random.Random(8)
+    cases = [
+        "".join(rng.choice("0123456789") for _ in range(rng.randint(1, 19)))
+        for _ in range(300)
+    ]
+    cases += ["4111111111111111", "79927398713", "49927398716"]  # Luhn-valid
+    cases += ["4111111111111112", "49927398717"]  # invalid
+    df = spark.createDataFrame([(c,) for c in cases], ["digits"])
+    got = {
+        r.digits: r.ok
+        for r in df.select("digits", luhn_valid(F.col("digits")).alias("ok"))
+        .collect()
+    }
+    for c in cases:
+        assert got[c] == _luhn_ref(c), c
 
 
 def test_dsir_weights_exclude_target_and_are_ordered(spark, sf_dir):
