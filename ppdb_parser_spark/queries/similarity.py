@@ -1221,3 +1221,101 @@ def sim_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("d2", "vec_id")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of a lexical BM25 arm and a
+# semantic cosine arm (Cormack, Clarke & Büttcher 2009, "Reciprocal Rank
+# Fusion outperforms Condorcet and individual rank learning methods").
+# Each arm contributes its deterministic top-50 ranking (rank = integer
+# row_number with a doc_id tiebreak over the arm's rounded-6 score, both
+# already hash-exact surfaces); RRF is folded on an integer grid —
+# 10^6 div (60 + rank), absent-from-arm contributes 0 — so the fused
+# ordering never touches float summation. The 100 TB shape is two
+# independent TakeOrderedAndProject arms (each the already-documented
+# zero-shuffle-until-topk pattern) fused by a 50∪50-row join: the fusion
+# itself costs nothing at any scale.
+# --------------------------------------------------------------------------
+_RRF_K = 60
+_RRF_POOL = 50
+_RRF_SCALE = 1_000_000
+
+from .text_analysis import bm25_scored_sql as _bm25_scored_sql  # noqa: E402
+
+_HYBRID_RRF_ORACLE = f"""
+    WITH lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+      FROM ({_bm25_scored_sql()})
+      ORDER BY bm25 DESC, doc_id LIMIT {_RRF_POOL}
+    ),
+    {_PROBE_SQL.strip()},
+    sem AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY round(dot / (nc * np), 6) DESC,
+                                vec_id) AS rank_sem
+      FROM scored, probe_norm
+      ORDER BY round(dot / (nc * np), 6) DESC, vec_id LIMIT {_RRF_POOL}
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             l.rank_lex, s.rank_sem,
+             COALESCE({_RRF_SCALE} // ({_RRF_K} + l.rank_lex), 0)
+               + COALESCE({_RRF_SCALE} // ({_RRF_K} + s.rank_sem), 0)
+               AS rrf_score
+      FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_sem, CAST(rrf_score AS BIGINT) AS rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 10
+"""
+
+
+@query(
+    "sim_hybrid_rrf",
+    oracle=_HYBRID_RRF_ORACLE,
+    tags=("L1", "L4", "O2", "W2", "J3"),
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators import text_analysis as TA
+    from .text_analysis import _BM25_TERMS
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = (
+        TA.bm25_topk(docs, terms=_BM25_TERMS, k=_RRF_POOL, keep_cols=())
+        .withColumn(
+            "rank_lex",
+            F.row_number().over(
+                Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+            ),
+        )
+        .select("doc_id", "rank_lex")
+    )
+    sem = (
+        SIM.cosine_topk_by_id(emb, probe_id=0, k=_RRF_POOL, keep_cols=())
+        .withColumn(
+            "rank_sem",
+            F.row_number().over(
+                Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+            ),
+        )
+        .select(F.col("vec_id").alias("doc_id"), "rank_sem")
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_lex",
+        "rank_sem",
+        (
+            F.coalesce(
+                F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rank_lex)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rank_sem)"), F.lit(0)
+            )
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id")).limit(10)

@@ -802,7 +802,10 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ("query", "stream", "merge")
 
 
-def _bm25_oracle() -> str:
+def bm25_scored_sql() -> str:
+    """The BM25 per-document scoring SQL (no order/limit) — shared by the
+    text_bm25_topk oracle and the hybrid-RRF fusion oracle in
+    queries/similarity.py."""
     stats_df = ",\n             ".join(
         f"SUM(CASE WHEN list_contains(str_split(text, ' '), '{t}') "
         f"THEN 1 ELSE 0 END) AS df_{i}"
@@ -829,6 +832,12 @@ def _bm25_oracle() -> str:
     )
     SELECT doc_id, lang, round({terms}, 6) AS bm25
     FROM documents, stats
+    """
+
+
+def _bm25_oracle() -> str:
+    return f"""
+    {bm25_scored_sql()}
     ORDER BY bm25 DESC, doc_id
     LIMIT 10
     """
