@@ -278,3 +278,123 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(cm_est - n_exact) * 10000 div n_exact").alias("overest_bp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# agg_hll_set_ops — sketch SET ALGEBRA: intersection cardinality per
+# event-type pair by inclusion-exclusion over max-merged registers,
+# |A∩B| ≈ E(A) + E(B) − E(max-merge(regs_A, regs_B)). This is the whole
+# reason mergeable sketches exist: the union estimate needs only the two
+# 64-register tables, never the raw id sets. The error of the difference
+# is the documented weakness of HLL intersections (it compounds the three
+# estimates' errors) — the query reports it honestly against the exact
+# intersection. Pair generation is a theta self-join of the 5-row
+# event-type dimension (dimension-sized, like the J9 contract query);
+# the data side only ever joins register tables.
+# --------------------------------------------------------------------------
+_HLL_PAIR_UNION_SRC = """(
+      WITH p AS (
+        SELECT a.event_type AS t1, b.event_type AS t2
+        FROM (SELECT DISTINCT event_type FROM events) a,
+             (SELECT DISTINCT event_type FROM events) b
+        WHERE a.event_type < b.event_type
+      ),
+      pm AS (SELECT t1, t2, unnest([t1, t2]) AS member FROM p)
+      SELECT pm.t1, pm.t2, CAST(e.user_id AS VARCHAR) AS u
+      FROM pm JOIN events e ON e.event_type = pm.member
+    )"""
+
+_HLL_SINGLES_SRC = "(SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events)"
+
+
+def _hll_set_ops_oracle() -> str:
+    union_q = hll_sql(_HLL_PAIR_UNION_SRC, "t1, t2", "u")
+    single_q = hll_sql(_HLL_SINGLES_SRC, "event_type", "u")
+    return f"""
+    WITH exact AS (
+      SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS n_exact
+      FROM (SELECT DISTINCT event_type, user_id FROM events) a
+      JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ),
+    unions AS (SELECT t1, t2, hll_est AS est_union FROM ({union_q})),
+    singles AS (SELECT event_type, hll_est FROM ({single_q}))
+    SELECT x.t1, x.t2, x.n_exact,
+           CAST(sa.hll_est + sb.hll_est - u.est_union AS BIGINT)
+             AS hll_inter_est,
+           CAST(abs(sa.hll_est + sb.hll_est - u.est_union - x.n_exact)
+                * 10000 // x.n_exact AS BIGINT) AS err_bp
+    FROM exact x
+    JOIN unions u ON x.t1 = u.t1 AND x.t2 = u.t2
+    JOIN singles sa ON x.t1 = sa.event_type
+    JOIN singles sb ON x.t2 = sb.event_type
+"""
+
+
+@query(
+    "agg_hll_set_ops",
+    oracle=_hll_set_ops_oracle(),
+    tags=("A3", "A2", "J6", "A1"),
+)
+def agg_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("uid"), "user_id"
+    )
+    regs = hll_registers(ev, ["event_type"], "uid")
+    types = ev.select("event_type").distinct()
+    pairs = types.select(F.col("event_type").alias("t1")).join(
+        types.select(F.col("event_type").alias("t2")),
+        F.col("t1") < F.col("t2"),
+    )
+    members = pairs.select(
+        "t1", "t2", F.explode(F.array("t1", "t2")).alias("event_type")
+    )
+    pair_regs = (
+        members.join(regs, "event_type")
+        .groupBy("t1", "t2", "j")
+        .agg(F.max("reg").alias("reg"))
+    )
+    est_union = hll_estimate(pair_regs, ["t1", "t2"]).withColumnRenamed(
+        "hll_est", "est_union"
+    )
+    singles = hll_estimate(regs, ["event_type"])
+    du = ev.select("event_type", "user_id").distinct()
+    exact = (
+        du.alias("a")
+        .join(
+            du.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("t1"), F.col("b.event_type").alias("t2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    fused = (
+        exact.join(est_union, ["t1", "t2"])
+        .join(
+            singles.select(
+                F.col("event_type").alias("t1"), F.col("hll_est").alias("est_a")
+            ),
+            "t1",
+        )
+        .join(
+            singles.select(
+                F.col("event_type").alias("t2"), F.col("hll_est").alias("est_b")
+            ),
+            "t2",
+        )
+    )
+    inter = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    return fused.select(
+        "t1",
+        "t2",
+        "n_exact",
+        inter.cast("long").alias("hll_inter_est"),
+        F.expr(
+            "cast(abs(est_a + est_b - est_union - n_exact) * 10000"
+            " div n_exact as bigint)"
+        ).alias("err_bp"),
+    )
