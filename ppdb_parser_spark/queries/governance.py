@@ -125,6 +125,7 @@ def _bloom_pos(shingle: F.Column, seed: int) -> F.Column:
     "pipeline_decontaminate_bloom",
     oracle=_DECON_BLOOM_ORACLE,
     tags=("J1", "J4", "A1", "X3"),
+    bench=True,
 )
 def pipeline_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -1276,6 +1276,7 @@ _HYBRID_RRF_ORACLE = f"""
     "sim_hybrid_rrf",
     oracle=_HYBRID_RRF_ORACLE,
     tags=("L1", "L4", "O2", "W2", "J3"),
+    bench=True,
 )
 def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

@@ -156,7 +156,7 @@ _HLL_ORACLE = hll_sql(
 )
 
 
-@query("agg_hll_sketch", oracle=_HLL_ORACLE, tags=("A3", "A1", "X3"))
+@query("agg_hll_sketch", oracle=_HLL_ORACLE, tags=("A3", "A1", "X3"), bench=True)
 def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
