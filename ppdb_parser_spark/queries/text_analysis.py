@@ -852,3 +852,64 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.bm25_topk(
         load_table(spark, sf_dir, "documents"), terms=_BM25_TERMS, k=10
     )
+
+
+# --------------------------------------------------------------------------
+# Dyadic entropy bound — a repetitiveness signal from the token-frequency
+# DISTRIBUTION (complementary to text_repetition's positional n-gram
+# fractions; low token entropy ≈ CCNet/RefinedWeb-style boilerplate).
+# True Shannon entropy needs log2 of arbitrary rationals (not ulp-stable
+# cross-engine); the dyadic surrogate replaces log2 with floor_log2 via
+# the bin()-length identity both engines share —
+#   S = n·flog2(n) − Σ_tok c·flog2(c),   flog2(x) = length(bin(x)) − 1
+# — an integer within n bits of n·H, monotone enough to rank repetitive
+# docs. Output: the 50 lowest-entropy docs (centibits/token grid, total
+# order). Scale: one (doc,token) count aggregate + one per-doc rollup —
+# both map-side combining; no joins.
+# --------------------------------------------------------------------------
+@query(
+    "text_entropy_bound",
+    oracle="""
+    WITH counts AS (
+      SELECT doc_id, token, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token
+            FROM documents)
+      GROUP BY doc_id, token
+    ),
+    per_doc AS (
+      SELECT doc_id, SUM(c) AS n,
+             SUM(c * (length(bin(c)) - 1)) AS sum_term
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST((n * (length(bin(n)) - 1) - sum_term) * 100 // n AS BIGINT)
+             AS ent_cbits
+    FROM per_doc
+    ORDER BY ent_cbits ASC, doc_id
+    LIMIT 50
+    """,
+    tags=("L6", "A1", "X3", "O2"),
+)
+def text_entropy_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    flog2 = lambda col: F.length(F.bin(col)) - 1  # noqa: E731
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * flog2(F.col("c"))).alias("sum_term"),
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.expr("(n * (length(bin(n)) - 1) - sum_term) * 100 div n")
+            .cast("long")
+            .alias("ent_cbits"),
+        )
+        .orderBy(F.col("ent_cbits").asc(), F.col("doc_id"))
+        .limit(50)
+    )
