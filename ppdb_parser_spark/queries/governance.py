@@ -466,3 +466,84 @@ def govern_luhn_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sample_partial_mask"),
     )
+
+
+# --------------------------------------------------------------------------
+# pipeline_drift_tvd — distribution drift between two corpus slices as an
+# EXACT integer total-variation distance. The monitoring op a recurring
+# corpus build runs between snapshots: bucket a feature (here doc length
+# in 16-token bins, capped), count per (lang, bucket) in the eval slice
+# vs the train slice, and fold
+#     TVD = 1/2 · Σ_b |P_train(b) − P_eval(b)|
+# on the common-denominator integer grid: 2·N_t·N_e·TVD =
+# Σ_b |c_t(b)·N_e − c_e(b)·N_t| — no floats anywhere; the reported
+# drift_bp = that sum · 10000 // (2·N_t·N_e). χ²/KL need logs or
+# per-bucket rationals; TVD is the drift metric that folds exactly.
+# Scale: two conditional-count aggregates over one scan + a ≤(langs ×
+# buckets)-row fold. Nothing data-sized crosses the wire.
+# --------------------------------------------------------------------------
+_DRIFT_BIN = 16
+_DRIFT_CAP = 16  # buckets 0..16 (docs ≥ 256 tokens share the tail bucket)
+
+_DRIFT_ORACLE = f"""
+    WITH slices AS (
+      SELECT lang,
+             {_BUCKET_SQL.format(salt='eval:')} < '{_EVAL_MAX}' AS is_eval,
+             least(len(str_split(text, ' ')) // {_DRIFT_BIN}, {_DRIFT_CAP})
+               AS b
+      FROM documents
+    ),
+    counts AS (
+      SELECT lang, b,
+             COUNT(CASE WHEN NOT is_eval THEN 1 END) AS c_t,
+             COUNT(CASE WHEN is_eval THEN 1 END) AS c_e
+      FROM slices GROUP BY lang, b
+    ),
+    totals AS (
+      SELECT lang, SUM(c_t) AS n_t, SUM(c_e) AS n_e
+      FROM counts GROUP BY lang
+    )
+    SELECT c.lang,
+           CAST(t.n_t AS BIGINT) AS n_train,
+           CAST(t.n_e AS BIGINT) AS n_eval,
+           CAST(SUM(abs(c.c_t * t.n_e - c.c_e * t.n_t)) * 10000
+                // (2 * t.n_t * t.n_e) AS BIGINT) AS drift_bp
+    FROM counts c JOIN totals t ON c.lang = t.lang
+    GROUP BY c.lang, t.n_t, t.n_e
+"""
+
+
+@query("pipeline_drift_tvd", oracle=_DRIFT_ORACLE, tags=("A6", "A1", "X3", "F4"))
+def pipeline_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    slices = docs.select(
+        "lang",
+        (_bucket("eval:") < _EVAL_MAX).alias("is_eval"),
+        F.least(
+            F.expr(f"size(split(text, ' ')) div {_DRIFT_BIN}"),
+            F.lit(_DRIFT_CAP),
+        ).alias("b"),
+    )
+    counts = slices.groupBy("lang", "b").agg(
+        F.count(F.when(~F.col("is_eval"), 1)).alias("c_t"),
+        F.count(F.when(F.col("is_eval"), 1)).alias("c_e"),
+    )
+    totals = counts.groupBy("lang").agg(
+        F.sum("c_t").alias("n_t"), F.sum("c_e").alias("n_e")
+    )
+    return (
+        counts.join(F.broadcast(totals), "lang")
+        .groupBy("lang", "n_t", "n_e")
+        .agg(
+            F.expr(
+                "cast(sum(abs(c_t * n_e - c_e * n_t)) * 10000"
+                " div (2 * n_t * n_e) as bigint)"
+            ).alias("drift_bp")
+        )
+        .select(
+            "lang",
+            F.col("n_t").cast("long").alias("n_train"),
+            F.col("n_e").cast("long").alias("n_eval"),
+            "drift_bp",
+        )
+    )

@@ -437,3 +437,85 @@ def ts_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM months LEFT JOIN agg ON months.m = agg.m
         """
     )
+
+
+# --------------------------------------------------------------------------
+# ts_anomaly_argmax — per-(series, day) most-deviant event with an EXACT
+# integer z-test. z² = (n·v − S1)² / (n·S2 − S1²) needs no float sqrt:
+# the 4σ verdict cross-multiplies to dev² > 16·(n·S2 − S1²) on int64
+# (4σ sits at ~p70 of the fixture's per-day argmax z's, 2.4–6.0 on its
+# heavy-tailed values — a threshold that actually discriminates)
+# (v in cents; bounds hold to n ≈ 30k rows/group — the day grouping is
+# the operative guard; larger groups move to (day, hour) or wider cents).
+# One window shuffle on (event_type, day); the argmax rides the same
+# exchange via row_number. This is the metric-monitoring op of a
+# recurring pipeline: per series per day, the worst point and whether it
+# statistically deviates — deterministic, no sampling, no floats.
+# --------------------------------------------------------------------------
+_ANOM_ORACLE = """
+    WITH v AS (
+      SELECT event_type, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_no,
+             CAST(floor(value * 100) AS BIGINT) AS vcents
+      FROM events
+    ),
+    stats AS (
+      SELECT *,
+             COUNT(*) OVER w AS n,
+             SUM(vcents) OVER w AS s1,
+             SUM(vcents * vcents) OVER w AS s2
+      FROM v
+      WINDOW w AS (PARTITION BY event_type, day_no)
+    ),
+    ranked AS (
+      SELECT *, abs(n * vcents - s1) AS dev,
+             row_number() OVER (PARTITION BY event_type, day_no
+                                ORDER BY abs(n * vcents - s1) DESC,
+                                         event_id) AS rk
+      FROM stats
+    )
+    SELECT event_type, CAST(day_no AS BIGINT) AS day_no,
+           CAST(n AS BIGINT) AS n_events,
+           event_id, vcents, CAST(dev AS BIGINT) AS dev,
+           dev * dev > 16 * (n * s2 - s1 * s1) AS is_outlier
+    FROM ranked WHERE rk = 1 AND n >= 2
+"""
+
+
+@query("ts_anomaly_argmax", oracle=_ANOM_ORACLE, tags=("W2", "W4", "X2", "X3"))
+def ts_anomaly_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+            " div 86400000000"
+        ).alias("day_no"),
+        F.floor(F.col("value") * 100).cast("long").alias("vcents"),
+    )
+    w = Window.partitionBy("event_type", "day_no")
+    stats = v.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("vcents").over(w).alias("s1"),
+        F.sum(F.col("vcents") * F.col("vcents")).over(w).alias("s2"),
+    ).withColumn("dev", F.abs(F.col("n") * F.col("vcents") - F.col("s1")))
+    ranked = stats.withColumn(
+        "rk",
+        F.row_number().over(
+            w.orderBy(F.col("dev").desc(), F.col("event_id"))
+        ),
+    )
+    return ranked.filter((F.col("rk") == 1) & (F.col("n") >= 2)).select(
+        "event_type",
+        F.col("day_no").cast("long"),
+        F.col("n").cast("long").alias("n_events"),
+        "event_id",
+        "vcents",
+        F.col("dev").cast("long"),
+        (
+            F.col("dev") * F.col("dev")
+            > 16 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+        ).alias("is_outlier"),
+    )
