@@ -643,3 +643,129 @@ def stream_hll_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         _hll_user_regs(ST.events_stream(spark, sf_dir)), "complete"
     )
     return hll_estimate(regs, ["event_type"])
+
+
+# --------------------------------------------------------------------------
+# Streaming Count-Min maintenance: the depth×width counter table as a
+# streaming aggregation (complete mode — counter sums are deterministic
+# for availableNow drains, so the live run carries the same full hash
+# oracle as a batch build). Pairs with stream_hll_live: HLL registers
+# merge by MAX, Count-Min rows merge by SUM — the two mergeable-sketch
+# shapes a streaming profile maintains. The probe fold (min over depth
+# rows per item) is a ≤(items × depth)-row batch map over the drained
+# sink. State is O(depth × width) counters regardless of stream volume.
+# --------------------------------------------------------------------------
+from .governance import _MD5_INT60_SQL  # noqa: E402
+from .sketches import _CMS_DEPTH, _CMS_W, _cms_bucket  # noqa: E402
+
+_CMS_ET_BUCKET = (
+    "(" + _MD5_INT60_SQL.format(
+        x="'cms' || CAST({d} AS VARCHAR) || ':' || event_type"
+    ) + f" % {_CMS_W})"
+)
+
+_CMS_EVENTS_ORACLE_BODY = f"""
+    WITH rows_ AS (
+      SELECT d, {_CMS_ET_BUCKET.format(d='d')} AS b, COUNT(*) AS c
+      FROM events, (SELECT unnest([0, 1, 2]) AS d)
+      GROUP BY 1, 2
+    ),
+    probe AS (
+      SELECT event_type, d, {_CMS_ET_BUCKET.format(d='d')} AS b
+      FROM (SELECT DISTINCT event_type FROM events),
+           (SELECT unnest([0, 1, 2]) AS d)
+    ),
+    est AS (
+      SELECT p.event_type, MIN(r.c) AS cm_est
+      FROM probe p JOIN rows_ r ON p.d = r.d AND p.b = r.b
+      GROUP BY p.event_type
+    )"""
+
+_CMS_EVENTS_LIVE_ORACLE = f"""
+    {_CMS_EVENTS_ORACLE_BODY}
+    SELECT event_type, CAST(cm_est AS BIGINT) AS cm_est FROM est
+"""
+
+_CMS_EVENTS_BATCH_ORACLE = f"""
+    {_CMS_EVENTS_ORACLE_BODY},
+    exact AS (SELECT event_type, COUNT(*) AS n_exact FROM events GROUP BY 1)
+    SELECT e.event_type, n_exact, CAST(cm_est AS BIGINT) AS cm_est,
+           CAST((cm_est - n_exact) * 10000 // n_exact AS BIGINT) AS overest_bp
+    FROM exact e JOIN est USING (event_type)
+"""
+
+
+def _cms_event_rows(events: DataFrame) -> DataFrame:
+    """depth×width Count-Min counter rows over event_type — one shape for
+    batch and streaming inputs (groupBy-sum is the streaming stateful agg)."""
+    return (
+        events.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            _cms_bucket(F.col("event_type"), d).alias("b"),
+                        )
+                        for d in _CMS_DEPTH
+                    ]
+                )
+            ).alias("e")
+        )
+        .groupBy("e.d", "e.b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _cms_probe(spark: SparkSession, sf_dir: str, sketch: DataFrame) -> DataFrame:
+    types = (
+        load_table(spark, sf_dir, "events").select("event_type").distinct()
+    )
+    probe = types.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(F.col("event_type"), d).alias("b"),
+                    )
+                    for d in _CMS_DEPTH
+                ]
+            )
+        ).alias("e"),
+    ).select("event_type", "e.d", "e.b")
+    return (
+        probe.join(F.broadcast(sketch), ["d", "b"])
+        .groupBy("event_type")
+        .agg(F.min("c").alias("cm_est"))
+    )
+
+
+@query(
+    "stream_cms_batch",
+    oracle=_CMS_EVENTS_BATCH_ORACLE,
+    tags=("A3", "A1", "T1"),
+)
+def stream_cms_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    est = _cms_probe(spark, sf_dir, _cms_event_rows(ev))
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "n_exact",
+        "cm_est",
+        F.expr("(cm_est - n_exact) * 10000 div n_exact").alias("overest_bp"),
+    )
+
+
+@query(
+    "stream_cms_live",
+    oracle=_CMS_EVENTS_LIVE_ORACLE,
+    tags=("A3", "S7", "T7", "T1"),
+)
+def stream_cms_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sketch = ST.run_stream_to_table(
+        _cms_event_rows(ST.events_stream(spark, sf_dir)), "complete"
+    )
+    return _cms_probe(spark, sf_dir, sketch)

@@ -79,3 +79,27 @@ def test_dsir_weights_exclude_target_and_are_ordered(spark, sf_dir):
         if a.score == b.score:
             assert a.doc_id < b.doc_id
     assert all(r.score > 0 and r.n_tokens > 0 for r in rows)
+
+
+def test_ewma_dyadic_matches_reference(spark, sf_dir):
+    """The 8-tap dyadic EWMA window vs a plain-Python reference over the
+    fixture's purchase series (every row, every user)."""
+    from collections import defaultdict
+
+    from ppdb_parser_spark.queries import REGISTRY
+
+    rows = REGISTRY["ts_ewma_dyadic"].fn(spark, sf_dir).collect()
+    series = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.user_id, r.event_id)):
+        series[r.user_id].append(r)
+    checked = 0
+    for user, rs in series.items():
+        hist = []
+        for r in rs:
+            hist.append(r.vmilli)
+            taps = hist[-8:][::-1]  # newest first
+            num = sum(v * (1 << (7 - k)) for k, v in enumerate(taps))
+            den = sum(1 << (7 - k) for k in range(len(taps)))
+            assert r.ewma_micro == num * 1000 // den, (user, r)
+            checked += 1
+    assert checked == len(rows) > 0
