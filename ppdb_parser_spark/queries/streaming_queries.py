@@ -769,3 +769,121 @@ def stream_cms_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cms_event_rows(ST.events_stream(spark, sf_dir)), "complete"
     )
     return _cms_probe(spark, sf_dir, sketch)
+
+
+# --------------------------------------------------------------------------
+# Online drift monitor: per-day total-variation distance between a
+# held-out sample slice (md5-bucket of event_id, ~25 %) and the rest of
+# the stream, over the event_type dimension — the live twin of
+# pipeline_drift_tvd's integer TVD algebra. The streaming piece is the
+# conditional-count aggregation (complete mode, deterministic); the
+# common-denominator integer fold is a ≤(days × types)-row batch map
+# over the drained sink. A production monitor alerts when drift_bp
+# jumps; here the held-out slice is an unbiased sample so drift_bp
+# measures pure sampling noise — small, and exactly reproducible.
+# --------------------------------------------------------------------------
+_DRIFT_SAMPLE_MAX = "4000"  # ~25 % of event_ids
+
+_DRIFT_EVENTS_COUNTS_SQL = f"""
+    SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_no,
+           event_type,
+           COUNT(CASE WHEN substring(md5('drift:' || CAST(event_id AS VARCHAR)),
+                                     1, 4) >= '{_DRIFT_SAMPLE_MAX}'
+                      THEN 1 END) AS c_t,
+           COUNT(CASE WHEN substring(md5('drift:' || CAST(event_id AS VARCHAR)),
+                                     1, 4) < '{_DRIFT_SAMPLE_MAX}'
+                      THEN 1 END) AS c_e
+    FROM events GROUP BY 1, 2"""
+
+_DRIFT_EVENTS_ORACLE = f"""
+    WITH counts AS ({_DRIFT_EVENTS_COUNTS_SQL}),
+    totals AS (
+      SELECT day_no, SUM(c_t) AS n_t, SUM(c_e) AS n_e
+      FROM counts GROUP BY day_no
+    )
+    SELECT c.day_no,
+           CAST(t.n_t AS BIGINT) AS n_train,
+           CAST(t.n_e AS BIGINT) AS n_eval,
+           CAST(SUM(abs(c.c_t * t.n_e - c.c_e * t.n_t)) * 10000
+                // (2 * t.n_t * t.n_e) AS BIGINT) AS drift_bp
+    FROM counts c JOIN totals t ON c.day_no = t.day_no
+    GROUP BY c.day_no, t.n_t, t.n_e
+"""
+
+
+def _drift_event_counts(events: DataFrame) -> DataFrame:
+    is_eval = (
+        F.substring(
+            F.md5(F.concat(F.lit("drift:"), F.col("event_id").cast("string"))),
+            1,
+            4,
+        )
+        < _DRIFT_SAMPLE_MAX
+    )
+    return (
+        events.select(
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts) div 86400000000"
+            ).alias("day_no"),
+            "event_type",
+            is_eval.alias("is_eval"),
+        )
+        .groupBy("day_no", "event_type")
+        .agg(
+            F.count(F.when(~F.col("is_eval"), 1)).alias("c_t"),
+            F.count(F.when(F.col("is_eval"), 1)).alias("c_e"),
+        )
+    )
+
+
+def _drift_fold(counts: DataFrame) -> DataFrame:
+    # totals re-keys day_no under a NEW attribute (alias → fresh exprId):
+    # a memory-sink table self-joined against its own aggregate otherwise
+    # fails analysis with conflicting attribute references (both sides
+    # share the sink view's exprIds).
+    totals = (
+        counts.select(F.col("day_no").alias("day_key"), "c_t", "c_e")
+        .groupBy("day_key")
+        .agg(F.sum("c_t").alias("n_t"), F.sum("c_e").alias("n_e"))
+    )
+    return (
+        counts.join(
+            F.broadcast(totals), counts["day_no"] == totals["day_key"]
+        )
+        .drop("day_key")
+        .groupBy("day_no", "n_t", "n_e")
+        .agg(
+            F.expr(
+                "cast(sum(abs(c_t * n_e - c_e * n_t)) * 10000"
+                " div (2 * n_t * n_e) as bigint)"
+            ).alias("drift_bp")
+        )
+        .select(
+            "day_no",
+            F.col("n_t").cast("long").alias("n_train"),
+            F.col("n_e").cast("long").alias("n_eval"),
+            "drift_bp",
+        )
+    )
+
+
+@query(
+    "stream_drift_batch",
+    oracle=_DRIFT_EVENTS_ORACLE,
+    tags=("A6", "A1", "X2", "T1"),
+)
+def stream_drift_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drift_fold(_drift_event_counts(load_table(spark, sf_dir, "events")))
+
+
+@query(
+    "stream_drift_live",
+    oracle=_DRIFT_EVENTS_ORACLE,
+    tags=("A6", "S7", "T7", "T1"),
+)
+def stream_drift_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = ST.run_stream_to_table(
+        _drift_event_counts(ST.events_stream(spark, sf_dir)), "complete"
+    )
+    return _drift_fold(counts)

@@ -883,6 +883,36 @@ def main() -> None:
             "output identical to 1x (asserted)"
         )
 
+    if "spanscale" in only:
+        # dedup_substring_spans growth law: fresh-vocab copies multiply
+        # the span table ~k-fold with disjoint span universes, so the one
+        # window exchange should scale ~linearly (same cost class as the
+        # winnow/minhash shuffles) — no superlinear candidate blowup is
+        # POSSIBLE here because there is no pair join at all.
+        from ppdb_parser_spark.operators.dedup import word_shingles
+        from pyspark.sql import Window as W
+
+        def span_report(frame):
+            sh = word_shingles(frame, n=12)
+            n_docs = F.count(F.lit(1)).over(W.partitionBy("shingle"))
+            return (
+                sh.withColumn("n_docs", n_docs)
+                .groupBy("doc_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_spans"),
+                    F.count(F.when(F.col("n_docs") >= 2, 1)).alias("n_dup"),
+                )
+                .filter(F.col("n_dup") > 0)
+            )
+
+        s1 = timed("substring_spans 1x", span_report(docs))
+        for k in (16, 64):
+            sk = timed(
+                f"substring_spans {k}x",
+                span_report(_fresh_vocab_union(docs, k)),
+            )
+            print(f"  -> {sk / s1:.1f}x time for {k}x fresh-vocab corpus")
+
     if "bloomscale" in only:
         # Bloom vs exact decontamination as the EVAL SET grows: fresh-vocab
         # copies multiply the distinct eval shingle set ~k-fold, so the
