@@ -342,3 +342,52 @@ def pagerank(
             )
         )
     return pr
+
+
+def triangle_counts(
+    edges: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+) -> DataFrame:
+    """Exact per-vertex triangle participation over an undirected edge
+    list (the classic two-path + closing-edge join — Suri & Vassilvitskii
+    2011's relational formulation, no graph library needed).
+
+    Orientation discipline: edges are normalized to a < b, so every
+    triangle {x < y < z} materializes exactly once as the path
+    (x,y)+(y,z) closed by (x,z) — no double counting, no post-dedup.
+    The edge list is eagerly localCheckpoint-ed because it feeds three
+    join consumers (e1/e2/e3); at cluster scale the standard upgrades
+    apply: persist to a reliable store and pre-partition by the join
+    vertex, plus degree-ordered orientation (orient each edge from the
+    LOWER-degree endpoint) to bound the two-path fan-out on skewed
+    graphs — the fixture's near-dup cliques are small, so plain
+    lexicographic orientation suffices here and stays oracle-mirrorable.
+
+    Returns (vertex, n_triangles), vertices with ≥ 1 triangle only.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    paths = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    tri = paths.join(
+        e.alias("e3"),
+        (F.col("e3.a") == F.col("x")) & (F.col("e3.b") == F.col("z")),
+        "left_semi",
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -1236,3 +1236,46 @@ def dedup_semantic_gemm_h2(spark: SparkSession, sf_dir: str) -> DataFrame:
         two_level=True,
         n_super=_SEMANTIC_H2_SUPER,
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle participation on the near-dup graph — a dedup-QA signal: a doc
+# in many triangles sits inside a mutual-similarity CLIQUE (a true dup
+# cluster), while bridge docs (high component membership, zero
+# triangles) are the usual false-merge suspects in CC-based dedup.
+# Exact two-path + closing-edge join over the lexicographically oriented
+# simhash near-pair edges (operators/graph.py:triangle_counts); every
+# stage integer-deterministic, so the whole graph metric hash-checks.
+# --------------------------------------------------------------------------
+_TRIANGLE_ORACLE = f"""
+    WITH pairs_ AS ({_SIMHASH_PAIRS_ORACLE}),
+    e AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+          FROM pairs_),
+    paths AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+    ),
+    tri AS (
+      SELECT x, y, z FROM paths
+      WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = paths.x AND e3.b = paths.z)
+    )
+    SELECT vertex AS doc_id, COUNT(*) AS n_triangles
+    FROM (SELECT unnest([x, y, z]) AS vertex FROM tri)
+    GROUP BY vertex
+"""
+
+
+@query(
+    "dedup_triangle_count",
+    oracle=_TRIANGLE_ORACLE,
+    tags=("O6", "J6", "J2", "A1"),
+)
+def dedup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_counts
+
+    pairs = DD.simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=3, n_bands=4
+    )
+    return triangle_counts(pairs).select(
+        F.col("vertex").alias("doc_id"), "n_triangles"
+    )
