@@ -52,3 +52,23 @@ def test_cms_estimates_one_sided(spark, sf_dir):
     for r in rows:
         assert r.cm_est >= r.n_exact, r
         assert r.overest_bp >= 0, r
+
+
+def test_recommend_bloom_bits_pinned_to_theory():
+    """~9.6 bits/item at 1 % FPR, ~14.4 at 0.1 %; the fixture's 16x rung
+    (BASELINE.md bloomscale: 195,645 shingles) needs ~29x the fixed
+    m=2^16 the fixture uses — the saturation the smoke measured."""
+    from ppdb_parser_spark.queries.sketches import recommend_bloom_bits
+
+    m1, k1 = recommend_bloom_bits(10_000, 0.01)
+    assert 9.5 <= m1 / 10_000 <= 9.7 and k1 == 7
+    m2, k2 = recommend_bloom_bits(10_000, 0.001)
+    assert 14.3 <= m2 / 10_000 <= 14.5 and k2 == 10
+    m16, _ = recommend_bloom_bits(195_645, 0.01)
+    assert m16 > 25 * 65536  # the fixed fixture m is deeply saturated
+    import pytest
+
+    with pytest.raises(ValueError):
+        recommend_bloom_bits(0)
+    with pytest.raises(ValueError):
+        recommend_bloom_bits(10, 1.5)
