@@ -136,3 +136,52 @@ def test_stateful_counter_state_survives_restart(spark, tmp_path):
         .collect()
     }
     assert latest and all(v == 20 for v in latest.values()), latest
+
+
+def test_hll_register_state_survives_restart(spark, tmp_path):
+    """Streaming-sketch state recovery: run the HLL register aggregation
+    over batch 1 with a checkpoint, stop, append batch 2, restart with
+    the SAME checkpoint — the drained registers must equal a batch build
+    over the union, which is only possible if the max-register state
+    store was reloaded (batch 2 alone does not contain batch 1's ids)."""
+    from ppdb_parser_spark.queries.sketches import hll_registers
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, src, range(0, 300))
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, ts timestamp, value double"
+            )
+            .parquet(src)
+            .select(
+                (F.col("user_id") % 3).cast("string").alias("event_type"),
+                F.col("event_id").cast("string").alias("uid"),
+            )
+        )
+        regs = hll_registers(stream, ["event_type"], "uid")
+        q = (
+            regs.writeStream.outputMode("complete")
+            .foreachBatch(
+                lambda df, _b: df.write.mode("overwrite").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    _write_batch(spark, src, range(300, 700))
+    run_once()
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    batch = spark.read.parquet(src).select(
+        (F.col("user_id") % 3).cast("string").alias("event_type"),
+        F.col("event_id").cast("string").alias("uid"),
+    )
+    want = sorted(map(tuple, hll_registers(batch, ["event_type"], "uid").collect()))
+    assert got == want
