@@ -1279,3 +1279,119 @@ def dedup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(pairs).select(
         F.col("vertex").alias("doc_id"), "n_triangles"
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup cluster-quality report — the composed graph-QA lineage: simhash
+# near-pair edges → star-CC clusters → per-cluster size, edge count,
+# triangle support, and integer edge density. This is the audit a
+# CC-based dedup pass needs before collapsing: a cluster whose density
+# and triangle support are high is a true dup clique (safe to collapse
+# to one canonical doc); a large sparse cluster is chained false merges
+# (the bridge pathology triangle_counts isolates per doc). All integer,
+# one lineage, full oracle (DuckDB recomputes the components with a
+# recursive reach over the same edge set).
+# --------------------------------------------------------------------------
+_CLUSTER_REPORT_ORACLE = f"""
+    WITH RECURSIVE pairs_ AS ({_SIMHASH_PAIRS_ORACLE}),
+    e AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+          FROM pairs_),
+    bidir AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    reach(a, b) AS (
+      SELECT a, b FROM bidir
+      UNION
+      SELECT r.a, x.b FROM reach r JOIN bidir x ON r.b = x.a
+    ),
+    labeled AS (
+      SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+    ),
+    sizes AS (
+      SELECT component, COUNT(*) AS n_docs FROM labeled GROUP BY component
+    ),
+    edge_counts AS (
+      SELECT l.component, COUNT(*) AS n_edges
+      FROM e JOIN labeled l ON e.a = l.node
+      GROUP BY l.component
+    ),
+    paths AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+    ),
+    tri AS (
+      SELECT x FROM paths
+      WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = paths.x AND e3.b = paths.z)
+    ),
+    tri_counts AS (
+      SELECT l.component, COUNT(*) AS n_triangles
+      FROM tri JOIN labeled l ON tri.x = l.node
+      GROUP BY l.component
+    )
+    SELECT s.component, CAST(s.n_docs AS BIGINT) AS n_docs,
+           CAST(ec.n_edges AS BIGINT) AS n_edges,
+           CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST(ec.n_edges * 20000 // (s.n_docs * (s.n_docs - 1)) AS BIGINT)
+             AS density_bp
+    FROM sizes s
+    JOIN edge_counts ec ON s.component = ec.component
+    LEFT JOIN tri_counts tc ON s.component = tc.component
+"""
+
+
+@query(
+    "dedup_cluster_report",
+    oracle=_CLUSTER_REPORT_ORACLE,
+    tags=("O6", "J2", "J6", "A1"),
+)
+def dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components_star
+
+    pairs = DD.simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=3, n_bands=4
+    )
+    e = (
+        pairs.select(
+            F.least("id_a", "id_b").alias("a"),
+            F.greatest("id_a", "id_b").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels, _rounds = connected_components_star(e, src="a", dst="b")
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("n_docs"))
+    edge_counts = (
+        e.join(labels.withColumnRenamed("node", "a"), "a")
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    paths = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    tri = paths.join(
+        e.alias("e3"),
+        (F.col("e3.a") == F.col("x")) & (F.col("e3.b") == F.col("z")),
+        "left_semi",
+    )
+    tri_counts = (
+        tri.join(labels.withColumnRenamed("node", "x"), "x")
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        sizes.join(edge_counts, "component")
+        .join(tri_counts, "component", "left")
+        .select(
+            "component",
+            F.col("n_docs").cast("long"),
+            F.col("n_edges").cast("long"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.expr(
+                "cast(n_edges * 20000 div (n_docs * (n_docs - 1)) as bigint)"
+            ).alias("density_bp"),
+        )
+    )
