@@ -798,3 +798,95 @@ def analytics_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_stage(s2, 2, "click", "t2"))
         .unionByName(_stage(s3, 3, "purchase", "t3"))
     )
+
+
+# --------------------------------------------------------------------------
+# Pearson correlation between event-type series, hash-exact. The moment
+# sums (Sx, Sy, Sxy, Sxx, Syy over per-(user, day) cent totals) are pure
+# int64 — order-independent — and the final
+#   corr = (n·Sxy − Sx·Sy) / (sqrt(n·Sxx − Sx²) · sqrt(n·Syy − Sy²))
+# uses only IEEE-754 correctly-rounded ops (×, /, sqrt) on those exact
+# integers, so the rounded-6 value is bit-identical cross-engine — the
+# same discipline as ts_interpolate's "fixed expression tree over exact
+# inputs" rule. Engine built-ins (F.corr / DuckDB corr()) are NOT used:
+# their streaming update order is engine-internal and not reproducible.
+# Overflow bound: n·Sxy ≤ cells · (cells · maxcents²) ≈ 5e16 at sf0.1 —
+# inside int64; at larger SFs the cell grain moves to (user, day, hour).
+# Scale: one cell aggregate (map-side combining), a self-join of the
+# ≤(types × cells) cell table on the cell key, one 10-row fold.
+# --------------------------------------------------------------------------
+_CORR_ORACLE = """
+    WITH cells AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_no,
+             event_type,
+             SUM(CAST(floor(value * 100) AS BIGINT)) AS v
+      FROM events GROUP BY 1, 2, 3
+    ),
+    paired AS (
+      SELECT a.event_type AS t1, b.event_type AS t2, a.v AS x, b.v AS y
+      FROM cells a JOIN cells b
+        ON a.user_id = b.user_id AND a.day_no = b.day_no
+       AND a.event_type < b.event_type
+    ),
+    m AS (
+      SELECT t1, t2, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM paired GROUP BY t1, t2
+    )
+    SELECT t1, t2, CAST(n AS BIGINT) AS n_cells,
+           round((n * sxy - sx * sy)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr
+    FROM m WHERE n >= 2 AND n * sxx > sx * sx AND n * syy > sy * sy
+"""
+
+
+@query("analytics_corr_pairs", oracle=_CORR_ORACLE, tags=("A1", "J6", "X3"))
+def analytics_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "user_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+            " div 86400000000"
+        ).alias("day_no"),
+        "event_type",
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("v"))
+    a, b = cells.alias("a"), cells.alias("b")
+    paired = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.day_no") == F.col("b.day_no"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("t1"),
+        F.col("b.event_type").alias("t2"),
+        F.col("a.v").alias("x"),
+        F.col("b.v").alias("y"),
+    )
+    m = paired.groupBy("t1", "t2").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return m.filter(
+        (F.col("n") >= 2)
+        & (F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx"))
+        & (F.col("n") * F.col("syy") > F.col("sy") * F.col("sy"))
+    ).select(
+        "t1",
+        "t2",
+        F.col("n").cast("long").alias("n_cells"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+                * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+            ),
+            6,
+        ).alias("corr"),
+    )
