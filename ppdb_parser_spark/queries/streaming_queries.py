@@ -887,3 +887,89 @@ def stream_drift_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         _drift_event_counts(ST.events_stream(spark, sf_dir)), "complete"
     )
     return _drift_fold(counts)
+
+
+# --------------------------------------------------------------------------
+# Streaming anomaly monitor: the live twin of ts_anomaly_argmax with the
+# SAME oracle. One-pass trick: |n·v − S1| is monotone in |v − mean|, so
+# the per-(series, day) deviation argmax is always at a value EXTREME —
+# a streaming aggregate can carry it without knowing the mean yet.
+# min/max are made tiebreak-deterministic by packing (value, event_id)
+# into one int64 key: kmin = min(v·C + id) picks the smallest id within
+# the smallest value; kmax = max(v·C + (C−1−id)) picks the smallest id
+# within the LARGEST value (the id flip). The batch fold decodes both
+# candidates, keeps the larger deviation (tie → smaller event_id), and
+# applies the same cross-multiplied 4σ verdict. C = 2^24 bounds
+# event_id < 16.7M and keeps v·C ≤ 8e11 — int64-safe.
+# --------------------------------------------------------------------------
+from .timeseries import _ANOM_ORACLE  # noqa: E402
+
+_ANOM_C = 1 << 24
+
+
+def _anomaly_day_aggs(events: DataFrame) -> DataFrame:
+    v = events.select(
+        "event_type",
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+            " div 86400000000"
+        ).alias("day_no"),
+        F.floor(F.col("value") * 100).cast("long").alias("vcents"),
+    )
+    kmin = F.col("vcents") * _ANOM_C + F.col("event_id")
+    kmax = F.col("vcents") * _ANOM_C + (F.lit(_ANOM_C - 1) - F.col("event_id"))
+    return v.groupBy("event_type", "day_no").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vcents").alias("s1"),
+        F.sum(F.col("vcents") * F.col("vcents")).alias("s2"),
+        F.min(kmin).alias("kmin"),
+        F.max(kmax).alias("kmax"),
+    )
+
+
+def _anomaly_fold(aggs: DataFrame) -> DataFrame:
+    vmin = F.expr(f"kmin div {_ANOM_C}")
+    id_min = F.col("kmin") % _ANOM_C
+    vmax = F.expr(f"kmax div {_ANOM_C}")
+    id_max = F.lit(_ANOM_C - 1) - F.col("kmax") % _ANOM_C
+    dev_min = F.col("s1") - F.col("n") * vmin
+    dev_max = F.col("n") * vmax - F.col("s1")
+    pick_max = (dev_max > dev_min) | (
+        (dev_max == dev_min) & (id_max < id_min)
+    )
+    decoded = aggs.select(
+        "event_type",
+        F.col("day_no").cast("long"),
+        F.col("n").cast("long").alias("n_events"),
+        F.when(pick_max, id_max).otherwise(id_min).alias("event_id"),
+        F.when(pick_max, vmax).otherwise(vmin).alias("vcents"),
+        F.when(pick_max, dev_max).otherwise(dev_min).cast("long").alias("dev"),
+        "n",
+        "s1",
+        "s2",
+    )
+    return decoded.filter(F.col("n") >= 2).select(
+        "event_type",
+        "day_no",
+        "n_events",
+        "event_id",
+        "vcents",
+        "dev",
+        (
+            F.col("dev") * F.col("dev")
+            > 16 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+        ).alias("is_outlier"),
+    )
+
+
+@query(
+    "stream_anomaly_live",
+    oracle=_ANOM_ORACLE,
+    tags=("W2", "S7", "T7", "T1"),
+)
+def stream_anomaly_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aggs = ST.run_stream_to_table(
+        _anomaly_day_aggs(ST.events_stream(spark, sf_dir)), "complete"
+    )
+    return _anomaly_fold(aggs)
