@@ -890,3 +890,87 @@ def analytics_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr"),
     )
+
+
+# --------------------------------------------------------------------------
+# Lag-1 autocorrelation of the daily revenue series per event type —
+# the same exact-int64-moments + correctly-rounded-IEEE-tail discipline
+# as analytics_corr_pairs, with the pairing produced by a lag window
+# over the day index instead of a key join. The missing-day guard uses
+# the day arithmetic itself (day_no - lag(day_no) = 1) so gaps break
+# pairs instead of silently pairing across them.
+# --------------------------------------------------------------------------
+_AUTOCORR_ORACLE = """
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_no,
+             SUM(CAST(floor(value * 100) AS BIGINT)) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT event_type, v AS y,
+             lag(v) OVER (PARTITION BY event_type ORDER BY day_no) AS x,
+             day_no - lag(day_no) OVER (PARTITION BY event_type
+                                        ORDER BY day_no) AS gap
+      FROM daily
+    ),
+    m AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM paired WHERE gap = 1 GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           round((n * sxy - sx * sy)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+             AS autocorr_lag1
+    FROM m WHERE n >= 2 AND n * sxx > sx * sx AND n * syy > sy * sy
+"""
+
+
+@query(
+    "analytics_autocorr_lag1",
+    oracle=_AUTOCORR_ORACLE,
+    tags=("A1", "W3", "X3", "X2"),
+)
+def analytics_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+            " div 86400000000"
+        ).alias("day_no"),
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day_no")
+    paired = daily.select(
+        "event_type",
+        F.col("v").alias("y"),
+        F.lag("v").over(w).alias("x"),
+        (F.col("day_no") - F.lag("day_no").over(w)).alias("gap"),
+    ).filter(F.col("gap") == 1)
+    m = paired.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return m.filter(
+        (F.col("n") >= 2)
+        & (F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx"))
+        & (F.col("n") * F.col("syy") > F.col("sy") * F.col("sy"))
+    ).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+                * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+            ),
+            6,
+        ).alias("autocorr_lag1"),
+    )
