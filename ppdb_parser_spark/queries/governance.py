@@ -298,6 +298,11 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # size — broadcast; the corpus side is one narrow tokenize map + one
 # per-doc aggregate. The only wide exchange is the bucket-count
 # aggregate, which map-side-combines down to ≤ 4096 rows per task.
+# Overflow bound: (cnt_target+1) * SCALE must stay inside int64 — at
+# SCALE=1e6 that is ~9e12 tokens per bucket (~4e16 corpus tokens at
+# 4096 buckets); past that, drop SCALE a decade (the weights are only
+# compared, so the grid is free) — under ANSI mode an overflow raises
+# rather than wrapping, in both engines identically.
 # --------------------------------------------------------------------------
 _DSIR_BUCKETS = 4096
 _DSIR_SCALE = 1_000_000
