@@ -1395,3 +1395,95 @@ def dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("density_bp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Tier agreement audit — the sketch-vs-exact comparison RECALL.md keeps
+# as offline measurement, promoted to an ORACLE-CHECKED query: the
+# simhash candidate tier (hamming ≤ 3) against the exact bigram-Jaccard
+# pair set (≥ 0.3), intersected by pair identity. A curation run reads
+# one row: how many exact pairs the sketch misses (recall) and how many
+# extras it admits (precision cost paid downstream by the refine). Both
+# pair relations are already hash-exact surfaces, so the audit row is too.
+# --------------------------------------------------------------------------
+_TIER_AGREEMENT_ORACLE = f"""
+    WITH sim_pairs AS (
+      SELECT id_a, id_b FROM ({_SIMHASH_PAIRS_ORACLE})
+    ),
+    jt AS (
+      SELECT doc_id,
+             unnest(str_split(text, ' ')) AS token,
+             generate_subscripts(str_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    jsh AS (
+      SELECT DISTINCT doc_id,
+             token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS shingle
+      FROM jt
+    ),
+    jshn AS (SELECT doc_id, shingle FROM jsh WHERE shingle IS NOT NULL
+             AND len(str_split(shingle, ' ')) = 2),
+    jsizes AS (SELECT doc_id, COUNT(*) AS n FROM jshn GROUP BY doc_id),
+    jinter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM jshn a JOIN jshn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac_pairs AS (
+      SELECT id_a, id_b FROM jinter
+      JOIN jsizes sa ON jinter.id_a = sa.doc_id
+      JOIN jsizes sb ON jinter.id_b = sb.doc_id
+      WHERE n_common / (sa.n + sb.n - n_common) >= 0.3
+    ),
+    fused AS (
+      SELECT COALESCE(s.id_a, j.id_a) AS id_a,
+             CASE WHEN s.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_sim,
+             CASE WHEN j.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_jac
+      FROM sim_pairs s
+      FULL OUTER JOIN jac_pairs j ON s.id_a = j.id_a AND s.id_b = j.id_b
+    )
+    SELECT CAST(SUM(in_sim) AS BIGINT) AS n_simhash,
+           CAST(SUM(in_jac) AS BIGINT) AS n_jaccard,
+           CAST(SUM(in_sim * in_jac) AS BIGINT) AS n_both,
+           CAST(SUM(in_sim * (1 - in_jac)) AS BIGINT) AS n_simhash_only,
+           CAST(SUM(in_jac * (1 - in_sim)) AS BIGINT) AS n_jaccard_only,
+           CAST(SUM(in_sim * in_jac) * 10000
+                // (SUM(in_sim) + SUM(in_jac) - SUM(in_sim * in_jac))
+                AS BIGINT) AS agreement_bp
+    FROM fused
+"""
+
+
+@query(
+    "dedup_tier_agreement",
+    oracle=_TIER_AGREEMENT_ORACLE,
+    tags=("O6", "J3", "A1"),
+)
+def dedup_tier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sim_pairs = DD.simhash_near_pairs(docs, max_hamming=3, n_bands=4).select(
+        "id_a", "id_b", F.lit(1).alias("in_sim")
+    )
+    jac_pairs = DD.jaccard_pairs(
+        docs, threshold=0.3, n=2, min_partitions=_par(spark)
+    ).select("id_a", "id_b", F.lit(1).alias("in_jac"))
+    fused = sim_pairs.join(jac_pairs, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce("in_sim", F.lit(0)).alias("in_sim"),
+        F.coalesce("in_jac", F.lit(0)).alias("in_jac"),
+    )
+    return fused.agg(
+        F.sum("in_sim").cast("long").alias("n_simhash"),
+        F.sum("in_jac").cast("long").alias("n_jaccard"),
+        F.sum(F.col("in_sim") * F.col("in_jac")).cast("long").alias("n_both"),
+        F.sum(F.col("in_sim") * (1 - F.col("in_jac")))
+        .cast("long")
+        .alias("n_simhash_only"),
+        F.sum(F.col("in_jac") * (1 - F.col("in_sim")))
+        .cast("long")
+        .alias("n_jaccard_only"),
+        F.expr(
+            "cast(sum(in_sim * in_jac) * 10000 div"
+            " (sum(in_sim) + sum(in_jac) - sum(in_sim * in_jac)) as bigint)"
+        ).alias("agreement_bp"),
+    )
