@@ -913,6 +913,27 @@ def main() -> None:
             )
             print(f"  -> {sk / s1:.1f}x time for {k}x fresh-vocab corpus")
 
+    if "trianglescale" in only:
+        # triangle counting under fresh-vocab growth: disjoint vocab
+        # universes keep cluster structure constant per universe, so
+        # path generation (Σ deg² within clusters) scales linearly with
+        # corpus copies — the law that distinguishes this two-path join
+        # from an all-pairs blowup.
+        from ppdb_parser_spark.operators.dedup import simhash_near_pairs
+        from ppdb_parser_spark.operators.graph import triangle_counts
+
+        def tri_report(frame):
+            return triangle_counts(
+                simhash_near_pairs(frame, max_hamming=3, n_bands=4)
+            )
+
+        t1w = timed("triangles 1x", tri_report(docs))
+        for k in (16,):
+            tk = timed(
+                f"triangles {k}x", tri_report(_fresh_vocab_union(docs, k))
+            )
+            print(f"  -> {tk / t1w:.1f}x time for {k}x fresh-vocab corpus")
+
     if "bloomscale" in only:
         # Bloom vs exact decontamination as the EVAL SET grows: fresh-vocab
         # copies multiply the distinct eval shingle set ~k-fold, so the
