@@ -421,3 +421,107 @@ def recommend_bloom_bits(n_items: int, target_fpr: float = 0.01) -> tuple[int, i
     m = _math.ceil(-n_items * _math.log(target_fpr) / (_math.log(2) ** 2))
     k = max(1, round((m / n_items) * _math.log(2)))
     return m, k
+
+
+# --------------------------------------------------------------------------
+# agg_hll_rollup — sketch OLAP: distinct-token estimates for the full
+# (lang, source) grouping LATTICE from ONE register build. The corpus is
+# scanned once at the finest grain; every coarser level re-maxes the
+# SAME (lang, source, j, reg) table (register max-merge IS the rollup
+# operator), so the lattice costs three ≤(groups × 64)-row folds instead
+# of three corpus passes — the sketch counterpart of A5's grouping sets.
+# Exact distinct counts per level ride along for the error audit.
+# --------------------------------------------------------------------------
+_HLL_ROLLUP_ORACLE = f"""
+    WITH toks AS (
+      SELECT lang, source, unnest(str_split(text, ' ')) AS token
+      FROM documents
+    ),
+    hashed AS (
+      SELECT lang, source, {_MD5_INT60_SQL.format(x='token')} AS h FROM toks
+    ),
+    regs AS (
+      SELECT lang, source, h >> {_HLL_LOW} AS j,
+             MAX(least(CASE WHEN h % {1 << _HLL_LOW} = 0 THEN {_HLL_LOW + 1}
+                            ELSE {_HLL_LOW + 1} - length(bin(h % {1 << _HLL_LOW}))
+                       END, {_HLL_CAP})) AS reg
+      FROM hashed GROUP BY 1, 2, 3
+    ),
+    lattice AS (
+      SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+             j, MAX(reg) AS reg
+      FROM regs GROUP BY GROUPING SETS ((lang, source, j), (lang, j), (j))
+    ),
+    folded AS (
+      SELECT lang, source,
+             SUM(CAST(1 AS BIGINT) << CAST({_HLL_CAP} - reg AS INTEGER))
+               + ({_HLL_M} - COUNT(*)) * {1 << _HLL_CAP} AS s,
+             {_HLL_M} - COUNT(*) AS v
+      FROM lattice GROUP BY lang, source
+    ),
+    est AS (
+      SELECT lang, source,
+             CASE WHEN {_HLL_A} // s <= {_HLL_SMALL} AND v > 0
+                  THEN [{', '.join(str(x) for x in _HLL_LC)}][CAST(v AS INTEGER)]
+                  ELSE {_HLL_A} // s END AS hll_est
+      FROM folded
+    ),
+    exact AS (
+      SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+             COUNT(DISTINCT token) AS n_exact
+      FROM toks GROUP BY GROUPING SETS ((lang, source), (lang), ())
+    )
+    SELECT e.lang, e.source, n_exact, CAST(hll_est AS BIGINT) AS hll_est,
+           CAST(abs(hll_est - n_exact) * 10000 // n_exact AS BIGINT) AS err_bp
+    FROM exact e JOIN est f ON e.lang = f.lang AND e.source = f.source
+"""
+
+
+@query("agg_hll_rollup", oracle=_HLL_ROLLUP_ORACLE, tags=("A3", "A5", "A1"))
+def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    regs = hll_registers(toks, ["lang", "source"], "token")
+    # A rollup() over (lang, source, j) would collapse j before source —
+    # the register dimension must survive every level — so the three
+    # lattice levels are built explicitly (each a ≤(groups×64) fold):
+    l0 = regs.select("lang", "source", "j", "reg")
+    l1 = (
+        regs.groupBy("lang", "j")
+        .agg(F.max("reg").alias("reg"))
+        .select("lang", F.lit("ALL").alias("source"), "j", "reg")
+    )
+    l2 = (
+        regs.groupBy("j")
+        .agg(F.max("reg").alias("reg"))
+        .select(
+            F.lit("ALL").alias("lang"), F.lit("ALL").alias("source"), "j", "reg"
+        )
+    )
+    all_regs = l0.unionByName(l1).unionByName(l2)
+    est = hll_estimate(all_regs, ["lang", "source"])
+    exact = (
+        toks.groupBy("lang", "source")
+        .agg(F.countDistinct("token").alias("n_exact"))
+        .unionByName(
+            toks.groupBy("lang")
+            .agg(F.countDistinct("token").alias("n_exact"))
+            .select("lang", F.lit("ALL").alias("source"), "n_exact")
+        )
+        .unionByName(
+            toks.agg(F.countDistinct("token").alias("n_exact")).select(
+                F.lit("ALL").alias("lang"),
+                F.lit("ALL").alias("source"),
+                "n_exact",
+            )
+        )
+    )
+    return exact.join(est, ["lang", "source"]).select(
+        "lang",
+        "source",
+        "n_exact",
+        "hll_est",
+        F.expr("abs(hll_est - n_exact) * 10000 div n_exact").alias("err_bp"),
+    )
