@@ -340,13 +340,9 @@ _DSIR_ORACLE = f"""
 """
 
 
-@query(
-    "pipeline_dsir_weights",
-    oracle=_DSIR_ORACLE,
-    tags=("A6", "J1", "A1", "X3", "F4"),
-)
-def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def dsir_weights_report(docs: DataFrame) -> DataFrame:
+    """Frame-parameterized body of pipeline_dsir_weights (shared with the
+    dsirscale smoke)."""
     toks = docs.select(
         "doc_id",
         "lang",
@@ -372,6 +368,15 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", "lang", "n_tokens", "score").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     ).limit(_DSIR_TOPK)
+
+
+@query(
+    "pipeline_dsir_weights",
+    oracle=_DSIR_ORACLE,
+    tags=("A6", "J1", "A1", "X3", "F4"),
+)
+def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_weights_report(load_table(spark, sf_dir, "documents"))
 
 
 # --------------------------------------------------------------------------

@@ -918,52 +918,13 @@ def main() -> None:
         # bucket-weight table is corpus-size-independent (broadcast), so
         # the cost is one token map + one map-side-combining aggregate —
         # expected ~linear wall in corpus copies.
-        from ppdb_parser_spark.queries.registry import REGISTRY as _R
+        from ppdb_parser_spark.queries.governance import dsir_weights_report
 
-        def dsir_report(frame):
-            # re-run the registered query body on a grown frame by
-            # patching the tokenize source: cheapest is inline rebuild
-            from ppdb_parser_spark.queries.governance import (
-                _DSIR_BUCKETS,
-                _DSIR_SCALE,
-                _DSIR_TOPK,
-                _md5_int60,
-            )
-            from ppdb_parser_spark.queries.training_data import (
-                gopher_pass_all,
-            )
-
-            toks = frame.select(
-                "doc_id",
-                "lang",
-                (gopher_pass_all() & (F.col("lang") == "en")).alias(
-                    "is_target"
-                ),
-                F.explode(F.split(F.col("text"), " ")).alias("token"),
-            ).withColumn("b", _md5_int60(F.col("token")) % _DSIR_BUCKETS)
-            weights = toks.groupBy("b").agg(
-                F.expr(
-                    f"(count(case when is_target then 1 end) + 1)"
-                    f" * {_DSIR_SCALE}"
-                    " div (count(case when not is_target then 1 end) + 1)"
-                ).alias("wt")
-            )
-            return (
-                toks.filter(~F.col("is_target"))
-                .join(F.broadcast(weights), "b")
-                .groupBy("doc_id", "lang")
-                .agg(
-                    F.count(F.lit(1)).alias("n_tokens"),
-                    F.sum("wt").alias("score"),
-                )
-                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-                .limit(_DSIR_TOPK)
-            )
-
-        d1 = timed("dsir 1x", dsir_report(docs))
+        d1 = timed("dsir 1x", dsir_weights_report(docs))
         for k in (16, 64):
             dk = timed(
-                f"dsir {k}x", dsir_report(_shifted_union(docs, "doc_id", k))
+                f"dsir {k}x",
+                dsir_weights_report(_shifted_union(docs, "doc_id", k)),
             )
             print(f"  -> {dk / d1:.1f}x time for {k}x corpus "
                   "(weight table stays 4096 rows)")
