@@ -180,3 +180,37 @@ def subq_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
           CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_total
         """
     )
+
+
+# --------------------------------------------------------------------------
+# LATERAL subquery join (Spark ≥ 3.2 / DuckDB both support the syntax):
+# per nation, the top-2 customers by account balance via a correlated
+# LATERAL (ORDER BY ... LIMIT 2) — the "top-n per key expressed as a
+# subquery" SQL surface. Catalyst rewrites it to the same window/limit
+# machinery W1 builds by hand (DomainJoin → window), so the operator
+# under test is the lateral decorrelation. Identical statement runs on
+# both engines; cents-grid balance + c_custkey tiebreak keep the LIMIT
+# deterministic.
+# --------------------------------------------------------------------------
+_LATERAL_SQL = """
+        SELECT n_name, t.c_custkey, t.bal_cents
+        FROM nation,
+             LATERAL (
+               SELECT c_custkey,
+                      CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+               FROM customer
+               WHERE c_nationkey = n_nationkey
+               ORDER BY bal_cents DESC, c_custkey
+               LIMIT 2
+             ) AS t
+"""
+
+
+@query(
+    "sub_lateral_topn",
+    oracle=_LATERAL_SQL,
+    tags=("S6", "J2", "O2", "W1"),
+)
+def sub_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
