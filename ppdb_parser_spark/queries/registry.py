@@ -58,52 +58,65 @@ def query(
     return deco
 
 
-# Queries that already earned a driver CORRECTNESS row in rounds 1-7
-# (keys of CORRECTNESS_r01.json ∪ … ∪ r07, intersected with the live
-# registry; re-frozen 2026-08-14 for round 8). The driver prefix
+# Queries that already earned a driver CORRECTNESS row in rounds 1-8
+# (keys of CORRECTNESS_r01.json ∪ … ∪ r08, intersected with the live
+# registry; re-frozen 2026-08-15 for round 9). The driver prefix
 # is built from the registry MINUS this set, so anything new this round
 # earns a row first.
 #
-# ROUND-9 NOTE: first move next round — regenerate both structures below
-# with ``python tools/gen_prefix_freeze.py`` (folds CORRECTNESS_r08.json
-# in, bumps _LAST_DRIVER_ROUND), rename to _DRIVER_CHECKED_R1_R8, replace
-# _ROUND8_PRIORITY with the next stale/marquee tier, and update
-# tests/test_oracle_parity.py::test_coverage_order_round8_prefix_contract.
-_DRIVER_CHECKED_R1_R7 = frozenset(
+# ROUND-10 NOTE: first move next round — regenerate both structures below
+# with ``python tools/gen_prefix_freeze.py`` (folds CORRECTNESS_r09.json
+# in, bumps _LAST_DRIVER_ROUND), rename to _DRIVER_CHECKED_R1_R9, replace
+# _ROUND9_PRIORITY with the next stale/marquee tier, and update
+# tests/test_oracle_parity.py::test_coverage_order_round9_prefix_contract.
+_DRIVER_CHECKED_R1_R8 = frozenset(
     {
         'agg_approx_distinct', 'agg_approx_percentile', 'agg_cube',
         'agg_distinct_counts', 'agg_filtered', 'agg_grouping_sets',
-        'agg_histogram', 'agg_percentiles', 'agg_pivot_status',
+        'agg_histogram', 'agg_hll_rollup', 'agg_hll_set_ops',
+        'agg_hll_sketch', 'agg_percentiles', 'agg_pivot_status',
         'agg_pricing_summary', 'agg_rollup', 'agg_stats',
-        'analytics_cohort_retention', 'analytics_disjunctive_join',
-        'analytics_large_orders', 'analytics_local_supplier_volume',
-        'analytics_lost_opportunity', 'analytics_market_basket',
-        'analytics_market_share', 'analytics_promo_share',
-        'analytics_rfm_segments', 'analytics_rolling_wau',
-        'analytics_shipping_priority', 'analytics_signup_funnel',
-        'analytics_small_qty_revenue', 'analytics_trade_flows',
-        'anti_join', 'asof_click_next_purchase', 'asof_purchase_click',
-        'broadcast_join', 'case_when', 'cross_join', 'dedup_components',
+        'analytics_autocorr_lag1', 'analytics_cohort_retention',
+        'analytics_corr_pairs', 'analytics_disjunctive_join',
+        'analytics_event_funnel', 'analytics_large_orders',
+        'analytics_local_supplier_volume', 'analytics_lost_opportunity',
+        'analytics_market_basket', 'analytics_market_share',
+        'analytics_promo_share', 'analytics_rfm_segments',
+        'analytics_rolling_wau', 'analytics_shipping_priority',
+        'analytics_signup_funnel', 'analytics_small_qty_revenue',
+        'analytics_trade_flows', 'anti_join',
+        'asof_click_next_purchase', 'asof_purchase_click',
+        'broadcast_join', 'case_when', 'cross_join',
+        'dedup_cluster_report', 'dedup_components',
         'dedup_components_star', 'dedup_containment', 'dedup_embedding',
         'dedup_embedding_checked', 'dedup_embedding_lsh', 'dedup_exact',
         'dedup_jaccard_bitmap', 'dedup_jaccard_capped',
         'dedup_jaccard_incremental', 'dedup_jaccard_pairs',
         'dedup_jaccard_prefix', 'dedup_minhash_lsh',
-        'dedup_minhash_relational', 'dedup_semantic', 'dedup_simhash',
-        'dedup_simhash_pairs', 'dedup_winnow_match', 'except_custkeys',
+        'dedup_minhash_relational', 'dedup_semantic',
+        'dedup_semantic_gemm', 'dedup_semantic_gemm_h2',
+        'dedup_semantic_h2', 'dedup_simhash', 'dedup_simhash_pairs',
+        'dedup_substring_spans', 'dedup_tier_agreement',
+        'dedup_triangle_count', 'dedup_winnow_match', 'except_custkeys',
         'filter_project', 'flagship', 'fuzzy_phrase_match',
-        'govern_pii_mask', 'intersect_nations', 'left_join_coverage',
-        'lookup_oov_tokens', 'lookup_paraphrase_coverage',
-        'mm_binary_hash', 'mm_decode_meta', 'mm_dhash', 'mm_dhash_near',
+        'govern_luhn_scan', 'govern_pii_mask', 'intersect_nations',
+        'left_join_coverage', 'lookup_oov_tokens',
+        'lookup_paraphrase_coverage', 'mm_binary_hash',
+        'mm_decode_meta', 'mm_dhash', 'mm_dhash_near',
         'mm_img_features', 'mm_media_meta', 'mm_media_stats',
         'mm_meta_stats', 'mm_png_features', 'mm_resize',
         'mm_wav_sample', 'order_limit', 'pattern_scd2_merge',
         'pattern_scd2_pointintime', 'pattern_unpivot',
         'pipeline_chunk_overlap', 'pipeline_corpus_curation',
         'pipeline_corpus_curation_v2', 'pipeline_corpus_curation_v3',
-        'pipeline_decontaminate', 'pipeline_mixture_sample',
-        'pipeline_pack_windows', 'pipeline_quality_gate',
-        'pipeline_quality_quartiles', 'pipeline_rag_ingest',
+        'pipeline_corpus_datacard', 'pipeline_decontaminate',
+        'pipeline_decontaminate_bloom', 'pipeline_drift_tvd',
+        'pipeline_dsir_weights', 'pipeline_mixture_sample',
+        'pipeline_mixture_temperature', 'pipeline_mixture_waterfill',
+        'pipeline_pack_windows', 'pipeline_quality_classifier',
+        'pipeline_quality_gate', 'pipeline_quality_quartiles',
+        'pipeline_quality_regression',
+        'pipeline_quality_regression_by_lang', 'pipeline_rag_ingest',
         'pipeline_session_dialogues', 'pipeline_shuffle_shards',
         'pipeline_stratified_sample', 'pipeline_train_split',
         'pipeline_weighted_sample', 'ppdb_alignment_explode',
@@ -117,17 +130,22 @@ _DRIVER_CHECKED_R1_R7 = frozenset(
         'scalar_dates', 'scalar_json', 'scalar_math',
         'scalar_null_handling', 'scalar_regex', 'scalar_strings',
         'scalar_try_ops', 'scalar_variant', 'self_join_pairs',
-        'semi_join', 'sim_cosine_topk', 'sim_ivf_kmeans_topk',
-        'sim_ivf_topk', 'sim_ivfpq_residual_topk', 'sim_ivfpq_topk',
+        'semi_join', 'sim_cosine_topk', 'sim_hybrid_rrf',
+        'sim_ivf_batch_topk', 'sim_ivf_kmeans_topk', 'sim_ivf_topk',
+        'sim_ivfpq_residual_topk', 'sim_ivfpq_topk', 'sim_jl_project',
+        'sim_jl_topk', 'sim_lsh_jl_screened_pairs',
         'sim_lsh_multiprobe_topk', 'sim_lsh_pairs_checked',
-        'sim_neighbors_docs', 'sim_pairwise_cosine', 'sim_pq_encode',
-        'sim_pq_kmeans_topk', 'sim_pq_topk', 'skew_salted_agg',
-        'skew_salted_join', 'snk_bucketed_join', 'snk_json_roundtrip',
-        'snk_orc_roundtrip', 'snk_parquet_roundtrip',
-        'snk_partition_pruned', 'snk_zorder_layout',
-        'src_csv_permissive', 'src_csv_scan', 'src_custom_datasource',
-        'src_json_scan', 'stream_dedup_live',
-        'stream_foreach_batch_sink', 'stream_interval_join_batch',
+        'sim_neighbors_docs', 'sim_pairwise_cosine',
+        'sim_pca_top_component', 'sim_pq_encode', 'sim_pq_kmeans_topk',
+        'sim_pq_topk', 'skew_salted_agg', 'skew_salted_join',
+        'snk_bucketed_join', 'snk_json_roundtrip', 'snk_orc_roundtrip',
+        'snk_parquet_roundtrip', 'snk_partition_pruned',
+        'snk_zorder_layout', 'src_csv_permissive', 'src_csv_scan',
+        'src_custom_datasource', 'src_json_scan', 'stream_anomaly_live',
+        'stream_cms_batch', 'stream_cms_live', 'stream_dedup_live',
+        'stream_drift_batch', 'stream_drift_live',
+        'stream_foreach_batch_sink', 'stream_hll_batch',
+        'stream_hll_live', 'stream_interval_join_batch',
         'stream_interval_join_live', 'stream_left_interval_join_batch',
         'stream_left_interval_join_live', 'stream_session_batch',
         'stream_session_live', 'stream_sliding_batch',
@@ -135,70 +153,77 @@ _DRIVER_CHECKED_R1_R7 = frozenset(
         'stream_static_enrich_batch', 'stream_static_enrich_live',
         'stream_tumbling_batch', 'stream_tumbling_live',
         'sub_correlated_avg_qty', 'sub_exists_idle_rich',
-        'sub_having_revenue_share', 'subq_not_in_nulls',
-        'text_bigram_ppl', 'text_bpe_token_count', 'text_fingerprint',
+        'sub_having_revenue_share', 'sub_lateral_topn',
+        'subq_not_in_nulls', 'text_bigram_ppl', 'text_bm25_topk',
+        'text_bpe_token_count', 'text_cms_heavy_hitters',
+        'text_entropy_bound', 'text_fingerprint', 'text_heavy_hitters',
         'text_inverted_index', 'text_lang_route', 'text_langid',
         'text_phrase_search', 'text_pmi_collocations', 'text_quality',
         'text_quality_rules', 'text_repetition', 'text_sentiment',
         'text_textrank', 'text_tfidf_top5', 'text_token_stats',
-        'text_unigram_logprob', 'text_winnow_fp', 'ts_gapfill_locf',
-        'ts_interpolate', 'ts_ohlc_daily', 'ts_recursive_month_spine',
-        'udf_arrow_scalar', 'udf_grouped_agg_sum',
-        'udf_grouped_map_minmax', 'udf_map_in_arrow',
-        'udf_map_partitions_bucket', 'udf_scalar_cents',
-        'udtf_explode_types', 'udtf_polymorphic_split', 'union_parties',
-        'window_cume_dist', 'window_lag_lead', 'window_range_frame',
-        'window_rank_family', 'window_running_sum',
-        'window_value_family'
+        'text_unigram_logprob', 'text_winnow_fp', 'ts_anomaly_argmax',
+        'ts_ewma_dyadic', 'ts_gapfill_locf', 'ts_interpolate',
+        'ts_ohlc_daily', 'ts_recursive_month_spine', 'udf_arrow_scalar',
+        'udf_grouped_agg_sum', 'udf_grouped_map_minmax',
+        'udf_map_in_arrow', 'udf_map_partitions_bucket',
+        'udf_scalar_cents', 'udtf_explode_types',
+        'udtf_polymorphic_split', 'union_parties', 'window_cume_dist',
+        'window_lag_lead', 'window_range_frame', 'window_rank_family',
+        'window_running_sum', 'window_value_family'
     }
 )
 
-# Latest round (1-7) in which each query received a driver CORRECTNESS
-# row, regenerated at each re-freeze. Tier 3 of coverage_order() sorts by
-# this ASCENDING (least-recently-checked first), so the ~35 tier-3 slots
-# of every driver prefix rotate through the registry oldest-first — a
-# full re-certification cycle every ~ceil(196/35) ≈ 6 rounds, which is
-# the bound tools/gen_ledger.py's stale audit enforces (ADVICE r6).
 _LAST_DRIVER_ROUND = {
         'agg_approx_distinct': 6, 'agg_approx_percentile': 6,
         'agg_cube': 6, 'agg_distinct_counts': 6, 'agg_filtered': 6,
-        'agg_grouping_sets': 4, 'agg_histogram': 5, 'agg_percentiles':
-        4, 'agg_pivot_status': 4, 'agg_pricing_summary': 4,
-        'agg_rollup': 4, 'agg_stats': 4, 'analytics_cohort_retention':
-        5, 'analytics_disjunctive_join': 5, 'analytics_large_orders': 4,
-        'analytics_local_supplier_volume': 4,
-        'analytics_lost_opportunity': 4, 'analytics_market_basket': 6,
-        'analytics_market_share': 6, 'analytics_promo_share': 4,
+        'agg_grouping_sets': 4, 'agg_histogram': 5, 'agg_hll_rollup': 8,
+        'agg_hll_set_ops': 8, 'agg_hll_sketch': 8, 'agg_percentiles': 4,
+        'agg_pivot_status': 4, 'agg_pricing_summary': 4, 'agg_rollup':
+        4, 'agg_stats': 4, 'analytics_autocorr_lag1': 8,
+        'analytics_cohort_retention': 5, 'analytics_corr_pairs': 8,
+        'analytics_disjunctive_join': 5, 'analytics_event_funnel': 8,
+        'analytics_large_orders': 4, 'analytics_local_supplier_volume':
+        4, 'analytics_lost_opportunity': 4, 'analytics_market_basket':
+        6, 'analytics_market_share': 6, 'analytics_promo_share': 4,
         'analytics_rfm_segments': 5, 'analytics_rolling_wau': 5,
         'analytics_shipping_priority': 7, 'analytics_signup_funnel': 7,
         'analytics_small_qty_revenue': 7, 'analytics_trade_flows': 5,
         'anti_join': 7, 'asof_click_next_purchase': 6,
         'asof_purchase_click': 4, 'broadcast_join': 7, 'case_when': 7,
-        'cross_join': 6, 'dedup_components': 7, 'dedup_components_star':
-        7, 'dedup_containment': 5, 'dedup_embedding': 4,
-        'dedup_embedding_checked': 5, 'dedup_embedding_lsh': 6,
-        'dedup_exact': 7, 'dedup_jaccard_bitmap': 7,
-        'dedup_jaccard_capped': 7, 'dedup_jaccard_incremental': 5,
-        'dedup_jaccard_pairs': 7, 'dedup_jaccard_prefix': 6,
-        'dedup_minhash_lsh': 6, 'dedup_minhash_relational': 6,
-        'dedup_semantic': 7, 'dedup_simhash': 7, 'dedup_simhash_pairs':
-        7, 'dedup_winnow_match': 5, 'except_custkeys': 6,
-        'filter_project': 7, 'flagship': 6, 'fuzzy_phrase_match': 6,
-        'govern_pii_mask': 5, 'intersect_nations': 7,
-        'left_join_coverage': 3, 'lookup_oov_tokens': 7,
+        'cross_join': 6, 'dedup_cluster_report': 8, 'dedup_components':
+        7, 'dedup_components_star': 7, 'dedup_containment': 5,
+        'dedup_embedding': 8, 'dedup_embedding_checked': 8,
+        'dedup_embedding_lsh': 6, 'dedup_exact': 7,
+        'dedup_jaccard_bitmap': 7, 'dedup_jaccard_capped': 7,
+        'dedup_jaccard_incremental': 5, 'dedup_jaccard_pairs': 7,
+        'dedup_jaccard_prefix': 6, 'dedup_minhash_lsh': 6,
+        'dedup_minhash_relational': 6, 'dedup_semantic': 8,
+        'dedup_semantic_gemm': 8, 'dedup_semantic_gemm_h2': 8,
+        'dedup_semantic_h2': 8, 'dedup_simhash': 7,
+        'dedup_simhash_pairs': 7, 'dedup_substring_spans': 8,
+        'dedup_tier_agreement': 8, 'dedup_triangle_count': 8,
+        'dedup_winnow_match': 5, 'except_custkeys': 6, 'filter_project':
+        7, 'flagship': 6, 'fuzzy_phrase_match': 6, 'govern_luhn_scan':
+        8, 'govern_pii_mask': 5, 'intersect_nations': 7,
+        'left_join_coverage': 8, 'lookup_oov_tokens': 7,
         'lookup_paraphrase_coverage': 7, 'mm_binary_hash': 7,
         'mm_decode_meta': 6, 'mm_dhash': 5, 'mm_dhash_near': 5,
-        'mm_img_features': 3, 'mm_media_meta': 3, 'mm_media_stats': 3,
+        'mm_img_features': 8, 'mm_media_meta': 8, 'mm_media_stats': 3,
         'mm_meta_stats': 7, 'mm_png_features': 4, 'mm_resize': 7,
         'mm_wav_sample': 7, 'order_limit': 4, 'pattern_scd2_merge': 4,
         'pattern_scd2_pointintime': 5, 'pattern_unpivot': 7,
         'pipeline_chunk_overlap': 5, 'pipeline_corpus_curation': 4,
         'pipeline_corpus_curation_v2': 6, 'pipeline_corpus_curation_v3':
-        7, 'pipeline_decontaminate': 4, 'pipeline_mixture_sample': 4,
-        'pipeline_pack_windows': 6, 'pipeline_quality_gate': 5,
-        'pipeline_quality_quartiles': 7, 'pipeline_rag_ingest': 5,
-        'pipeline_session_dialogues': 7, 'pipeline_shuffle_shards': 7,
-        'pipeline_stratified_sample': 5, 'pipeline_train_split': 4,
+        8, 'pipeline_corpus_datacard': 8, 'pipeline_decontaminate': 4,
+        'pipeline_decontaminate_bloom': 8, 'pipeline_drift_tvd': 8,
+        'pipeline_dsir_weights': 8, 'pipeline_mixture_sample': 4,
+        'pipeline_mixture_temperature': 8, 'pipeline_mixture_waterfill':
+        8, 'pipeline_pack_windows': 6, 'pipeline_quality_classifier': 8,
+        'pipeline_quality_gate': 5, 'pipeline_quality_quartiles': 7,
+        'pipeline_quality_regression': 8,
+        'pipeline_quality_regression_by_lang': 8, 'pipeline_rag_ingest':
+        5, 'pipeline_session_dialogues': 7, 'pipeline_shuffle_shards':
+        7, 'pipeline_stratified_sample': 5, 'pipeline_train_split': 4,
         'pipeline_weighted_sample': 7, 'ppdb_alignment_explode': 7,
         'ppdb_collect_nested': 7, 'ppdb_collect_paraphrases': 4,
         'ppdb_entailment_dist': 6, 'ppdb_feature_keys': 6,
@@ -211,10 +236,13 @@ _LAST_DRIVER_ROUND = {
         'scalar_json': 4, 'scalar_math': 7, 'scalar_null_handling': 3,
         'scalar_regex': 3, 'scalar_strings': 3, 'scalar_try_ops': 5,
         'scalar_variant': 6, 'self_join_pairs': 3, 'semi_join': 3,
-        'sim_cosine_topk': 4, 'sim_ivf_kmeans_topk': 7, 'sim_ivf_topk':
-        7, 'sim_ivfpq_residual_topk': 7, 'sim_ivfpq_topk': 6,
-        'sim_lsh_multiprobe_topk': 7, 'sim_lsh_pairs_checked': 7,
-        'sim_neighbors_docs': 3, 'sim_pairwise_cosine': 3,
+        'sim_cosine_topk': 4, 'sim_hybrid_rrf': 8, 'sim_ivf_batch_topk':
+        8, 'sim_ivf_kmeans_topk': 7, 'sim_ivf_topk': 7,
+        'sim_ivfpq_residual_topk': 7, 'sim_ivfpq_topk': 6,
+        'sim_jl_project': 8, 'sim_jl_topk': 8,
+        'sim_lsh_jl_screened_pairs': 8, 'sim_lsh_multiprobe_topk': 7,
+        'sim_lsh_pairs_checked': 7, 'sim_neighbors_docs': 3,
+        'sim_pairwise_cosine': 3, 'sim_pca_top_component': 8,
         'sim_pq_encode': 5, 'sim_pq_kmeans_topk': 5, 'sim_pq_topk': 5,
         'skew_salted_agg': 7, 'skew_salted_join': 5,
         'snk_bucketed_join': 5, 'snk_json_roundtrip': 4,
@@ -222,8 +250,12 @@ _LAST_DRIVER_ROUND = {
         'snk_partition_pruned': 7, 'snk_zorder_layout': 7,
         'src_csv_permissive': 6, 'src_csv_scan': 3,
         'src_custom_datasource': 7, 'src_json_scan': 7,
-        'stream_dedup_live': 6, 'stream_foreach_batch_sink': 7,
-        'stream_interval_join_batch': 3, 'stream_interval_join_live': 4,
+        'stream_anomaly_live': 8, 'stream_cms_batch': 8,
+        'stream_cms_live': 8, 'stream_dedup_live': 6,
+        'stream_drift_batch': 8, 'stream_drift_live': 8,
+        'stream_foreach_batch_sink': 7, 'stream_hll_batch': 8,
+        'stream_hll_live': 8, 'stream_interval_join_batch': 3,
+        'stream_interval_join_live': 4,
         'stream_left_interval_join_batch': 5,
         'stream_left_interval_join_live': 6, 'stream_session_batch': 4,
         'stream_session_live': 6, 'stream_sliding_batch': 6,
@@ -231,15 +263,18 @@ _LAST_DRIVER_ROUND = {
         'stream_static_enrich_batch': 5, 'stream_static_enrich_live': 5,
         'stream_tumbling_batch': 6, 'stream_tumbling_live': 4,
         'sub_correlated_avg_qty': 5, 'sub_exists_idle_rich': 5,
-        'sub_having_revenue_share': 6, 'subq_not_in_nulls': 5,
-        'text_bigram_ppl': 5, 'text_bpe_token_count': 3,
-        'text_fingerprint': 3, 'text_inverted_index': 5,
+        'sub_having_revenue_share': 6, 'sub_lateral_topn': 8,
+        'subq_not_in_nulls': 5, 'text_bigram_ppl': 5, 'text_bm25_topk':
+        8, 'text_bpe_token_count': 3, 'text_cms_heavy_hitters': 8,
+        'text_entropy_bound': 8, 'text_fingerprint': 3,
+        'text_heavy_hitters': 8, 'text_inverted_index': 5,
         'text_lang_route': 3, 'text_langid': 3, 'text_phrase_search': 5,
         'text_pmi_collocations': 5, 'text_quality': 3,
         'text_quality_rules': 4, 'text_repetition': 5, 'text_sentiment':
         6, 'text_textrank': 5, 'text_tfidf_top5': 3, 'text_token_stats':
         3, 'text_unigram_logprob': 5, 'text_winnow_fp': 5,
-        'ts_gapfill_locf': 7, 'ts_interpolate': 7, 'ts_ohlc_daily': 7,
+        'ts_anomaly_argmax': 8, 'ts_ewma_dyadic': 8, 'ts_gapfill_locf':
+        7, 'ts_interpolate': 7, 'ts_ohlc_daily': 7,
         'ts_recursive_month_spine': 5, 'udf_arrow_scalar': 6,
         'udf_grouped_agg_sum': 6, 'udf_grouped_map_minmax': 6,
         'udf_map_in_arrow': 3, 'udf_map_partitions_bucket': 3,
@@ -250,22 +285,24 @@ _LAST_DRIVER_ROUND = {
         'window_running_sum': 3, 'window_value_family': 3
 }
 
-# Round-8 priority tier, sampled right behind the never-checked backlog:
-# (a) queries whose implementations change THIS round and therefore need
-# a fresh hash-exact row against the mirrored oracle — dedup_embedding /
-# dedup_embedding_checked route through the blocked-GEMM brute tier that
-# moves onto the int64 decision grid (ADVICE r7 medium), and
-# dedup_semantic gains the quantization overflow guard + two-level
-# coarse assignment (VERDICT r7 items 5, ADVICE r7); plus (b) the
-# round-7 marquee (`pipeline_corpus_curation_v3`) needing its second
-# consecutive green row before its 8-stage plan is frozen.
-_ROUND8_PRIORITY = (
-    # (a) implementation changes landing in round 8
-    "dedup_embedding",
-    "dedup_embedding_checked",
-    "dedup_semantic",
-    # (b) round-7 marquee re-cert
-    "pipeline_corpus_curation_v3",
+# Round-9 priority tier, sampled right behind the never-checked backlog:
+# queries whose implementations change THIS round and therefore need a
+# fresh hash-exact row against the mirrored oracle — the triangle family
+# moves to degree-ordered orientation (VERDICT r8 item 3),
+# pipeline_decontaminate_bloom sizes m from the eval-shingle count
+# (item 4), sim_ivf_batch_topk gains the GEMM-assisted assignment path
+# (item 6), and ts_ewma_dyadic/stream_anomaly_live move onto sign-safe
+# integer idioms (ADVICE r8). The genuinely stale operators the r8
+# verdict names (O3 r3, X6 r4, J7 r5, the r6 block) need no explicit
+# seats: tier 3 sorts by _LAST_DRIVER_ROUND ascending, so the ~35 r3/r4
+# rows above fill the rotation slots first.
+_ROUND9_PRIORITY = (
+    "dedup_triangle_count",
+    "dedup_cluster_report",
+    "pipeline_decontaminate_bloom",
+    "sim_ivf_batch_topk",
+    "ts_ewma_dyadic",
+    "stream_anomaly_live",
 )
 
 
@@ -274,11 +311,11 @@ def coverage_order() -> list[str]:
     value.
 
     Tier 1: every registered query that has never received a driver
-    CORRECTNESS row in rounds 1-7 (``_DRIVER_CHECKED_R1_R7`` complement),
+    CORRECTNESS row in rounds 1-8 (``_DRIVER_CHECKED_R1_R8`` complement),
     oracle-backed entries first — anything new this round lands here.
-    Tier 2: the round-8 priority tier (``_ROUND8_PRIORITY``): queries
-    whose implementations change this round plus the round-7 marquee
-    needing a second consecutive green row.
+    Tier 2: the round-9 priority tier (``_ROUND9_PRIORITY``): queries
+    whose implementations change this round whose implementations change this round (triangle
+    orientation, Bloom sizing, IVF GEMM assignment, sign-safe EWMA).
     Tier 3: least-recently-driver-checked first (``_LAST_DRIVER_ROUND``
     ascending, oracle-backed before rows-only, then name) — the ~40
     tier-3 slots of each ~50-query driver sample rotate oldest-first, so
@@ -296,11 +333,11 @@ def coverage_order() -> list[str]:
         (
             n
             for n in remaining
-            if n not in _DRIVER_CHECKED_R1_R7 and n not in _ROUND8_PRIORITY
+            if n not in _DRIVER_CHECKED_R1_R8 and n not in _ROUND9_PRIORITY
         ),
         key=lambda n: (remaining[n].oracle is None, n),
     )
-    for seed in (*never_checked, *_ROUND8_PRIORITY):
+    for seed in (*never_checked, *_ROUND9_PRIORITY):
         if seed in remaining:
             out.append(seed)
             del remaining[seed]
@@ -328,9 +365,9 @@ def prefix_tier_sizes() -> tuple[int, int]:
     tier1 = sum(
         1
         for n in REGISTRY
-        if n not in _DRIVER_CHECKED_R1_R7 and n not in _ROUND8_PRIORITY
+        if n not in _DRIVER_CHECKED_R1_R8 and n not in _ROUND9_PRIORITY
     )
-    tier2 = sum(1 for n in _ROUND8_PRIORITY if n in REGISTRY)
+    tier2 = sum(1 for n in _ROUND9_PRIORITY if n in REGISTRY)
     return tier1, tier2
 
 
