@@ -1,7 +1,12 @@
 """Benchmark harness: times the headline query set at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. The FINAL
+stdout line is the driver's gate artifact — one JSON object
+{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...} kept under the driver's
+2000-char tail-capture budget (ms-rounded walls; spreads/fallbacks print
+as separate earlier lines). The complete record including all raw runs
+is also written to $SPARK_GRAFT_BENCH_OUT (default ./bench_results.json)
+so the repo carries its own numbers.
 
 Each query is executed by reducing ``xxhash64`` over EVERY output column
 to one row JVM-side (forces the full plan without driver-side toPandas
@@ -95,30 +100,50 @@ def main() -> None:
             force_full(spec.fn(spark, sf_dir))
             runs[spec.name].append(round(time.perf_counter() - t0, 4))
 
-    timings = {name: min(ts) for name, ts in runs.items()}
+    # Walls rounded to ms: the driver's artifact capture keeps only the
+    # LAST 2000 chars of stdout and json-parses the final line, so the
+    # final metric line must stay well under that budget (BENCH_r08 came
+    # back ``parsed: null`` with 8 headline timings truncated once the
+    # headline set hit 33 queries at 4-decimal precision — VERDICT r8
+    # item 1). Sub-millisecond digits carry no information on this host
+    # (±30 % run-to-run variance), so nothing is lost.
+    timings = {name: round(min(ts), 3) for name, ts in runs.items()}
     # Per-query max/min spread: >1.5 on many queries means the host was
     # contended during the run and the totals should be re-measured, not
     # interpreted as a plan regression (the round-4 failure mode).
     spreads = {name: round(max(ts) / min(ts), 2) for name, ts in runs.items()}
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spreads": spreads,
-                # Any query NOT timed under the full-column hash method is
-                # named here with the method actually used (ADVICE r7: no
-                # silent methodology degradation).
-                "fallbacks": {
-                    n: m for n, m in methods.items() if m != "hash"
-                },
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    # Any query NOT timed under the full-column hash method is named
+    # here with the method actually used (ADVICE r7: no silent
+    # methodology degradation).
+    fallbacks = {n: m for n, m in methods.items() if m != "hash"}
+    total = round(sum(timings.values()), 3)
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    full = dict(payload, spreads=spreads, fallbacks=fallbacks, runs=runs)
+    # The complete record (all three raw runs, spreads, fallbacks) goes to
+    # a file the repo commits each round, so the numbers survive even if
+    # stdout capture regresses; spreads/fallbacks also print as their own
+    # stdout lines ABOVE the metric line — diagnostics the tail may crop,
+    # never the gate artifact itself.
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    with open(out_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+    print("spreads " + json.dumps(spreads))
+    print("fallbacks " + json.dumps(fallbacks))
+    line = json.dumps(payload)
+    # Loud guard: if the headline set ever grows the final line past the
+    # driver's capture window again, fail the bench run instead of
+    # shipping a truncated artifact.
+    assert len(line) <= 1700, (
+        f"final metric line {len(line)} chars — exceeds the driver's "
+        "2000-char tail budget; split the headline map"
     )
+    print(line)
 
 
 if __name__ == "__main__":

@@ -344,48 +344,145 @@ def pagerank(
     return pr
 
 
-def triangle_counts(
-    edges: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+def oriented_triangles(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    orientation: str = "degree",
 ) -> DataFrame:
-    """Exact per-vertex triangle participation over an undirected edge
-    list (the classic two-path + closing-edge join — Suri & Vassilvitskii
-    2011's relational formulation, no graph library needed).
+    """Enumerate every triangle of the undirected edge list exactly once
+    as (x, y, z) — the classic two-path + closing-edge join (Suri &
+    Vassilvitskii 2011's relational formulation, no graph library).
 
-    Orientation discipline: edges are normalized to a < b, so every
-    triangle {x < y < z} materializes exactly once as the path
-    (x,y)+(y,z) closed by (x,z) — no double counting, no post-dedup.
-    The edge list is eagerly localCheckpoint-ed because it feeds three
-    join consumers (e1/e2/e3); at cluster scale the standard upgrades
-    apply: persist to a reliable store and pre-partition by the join
-    vertex, plus degree-ordered orientation (orient each edge from the
-    LOWER-degree endpoint) to bound the two-path fan-out on skewed
-    graphs — the fixture's near-dup cliques are small, so plain
-    lexicographic orientation suffices here and stays oracle-mirrorable.
+    ``orientation="degree"`` (default, THE SCALE PATH): each edge is
+    directed from its lower-(degree, id) endpoint to the higher, then
+    two-paths pivot on the SOURCE vertex. Out-degree under this
+    orientation is O(√m) amortized, so the pivot self-join's load is
+    Σ outdeg² = O(m^1.5) REGARDLESS of skew — one corpus-scale
+    boilerplate cluster (the common real-world near-dup shape: one node
+    set where everyone matches everyone) stays bounded where
+    lexicographic orientation goes quadratic inside the cluster
+    (VERDICT r8 item 3). The ordering key is the exact pair
+    (degree, id): a deterministic total order computed from one exact
+    degree aggregate, so the oracle mirrors it verbatim.
 
-    Returns (vertex, n_triangles), vertices with ≥ 1 triangle only.
+    ``orientation="lex"``: the pre-round-9 form (a < b, pivot on the
+    shared MIDDLE vertex y of x—y—z, load Σ deg²). Kept for the
+    skewed-cluster smoke that measures the fan-out gap; NOT the path to
+    run on real graphs.
+
+    Each triangle {v1, v2, v3} with (deg, id)-ranks r1 < r2 < r3
+    materializes exactly once: directed edges r1→r2, r1→r3, r2→r3 exist,
+    the pivot join emits (x=r1, y=r2, z=r3) once (the y-before-z rank
+    filter kills the mirror duplicate), and the closing edge is exactly
+    the directed (y→z). The directed edge list is eagerly
+    localCheckpoint-ed because it feeds three join consumers; at cluster
+    scale swap for a reliable checkpoint pre-partitioned by the pivot.
+
+    Returns (x, y, z) — one row per triangle, vertex names carry no
+    rank meaning to callers beyond uniqueness.
     """
-    e = (
-        edges.select(
-            F.least(F.col(a_col), F.col(b_col)).alias("a"),
-            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+    und = edges.select(
+        F.least(F.col(a_col), F.col(b_col)).alias("a"),
+        F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+    ).distinct()
+    if orientation == "lex":
+        e = und.localCheckpoint(eager=True)
+        paths = (
+            e.alias("e1")
+            .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+            .select(
+                F.col("e1.a").alias("x"),
+                F.col("e1.b").alias("y"),
+                F.col("e2.b").alias("z"),
+            )
         )
-        .distinct()
+        return paths.join(
+            e.alias("e3"),
+            (F.col("e3.a") == F.col("x")) & (F.col("e3.b") == F.col("z")),
+            "left_semi",
+        )
+    if orientation != "degree":
+        raise ValueError(f"unknown orientation {orientation!r}")
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # Direct each edge from the lower-(deg, id) endpoint; keep the head's
+    # rank pair so the two-path join can order its endpoints without a
+    # third degree lookup.
+    d = (
+        und.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("deg", "deg_a")
+        .join(
+            deg.select(
+                F.col("node").alias("b"), F.col("deg").alias("deg_b")
+            ),
+            "b",
+        )
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.struct(
+                    F.col("a").alias("u"),
+                    F.col("b").alias("v"),
+                    F.col("deg_b").alias("deg_v"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("b").alias("u"),
+                    F.col("a").alias("v"),
+                    F.col("deg_a").alias("deg_v"),
+                )
+            )
+            .alias("s")
+        )
+        .select("s.u", "s.v", "s.deg_v")
         .localCheckpoint(eager=True)
     )
     paths = (
-        e.alias("e1")
-        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        d.alias("p1")
+        .join(
+            d.alias("p2"),
+            (F.col("p1.u") == F.col("p2.u"))
+            & (
+                (F.col("p1.deg_v") < F.col("p2.deg_v"))
+                | (
+                    (F.col("p1.deg_v") == F.col("p2.deg_v"))
+                    & (F.col("p1.v") < F.col("p2.v"))
+                )
+            ),
+        )
         .select(
-            F.col("e1.a").alias("x"),
-            F.col("e1.b").alias("y"),
-            F.col("e2.b").alias("z"),
+            F.col("p1.u").alias("x"),
+            F.col("p1.v").alias("y"),
+            F.col("p2.v").alias("z"),
         )
     )
-    tri = paths.join(
-        e.alias("e3"),
-        (F.col("e3.a") == F.col("x")) & (F.col("e3.b") == F.col("z")),
+    return paths.join(
+        d.alias("e3"),
+        (F.col("e3.u") == F.col("y")) & (F.col("e3.v") == F.col("z")),
         "left_semi",
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    orientation: str = "degree",
+) -> DataFrame:
+    """Exact per-vertex triangle participation over an undirected edge
+    list — :func:`oriented_triangles` (degree-ordered by default; see its
+    docstring for the skew bound) exploded to vertices and counted.
+
+    Returns (vertex, n_triangles), vertices with ≥ 1 triangle only.
+    """
+    tri = oriented_triangles(edges, a_col, b_col, orientation=orientation)
     return (
         tri.select(F.explode(F.array("x", "y", "z")).alias("vertex"))
         .groupBy("vertex")

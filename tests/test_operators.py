@@ -1914,3 +1914,38 @@ def test_semantic_dedup_gemm_matches_python_reimplementation(spark):
             kept[i] = not dom
         want = {i: (assign[i], kept[i]) for i in range(n)}
         assert got == want, (seed, {k: (got[k], want[k]) for k in got if got[k] != want[k]})
+
+
+def test_triangle_orientations_agree(spark):
+    """Degree-ordered orientation (round 9, VERDICT r8 item 3) must count
+    exactly the triangles the lexicographic form counts, on a graph with
+    hubs (skew), a clique, a chain, tie degrees, and isolated edges."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ppdb_parser_spark.operators.graph import triangle_counts
+
+    rng = random.Random(9)
+    edges = set()
+    # hub 900 touching 40 leaves; clique on 0..7; chain 100..140; noise
+    edges |= {(900, 1000 + i) for i in range(40)}
+    edges |= {(i, j) for i in range(8) for j in range(i + 1, 8)}
+    edges |= {(100 + i, 101 + i) for i in range(40)}
+    edges |= {
+        tuple(sorted(rng.sample(range(200, 260), 2))) for _ in range(120)
+    }
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a long, id_b long"
+    )
+    lex = sorted(
+        map(tuple, triangle_counts(df, orientation="lex").collect())
+    )
+    deg = sorted(
+        map(tuple, triangle_counts(df, orientation="degree").collect())
+    )
+    assert lex == deg
+    # the 8-clique alone guarantees triangles exist
+    got = dict(deg)
+    for v in range(8):
+        assert got[v] >= 21  # C(7,2) triangles within the clique per vertex

@@ -950,6 +950,128 @@ def main() -> None:
             )
             print(f"  -> {tk / t1w:.1f}x time for {k}x fresh-vocab corpus")
 
+    if "triskew" in only:
+        # Degree-ordered vs lexicographic orientation on a planted
+        # skewed cluster (VERDICT r8 item 3): H mid-id hub nodes each
+        # touching N leaves (half the leaf ids below the hubs, half
+        # above — a template/boilerplate doc matching thousands of
+        # near-singletons), plus a chain through the low leaves so the
+        # graph has real triangles. Lexicographic orientation pivots on
+        # the MIDDLE id of each path, so every hub generates
+        # (N/2 in-edges) x (N/2 out-edges) candidate two-paths that
+        # almost never close; degree ordering directs every hub edge
+        # INTO the hub (outdeg 0), so candidate paths collapse to the
+        # leaf-chain neighborhood. The fan-out gap is DETERMINISTIC
+        # (exact path counts, not walls) and both orientations must
+        # return identical triangle counts.
+        from ppdb_parser_spark.operators.graph import (
+            oriented_triangles,
+            triangle_counts,
+        )
+
+        H, N = 4, 4000
+        lo = spark.range(N // 2).select(F.col("id").alias("leaf"))
+        hi = spark.range(N // 2).select(
+            (F.col("id") + 1_000_000).alias("leaf")
+        )
+        hubs = spark.range(H).select((F.col("id") + 500_000).alias("hub"))
+        spokes = (
+            lo.unionByName(hi)
+            .crossJoin(F.broadcast(hubs))  # N x H = 16k rows, hub side tiny
+            .select(F.col("hub").alias("id_a"), F.col("leaf").alias("id_b"))
+        )
+        chain = spark.range(N // 2 - 1).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+        edges = spokes.unionByName(chain).localCheckpoint(eager=True)
+
+        def two_path_count(orientation):
+            und = edges.select(
+                F.least("id_a", "id_b").alias("a"),
+                F.greatest("id_a", "id_b").alias("b"),
+            ).distinct()
+            if orientation == "lex":
+                paths = und.alias("e1").join(
+                    und.alias("e2"), F.col("e1.b") == F.col("e2.a")
+                )
+                return paths.count()
+            deg = (
+                und.select(F.col("a").alias("node"))
+                .unionByName(und.select(F.col("b").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("deg"))
+            )
+            d = (
+                und.join(deg.withColumnRenamed("node", "a"), "a")
+                .withColumnRenamed("deg", "deg_a")
+                .join(
+                    deg.select(
+                        F.col("node").alias("b"), F.col("deg").alias("deg_b")
+                    ),
+                    "b",
+                )
+                .select(
+                    F.when(
+                        (F.col("deg_a") < F.col("deg_b"))
+                        | (
+                            (F.col("deg_a") == F.col("deg_b"))
+                            & (F.col("a") < F.col("b"))
+                        ),
+                        F.struct(
+                            F.col("a").alias("u"),
+                            F.col("b").alias("v"),
+                            F.col("deg_b").alias("deg_v"),
+                        ),
+                    )
+                    .otherwise(
+                        F.struct(
+                            F.col("b").alias("u"),
+                            F.col("a").alias("v"),
+                            F.col("deg_a").alias("deg_v"),
+                        )
+                    )
+                    .alias("s")
+                )
+                .select("s.u", "s.v", "s.deg_v")
+            )
+            paths = d.alias("p1").join(
+                d.alias("p2"),
+                (F.col("p1.u") == F.col("p2.u"))
+                & (
+                    (F.col("p1.deg_v") < F.col("p2.deg_v"))
+                    | (
+                        (F.col("p1.deg_v") == F.col("p2.deg_v"))
+                        & (F.col("p1.v") < F.col("p2.v"))
+                    )
+                ),
+            )
+            return paths.count()
+
+        n_lex = two_path_count("lex")
+        n_deg = two_path_count("degree")
+        t_lex = timed(
+            "triangles lex  ",
+            triangle_counts(edges, orientation="lex"),
+        )
+        t_deg = timed(
+            "triangles degree",
+            triangle_counts(edges, orientation="degree"),
+        )
+        r_lex = sorted(
+            map(tuple, triangle_counts(edges, orientation="lex").collect())
+        )
+        r_deg = sorted(
+            map(tuple, triangle_counts(edges, orientation="degree").collect())
+        )
+        assert r_lex == r_deg, "orientations disagree on triangle counts"
+        n_tri = oriented_triangles(edges, a_col="id_a", b_col="id_b").count()
+        print(
+            f"  -> candidate two-paths: lex {n_lex:,} vs degree {n_deg:,} "
+            f"({n_lex / max(n_deg, 1):.0f}x fan-out cut) for {n_tri:,} "
+            f"triangles; walls {t_lex:.2f}s -> {t_deg:.2f}s; outputs "
+            f"identical over {len(r_deg)} vertices"
+        )
+
     if "bloomscale" in only:
         # Bloom vs exact decontamination as the EVAL SET grows: fresh-vocab
         # copies multiply the distinct eval shingle set ~k-fold, so the
