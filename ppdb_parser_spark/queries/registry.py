@@ -58,18 +58,18 @@ def query(
     return deco
 
 
-# Queries that already earned a driver CORRECTNESS row in rounds 1-8
-# (keys of CORRECTNESS_r01.json ∪ … ∪ r08, intersected with the live
-# registry; re-frozen 2026-08-15 for round 9). The driver prefix
+# Queries that already earned a driver CORRECTNESS row in rounds 1-9
+# (keys of CORRECTNESS_r01.json ∪ … ∪ r09, intersected with the live
+# registry; re-frozen 2026-08-15 for round 10). The driver prefix
 # is built from the registry MINUS this set, so anything new this round
 # earns a row first.
 #
-# ROUND-10 NOTE: first move next round — regenerate both structures below
-# with ``python tools/gen_prefix_freeze.py`` (folds CORRECTNESS_r09.json
-# in, bumps _LAST_DRIVER_ROUND), rename to _DRIVER_CHECKED_R1_R9, replace
-# _ROUND9_PRIORITY with the next stale/marquee tier, and update
-# tests/test_oracle_parity.py::test_coverage_order_round9_prefix_contract.
-_DRIVER_CHECKED_R1_R8 = frozenset(
+# ROUND-11 NOTE: first move next round — regenerate both structures below
+# with ``python tools/gen_prefix_freeze.py`` (folds CORRECTNESS_r10.json
+# in, bumps _LAST_DRIVER_ROUND), rename to _DRIVER_CHECKED_R1_R10, replace
+# _ROUND10_PRIORITY with the next stale/marquee tier, and update
+# tests/test_oracle_parity.py::test_coverage_order_round10_prefix_contract.
+_DRIVER_CHECKED_R1_R9 = frozenset(
     {
         'agg_approx_distinct', 'agg_approx_percentile', 'agg_cube',
         'agg_distinct_counts', 'agg_filtered', 'agg_grouping_sets',
@@ -176,21 +176,21 @@ _DRIVER_CHECKED_R1_R8 = frozenset(
 _LAST_DRIVER_ROUND = {
         'agg_approx_distinct': 6, 'agg_approx_percentile': 6,
         'agg_cube': 6, 'agg_distinct_counts': 6, 'agg_filtered': 6,
-        'agg_grouping_sets': 4, 'agg_histogram': 5, 'agg_hll_rollup': 8,
-        'agg_hll_set_ops': 8, 'agg_hll_sketch': 8, 'agg_percentiles': 4,
-        'agg_pivot_status': 4, 'agg_pricing_summary': 4, 'agg_rollup':
-        4, 'agg_stats': 4, 'analytics_autocorr_lag1': 8,
+        'agg_grouping_sets': 9, 'agg_histogram': 5, 'agg_hll_rollup': 8,
+        'agg_hll_set_ops': 8, 'agg_hll_sketch': 8, 'agg_percentiles': 9,
+        'agg_pivot_status': 9, 'agg_pricing_summary': 9, 'agg_rollup':
+        9, 'agg_stats': 9, 'analytics_autocorr_lag1': 8,
         'analytics_cohort_retention': 5, 'analytics_corr_pairs': 8,
         'analytics_disjunctive_join': 5, 'analytics_event_funnel': 8,
-        'analytics_large_orders': 4, 'analytics_local_supplier_volume':
-        4, 'analytics_lost_opportunity': 4, 'analytics_market_basket':
+        'analytics_large_orders': 9, 'analytics_local_supplier_volume':
+        9, 'analytics_lost_opportunity': 9, 'analytics_market_basket':
         6, 'analytics_market_share': 6, 'analytics_promo_share': 4,
         'analytics_rfm_segments': 5, 'analytics_rolling_wau': 5,
         'analytics_shipping_priority': 7, 'analytics_signup_funnel': 7,
         'analytics_small_qty_revenue': 7, 'analytics_trade_flows': 5,
         'anti_join': 7, 'asof_click_next_purchase': 6,
         'asof_purchase_click': 4, 'broadcast_join': 7, 'case_when': 7,
-        'cross_join': 6, 'dedup_cluster_report': 8, 'dedup_components':
+        'cross_join': 6, 'dedup_cluster_report': 9, 'dedup_components':
         7, 'dedup_components_star': 7, 'dedup_containment': 5,
         'dedup_embedding': 8, 'dedup_embedding_checked': 8,
         'dedup_embedding_lsh': 6, 'dedup_exact': 7,
@@ -201,21 +201,21 @@ _LAST_DRIVER_ROUND = {
         'dedup_semantic_gemm': 8, 'dedup_semantic_gemm_h2': 8,
         'dedup_semantic_h2': 8, 'dedup_simhash': 7,
         'dedup_simhash_pairs': 7, 'dedup_substring_spans': 8,
-        'dedup_tier_agreement': 8, 'dedup_triangle_count': 8,
+        'dedup_tier_agreement': 8, 'dedup_triangle_count': 9,
         'dedup_winnow_match': 5, 'except_custkeys': 6, 'filter_project':
         7, 'flagship': 6, 'fuzzy_phrase_match': 6, 'govern_luhn_scan':
         8, 'govern_pii_mask': 5, 'intersect_nations': 7,
         'left_join_coverage': 8, 'lookup_oov_tokens': 7,
         'lookup_paraphrase_coverage': 7, 'mm_binary_hash': 7,
         'mm_decode_meta': 6, 'mm_dhash': 5, 'mm_dhash_near': 5,
-        'mm_img_features': 8, 'mm_media_meta': 8, 'mm_media_stats': 3,
+        'mm_img_features': 8, 'mm_media_meta': 8, 'mm_media_stats': 9,
         'mm_meta_stats': 7, 'mm_png_features': 4, 'mm_resize': 7,
         'mm_wav_sample': 7, 'order_limit': 4, 'pattern_scd2_merge': 4,
         'pattern_scd2_pointintime': 5, 'pattern_unpivot': 7,
         'pipeline_chunk_overlap': 5, 'pipeline_corpus_curation': 4,
         'pipeline_corpus_curation_v2': 6, 'pipeline_corpus_curation_v3':
         8, 'pipeline_corpus_datacard': 8, 'pipeline_decontaminate': 4,
-        'pipeline_decontaminate_bloom': 8, 'pipeline_drift_tvd': 8,
+        'pipeline_decontaminate_bloom': 9, 'pipeline_drift_tvd': 8,
         'pipeline_dsir_weights': 8, 'pipeline_mixture_sample': 4,
         'pipeline_mixture_temperature': 8, 'pipeline_mixture_waterfill':
         8, 'pipeline_pack_windows': 6, 'pipeline_quality_classifier': 8,
@@ -228,81 +228,87 @@ _LAST_DRIVER_ROUND = {
         'ppdb_collect_nested': 7, 'ppdb_collect_paraphrases': 4,
         'ppdb_entailment_dist': 6, 'ppdb_feature_keys': 6,
         'ppdb_map_ops': 7, 'ppdb_parse_stats': 4,
-        'ppdb_parse_stats_bz2': 3, 'ppdb_parse_throughput': 6,
+        'ppdb_parse_stats_bz2': 9, 'ppdb_parse_throughput': 6,
         'ppdb_quarantine': 4, 'ppdb_symmetric_pairs': 4,
         'ppdb_top_paraphrases': 7, 'profile_columns': 6,
-        'range_join_bands': 3, 'region_revenue': 7, 'sample_orders': 6,
-        'scalar_arrays': 3, 'scalar_bitwise': 3, 'scalar_dates': 3,
-        'scalar_json': 4, 'scalar_math': 7, 'scalar_null_handling': 3,
-        'scalar_regex': 3, 'scalar_strings': 3, 'scalar_try_ops': 5,
-        'scalar_variant': 6, 'self_join_pairs': 3, 'semi_join': 3,
+        'range_join_bands': 9, 'region_revenue': 7, 'sample_orders': 6,
+        'scalar_arrays': 9, 'scalar_bitwise': 9, 'scalar_dates': 9,
+        'scalar_json': 4, 'scalar_math': 7, 'scalar_null_handling': 9,
+        'scalar_regex': 9, 'scalar_strings': 9, 'scalar_try_ops': 5,
+        'scalar_variant': 6, 'self_join_pairs': 9, 'semi_join': 9,
         'sim_cosine_topk': 4, 'sim_hybrid_rrf': 8, 'sim_ivf_batch_topk':
-        8, 'sim_ivf_kmeans_topk': 7, 'sim_ivf_topk': 7,
+        9, 'sim_ivf_kmeans_topk': 7, 'sim_ivf_topk': 7,
         'sim_ivfpq_residual_topk': 7, 'sim_ivfpq_topk': 6,
         'sim_jl_project': 8, 'sim_jl_topk': 8,
         'sim_lsh_jl_screened_pairs': 8, 'sim_lsh_multiprobe_topk': 7,
-        'sim_lsh_pairs_checked': 7, 'sim_neighbors_docs': 3,
-        'sim_pairwise_cosine': 3, 'sim_pca_top_component': 8,
+        'sim_lsh_pairs_checked': 7, 'sim_neighbors_docs': 9,
+        'sim_pairwise_cosine': 9, 'sim_pca_top_component': 8,
         'sim_pq_encode': 5, 'sim_pq_kmeans_topk': 5, 'sim_pq_topk': 5,
         'skew_salted_agg': 7, 'skew_salted_join': 5,
         'snk_bucketed_join': 5, 'snk_json_roundtrip': 4,
-        'snk_orc_roundtrip': 3, 'snk_parquet_roundtrip': 3,
+        'snk_orc_roundtrip': 9, 'snk_parquet_roundtrip': 9,
         'snk_partition_pruned': 7, 'snk_zorder_layout': 7,
-        'src_csv_permissive': 6, 'src_csv_scan': 3,
+        'src_csv_permissive': 6, 'src_csv_scan': 9,
         'src_custom_datasource': 7, 'src_json_scan': 7,
-        'stream_anomaly_live': 8, 'stream_cms_batch': 8,
+        'stream_anomaly_live': 9, 'stream_cms_batch': 8,
         'stream_cms_live': 8, 'stream_dedup_live': 6,
         'stream_drift_batch': 8, 'stream_drift_live': 8,
         'stream_foreach_batch_sink': 7, 'stream_hll_batch': 8,
-        'stream_hll_live': 8, 'stream_interval_join_batch': 3,
+        'stream_hll_live': 8, 'stream_interval_join_batch': 9,
         'stream_interval_join_live': 4,
         'stream_left_interval_join_batch': 5,
         'stream_left_interval_join_live': 6, 'stream_session_batch': 4,
         'stream_session_live': 6, 'stream_sliding_batch': 6,
-        'stream_sliding_live': 3, 'stream_stateful_counter': 6,
+        'stream_sliding_live': 9, 'stream_stateful_counter': 6,
         'stream_static_enrich_batch': 5, 'stream_static_enrich_live': 5,
         'stream_tumbling_batch': 6, 'stream_tumbling_live': 4,
         'sub_correlated_avg_qty': 5, 'sub_exists_idle_rich': 5,
         'sub_having_revenue_share': 6, 'sub_lateral_topn': 8,
         'subq_not_in_nulls': 5, 'text_bigram_ppl': 5, 'text_bm25_topk':
-        8, 'text_bpe_token_count': 3, 'text_cms_heavy_hitters': 8,
-        'text_entropy_bound': 8, 'text_fingerprint': 3,
+        8, 'text_bpe_token_count': 9, 'text_cms_heavy_hitters': 8,
+        'text_entropy_bound': 8, 'text_fingerprint': 9,
         'text_heavy_hitters': 8, 'text_inverted_index': 5,
-        'text_lang_route': 3, 'text_langid': 3, 'text_phrase_search': 5,
-        'text_pmi_collocations': 5, 'text_quality': 3,
+        'text_lang_route': 9, 'text_langid': 9, 'text_phrase_search': 5,
+        'text_pmi_collocations': 5, 'text_quality': 9,
         'text_quality_rules': 4, 'text_repetition': 5, 'text_sentiment':
-        6, 'text_textrank': 5, 'text_tfidf_top5': 3, 'text_token_stats':
-        3, 'text_unigram_logprob': 5, 'text_winnow_fp': 5,
-        'ts_anomaly_argmax': 8, 'ts_ewma_dyadic': 8, 'ts_gapfill_locf':
+        6, 'text_textrank': 5, 'text_tfidf_top5': 9, 'text_token_stats':
+        9, 'text_unigram_logprob': 5, 'text_winnow_fp': 5,
+        'ts_anomaly_argmax': 8, 'ts_ewma_dyadic': 9, 'ts_gapfill_locf':
         7, 'ts_interpolate': 7, 'ts_ohlc_daily': 7,
         'ts_recursive_month_spine': 5, 'udf_arrow_scalar': 6,
         'udf_grouped_agg_sum': 6, 'udf_grouped_map_minmax': 6,
-        'udf_map_in_arrow': 3, 'udf_map_partitions_bucket': 3,
-        'udf_scalar_cents': 3, 'udtf_explode_types': 6,
-        'udtf_polymorphic_split': 7, 'union_parties': 3,
-        'window_cume_dist': 3, 'window_lag_lead': 3,
-        'window_range_frame': 3, 'window_rank_family': 3,
-        'window_running_sum': 3, 'window_value_family': 3
+        'udf_map_in_arrow': 9, 'udf_map_partitions_bucket': 9,
+        'udf_scalar_cents': 9, 'udtf_explode_types': 6,
+        'udtf_polymorphic_split': 7, 'union_parties': 9,
+        'window_cume_dist': 9, 'window_lag_lead': 9,
+        'window_range_frame': 9, 'window_rank_family': 9,
+        'window_running_sum': 9, 'window_value_family': 9
 }
 
-# Round-9 priority tier, sampled right behind the never-checked backlog:
+# Round-10 priority tier, sampled right behind the never-checked backlog:
 # queries whose implementations change THIS round and therefore need a
-# fresh hash-exact row against the mirrored oracle — the triangle family
-# moves to degree-ordered orientation (VERDICT r8 item 3),
-# pipeline_decontaminate_bloom sizes m from the eval-shingle count
-# (item 4), sim_ivf_batch_topk gains the GEMM-assisted assignment path
-# (item 6), and ts_ewma_dyadic/stream_anomaly_live move onto sign-safe
-# integer idioms (ADVICE r8). The genuinely stale operators the r8
-# verdict names (O3 r3, X6 r4, J7 r5, the r6 block) need no explicit
-# seats: tier 3 sorts by _LAST_DRIVER_ROUND ascending, so the ~35 r3/r4
-# rows above fill the rotation slots first.
-_ROUND9_PRIORITY = (
-    "dedup_triangle_count",
-    "dedup_cluster_report",
-    "pipeline_decontaminate_bloom",
+# fresh hash-exact row against the mirrored oracle — the whole sim_ivf_*
+# family moves cell assignment onto the Arrow/GEMM block kernel (VERDICT
+# r9 item 1), pipeline_decontaminate_bloom sizes m/k from the
+# eval-shingle count via recommend_bloom_bits (item 2), and the
+# dedup_semantic* queries route tier choice through
+# recommend_semantic_dedup_tier (item 8) — plus the three oldest ledger
+# rows the r9 verdict names explicitly (scalar_json r4,
+# analytics_promo_share r4, scalar_variant r6; item 3/4 rotation debt).
+_ROUND10_PRIORITY = (
     "sim_ivf_batch_topk",
-    "ts_ewma_dyadic",
-    "stream_anomaly_live",
+    "sim_ivf_topk",
+    "sim_ivf_kmeans_topk",
+    "sim_ivfpq_topk",
+    "sim_ivfpq_residual_topk",
+    "pipeline_decontaminate_bloom",
+    "dedup_semantic",
+    "dedup_semantic_h2",
+    "dedup_semantic_gemm",
+    "dedup_semantic_gemm_h2",
+    "scalar_json",
+    "scalar_variant",
+    "analytics_promo_share",
 )
 
 
@@ -311,11 +317,11 @@ def coverage_order() -> list[str]:
     value.
 
     Tier 1: every registered query that has never received a driver
-    CORRECTNESS row in rounds 1-8 (``_DRIVER_CHECKED_R1_R8`` complement),
+    CORRECTNESS row in rounds 1-9 (``_DRIVER_CHECKED_R1_R9`` complement),
     oracle-backed entries first — anything new this round lands here.
-    Tier 2: the round-9 priority tier (``_ROUND9_PRIORITY``): queries
-    whose implementations change this round whose implementations change this round (triangle
-    orientation, Bloom sizing, IVF GEMM assignment, sign-safe EWMA).
+    Tier 2: the round-10 priority tier (``_ROUND10_PRIORITY``): queries
+    whose implementations change this round (IVF GEMM assignment, Bloom
+    sizing, semantic-tier routing) plus the oldest ledger rows.
     Tier 3: least-recently-driver-checked first (``_LAST_DRIVER_ROUND``
     ascending, oracle-backed before rows-only, then name) — the ~40
     tier-3 slots of each ~50-query driver sample rotate oldest-first, so
@@ -333,11 +339,11 @@ def coverage_order() -> list[str]:
         (
             n
             for n in remaining
-            if n not in _DRIVER_CHECKED_R1_R8 and n not in _ROUND9_PRIORITY
+            if n not in _DRIVER_CHECKED_R1_R9 and n not in _ROUND10_PRIORITY
         ),
         key=lambda n: (remaining[n].oracle is None, n),
     )
-    for seed in (*never_checked, *_ROUND9_PRIORITY):
+    for seed in (*never_checked, *_ROUND10_PRIORITY):
         if seed in remaining:
             out.append(seed)
             del remaining[seed]
@@ -365,9 +371,9 @@ def prefix_tier_sizes() -> tuple[int, int]:
     tier1 = sum(
         1
         for n in REGISTRY
-        if n not in _DRIVER_CHECKED_R1_R8 and n not in _ROUND9_PRIORITY
+        if n not in _DRIVER_CHECKED_R1_R9 and n not in _ROUND10_PRIORITY
     )
-    tier2 = sum(1 for n in _ROUND9_PRIORITY if n in REGISTRY)
+    tier2 = sum(1 for n in _ROUND10_PRIORITY if n in REGISTRY)
     return tier1, tier2
 
 
