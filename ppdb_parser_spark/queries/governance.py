@@ -51,20 +51,56 @@ _MD5_INT60_SQL = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
 # 8-gram set. That is right while the eval suite is small, but a
 # decontamination pass against a large held-out corpus (or a union of
 # many benchmarks) can't broadcast millions of shingle strings. The
-# 100 TB answer is the classic one: build a fixed-size Bloom filter over
-# the eval shingles (here 2^16 bits in 60-bit words → ~1.1k rows
-# regardless of eval size; production would size m/k to the target FPR)
-# and broadcast THAT; the corpus side probes k=3 positions per shingle
-# with integer ops only. Bloom filters are deterministic, so the whole
-# query — including its false positives — is hash-oracle-exact, and the
-# query's output quantifies the price: per language, docs flagged by the
-# Bloom probe vs the exact semi-join (bloom ⊇ exact; no false negatives
-# by construction).
+# 100 TB answer is the classic one: build a Bloom filter over the eval
+# shingles, SIZED to the eval-shingle count and target FPR by
+# ``recommend_bloom_bits`` below, and broadcast THAT; the corpus side
+# probes k positions per shingle with integer ops only. Bloom filters
+# are deterministic, so the whole query — including its false positives
+# — is hash-oracle-exact, and the query's output quantifies the price:
+# per language, docs flagged by the Bloom probe vs the exact semi-join
+# (bloom ⊇ exact; no false negatives by construction).
 # --------------------------------------------------------------------------
+
+
+def recommend_bloom_bits(n_items: int, target_fpr: float = 0.01) -> tuple[int, int]:
+    """Size a decontamination Bloom filter: (m_bits, k_hashes) for
+    ``n_items`` eval shingles at ``target_fpr``. Standard optima
+    m = -n·ln(p)/ln(2)², k = (m/n)·ln(2) — rounded up / to nearest ≥ 1.
+
+    This encodes the BASELINE.md "bloomscale" lesson as an assertable
+    rule: the round-8 fixture's fixed m=2^16 saturated at 16× eval
+    growth (kn/m ≈ 9 → FPR → 1). Since round 10 the rule is
+    LOAD-BEARING, not advisory: ``_B_M``/``_B_SEEDS`` below are derived
+    from it (~10–14 bits/item for 1–0.1 % FPR — a ~100× compression of
+    the exact shingle-string set, not a constant). The word-table
+    layout and probe plan in pipeline_decontaminate_bloom are unchanged
+    by m. (Lives here, not in queries/sketches.py, because sketches
+    imports this module; re-exported there for its historical path.)
+    """
+    import math as _math
+
+    if n_items <= 0:
+        raise ValueError("n_items must be positive")
+    if not 0.0 < target_fpr < 1.0:
+        raise ValueError("target_fpr must be in (0, 1)")
+    m = _math.ceil(-n_items * _math.log(target_fpr) / (_math.log(2) ** 2))
+    k = max(1, round((m / n_items) * _math.log(2)))
+    return m, k
+
+
 _B_NGRAM = 8
-_B_M = 65536  # Bloom bits (2^16)
+#: Sizing point (static, documented — the driver gate needs module-level
+#: oracle SQL): the bloomscale smoke's 16× fresh-vocab rung measured
+#: 195,645 distinct eval shingles at sf0.1 (BASELINE.md round-8 row) —
+#: the LARGEST eval set any committed fixture produces. n=200k @ 1% FPR
+#: → m = 1,917,012 bits in ≤ 31,951 int64 words (~256 KB broadcast —
+#: still a ~100× compression of the 16× exact shingle-string set),
+#: k = 7. A production snapshot recomputes (m, k) per eval suite with
+#: the same call.
+_B_M, _B_K = recommend_bloom_bits(200_000, 0.01)
 _B_WORD = 60  # bits packed per int64 word (0..59 keeps shifts sign-free)
-_B_SEEDS = (0, 1, 2)  # k = 3 hash functions
+_B_SEEDS = tuple(range(_B_K))  # k hash functions
+_B_SEEDS_SQL = "[" + ", ".join(str(s) for s in _B_SEEDS) + "]"
 
 _B_POS_SQL = (
     "(" + _MD5_INT60_SQL.format(x="'bloom' || CAST({s} AS VARCHAR) || ':' || g")
@@ -88,13 +124,13 @@ _DECON_BLOOM_ORACLE = f"""
       SELECT p // {_B_WORD} AS word,
              bit_or(CAST(1 AS BIGINT) << CAST(p % {_B_WORD} AS INTEGER)) AS bits
       FROM (SELECT {_B_POS_SQL.format(s='s')} AS p
-            FROM ev, (SELECT unnest([0, 1, 2]) AS s))
+            FROM ev, (SELECT unnest({_B_SEEDS_SQL}) AS s))
       GROUP BY p // {_B_WORD}
     ),
     trainsh AS (SELECT doc_id, g FROM sh WHERE NOT is_eval),
     probe AS (
       SELECT doc_id, g, {_B_POS_SQL.format(s='s')} AS p
-      FROM trainsh, (SELECT unnest([0, 1, 2]) AS s)
+      FROM trainsh, (SELECT unnest({_B_SEEDS_SQL}) AS s)
     ),
     hits AS (
       SELECT doc_id, g, COUNT(*) AS k

@@ -400,27 +400,11 @@ def agg_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def recommend_bloom_bits(n_items: int, target_fpr: float = 0.01) -> tuple[int, int]:
-    """Size a decontamination Bloom filter: (m_bits, k_hashes) for
-    ``n_items`` eval shingles at ``target_fpr``. Standard optima
-    m = -n·ln(p)/ln(2)², k = (m/n)·ln(2) — rounded up / to nearest ≥ 1.
-
-    This encodes the BASELINE.md "bloomscale" lesson as an assertable
-    rule: the fixture's fixed m=2^16 saturates at 16× eval growth
-    (kn/m ≈ 9 → FPR → 1); production re-sizes m per snapshot with this
-    helper (~10–14 bits/item for 1–0.1 % FPR — a ~100× compression of
-    the exact shingle-string set, not a constant). The word-table layout
-    and probe plan in pipeline_decontaminate_bloom are unchanged by m.
-    """
-    import math as _math
-
-    if n_items <= 0:
-        raise ValueError("n_items must be positive")
-    if not 0.0 < target_fpr < 1.0:
-        raise ValueError("target_fpr must be in (0, 1)")
-    m = _math.ceil(-n_items * _math.log(target_fpr) / (_math.log(2) ** 2))
-    k = max(1, round((m / n_items) * _math.log(2)))
-    return m, k
+# recommend_bloom_bits moved to queries/governance.py (round 10): it now
+# SIZES pipeline_decontaminate_bloom's module-level constants, and
+# governance cannot import sketches (this module imports governance).
+# Re-exported here so its historical import path keeps working.
+from .governance import recommend_bloom_bits  # noqa: E402,F401
 
 
 # --------------------------------------------------------------------------

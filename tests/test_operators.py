@@ -1949,3 +1949,84 @@ def test_triangle_orientations_agree(spark):
     got = dict(deg)
     for v in range(8):
         assert got[v] >= 21  # C(7,2) triangles within the clique per vertex
+
+
+def test_gemm_assign_round_fastpath_matches_f_round(spark):
+    """gemm_assign_cells replicates ``F.round`` on a double with
+    sign-aware half-away-from-zero arithmetic on the EXACT fraction
+    (``_np_round_half_away``). Pin the equivalence on the adversarial
+    inputs: exact half-integers (positive AND negative — HALF_UP rounds
+    away from zero), values one ulp off a half boundary (where the naive
+    ``floor(v+0.5)`` is wrong: 0.49999999999999994+0.5 rounds up to 1.0),
+    and large magnitudes near the documented |term| ≤ 6.4e10 bound."""
+    import math
+
+    import numpy as np
+
+    from ppdb_parser_spark.operators.similarity import _np_round_half_away
+
+    vals = [
+        0.5, 1.5, 2.5, -0.5, -1.5, -2.5, 0.0, -0.0,
+        math.nextafter(0.5, 0), math.nextafter(0.5, 1),
+        math.nextafter(-0.5, 0), math.nextafter(-0.5, -1),
+        1234567.5, -1234567.5, 6.4e10 - 0.5, -(6.4e10 - 0.5),
+        math.nextafter(6.4e10 - 0.5, 0), 0.49999999999999994,
+    ]
+    v = np.array(vals, dtype=np.float64)
+    fast = _np_round_half_away(v)
+    jvm = (
+        spark.createDataFrame([(x,) for x in vals], "v double")
+        .select(F.round(F.col("v")).cast("long").alias("r"))
+        .collect()
+    )
+    assert [int(x) for x in fast] == [r["r"] for r in jvm]
+
+
+def test_ivf_family_gemm_equals_hof(spark):
+    """Every sim_ivf_* operator produces IDENTICAL rows on the Arrow/GEMM
+    assignment path and the interpreted HOF path — including on a corpus
+    salted with duplicated seed vectors, which forces exact round-6
+    cosine TIES across cells and exercises the kernel's Decimal
+    fallback + smaller-cell-id tiebreak."""
+    from pyspark.sql import functions as F
+
+    from ppdb_parser_spark.operators import similarity as SIM
+    from ppdb_parser_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    # duplicate seed 3's embedding onto fresh ids: those rows tie
+    # round-6 cosine 1.0 against cell 3 and (via any duplicate-seed
+    # pairs) across cells when seeds themselves collide
+    dupes = (
+        emb.filter(F.col("vec_id") == 3)
+        .crossJoin(spark.range(5).select((F.col("id") + 90000).alias("nid")))
+        .select(
+            F.col("nid").alias("vec_id"),
+            F.col("label"),
+            F.col("embedding"),
+        )
+    )
+    salted = emb.select("vec_id", "label", "embedding").unionByName(dupes)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    for build in (
+        lambda a: SIM.ivf_topk(salted, n_cells=8, probe_id=1, n_probe=2, k=7, assign=a),
+        lambda a: SIM.ivf_batch_topk(
+            salted, probe_pred=F.col("vec_id") % 100 == 1, n_cells=8,
+            n_probe=2, k=5, assign=a,
+        ),
+        lambda a: SIM.ivf_kmeans_topk(
+            salted, n_cells=8, probe_id=1, n_probe=2, k=7, assign=a
+        ),
+        lambda a: SIM.ivfpq_topk(
+            salted, probe_id=1, n_cells=8, n_probe=2, n_centroids=16,
+            m=8, k=10, rerank=50, dim=64, assign=a,
+        ),
+        lambda a: SIM.ivfpq_residual_topk(
+            salted, probe_id=1, n_cells=8, n_probe=2, n_centroids=16,
+            m=8, k=10, rerank=50, dim=64, assign=a,
+        ),
+    ):
+        assert rows(build("gemm")) == rows(build("hof"))
