@@ -138,11 +138,14 @@ def main() -> None:
     line = json.dumps(payload)
     # Loud guard: if the headline set ever grows the final line past the
     # driver's capture window again, fail the bench run instead of
-    # shipping a truncated artifact.
-    assert len(line) <= 1700, (
-        f"final metric line {len(line)} chars — exceeds the driver's "
-        "2000-char tail budget; split the headline map"
-    )
+    # shipping a truncated artifact. An explicit raise, not an assert —
+    # `python -O` strips asserts, which would silently re-ship the exact
+    # r8 truncation this guard exists to prevent (ADVICE r9).
+    if len(line) > 1700:
+        raise SystemExit(
+            f"final metric line {len(line)} chars — exceeds the driver's "
+            "2000-char tail budget; split the headline map"
+        )
     print(line)
 
 

@@ -344,6 +344,100 @@ def pagerank(
     return pr
 
 
+def _lex_two_paths(e: DataFrame) -> DataFrame:
+    """Candidate two-paths under lexicographic orientation: pivot on the
+    shared MIDDLE vertex of x—y—z (load Σ deg²). ``e`` must be the
+    deduplicated (a < b) edge list, already checkpointed by the caller."""
+    return (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+
+
+def _degree_oriented_edges(und: DataFrame) -> DataFrame:
+    """Direct each (a < b)-deduplicated edge from its lower-(degree, id)
+    endpoint to the higher — the O(√m)-outdegree orientation the scale
+    path pivots on. Returns (u, v, deg_v), eagerly localCheckpoint-ed
+    (three downstream consumers). ``und`` itself is checkpointed FIRST:
+    it is consumed three times here (two degree scans + the edge join),
+    and its lineage typically includes the expensive upstream pair
+    generation (e.g. simhash_near_pairs in dedup_triangle_count), which
+    would otherwise recompute ~3× (ADVICE r9). Factored out so the
+    triskew smoke measures the PRODUCTION orientation rule, not a copy
+    that can drift (ADVICE r9)."""
+    und = und.localCheckpoint(eager=True)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # Direct each edge from the lower-(deg, id) endpoint; keep the head's
+    # rank pair so the two-path join can order its endpoints without a
+    # third degree lookup.
+    return (
+        und.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("deg", "deg_a")
+        .join(
+            deg.select(
+                F.col("node").alias("b"), F.col("deg").alias("deg_b")
+            ),
+            "b",
+        )
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.struct(
+                    F.col("a").alias("u"),
+                    F.col("b").alias("v"),
+                    F.col("deg_b").alias("deg_v"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("b").alias("u"),
+                    F.col("a").alias("v"),
+                    F.col("deg_a").alias("deg_v"),
+                )
+            )
+            .alias("s")
+        )
+        .select("s.u", "s.v", "s.deg_v")
+        .localCheckpoint(eager=True)
+    )
+
+
+def _degree_two_paths(d: DataFrame) -> DataFrame:
+    """Candidate two-paths under degree orientation: pivot on the SOURCE
+    vertex of :func:`_degree_oriented_edges`'s directed list (load
+    Σ outdeg² = O(m^1.5)), endpoints ordered by the (deg, id) rank."""
+    return (
+        d.alias("p1")
+        .join(
+            d.alias("p2"),
+            (F.col("p1.u") == F.col("p2.u"))
+            & (
+                (F.col("p1.deg_v") < F.col("p2.deg_v"))
+                | (
+                    (F.col("p1.deg_v") == F.col("p2.deg_v"))
+                    & (F.col("p1.v") < F.col("p2.v"))
+                )
+            ),
+        )
+        .select(
+            F.col("p1.u").alias("x"),
+            F.col("p1.v").alias("y"),
+            F.col("p2.v").alias("z"),
+        )
+    )
+
+
 def oriented_triangles(
     edges: DataFrame,
     a_col: str = "id_a",
@@ -388,82 +482,15 @@ def oriented_triangles(
     ).distinct()
     if orientation == "lex":
         e = und.localCheckpoint(eager=True)
-        paths = (
-            e.alias("e1")
-            .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
-            .select(
-                F.col("e1.a").alias("x"),
-                F.col("e1.b").alias("y"),
-                F.col("e2.b").alias("z"),
-            )
-        )
-        return paths.join(
+        return _lex_two_paths(e).join(
             e.alias("e3"),
             (F.col("e3.a") == F.col("x")) & (F.col("e3.b") == F.col("z")),
             "left_semi",
         )
     if orientation != "degree":
         raise ValueError(f"unknown orientation {orientation!r}")
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .unionByName(und.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    # Direct each edge from the lower-(deg, id) endpoint; keep the head's
-    # rank pair so the two-path join can order its endpoints without a
-    # third degree lookup.
-    d = (
-        und.join(deg.withColumnRenamed("node", "a"), "a")
-        .withColumnRenamed("deg", "deg_a")
-        .join(
-            deg.select(
-                F.col("node").alias("b"), F.col("deg").alias("deg_b")
-            ),
-            "b",
-        )
-        .select(
-            F.when(
-                (F.col("deg_a") < F.col("deg_b"))
-                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
-                F.struct(
-                    F.col("a").alias("u"),
-                    F.col("b").alias("v"),
-                    F.col("deg_b").alias("deg_v"),
-                ),
-            )
-            .otherwise(
-                F.struct(
-                    F.col("b").alias("u"),
-                    F.col("a").alias("v"),
-                    F.col("deg_a").alias("deg_v"),
-                )
-            )
-            .alias("s")
-        )
-        .select("s.u", "s.v", "s.deg_v")
-        .localCheckpoint(eager=True)
-    )
-    paths = (
-        d.alias("p1")
-        .join(
-            d.alias("p2"),
-            (F.col("p1.u") == F.col("p2.u"))
-            & (
-                (F.col("p1.deg_v") < F.col("p2.deg_v"))
-                | (
-                    (F.col("p1.deg_v") == F.col("p2.deg_v"))
-                    & (F.col("p1.v") < F.col("p2.v"))
-                )
-            ),
-        )
-        .select(
-            F.col("p1.u").alias("x"),
-            F.col("p1.v").alias("y"),
-            F.col("p2.v").alias("z"),
-        )
-    )
-    return paths.join(
+    d = _degree_oriented_edges(und)
+    return _degree_two_paths(d).join(
         d.alias("e3"),
         (F.col("e3.u") == F.col("y")) & (F.col("e3.v") == F.col("z")),
         "left_semi",

@@ -890,6 +890,36 @@ _SEMANTIC_ORACLE = f"""
 """
 
 
+#: Row-count scale points the tier recommender is consulted at (round 10:
+#: VERDICT r9 item 8 — the measured assignment law becomes LOAD-BEARING,
+#: not advisory). The in-plan tiers are sized for the committed gate
+#: fixtures (≤ ~20k embeddings at sf0.1); the GEMM tiers encode the
+#: 64×-ladder regime (128k rows × 512 cells) their BASELINE.md rows
+#: measure. Each query asserts the recommender actually names its tier
+#: at its scale point, so rescaling a fixture past the interpreted
+#: budget fails loudly here instead of silently shipping a ~1 ms/row
+#: assignment stage.
+_SEM_GATE_ROWS = 20_000
+_SEM_LADDER_ROWS, _SEM_LADDER_CELLS = 128_000, 512
+
+
+def _sem_tier_params(
+    n: int, n_cells: int, expect_tier: str, hierarchical_hint: bool = False
+) -> dict:
+    from ..operators.similarity import recommend_semantic_dedup_tier
+
+    rec = recommend_semantic_dedup_tier(
+        n, n_cells, hierarchical_hint=hierarchical_hint
+    )
+    assert rec["tier"] == expect_tier, (
+        f"semantic-dedup tier law violated: recommender names "
+        f"{rec['tier']!r} at n={n}, cells={n_cells} "
+        f"(hint={hierarchical_hint}) but this query implements "
+        f"{expect_tier!r} — re-tier the query or re-pin the scale point"
+    )
+    return rec.get("params", {})
+
+
 @query(
     "dedup_semantic",
     oracle=_SEMANTIC_ORACLE,
@@ -899,6 +929,9 @@ _SEMANTIC_ORACLE = f"""
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import semantic_dedup
 
+    # in-plan tier: the recommender must agree the interpreted argmax is
+    # negligible at the gate fixture's scale point
+    _sem_tier_params(_SEM_GATE_ROWS, _SEMANTIC_N_CELLS, "semantic_dedup")
     e = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(
         e, n_cells=_SEMANTIC_N_CELLS, threshold=_SEMANTIC_T
@@ -1022,6 +1055,10 @@ _SEMANTIC_H2_ORACLE = f"""
 def dedup_semantic_h2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import semantic_dedup_two_level
 
+    # hierarchical routing but still IN-PLAN arithmetic: sound only while
+    # the recommender deems the interpreter negligible at gate scale
+    # (the at-scale hierarchical tier is dedup_semantic_gemm_h2)
+    _sem_tier_params(_SEM_GATE_ROWS, _SEMANTIC_H2_CELLS, "semantic_dedup")
     e = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup_two_level(
         e,
@@ -1113,9 +1150,15 @@ _SEMANTIC_GEMM_ORACLE = f"""
 def dedup_semantic_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import semantic_dedup_gemm
 
+    # at-scale tier: params (two_level off, checkpoint on — the Python
+    # stage has three dominance-tail consumers) come FROM the recommender
+    # at the 64x-ladder regime its BASELINE.md rows measure
+    params = _sem_tier_params(
+        _SEM_LADDER_ROWS, _SEM_LADDER_CELLS, "semantic_dedup_gemm"
+    )
     e = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup_gemm(
-        e, n_cells=_SEMANTIC_N_CELLS, threshold=_SEMANTIC_T
+        e, n_cells=_SEMANTIC_N_CELLS, threshold=_SEMANTIC_T, **params
     )
 
 
@@ -1228,13 +1271,23 @@ _SEMANTIC_GEMM_H2_ORACLE = f"""
 def dedup_semantic_gemm_h2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import semantic_dedup_gemm
 
+    # hierarchical GEMM tier: the recommender only names it under a REAL
+    # 2-level hint (flat data collapses occupancy — measured); two_level/
+    # checkpoint come from its params, n_super is the fixture's structure
+    params = _sem_tier_params(
+        _SEM_LADDER_ROWS,
+        _SEM_LADDER_CELLS,
+        "semantic_dedup_gemm",
+        hierarchical_hint=True,
+    )
+    assert params.get("two_level") is True
     e = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup_gemm(
         e,
         n_cells=_SEMANTIC_H2_CELLS,
         threshold=_SEMANTIC_T,
-        two_level=True,
         n_super=_SEMANTIC_H2_SUPER,
+        **params,
     )
 
 

@@ -92,12 +92,19 @@ _B_NGRAM = 8
 #: Sizing point (static, documented — the driver gate needs module-level
 #: oracle SQL): the bloomscale smoke's 16× fresh-vocab rung measured
 #: 195,645 distinct eval shingles at sf0.1 (BASELINE.md round-8 row) —
-#: the LARGEST eval set any committed fixture produces. n=200k @ 1% FPR
-#: → m = 1,917,012 bits in ≤ 31,951 int64 words (~256 KB broadcast —
-#: still a ~100× compression of the 16× exact shingle-string set),
-#: k = 7. A production snapshot recomputes (m, k) per eval suite with
-#: the same call.
-_B_M, _B_K = recommend_bloom_bits(200_000, 0.01)
+#: the LARGEST eval set any committed fixture produces → n = 200k.
+#: The FPR the report's flag columns care about is DOC-level: a doc is
+#: falsely flagged if ANY of its distinct shingles false-positives, so
+#: the per-shingle target is the union bound ``doc_target / shingles
+#: per doc`` — 0.01 / ~47 (measured avg 47.1, p99 92 distinct 8-gram
+#: shingles per sf0.1 document) ≈ 2e-4. (Sizing to a naive per-shingle
+#: 1% left 33% of 16×-rung train docs falsely flagged — measured before
+#: this correction.) n=200k @ 2e-4 → m = 3,545,485 bits in ≤ 59,092
+#: int64 words (~470 KB broadcast — still a ~40× compression of the
+#: 16× exact shingle-string set), k = 12. A production snapshot
+#: recomputes (m, k) per eval suite + corpus shingle profile with the
+#: same two-line derivation.
+_B_M, _B_K = recommend_bloom_bits(200_000, 0.0002)
 _B_WORD = 60  # bits packed per int64 word (0..59 keeps shifts sign-free)
 _B_SEEDS = tuple(range(_B_K))  # k hash functions
 _B_SEEDS_SQL = "[" + ", ".join(str(s) for s in _B_SEEDS) + "]"

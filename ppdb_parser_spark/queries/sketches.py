@@ -15,9 +15,11 @@ these queries build the classic sketches *relationally* from the same
   estimate is a pure int64 division, no float pow/log anywhere. The
   registers are max-mergeable; tests/test_sketches.py asserts the
   half-corpus merge law max(regs_A, regs_B) == regs_{A∪B}.
-- **Count-Min** (Cormode & Muthukrishnan 2005): depth 3 × width 1024
-  conditional-sum rows; the point estimate is the min over rows, always
-  ≥ the true count (one-sided error, asserted per row in the output).
+- **Count-Min** (Cormode & Muthukrishnan 2005): depth 3 × width
+  ``_CMS_W`` (16 on the fixture — sized DOWN so collisions occur; see
+  the constant's comment) conditional-sum rows; the point estimate is
+  the min over rows, always ≥ the true count (one-sided error, asserted
+  per row in the output).
 
 Scale: both sketches aggregate map-side to O(m·depth) rows per task —
 the shuffle carries registers, never tokens. That is the entire point
@@ -62,15 +64,22 @@ def hll_sql(src: str, key: str, item_sql: str, exact_sql: str | None = None) -> 
     shape. Token-for-token the same register/fold/linear-counting algebra
     as the Spark builders below."""
     lc = ", ".join(str(x) for x in _HLL_LC)
+    # Composite keys ("lang, source") are fine for the estimate-only
+    # shape, but the exact_sql join below is built per key COLUMN —
+    # naive substitution would emit `ON e.lang, source = f.lang, source`
+    # (invalid SQL — ADVICE r9 latent). Split and qualify each part.
+    keys = [k.strip() for k in key.split(",")]
     exact_cte = (
         f", exact AS (SELECT {key}, {exact_sql} AS n_exact FROM {src} GROUP BY {key})"
         if exact_sql
         else ""
     )
+    sel_keys = ", ".join(f"e.{k}" for k in keys)
+    join_cond = " AND ".join(f"e.{k} = f.{k}" for k in keys)
     select = (
-        f"""SELECT e.{key}, n_exact, CAST(hll_est AS BIGINT) AS hll_est,
+        f"""SELECT {sel_keys}, n_exact, CAST(hll_est AS BIGINT) AS hll_est,
            CAST(abs(hll_est - n_exact) * 10000 // n_exact AS BIGINT) AS err_bp
-           FROM exact e JOIN est f ON e.{key} = f.{key}"""
+           FROM exact e JOIN est f ON {join_cond}"""
         if exact_sql
         else f"SELECT {key}, CAST(hll_est AS BIGINT) AS hll_est FROM est"
     )
@@ -228,7 +237,8 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
     # depth×width sketch rows: the explode is a constant ×3 map; the
-    # aggregate map-side-combines to ≤ 3·1024 rows per task.
+    # aggregate map-side-combines to ≤ depth·_CMS_W rows per task
+    # (3·16 on the fixture; production widths keep the same bound).
     cms = (
         toks.select(
             F.explode(

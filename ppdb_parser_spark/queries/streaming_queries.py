@@ -908,6 +908,13 @@ _ANOM_C = 1 << 24
 
 
 def _anomaly_day_aggs(events: DataFrame) -> DataFrame:
+    # vcents >= 0 is LOAD-BEARING for the packed keys below: a negative
+    # vcents makes `kmin div C` round the wrong way and the `% C` id
+    # field come back negative, silently decoding a wrong (value, id)
+    # pair. The fixture's `value` is non-negative by construction;
+    # enforce it in-plan (assert woven into the value so pruning can't
+    # elide it — ADVICE r9 latent) rather than documenting and hoping.
+    vc = F.floor(F.col("value") * 100).cast("long")
     v = events.select(
         "event_type",
         "event_id",
@@ -915,7 +922,15 @@ def _anomaly_day_aggs(events: DataFrame) -> DataFrame:
             "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
             " div 86400000000"
         ).alias("day_no"),
-        F.floor(F.col("value") * 100).cast("long").alias("vcents"),
+        F.when(
+            F.assert_true(
+                vc >= 0,
+                "anomaly packed-key precondition: value < 0 would corrupt "
+                "the (vcents, event_id) int64 packing — rebase values or "
+                "switch the argmin/argmax to a struct ordering",
+            ).isNull(),
+            vc,
+        ).alias("vcents"),
     )
     kmin = F.col("vcents") * _ANOM_C + F.col("event_id")
     kmax = F.col("vcents") * _ANOM_C + (F.lit(_ANOM_C - 1) - F.col("event_id"))

@@ -344,10 +344,25 @@ _EWMA_ORACLE = f"""
 @query("ts_ewma_dyadic", oracle=_EWMA_ORACLE, tags=("W3", "X3", "W4"))
 def ts_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # vmilli >= 0 is LOAD-BEARING for cross-engine parity: the final
+    # `_num div _den` uses Spark's `div` (truncate toward zero) while
+    # the oracle uses DuckDB `//` (floor) — identical only for
+    # non-negative numerators. The fixture's `value` is non-negative;
+    # enforce in-plan (ADVICE r9 latent) instead of diverging silently
+    # on a rebased fixture.
+    vm = F.floor(F.col("value") * 1000).cast("long")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         "event_id",
-        F.floor(F.col("value") * 1000).cast("long").alias("vmilli"),
+        F.when(
+            F.assert_true(
+                vm >= 0,
+                "ewma dyadic precondition: value < 0 makes Spark `div` "
+                "(truncate) disagree with DuckDB `//` (floor) — rebase "
+                "values or switch both engines to floor division",
+            ).isNull(),
+            vm,
+        ).alias("vmilli"),
     )
     w = Window.partitionBy("user_id").orderBy("event_id")
     num = sum(

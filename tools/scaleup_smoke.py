@@ -177,6 +177,59 @@ def main() -> None:
             )
             print(f"  -> broadcast seeds context ~{ctx_kb:.0f} kB")
 
+    if "ivfgemm" in only:
+        # GEMM vs interpreted-HOF cell assignment (VERDICT r9 item 1):
+        # single-probe ivf_topk at a realistic 256-cell count so the
+        # O(n·cells·dim) ASSIGNMENT map dominates the wall (one probe →
+        # the candidate/top-k tail stays tiny at every rung, unlike the
+        # batch query where candidates grow with the probe count).
+        # Forced-methodology timing (fresh lineage per measurement — the
+        # gemm tier's block-shuffle files must not be reused). Expect the
+        # HOF wall to grow with the interpreter's ~per-row-ms law and the
+        # gemm wall to stay ~flat relative to it (the ~100x interpreter
+        # delta round 8 measured for SemDeDup assignment); outputs must
+        # be IDENTICAL at the largest rung.
+        emb = load_table(spark, sf, "embeddings")
+        cells = 256
+        rows = {}
+        for k in (1, 16, 64):
+            ek = emb if k == 1 else _shifted_union(emb, "vec_id", k)
+            ek = ek.localCheckpoint(eager=True)  # isolate from union cost
+            n = ek.count()
+            for a in ("hof", "gemm"):
+                rows[(k, a)] = forced(
+                    lambda ek=ek, a=a: ivf_topk(
+                        ek, n_cells=cells, n_probe=2, k=5, assign=a
+                    )
+                )
+                print(
+                    f"ivf_topk {k}x ({n} rows) cells={cells} "
+                    f"assign={a}: {rows[(k, a)]:.2f} s"
+                )
+            print(
+                f"  -> {k}x: hof/gemm wall ratio "
+                f"{rows[(k, 'hof')] / rows[(k, 'gemm')]:.1f}x"
+            )
+            if k == 64:
+                got_h = sorted(
+                    map(
+                        tuple,
+                        ivf_topk(
+                            ek, n_cells=cells, n_probe=2, k=5, assign="hof"
+                        ).collect(),
+                    )
+                )
+                got_g = sorted(
+                    map(
+                        tuple,
+                        ivf_topk(
+                            ek, n_cells=cells, n_probe=2, k=5, assign="gemm"
+                        ).collect(),
+                    )
+                )
+                assert got_h == got_g, "gemm and hof tiers disagree"
+                print(f"  -> outputs identical at 64x ({len(got_g)} rows)")
+
 
     if not only or "winnow" in only or "winnow256" in only:
         # winnowing + fingerprint match at growing corpus size: fresh-vocab
@@ -986,66 +1039,22 @@ def main() -> None:
         edges = spokes.unionByName(chain).localCheckpoint(eager=True)
 
         def two_path_count(orientation):
+            # the PRODUCTION orientation/pivot helpers (graph.py) — the
+            # smoke counts their candidate relations so the measured
+            # fan-out cannot drift from the operator (ADVICE r9)
+            from ppdb_parser_spark.operators.graph import (
+                _degree_oriented_edges,
+                _degree_two_paths,
+                _lex_two_paths,
+            )
+
             und = edges.select(
                 F.least("id_a", "id_b").alias("a"),
                 F.greatest("id_a", "id_b").alias("b"),
             ).distinct()
             if orientation == "lex":
-                paths = und.alias("e1").join(
-                    und.alias("e2"), F.col("e1.b") == F.col("e2.a")
-                )
-                return paths.count()
-            deg = (
-                und.select(F.col("a").alias("node"))
-                .unionByName(und.select(F.col("b").alias("node")))
-                .groupBy("node")
-                .agg(F.count(F.lit(1)).alias("deg"))
-            )
-            d = (
-                und.join(deg.withColumnRenamed("node", "a"), "a")
-                .withColumnRenamed("deg", "deg_a")
-                .join(
-                    deg.select(
-                        F.col("node").alias("b"), F.col("deg").alias("deg_b")
-                    ),
-                    "b",
-                )
-                .select(
-                    F.when(
-                        (F.col("deg_a") < F.col("deg_b"))
-                        | (
-                            (F.col("deg_a") == F.col("deg_b"))
-                            & (F.col("a") < F.col("b"))
-                        ),
-                        F.struct(
-                            F.col("a").alias("u"),
-                            F.col("b").alias("v"),
-                            F.col("deg_b").alias("deg_v"),
-                        ),
-                    )
-                    .otherwise(
-                        F.struct(
-                            F.col("b").alias("u"),
-                            F.col("a").alias("v"),
-                            F.col("deg_a").alias("deg_v"),
-                        )
-                    )
-                    .alias("s")
-                )
-                .select("s.u", "s.v", "s.deg_v")
-            )
-            paths = d.alias("p1").join(
-                d.alias("p2"),
-                (F.col("p1.u") == F.col("p2.u"))
-                & (
-                    (F.col("p1.deg_v") < F.col("p2.deg_v"))
-                    | (
-                        (F.col("p1.deg_v") == F.col("p2.deg_v"))
-                        & (F.col("p1.v") < F.col("p2.v"))
-                    )
-                ),
-            )
-            return paths.count()
+                return _lex_two_paths(und.localCheckpoint(eager=True)).count()
+            return _degree_two_paths(_degree_oriented_edges(und)).count()
 
         n_lex = two_path_count("lex")
         n_deg = two_path_count("degree")
@@ -1095,19 +1104,44 @@ def main() -> None:
                 .count()
             )
 
+        from ppdb_parser_spark.queries.governance import _B_M, _B_K, _B_WORD
+
+        def fp_summary(report_df):
+            r = report_df.agg(
+                F.sum("n_train").alias("t"),
+                F.sum("n_bloom_flagged").alias("b"),
+                F.sum("n_exact_flagged").alias("e"),
+                F.sum("n_false_pos").alias("fp"),
+            ).collect()[0]
+            clean = r["t"] - r["e"]
+            return r, (r["fp"] / clean if clean else 0.0)
+
+        words = _B_M // _B_WORD + 1
         b1 = timed("bloom_decon 1x", decontaminate_bloom_report(docs))
+        r1, fpr1 = fp_summary(decontaminate_bloom_report(docs))
         n1 = eval_shingle_count(docs)
+        print(
+            f"  -> 1x: {r1['b']}/{r1['t']} bloom-flagged vs {r1['e']} "
+            f"exact, {r1['fp']} false pos (doc-level FPR {fpr1:.4f})"
+        )
         for k in (16,):
             dk = _fresh_vocab_union(docs, k)
             nk = eval_shingle_count(dk)
             bk_t = timed(
                 f"bloom_decon {k}x", decontaminate_bloom_report(dk)
             )
+            rk, fprk = fp_summary(decontaminate_bloom_report(dk))
             print(
                 f"  -> {bk_t / b1:.1f}x time for {k}x fresh-vocab corpus; "
                 f"exact arm's broadcast side grew {n1} -> {nk} shingles "
                 f"({nk / n1:.1f}x) while the Bloom word table stays <= "
-                "1093 rows at every rung"
+                f"{words} int64 rows (m={_B_M}, k={_B_K} from "
+                "recommend_bloom_bits) at every rung"
+            )
+            print(
+                f"  -> {k}x: {rk['b']}/{rk['t']} bloom-flagged vs "
+                f"{rk['e']} exact, {rk['fp']} false pos (doc-level FPR "
+                f"{fprk:.4f}; kn/m = {_B_K * nk / _B_M:.2f})"
             )
 
     if "sketchscale" in only:
