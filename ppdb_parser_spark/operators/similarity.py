@@ -655,7 +655,7 @@ def lsh_similarity_join(
 
 
 #: Brute-vs-LSH crossover for embedding near-dup pair generation, in input
-#: vectors. Measured on the 64-dim fixture embeddings (BASELINE.md "Scale
+#: vectors. Measured on the 64-dim fixture embeddings (BASELINE_HISTORY.md "Scale
 #: note on the embedding-dedup pair"): brute all-pairs wins at n=2,000
 #: (0.26 s vs 1.44 s — LSH's banding/dedup overhead dominates while n² is
 #: small) and loses asymptotically (n² pair work vs ~n·bands); the measured
@@ -2095,7 +2095,7 @@ def semantic_dedup_two_level(
     coarse-quantizer layout (Babenko & Lempitsky 2012, "The inverted
     multi-index", CVPR — public paper).
 
-    SUPERSEDED AS THE SCALE PATH by round-8 measurement (BASELINE.md
+    SUPERSEDED AS THE SCALE PATH by round-8 measurement (BASELINE_HISTORY.md
     §"SemDeDup assignment"): the binding cost of in-plan assignment is
     the nested-HOF INTERPRETER (~1 ms/row at 512 cells), not the FLOP
     count — halving FLOPs while keeping the interpreter only halves the
@@ -2249,7 +2249,7 @@ def semantic_dedup_gemm(
     Python stage runs once, not three times.
 
     ``two_level=True`` (with ``n_super``) composes the hierarchy INTO
-    the kernel — the answer to the measured 256× knee (BASELINE.md
+    the kernel — the answer to the measured 256× knee (BASELINE_HISTORY.md
     round-8: flat GEMM step efficiency 2.42 at 512k vectors / 2048
     cells, the O(n·cells) flop law with the interpreter gone): child
     seeds parent to their argmax super, each row routes through its
@@ -2911,7 +2911,7 @@ def recommend_semantic_dedup_tier(
     interpreted_row_cost_s: float = 1e-3,
 ) -> dict:
     """Assignment-tier recommendation for SemDeDup, pinned to the
-    round-8 MEASURED ladders (BASELINE.md §"SemDeDup assignment" and
+    round-8 MEASURED ladders (BASELINE_HISTORY.md §"SemDeDup assignment" and
     §"when hierarchical coarse assignment helps") the same way
     :func:`recommend_ann_tier` is pinned to RECALL.md — the unit test
     asserts each branch against the table rows that justify it.
@@ -2953,7 +2953,7 @@ def recommend_semantic_dedup_tier(
             tier="semantic_dedup_gemm",
             params={"two_level": True, "checkpoint": True},
             why="2-level structure: measured 256x step efficiency 0.75 "
-            "vs flat 1.82 (BASELINE.md semdedupcluster ladder)",
+            "vs flat 1.82 (BASELINE_HISTORY.md semdedupcluster ladder)",
         )
         return rec
     rec.update(

@@ -167,7 +167,7 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact UNCAPPED Jaccard join via AllPairs/PPJoin prefix filtering —
     no document-frequency compromise; see operators/dedup.py
     jaccard_pairs_prefix. Candidate/shuffle comparison:
-    tools/jaccard_shuffle_compare.py + BASELINE.md."""
+    tools/jaccard_shuffle_compare.py + BASELINE_HISTORY.md."""
     return DD.jaccard_pairs_prefix(
         load_table(spark, sf_dir, "documents"),
         threshold=0.5,
@@ -185,7 +185,7 @@ def dedup_jaccard_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitmap-intersection variant of the capped Jaccard join: identical
     pairs (same oracle as dedup_jaccard_capped), candidate stream collapsed
     to distinct pairs + packed-fingerprint array_intersect. Shuffle-volume
-    comparison: tools/jaccard_shuffle_compare.py, BASELINE.md §Bitmap."""
+    comparison: tools/jaccard_shuffle_compare.py, BASELINE_HISTORY.md §Bitmap."""
     return DD.jaccard_pairs_bitmap(
         load_table(spark, sf_dir, "documents"),
         threshold=0.5,
@@ -894,7 +894,7 @@ _SEMANTIC_ORACLE = f"""
 #: VERDICT r9 item 8 — the measured assignment law becomes LOAD-BEARING,
 #: not advisory). The in-plan tiers are sized for the committed gate
 #: fixtures (≤ ~20k embeddings at sf0.1); the GEMM tiers encode the
-#: 64×-ladder regime (128k rows × 512 cells) their BASELINE.md rows
+#: 64×-ladder regime (128k rows × 512 cells) their BASELINE_HISTORY.md rows
 #: measure. Each query asserts the recommender actually names its tier
 #: at its scale point, so rescaling a fixture past the interpreted
 #: budget fails loudly here instead of silently shipping a ~1 ms/row
@@ -1152,7 +1152,7 @@ def dedup_semantic_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # at-scale tier: params (two_level off, checkpoint on — the Python
     # stage has three dominance-tail consumers) come FROM the recommender
-    # at the 64x-ladder regime its BASELINE.md rows measure
+    # at the 64x-ladder regime its BASELINE_HISTORY.md rows measure
     params = _sem_tier_params(
         _SEM_LADDER_ROWS, _SEM_LADDER_CELLS, "semantic_dedup_gemm"
     )
@@ -1164,7 +1164,7 @@ def dedup_semantic_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Two-level routing INSIDE the GEMM kernel — h2's hierarchy with gemm's
-# arithmetic (the composition BASELINE.md's 256× knee calls for):
+# arithmetic (the composition BASELINE_HISTORY.md's 256× knee calls for):
 # child→super parenting, per-row super argmax, then child argmax among
 # that super's children, all on the UNROUNDED double cosine with
 # smaller-id ties; dominance unchanged (round-6 ≥ τ).

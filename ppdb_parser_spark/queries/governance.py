@@ -67,7 +67,7 @@ def recommend_bloom_bits(n_items: int, target_fpr: float = 0.01) -> tuple[int, i
     ``n_items`` eval shingles at ``target_fpr``. Standard optima
     m = -n·ln(p)/ln(2)², k = (m/n)·ln(2) — rounded up / to nearest ≥ 1.
 
-    This encodes the BASELINE.md "bloomscale" lesson as an assertable
+    This encodes the BASELINE_HISTORY.md "bloomscale" lesson as an assertable
     rule: the round-8 fixture's fixed m=2^16 saturated at 16× eval
     growth (kn/m ≈ 9 → FPR → 1). Since round 10 the rule is
     LOAD-BEARING, not advisory: ``_B_M``/``_B_SEEDS`` below are derived
@@ -91,7 +91,7 @@ def recommend_bloom_bits(n_items: int, target_fpr: float = 0.01) -> tuple[int, i
 _B_NGRAM = 8
 #: Sizing point (static, documented — the driver gate needs module-level
 #: oracle SQL): the bloomscale smoke's 16× fresh-vocab rung measured
-#: 195,645 distinct eval shingles at sf0.1 (BASELINE.md round-8 row) —
+#: 195,645 distinct eval shingles at sf0.1 (BASELINE_HISTORY.md round-8 row) —
 #: the LARGEST eval set any committed fixture produces → n = 200k.
 #: The FPR the report's flag columns care about is DOC-level: a doc is
 #: falsely flagged if ANY of its distinct shingles false-positives, so

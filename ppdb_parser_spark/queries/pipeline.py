@@ -19,7 +19,7 @@ expensive-near). The near-dup stage is the prefix-filtered exact join
 (operators/dedup.py jaccard_pairs_prefix): unlike the round-2 df-capped
 variant it makes NO semantic compromise — the oracle below is the plain
 uncapped Jaccard — while still killing the df² candidate bombs (measured
-0.09× shuffle bytes vs the naive candidate join, BASELINE.md).
+0.09× shuffle bytes vs the naive candidate join, BASELINE_HISTORY.md).
 """
 
 from __future__ import annotations
@@ -131,7 +131,7 @@ def curate_documents(docs: DataFrame) -> DataFrame:
     # Near-dup candidates via the prefix filter (AllPairs/PPJoin): exact
     # uncapped Jaccard semantics with the df² candidate bombs pruned by
     # rarest-shingle prefixes + the positional filter — the 100 TB path
-    # (0.09× shuffle bytes vs the naive candidate join, BASELINE.md).
+    # (0.09× shuffle bytes vs the naive candidate join, BASELINE_HISTORY.md).
     pairs = DD.jaccard_pairs_prefix(
         exact_survivors, threshold=_JACCARD_MIN, n=2
     )

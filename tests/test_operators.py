@@ -1806,7 +1806,7 @@ def test_semantic_dedup_gemm_two_level_requires_super(spark):
 
 def test_recommend_semantic_dedup_tier_pinned_to_baseline_md():
     """Each branch of recommend_semantic_dedup_tier asserts against the
-    round-8 measured rows (BASELINE.md SemDeDup ladders) that justify
+    round-8 measured rows (BASELINE_HISTORY.md SemDeDup ladders) that justify
     it, so the guidance cannot drift from the evidence."""
     from ppdb_parser_spark.operators.similarity import (
         recommend_semantic_dedup_tier as r,

@@ -56,7 +56,7 @@ def test_cms_estimates_one_sided(spark, sf_dir):
 
 def test_recommend_bloom_bits_pinned_to_theory():
     """~9.6 bits/item at 1 % FPR, ~14.4 at 0.1 %; the fixture's 16x rung
-    (BASELINE.md bloomscale: 195,645 shingles) needs ~29x the fixed
+    (BASELINE_HISTORY.md bloomscale: 195,645 shingles) needs ~29x the fixed
     m=2^16 the fixture uses — the saturation the smoke measured."""
     from ppdb_parser_spark.queries.sketches import recommend_bloom_bits
 

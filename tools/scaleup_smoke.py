@@ -1,5 +1,5 @@
 """16x scale-up smoke for the round-2 families (the 100x-claim evidence,
-same methodology as the round-1 flagship smoke recorded in BASELINE.md):
+same methodology as the round-1 flagship smoke recorded in BASELINE_HISTORY.md):
 feed key-shifted unions of the sf0.1 tables through the IDENTICAL plans
 the registered queries use, and compare wall-clock + plan shape.
 
@@ -494,7 +494,7 @@ def main() -> None:
             ),
         )
         # `semdedupgemmh2` re-runs ONLY the composed tier (the other
-        # three rows are recorded in BASELINE.md round-8)
+        # three rows are recorded in BASELINE_HISTORY.md round-8)
         tiers = (
             [t for t in all_tiers if t[0] == "gemm_h2"]
             if "semdedupgemmh2" in only and "semdedup256h2" not in only
