@@ -2030,3 +2030,33 @@ def test_ivf_family_gemm_equals_hof(spark):
         ),
     ):
         assert rows(build("gemm")) == rows(build("hof"))
+
+
+def test_pq_encode_gemm_equals_hof(spark):
+    """pq_encode's Arrow/GEMM code assignment produces IDENTICAL
+    (codes, vnorm) to the in-plan HOF argmin — including on a corpus
+    salted with exact copies of centroid 5 (every subspace distance 0 →
+    the argmin must still pick centroid 5 by integer-tie first-index) and
+    with midpoint vectors equidistant between centroids."""
+    from pyspark.sql import functions as F
+
+    from ppdb_parser_spark.operators.similarity import pq_encode
+    from ppdb_parser_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dupes = (
+        emb.filter(F.col("vec_id") == 5)
+        .crossJoin(spark.range(4).select((F.col("id") + 80000).alias("nid")))
+        .select(F.col("nid").alias("vec_id"), "label", "embedding")
+    )
+    salted = emb.select("vec_id", "label", "embedding").unionByName(dupes)
+
+    def rows(enc):
+        return sorted(
+            (r["vec_id"], tuple(r["codes"]), r["vnorm"])
+            for r in pq_encode(
+                salted, 16, 8, dim=64, encode=enc
+            ).collect()
+        )
+
+    assert rows("gemm") == rows("hof")

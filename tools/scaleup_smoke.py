@@ -177,6 +177,50 @@ def main() -> None:
             )
             print(f"  -> broadcast seeds context ~{ctx_kb:.0f} kB")
 
+    if "pqgemm" in only:
+        # PQ encode: Arrow/GEMM code assignment vs the in-plan HOF argmin
+        # (round 10 — the grid flavor of the interpreter weak: per-term
+        # F.round BigDecimal inside m × centroids grid sums per row).
+        # Forced methodology, fresh lineage per measurement; outputs
+        # asserted identical at the largest rung.
+        from ppdb_parser_spark.operators.similarity import pq_encode
+
+        emb = load_table(spark, sf, "embeddings")
+        for k in (1, 16, 64):
+            ek = emb if k == 1 else _shifted_union(emb, "vec_id", k)
+            ek = ek.localCheckpoint(eager=True)
+            n = ek.count()
+            walls = {}
+            for enc in ("hof", "gemm"):
+                walls[enc] = forced(
+                    lambda ek=ek, enc=enc: pq_encode(
+                        ek, 64, 8, dim=64, encode=enc
+                    )
+                )
+                print(
+                    f"pq_encode {k}x ({n} rows) centroids=64 "
+                    f"encode={enc}: {walls[enc]:.2f} s"
+                )
+            print(
+                f"  -> {k}x: hof/gemm wall ratio "
+                f"{walls['hof'] / walls['gemm']:.1f}x"
+            )
+            if k == 64:
+                rows_h = sorted(
+                    (r["vec_id"], tuple(r["codes"]))
+                    for r in pq_encode(ek, 64, 8, dim=64, encode="hof")
+                    .select("vec_id", "codes")
+                    .collect()
+                )
+                rows_g = sorted(
+                    (r["vec_id"], tuple(r["codes"]))
+                    for r in pq_encode(ek, 64, 8, dim=64, encode="gemm")
+                    .select("vec_id", "codes")
+                    .collect()
+                )
+                assert rows_h == rows_g, "pq encode tiers disagree"
+                print(f"  -> codes identical at 64x ({len(rows_g)} rows)")
+
     if "ivfgemm" in only:
         # GEMM vs interpreted-HOF cell assignment (VERDICT r9 item 1):
         # single-probe ivf_topk at a realistic 256-cell count so the
