@@ -1148,6 +1148,64 @@ def gemm_assign_cells(
     return ctx.mapInPandas(assign_blocks, out_schema)
 
 
+def gemm_lsh_bits(
+    df: DataFrame,
+    planes: list[list[float]],
+    *,
+    id_col: str,
+    vec_col: str,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Hyperplane sign bits as an Arrow/numpy map — the third member of
+    the round-10 kernel family (:func:`gemm_assign_cells`,
+    :func:`pq_encode`'s gemm tier), and the CHEAPEST: the planes are
+    compile-time literals (``lsh_planes`` output), so unlike the cell/
+    code kernels no broadcast seeds context and NO SHUFFLE is needed —
+    rows stream through ``mapInPandas`` in scan order, a pure narrow map
+    like the HOF form it replaces, minus the interpreter (plane count ×
+    dim per-term ``F.round`` BigDecimals per row).
+
+    bit i = ``[Σ round(x·h_i·1e9) ≥ 0]`` — the exact int64 sign of
+    :func:`_grid_dot`, replicated termwise by :func:`_np_round_half_away`,
+    so every signature (and therefore every band/bucket/probe set) is
+    bit-identical to the in-plan form and the LSH oracles are unchanged.
+
+    Returns df's (id, *extra_cols, vec) columns plus ``bits array<int>``
+    (one 0/1 per plane, plane order). Callers assemble band strings or
+    packed signatures in-plan — O(planes) per row, not O(planes·dim)."""
+    import pandas as pd
+
+    dtypes = dict(df.dtypes)
+    cols = [id_col, *extra_cols, vec_col]
+    out_schema = ", ".join(
+        [f"`{c}` {dtypes[c]}" for c in cols] + ["bits array<int>"]
+    )
+
+    def sig_batches(batches):
+        import numpy as np
+
+        Hm = np.array(planes, dtype=np.float64)
+        n_pl, d = Hm.shape
+        for pdf in batches:
+            n = len(pdf)
+            if n:
+                Q = np.array(list(pdf[vec_col]), dtype=np.float64)
+                step = max(1, 4_000_000 // max(1, n_pl * d))
+                bits = np.empty((n, n_pl), dtype=np.int32)
+                for lo in range(0, n, step):
+                    v = (Q[lo : lo + step, None, :] * Hm[None, :, :]) * 1e9
+                    g = _np_round_half_away(v).sum(axis=2)
+                    bits[lo : lo + step] = (g >= 0).astype(np.int32)
+                out_bits = list(bits)
+            else:
+                out_bits = []
+            yield pd.DataFrame(
+                {**{c: pdf[c] for c in cols}, "bits": out_bits}
+            )
+
+    return df.select(*cols).mapInPandas(sig_batches, out_schema)
+
+
 def pq_encode(
     df: DataFrame,
     n_centroids: int = 16,
@@ -1580,6 +1638,7 @@ def _lsh_band_candidates(
     id_col: str,
     vec_col: str,
     dim: int,
+    sig_tier: str = "gemm",
 ) -> DataFrame:
     """Grid-exact hyperplane-LSH candidate generation shared by the
     checked LSH join and its JL-screened variant: signature bits from
@@ -1588,26 +1647,55 @@ def _lsh_band_candidates(
     (id, band_sig) pairs, not dim-64 float arrays; embeddings (or JL
     sketches) rejoin by id AFTER dedup, the pq_topk rerank pattern (at
     100 TB the candidate exchange shrinks ~30×). Returns distinct
-    (id_a, id_b) with id_a < id_b."""
+    (id_a, id_b) with id_a < id_b.
+
+    ``sig_tier="gemm"`` (default, round 10): the signature map —
+    n_planes × dim per-term ``F.round`` interpreter work per row — runs
+    via :func:`gemm_lsh_bits` (shuffle-free narrow Arrow map, exact
+    int64 signs, identical buckets → oracles unchanged); ``"hof"``
+    keeps the in-plan form."""
     planes = lsh_planes(n_planes, dim, seed)
     bits_per_band = n_planes // n_bands
-    bit_cols = [
-        F.when(
-            _grid_dot(F.col(vec_col), F.array(*[F.lit(x) for x in p])) >= 0, 1
+    if sig_tier == "gemm":
+        sigb = gemm_lsh_bits(
+            df, planes, id_col=id_col, vec_col=vec_col
         )
-        .otherwise(0)
-        .alias(f"bit{i}")
-        for i, p in enumerate(planes)
-    ]
-    sig = df.select(F.col(id_col), F.col(vec_col), *bit_cols)
-    band_cols = [
-        F.concat_ws(
-            "",
-            *[F.col(f"bit{b * bits_per_band + j}") for j in range(bits_per_band)],
-        ).alias(f"band{b}")
-        for b in range(n_bands)
-    ]
-    sig = sig.select(id_col, vec_col, *band_cols)
+        band_cols = [
+            F.concat_ws(
+                "",
+                *[
+                    F.get(F.col("bits"), b * bits_per_band + j).cast(
+                        "string"
+                    )
+                    for j in range(bits_per_band)
+                ],
+            ).alias(f"band{b}")
+            for b in range(n_bands)
+        ]
+        sig = sigb.select(id_col, vec_col, *band_cols)
+    else:
+        bit_cols = [
+            F.when(
+                _grid_dot(F.col(vec_col), F.array(*[F.lit(x) for x in p]))
+                >= 0,
+                1,
+            )
+            .otherwise(0)
+            .alias(f"bit{i}")
+            for i, p in enumerate(planes)
+        ]
+        sig = df.select(F.col(id_col), F.col(vec_col), *bit_cols)
+        band_cols = [
+            F.concat_ws(
+                "",
+                *[
+                    F.col(f"bit{b * bits_per_band + j}")
+                    for j in range(bits_per_band)
+                ],
+            ).alias(f"band{b}")
+            for b in range(n_bands)
+        ]
+        sig = sig.select(id_col, vec_col, *band_cols)
     banded = sig.select(
         id_col,
         F.posexplode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias(
@@ -2825,6 +2913,7 @@ def lsh_multiprobe_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_cols: tuple[str, ...] = ("label",),
+    sig_tier: str = "gemm",
 ) -> DataFrame:
     """Multi-probe LSH top-k (Lv, Josephson, Wang, Charikar & Li,
     "Multi-probe LSH: efficient indexing for high-dimensional similarity
@@ -2844,22 +2933,42 @@ def lsh_multiprobe_topk(
     Plan: narrow signature map over the scan (n_planes grid dots/row, no
     shuffle), 1-row broadcast probe-set ctx, bucket membership filter,
     exact cosine on the surviving fraction, TakeOrderedAndProject.
+
+    ``sig_tier="gemm"`` (default): the signature map runs via
+    :func:`gemm_lsh_bits` (still shuffle-free — planes are literals) and
+    the packed int is assembled in-plan from the bits array (O(planes)
+    per row); ``"hof"`` keeps the fully in-plan form. Signatures are
+    bit-identical either way — oracle unchanged.
     """
     planes = lsh_planes(n_planes, dim, seed)
-    sig = None
-    for i, p in enumerate(planes):
-        bit = (
-            F.when(
-                _grid_dot(F.col(vec_col), F.array(*[F.lit(x) for x in p]))
-                >= 0,
-                F.lit(1 << i).cast("long"),
-            )
-            .otherwise(F.lit(0).cast("long"))
+    if sig_tier == "gemm":
+        packed = None
+        for i in range(n_planes):
+            term = (F.get(F.col("bits"), i) * F.lit(1 << i)).cast("long")
+            packed = term if packed is None else packed + term
+        sigs = gemm_lsh_bits(
+            df, planes, id_col=id_col, vec_col=vec_col,
+            extra_cols=tuple(keep_cols),
+        ).select(
+            F.col(id_col), *keep_cols, F.col(vec_col), packed.alias("sig")
         )
-        sig = bit if sig is None else sig + bit
-    sigs = df.select(
-        F.col(id_col), *keep_cols, F.col(vec_col), sig.alias("sig")
-    )
+    else:
+        sig = None
+        for i, p in enumerate(planes):
+            bit = (
+                F.when(
+                    _grid_dot(
+                        F.col(vec_col), F.array(*[F.lit(x) for x in p])
+                    )
+                    >= 0,
+                    F.lit(1 << i).cast("long"),
+                )
+                .otherwise(F.lit(0).cast("long"))
+            )
+            sig = bit if sig is None else sig + bit
+        sigs = df.select(
+            F.col(id_col), *keep_cols, F.col(vec_col), sig.alias("sig")
+        )
     probe_row = (
         sigs.filter(F.col(id_col) == probe_id)
         .select(

@@ -2060,3 +2060,53 @@ def test_pq_encode_gemm_equals_hof(spark):
         )
 
     assert rows("gemm") == rows("hof")
+
+
+def test_lsh_sig_gemm_equals_hof(spark):
+    """The Arrow signature map (gemm_lsh_bits) produces IDENTICAL
+    candidate pairs and multiprobe results to the in-plan grid-dot sign
+    bits — including on vectors lying exactly on a hyperplane (projection
+    0 counts as sign 1 in both forms: >= 0)."""
+    from pyspark.sql import functions as F
+
+    from ppdb_parser_spark.operators.similarity import (
+        _lsh_band_candidates,
+        lsh_multiprobe_topk,
+    )
+    from ppdb_parser_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    # a zero vector projects to exactly 0 against every plane —
+    # the >= 0 boundary in both engines
+    zero = spark.createDataFrame(
+        [(70001, 0, [0.0] * 64)], "vec_id long, label int, embedding array<double>"
+    ).select("vec_id", "label", F.col("embedding").cast("array<float>"))
+    salted = emb.select("vec_id", "label", "embedding").unionByName(
+        zero.withColumnRenamed("CAST(embedding AS ARRAY<FLOAT>)", "embedding")
+    )
+
+    def pairs(tier):
+        return sorted(
+            map(
+                tuple,
+                _lsh_band_candidates(
+                    salted, 16, 8, 42, "vec_id", "embedding", 64,
+                    sig_tier=tier,
+                ).collect(),
+            )
+        )
+
+    assert pairs("gemm") == pairs("hof")
+
+    def probe(tier):
+        return sorted(
+            map(
+                tuple,
+                lsh_multiprobe_topk(
+                    salted, probe_id=1, n_planes=8, k=10, max_flips=2,
+                    dim=64, sig_tier=tier,
+                ).collect(),
+            )
+        )
+
+    assert probe("gemm") == probe("hof")

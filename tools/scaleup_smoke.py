@@ -221,6 +221,36 @@ def main() -> None:
                 assert rows_h == rows_g, "pq encode tiers disagree"
                 print(f"  -> codes identical at 64x ({len(rows_g)} rows)")
 
+    if "lshgemm" in only:
+        # LSH signature map: shuffle-free Arrow tier vs in-plan grid-dot
+        # sign bits (round 10). Signatures + band join, count candidate
+        # pairs — the signature map is the only stage that differs.
+        from ppdb_parser_spark.operators.similarity import (
+            _lsh_band_candidates,
+        )
+
+        emb = load_table(spark, sf, "embeddings")
+        for k in (1, 16, 64):
+            ek = emb if k == 1 else _shifted_union(emb, "vec_id", k)
+            ek = ek.localCheckpoint(eager=True)
+            n = ek.count()
+            walls = {}
+            for tier in ("hof", "gemm"):
+                walls[tier] = forced(
+                    lambda ek=ek, tier=tier: _lsh_band_candidates(
+                        ek, 16, 8, 42, "vec_id", "embedding", 64,
+                        sig_tier=tier,
+                    )
+                )
+                print(
+                    f"lsh_band_candidates {k}x ({n} rows) planes=16 "
+                    f"sig={tier}: {walls[tier]:.2f} s"
+                )
+            print(
+                f"  -> {k}x: hof/gemm wall ratio "
+                f"{walls['hof'] / walls['gemm']:.1f}x"
+            )
+
     if "ivfgemm" in only:
         # GEMM vs interpreted-HOF cell assignment (VERDICT r9 item 1):
         # single-probe ivf_topk at a realistic 256-cell count so the
