@@ -222,34 +222,69 @@ def main() -> None:
                 print(f"  -> codes identical at 64x ({len(rows_g)} rows)")
 
     if "lshgemm" in only:
-        # LSH signature map: shuffle-free Arrow tier vs in-plan grid-dot
-        # sign bits (round 10). Signatures + band join, count candidate
-        # pairs — the signature map is the only stage that differs.
+        # LSH SIGNATURE map: shuffle-free Arrow tier vs in-plan grid-dot
+        # sign bits (round 10). Times the signature relation ONLY — the
+        # band join downstream is identical between tiers, and on
+        # shifted-union copies (identical vectors → identical
+        # signatures) its candidate volume grows quadratically, which
+        # would swamp the map being measured (first attempt at 64×
+        # timed out on exactly that).
         from ppdb_parser_spark.operators.similarity import (
-            _lsh_band_candidates,
+            _grid_dot,
+            gemm_lsh_bits,
+            lsh_planes,
         )
 
         emb = load_table(spark, sf, "embeddings")
+        planes = lsh_planes(16, 64, 42)
+
+        def sig_hof(ek):
+            bit_cols = [
+                F.when(
+                    _grid_dot(
+                        F.col("embedding"),
+                        F.array(*[F.lit(x) for x in p]),
+                    )
+                    >= 0,
+                    1,
+                )
+                .otherwise(0)
+                .alias(f"bit{i}")
+                for i, p in enumerate(planes)
+            ]
+            return ek.select(F.col("vec_id"), *bit_cols)
+
+        def sig_gemm(ek):
+            return gemm_lsh_bits(
+                ek, planes, id_col="vec_id", vec_col="embedding"
+            ).select(
+                "vec_id",
+                *[
+                    F.get(F.col("bits"), i).alias(f"bit{i}")
+                    for i in range(16)
+                ],
+            )
+
         for k in (1, 16, 64):
             ek = emb if k == 1 else _shifted_union(emb, "vec_id", k)
             ek = ek.localCheckpoint(eager=True)
             n = ek.count()
             walls = {}
-            for tier in ("hof", "gemm"):
-                walls[tier] = forced(
-                    lambda ek=ek, tier=tier: _lsh_band_candidates(
-                        ek, 16, 8, 42, "vec_id", "embedding", 64,
-                        sig_tier=tier,
-                    )
-                )
+            for tier, build in (("hof", sig_hof), ("gemm", sig_gemm)):
+                walls[tier] = forced(lambda b=build, ek=ek: b(ek))
                 print(
-                    f"lsh_band_candidates {k}x ({n} rows) planes=16 "
+                    f"lsh_signatures {k}x ({n} rows) planes=16 "
                     f"sig={tier}: {walls[tier]:.2f} s"
                 )
             print(
                 f"  -> {k}x: hof/gemm wall ratio "
                 f"{walls['hof'] / walls['gemm']:.1f}x"
             )
+            if k == 64:
+                h = sorted(map(tuple, sig_hof(ek).collect()))
+                g = sorted(map(tuple, sig_gemm(ek).collect()))
+                assert h == g, "signature tiers disagree"
+                print(f"  -> signatures identical at 64x ({len(g)} rows)")
 
     if "ivfgemm" in only:
         # GEMM vs interpreted-HOF cell assignment (VERDICT r9 item 1):
