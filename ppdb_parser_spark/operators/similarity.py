@@ -1492,6 +1492,7 @@ def pq_kmeans_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_cols: tuple[str, ...] = ("label",),
+    encode_tier: str = "gemm",
 ) -> DataFrame:
     """:func:`pq_topk` with one relational Lloyd refinement of every
     per-subspace codebook — the PQ counterpart of
@@ -1508,6 +1509,18 @@ def pq_kmeans_topk(
     (vector, subspace, element) stream; the refined codebook comes back
     as a 1-row broadcast context. No driver loops — more Lloyd steps
     would unroll the same stage pattern.
+
+    ``encode_tier="gemm"`` (default, round 10): the corpus RE-ENCODE +
+    ADC scan against the trained codebook — per row, m × centroids
+    interpreted grid sums for the argmin PLUS an O(centroids) in-plan
+    array filter per ADC term — runs as one Arrow block kernel that
+    emits ``adc_dot_grid`` directly (exact int64 distances for the
+    argmin, first-min = smallest centroid id over the cc-sorted
+    codebook — trained codebooks may drop empty clusters, so ids are
+    sorted, not assumed contiguous; exact int64 q·centroid grid dots
+    for the ADC terms). The stage-1 seed encode already rides
+    :func:`pq_encode`'s kernel. ``"hof"`` keeps the in-plan map.
+    Values bit-identical — oracle unchanged.
     """
     sub = dim // m
     codes0 = pq_encode(
@@ -1580,27 +1593,110 @@ def pq_kmeans_topk(
             F.element_at(hit, 1)["cvec"],
         )
 
-    scored = (
-        df.withColumn("vnorm", _grid_norm6(F.col(vec_col)))
-        .crossJoin(F.broadcast(ctx))
-        .withColumn(
-            "adc_dot_grid",
-            F.aggregate(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                F.lit(0).cast("long"),
-                lambda acc, s: acc + _adc_term(s, _code_at(F.col(vec_col), s)),
-            ),
+    if encode_tier == "gemm":
+        import pandas as pd
+
+        base = df.withColumn("vnorm", _grid_norm6(F.col(vec_col)))
+        dtypes = dict(base.dtypes)
+        cols = [id_col, *keep_cols, vec_col, "vnorm"]
+        out_schema = ", ".join(
+            [f"`{c}` {dtypes[c]}" for c in (id_col, *keep_cols, "vnorm")]
+            + ["adc_dot_grid long"]
         )
-        .withColumn(
-            "adc_cosine",
-            F.round(
-                (F.col("adc_dot_grid") / float(PQ_GRID))
-                / (F.col("vnorm") * F.col("qnorm")),
-                6,
-            ),
+        blocks = (
+            base.select(*cols)
+            .withColumn(
+                "__blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(32))
+            )
+            .groupBy("__blk")
+            .agg(F.collect_list(F.struct(*cols)).alias("ablock"))
         )
-        .filter(F.col(id_col) != probe_id)
-    )
+        kctx = blocks.crossJoin(F.broadcast(ctx))
+        sub_l, m_l, vc = sub, m, vec_col
+
+        def adc_blocks(batches):
+            import numpy as np
+
+            for pdf in batches:
+                for ablock, cents, q in zip(
+                    pdf["ablock"], pdf["cents"], pdf["q"]
+                ):
+                    qv = np.asarray(q, dtype=np.float64)
+                    by_s: dict[int, list] = {}
+                    for c in cents:
+                        by_s.setdefault(int(c["cs"]), []).append(
+                            (int(c["cc"]), c["cvec"])
+                        )
+                    Q = np.array(
+                        [r[vc] for r in ablock], dtype=np.float64
+                    )
+                    n = len(ablock)
+                    adc = np.zeros(n, dtype=np.int64)
+                    for s in range(m_l):
+                        ent = sorted(by_s[s], key=lambda e: e[0])
+                        C = np.array(
+                            [e[1] for e in ent], dtype=np.float64
+                        )
+                        Qs = Q[:, s * sub_l : (s + 1) * sub_l]
+                        diff = Qs[:, None, :] - C[None, :, :]
+                        D = _np_round_half_away((diff * diff) * 1e9).sum(
+                            axis=2
+                        )
+                        idx = np.argmin(D, axis=1)
+                        qs = qv[s * sub_l : (s + 1) * sub_l]
+                        tdots = _np_round_half_away(
+                            (qs[None, :] * C) * 1e9
+                        ).sum(axis=1)
+                        adc += tdots[idx]
+                    yield pd.DataFrame(
+                        {
+                            **{
+                                c: [r[c] for r in ablock]
+                                for c in (id_col, *keep_cols)
+                            },
+                            "vnorm": [r["vnorm"] for r in ablock],
+                            "adc_dot_grid": adc,
+                        }
+                    )
+
+        scored = (
+            kctx.mapInPandas(adc_blocks, out_schema)
+            .crossJoin(
+                F.broadcast(ctx.select("q", "qnorm"))
+            )
+            .withColumn(
+                "adc_cosine",
+                F.round(
+                    (F.col("adc_dot_grid") / float(PQ_GRID))
+                    / (F.col("vnorm") * F.col("qnorm")),
+                    6,
+                ),
+            )
+            .filter(F.col(id_col) != probe_id)
+        )
+    else:
+        scored = (
+            df.withColumn("vnorm", _grid_norm6(F.col(vec_col)))
+            .crossJoin(F.broadcast(ctx))
+            .withColumn(
+                "adc_dot_grid",
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    F.lit(0).cast("long"),
+                    lambda acc, s: acc
+                    + _adc_term(s, _code_at(F.col(vec_col), s)),
+                ),
+            )
+            .withColumn(
+                "adc_cosine",
+                F.round(
+                    (F.col("adc_dot_grid") / float(PQ_GRID))
+                    / (F.col("vnorm") * F.col("qnorm")),
+                    6,
+                ),
+            )
+            .filter(F.col(id_col) != probe_id)
+        )
     cands = scored.select(
         id_col, *keep_cols, "adc_cosine", "q", "qnorm", "vnorm"
     ).orderBy(F.desc("adc_cosine"), F.asc(id_col)).limit(rerank)

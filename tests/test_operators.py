@@ -2110,3 +2110,27 @@ def test_lsh_sig_gemm_equals_hof(spark):
         )
 
     assert probe("gemm") == probe("hof")
+
+
+def test_pq_kmeans_adc_gemm_equals_hof(spark):
+    """pq_kmeans_topk's trained-codebook re-encode + ADC kernel produces
+    IDENTICAL results to the in-plan form — trained codebooks can drop
+    empty clusters, so the kernel must key centroids by their actual
+    (possibly non-contiguous) ids, not positions."""
+    from ppdb_parser_spark.operators.similarity import pq_kmeans_topk
+    from ppdb_parser_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def rows(tier):
+        return sorted(
+            map(
+                tuple,
+                pq_kmeans_topk(
+                    emb, probe_id=1, n_centroids=16, m=8, k=10,
+                    rerank=50, dim=64, encode_tier=tier,
+                ).collect(),
+            )
+        )
+
+    assert rows("gemm") == rows("hof")
