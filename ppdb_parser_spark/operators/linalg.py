@@ -83,6 +83,7 @@ def jl_project(
     dim_in: int = 64,
     dim_out: int = 16,
     out_col: str = "jl",
+    tier: str = "gemm",
 ) -> DataFrame:
     """Append ``out_col``: the exact int64 signed-JL projection of
     ``vec_col`` onto ``dim_out`` dimensions — out[j] = Σᵢ q(xᵢ)·sign[j][i]
@@ -108,10 +109,54 @@ def jl_project(
     draft claimed ≥0.9 top-5 recall at C=20 — falsified by this
     measurement and recorded here per the repo's RECALL.md discipline.
 
-    Overflow bound (ENFORCED in-plan, the pagerank-wdeg pattern):
+    Overflow bound (ENFORCED in both tiers, the pagerank-wdeg pattern):
     |out[j]| ≤ dim_in·max|q| — with the same |x| ≤ 37 element bound as
     ``_sem_quant`` the sum stays ≤ 64·3.7e8 ≪ 2⁶³; an out-of-range
-    element raises rather than silently wrapping the projection."""
+    element raises rather than silently wrapping the projection.
+
+    ``tier="gemm"`` (default, round 10): the projection — dim
+    quantizations + dim_out × dim interpreted integer folds per row —
+    runs as a shuffle-free Arrow map (the ``gemm_lsh_bits`` layout: the
+    sign matrix is a literal, so no broadcast context): ``q = exact
+    F.round(x·1e7) replay`` then an exact int64 ``q @ signsᵀ``.
+    Bit-identical output, oracle unchanged; ``"hof"`` keeps the in-plan
+    codegen fold."""
+    if tier == "gemm":
+        import pandas as pd
+
+        from .similarity import _np_round_half_away
+
+        dtypes = dict(df.dtypes)
+        in_cols = list(dtypes)
+        out_schema = ", ".join(
+            [f"`{c}` {dtypes[c]}" for c in in_cols]
+            + [f"`{out_col}` array<long>"]
+        )
+        S_rows = jl_signs(dim_in, dim_out)
+
+        def project_batches(batches):
+            import numpy as np
+
+            St = np.array(S_rows, dtype=np.int64).T  # dim_in × dim_out
+            for pdf in batches:
+                if len(pdf):
+                    X = np.array(list(pdf[vec_col]), dtype=np.float64)
+                    if np.abs(X).max() > 37.0:
+                        raise ValueError(
+                            "jl_project: embedding element exceeds the "
+                            "int64-safe grid bound (|x| <= 37 at grid 1e7)"
+                        )
+                    Qm = _np_round_half_away(X * float(JL_QSCALE))
+                    out = list(Qm @ St)
+                else:
+                    out = []
+                yield pd.DataFrame(
+                    {**{c: pdf[c] for c in in_cols}, out_col: out}
+                )
+
+        return df.mapInPandas(project_batches, out_schema)
+    if tier != "hof":
+        raise ValueError(f"tier must be 'gemm' or 'hof', got {tier!r}")
     signs = F.array(
         *[
             F.array(*[F.lit(s) for s in row])

@@ -2134,3 +2134,32 @@ def test_pq_kmeans_adc_gemm_equals_hof(spark):
         )
 
     assert rows("gemm") == rows("hof")
+
+
+def test_jl_project_gemm_equals_hof(spark):
+    """jl_project's Arrow tier (exact F.round replay + int64 q@signs^T)
+    matches the in-plan integer-fold tier element for element, and both
+    enforce the |x| <= 37 overflow guard."""
+    import pytest as _pytest
+
+    from ppdb_parser_spark.operators.linalg import jl_project
+    from ppdb_parser_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def rows(tier):
+        return sorted(
+            (r["vec_id"], tuple(r["jl"]))
+            for r in jl_project(emb, "embedding", tier=tier)
+            .select("vec_id", "jl")
+            .collect()
+        )
+
+    assert rows("gemm") == rows("hof")
+
+    bad = spark.createDataFrame(
+        [(1, [100.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    for tier in ("gemm", "hof"):
+        with _pytest.raises(Exception, match="int64-safe grid bound"):
+            jl_project(bad, "embedding", tier=tier).collect()
