@@ -290,11 +290,14 @@ _LAST_DRIVER_ROUND = {
 # fresh hash-exact row against the mirrored oracle — the whole sim_ivf_*
 # family moves cell assignment onto the Arrow/GEMM block kernel (VERDICT
 # r9 item 1), pipeline_decontaminate_bloom sizes m/k from the
-# eval-shingle count via recommend_bloom_bits (item 2), and the
+# eval-shingle count via recommend_bloom_bits (item 2), the
 # dedup_semantic* queries route tier choice through
-# recommend_semantic_dedup_tier (item 8) — plus the three oldest ledger
-# rows the r9 verdict names explicitly (scalar_json r4,
-# analytics_promo_share r4, scalar_variant r6; item 3/4 rotation debt).
+# recommend_semantic_dedup_tier (item 8), and the rest of the kernel
+# family landed mid-round (PQ encode, trained-codebook ADC, LSH
+# signatures, JL projection — every full-corpus interpreted map now
+# defaults to an Arrow tier) — plus the three oldest ledger rows the r9
+# verdict names explicitly (scalar_json r4, analytics_promo_share r4,
+# scalar_variant r6; item 3/4 rotation debt).
 _ROUND10_PRIORITY = (
     "sim_ivf_batch_topk",
     "sim_ivf_topk",
@@ -306,6 +309,14 @@ _ROUND10_PRIORITY = (
     "dedup_semantic_h2",
     "dedup_semantic_gemm",
     "dedup_semantic_gemm_h2",
+    "sim_pq_encode",
+    "sim_pq_topk",
+    "sim_pq_kmeans_topk",
+    "sim_lsh_pairs_checked",
+    "sim_lsh_jl_screened_pairs",
+    "sim_lsh_multiprobe_topk",
+    "sim_jl_project",
+    "sim_jl_topk",
     "scalar_json",
     "scalar_variant",
     "analytics_promo_share",
