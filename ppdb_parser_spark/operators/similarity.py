@@ -1020,7 +1020,7 @@ def gemm_assign_cells(
     nrm_col: str,
     dot: str = "grid",
     extra_cols: tuple[str, ...] = (),
-    n_blocks: int = 32,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Coarse-cell ASSIGNMENT as an Arrow/numpy block kernel — the
     :func:`semantic_dedup_gemm` layout generalized to the IVF family's
@@ -1065,10 +1065,14 @@ def gemm_assign_cells(
     relation with ``seeds: array<struct<cell_id int, semb, snorm>>``.
     Returns ``df``'s (id, vec, nrm, *extra_cols) columns plus
     ``cell_id int``; values pass through the kernel verbatim.
-    ``n_blocks`` bounds kernel batch size — size it to cluster
-    parallelism at scale (32 matches the local harness)."""
+    ``n_blocks`` bounds kernel batch size; the default derives from the
+    session's parallelism (2× ``defaultParallelism``) so the block
+    count scales with the cluster instead of pinning a local constant —
+    blocking never affects values, only batch granularity."""
     import pandas as pd
 
+    if n_blocks is None:
+        n_blocks = df.sparkSession.sparkContext.defaultParallelism * 2
     dtypes = dict(df.dtypes)
     cols = [id_col, vec_col, nrm_col, *extra_cols]
     out_schema = ", ".join(
@@ -1275,11 +1279,13 @@ def pq_encode(
             [f"`{c}` {dtypes[c]}" for c in (id_col, *keep_cols)]
             + ["codes array<int>", "vnorm double"]
         )
+        n_blocks = df.sparkSession.sparkContext.defaultParallelism * 2
         blocks = (
             df.select(*cols)
             .withColumn("__vnorm", _grid_norm6(F.col(vec_col)))
             .withColumn(
-                "__blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(32))
+                "__blk",
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)),
             )
             .groupBy("__blk")
             .agg(
@@ -1603,10 +1609,12 @@ def pq_kmeans_topk(
             [f"`{c}` {dtypes[c]}" for c in (id_col, *keep_cols, "vnorm")]
             + ["adc_dot_grid long"]
         )
+        n_blocks = df.sparkSession.sparkContext.defaultParallelism * 2
         blocks = (
             base.select(*cols)
             .withColumn(
-                "__blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(32))
+                "__blk",
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)),
             )
             .groupBy("__blk")
             .agg(F.collect_list(F.struct(*cols)).alias("ablock"))
