@@ -200,3 +200,51 @@ def test_semantic_dedup_matches_python_reference(spark, vecs, threshold):
         for i in range(len(vecs))
     }
     assert got == {i: (cell[i], kept[i]) for i in range(len(vecs))}
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.floats(
+                min_value=-6.5e10,
+                max_value=6.5e10,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            # adversarial: exact half-integers and one-ulp neighbors
+            st.integers(min_value=-(10**10), max_value=10**10).map(
+                lambda k: k + 0.5
+            ),
+            st.integers(min_value=-(10**10), max_value=10**10).map(
+                lambda k: __import__("math").nextafter(k + 0.5, 0)
+            ),
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_np_round_half_away_is_exact_f_round(vals):
+    """Property pin for the kernel family's exactness keystone:
+    _np_round_half_away(v) must equal BigDecimal.valueOf(v).setScale(0,
+    HALF_UP) — i.e. Decimal(repr(v)).quantize(1, HALF_UP), the exact
+    semantics of F.round on a double — for every finite double inside
+    the documented |term| bound, including exact half-integers (rounds
+    AWAY from zero for negatives) and one-ulp-below-half neighbors
+    (where floor(v+0.5) is wrong)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from ppdb_parser_spark.operators.similarity import _np_round_half_away
+
+    got = _np_round_half_away(np.array(vals, dtype=np.float64))
+    want = [
+        int(
+            Decimal(repr(float(v))).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+        for v in vals
+    ]
+    assert [int(x) for x in got] == want
