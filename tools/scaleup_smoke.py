@@ -286,7 +286,7 @@ def main() -> None:
                 assert h == g, "signature tiers disagree"
                 print(f"  -> signatures identical at 64x ({len(g)} rows)")
 
-    if "ivfgemm" in only:
+    if "ivfgemm" in only or "ivfgemm256" in only:
         # GEMM vs interpreted-HOF cell assignment (VERDICT r9 item 1):
         # single-probe ivf_topk at a realistic 256-cell count so the
         # O(n·cells·dim) ASSIGNMENT map dominates the wall (one probe →
@@ -301,7 +301,8 @@ def main() -> None:
         emb = load_table(spark, sf, "embeddings")
         cells = 256
         rows = {}
-        for k in (1, 16, 64):
+        ks = (1, 16, 64, 256) if "ivfgemm256" in only else (1, 16, 64)
+        for k in ks:
             ek = emb if k == 1 else _shifted_union(emb, "vec_id", k)
             ek = ek.localCheckpoint(eager=True)  # isolate from union cost
             n = ek.count()
