@@ -2483,7 +2483,7 @@ def semantic_dedup_gemm(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seeds_from: DataFrame | None = None,
-    n_blocks: int = 32,
+    n_blocks: int | None = None,
     checkpoint: bool = False,
     two_level: bool = False,
     n_super: int | None = None,
@@ -2560,6 +2560,11 @@ def semantic_dedup_gemm(
             F.collect_list(F.struct("cell_id", "sq", "snorm")).alias("seeds")
         )
     )
+    if n_blocks is None:
+        # family default (round 10): block count scales with the session
+        # instead of pinning a local constant; blocking never affects
+        # values, only Arrow batch granularity
+        n_blocks = df.sparkSession.sparkContext.defaultParallelism * 2
     q = df.select(
         F.col(id_col), _sem_quant(F.col(vec_col)).alias("__qv")
     ).withColumn("__nrm", _sem_qnorm6(F.col("__qv")))
