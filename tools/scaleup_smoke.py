@@ -177,7 +177,7 @@ def main() -> None:
             )
             print(f"  -> broadcast seeds context ~{ctx_kb:.0f} kB")
 
-    if "pqgemm" in only:
+    if "pqgemm" in only or "pqgemm256" in only:
         # PQ encode: Arrow/GEMM code assignment vs the in-plan HOF argmin
         # (round 10 — the grid flavor of the interpreter weak: per-term
         # F.round BigDecimal inside m × centroids grid sums per row).
@@ -186,7 +186,8 @@ def main() -> None:
         from ppdb_parser_spark.operators.similarity import pq_encode
 
         emb = load_table(spark, sf, "embeddings")
-        for k in (1, 16, 64):
+        pq_ks = (1, 16, 64, 256) if "pqgemm256" in only else (1, 16, 64)
+        for k in pq_ks:
             ek = emb if k == 1 else _shifted_union(emb, "vec_id", k)
             ek = ek.localCheckpoint(eager=True)
             n = ek.count()
