@@ -1068,7 +1068,12 @@ def gemm_assign_cells(
     ``n_blocks`` bounds kernel batch size; the default derives from the
     session's parallelism (2× ``defaultParallelism``) so the block
     count scales with the cluster instead of pinning a local constant —
-    blocking never affects values, only batch granularity."""
+    blocking never affects values, only batch granularity. At 100 TB the
+    binding constraint is BLOCK BYTES, not block count: one block's rows
+    materialize as a single collected array in an executor, so size
+    ``n_blocks ≈ corpus_bytes / 128 MB`` (a partition-sized block)
+    rather than by core count — the parallelism default suits
+    interactive/fixture scales where blocks are far under that bound."""
     import pandas as pd
 
     if n_blocks is None:
