@@ -3160,7 +3160,9 @@ def recommend_ann_tier(
         points when the coarse quantizer under-resolves the clusters).
     - isotropic / unknown (``clusters_hint`` None or < 2) at scale →
       ``ivf_topk`` with ``n_probe`` as the recall/cost knob (measured
-      0.60/0.70/0.80-0.85 at probe 1/2/4; raising n_probe adds no
+      0.60/0.70/0.80 at probe 1/2/4, sf0.1 — the representative
+      scale; the old sf0.01 0.85 row was corrected round 10; raising
+      n_probe adds no
       shuffle). Hyperplane-bucket tiers are NEVER recommended here:
       ``lsh_multiprobe_topk`` measured 0.30 isotropic — neighbors spread
       across buckets when there are no planted clusters.
@@ -3207,7 +3209,7 @@ def recommend_ann_tier(
     rec.update(
         tier="ivf_topk",
         why="isotropic/unknown: n_probe is the recall/cost knob "
-        "(RECALL.md 0.60/0.70/0.80-0.85 at probe 1/2/4); LSH buckets "
+        "(RECALL.md 0.60/0.70/0.80 at probe 1/2/4, sf0.1); LSH buckets "
         "measured 0.30 here",
         params={"n_probe": 4},
     )
