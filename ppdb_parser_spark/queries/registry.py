@@ -58,18 +58,18 @@ def query(
     return deco
 
 
-# Queries that already earned a driver CORRECTNESS row in rounds 1-9
-# (keys of CORRECTNESS_r01.json ∪ … ∪ r09, intersected with the live
-# registry; re-frozen 2026-08-15 for round 10). The driver prefix
+# Queries that already earned a driver CORRECTNESS row in rounds 1-10
+# (keys of CORRECTNESS_r01.json ∪ … ∪ r10, intersected with the live
+# registry; re-frozen 2026-08-15 for round 11). The driver prefix
 # is built from the registry MINUS this set, so anything new this round
 # earns a row first.
 #
-# ROUND-11 NOTE: first move next round — regenerate both structures below
-# with ``python tools/gen_prefix_freeze.py`` (folds CORRECTNESS_r10.json
-# in, bumps _LAST_DRIVER_ROUND), rename to _DRIVER_CHECKED_R1_R10, replace
-# _ROUND10_PRIORITY with the next stale/marquee tier, and update
-# tests/test_oracle_parity.py::test_coverage_order_round10_prefix_contract.
-_DRIVER_CHECKED_R1_R9 = frozenset(
+# ROUND-12 NOTE: first move next round — regenerate both structures below
+# with ``python tools/gen_prefix_freeze.py`` (folds CORRECTNESS_r11.json
+# in, bumps _LAST_DRIVER_ROUND), rename to _DRIVER_CHECKED_R1_R11, replace
+# _ROUND11_PRIORITY with the next stale/marquee tier, and update
+# tests/test_oracle_parity.py::test_coverage_order_round11_prefix_contract.
+_DRIVER_CHECKED_R1_R10 = frozenset(
     {
         'agg_approx_distinct', 'agg_approx_percentile', 'agg_cube',
         'agg_distinct_counts', 'agg_filtered', 'agg_grouping_sets',
@@ -176,76 +176,76 @@ _DRIVER_CHECKED_R1_R9 = frozenset(
 _LAST_DRIVER_ROUND = {
         'agg_approx_distinct': 6, 'agg_approx_percentile': 6,
         'agg_cube': 6, 'agg_distinct_counts': 6, 'agg_filtered': 6,
-        'agg_grouping_sets': 9, 'agg_histogram': 5, 'agg_hll_rollup': 8,
-        'agg_hll_set_ops': 8, 'agg_hll_sketch': 8, 'agg_percentiles': 9,
-        'agg_pivot_status': 9, 'agg_pricing_summary': 9, 'agg_rollup':
-        9, 'agg_stats': 9, 'analytics_autocorr_lag1': 8,
-        'analytics_cohort_retention': 5, 'analytics_corr_pairs': 8,
-        'analytics_disjunctive_join': 5, 'analytics_event_funnel': 8,
+        'agg_grouping_sets': 9, 'agg_histogram': 10, 'agg_hll_rollup':
+        8, 'agg_hll_set_ops': 8, 'agg_hll_sketch': 8, 'agg_percentiles':
+        9, 'agg_pivot_status': 9, 'agg_pricing_summary': 9,
+        'agg_rollup': 9, 'agg_stats': 9, 'analytics_autocorr_lag1': 8,
+        'analytics_cohort_retention': 10, 'analytics_corr_pairs': 8,
+        'analytics_disjunctive_join': 10, 'analytics_event_funnel': 8,
         'analytics_large_orders': 9, 'analytics_local_supplier_volume':
         9, 'analytics_lost_opportunity': 9, 'analytics_market_basket':
-        6, 'analytics_market_share': 6, 'analytics_promo_share': 4,
-        'analytics_rfm_segments': 5, 'analytics_rolling_wau': 5,
+        6, 'analytics_market_share': 6, 'analytics_promo_share': 10,
+        'analytics_rfm_segments': 10, 'analytics_rolling_wau': 10,
         'analytics_shipping_priority': 7, 'analytics_signup_funnel': 7,
-        'analytics_small_qty_revenue': 7, 'analytics_trade_flows': 5,
+        'analytics_small_qty_revenue': 7, 'analytics_trade_flows': 10,
         'anti_join': 7, 'asof_click_next_purchase': 6,
-        'asof_purchase_click': 4, 'broadcast_join': 7, 'case_when': 7,
+        'asof_purchase_click': 10, 'broadcast_join': 7, 'case_when': 7,
         'cross_join': 6, 'dedup_cluster_report': 9, 'dedup_components':
-        7, 'dedup_components_star': 7, 'dedup_containment': 5,
+        7, 'dedup_components_star': 7, 'dedup_containment': 10,
         'dedup_embedding': 8, 'dedup_embedding_checked': 8,
         'dedup_embedding_lsh': 6, 'dedup_exact': 7,
         'dedup_jaccard_bitmap': 7, 'dedup_jaccard_capped': 7,
-        'dedup_jaccard_incremental': 5, 'dedup_jaccard_pairs': 7,
+        'dedup_jaccard_incremental': 10, 'dedup_jaccard_pairs': 7,
         'dedup_jaccard_prefix': 6, 'dedup_minhash_lsh': 6,
-        'dedup_minhash_relational': 6, 'dedup_semantic': 8,
-        'dedup_semantic_gemm': 8, 'dedup_semantic_gemm_h2': 8,
-        'dedup_semantic_h2': 8, 'dedup_simhash': 7,
+        'dedup_minhash_relational': 6, 'dedup_semantic': 10,
+        'dedup_semantic_gemm': 10, 'dedup_semantic_gemm_h2': 10,
+        'dedup_semantic_h2': 10, 'dedup_simhash': 7,
         'dedup_simhash_pairs': 7, 'dedup_substring_spans': 8,
         'dedup_tier_agreement': 8, 'dedup_triangle_count': 9,
-        'dedup_winnow_match': 5, 'except_custkeys': 6, 'filter_project':
-        7, 'flagship': 6, 'fuzzy_phrase_match': 6, 'govern_luhn_scan':
-        8, 'govern_pii_mask': 5, 'intersect_nations': 7,
-        'left_join_coverage': 8, 'lookup_oov_tokens': 7,
-        'lookup_paraphrase_coverage': 7, 'mm_binary_hash': 7,
-        'mm_decode_meta': 6, 'mm_dhash': 5, 'mm_dhash_near': 5,
-        'mm_img_features': 8, 'mm_media_meta': 8, 'mm_media_stats': 9,
-        'mm_meta_stats': 7, 'mm_png_features': 4, 'mm_resize': 7,
-        'mm_wav_sample': 7, 'order_limit': 4, 'pattern_scd2_merge': 4,
-        'pattern_scd2_pointintime': 5, 'pattern_unpivot': 7,
-        'pipeline_chunk_overlap': 5, 'pipeline_corpus_curation': 4,
-        'pipeline_corpus_curation_v2': 6, 'pipeline_corpus_curation_v3':
-        8, 'pipeline_corpus_datacard': 8, 'pipeline_decontaminate': 4,
-        'pipeline_decontaminate_bloom': 9, 'pipeline_drift_tvd': 8,
-        'pipeline_dsir_weights': 8, 'pipeline_mixture_sample': 4,
-        'pipeline_mixture_temperature': 8, 'pipeline_mixture_waterfill':
-        8, 'pipeline_pack_windows': 6, 'pipeline_quality_classifier': 8,
-        'pipeline_quality_gate': 5, 'pipeline_quality_quartiles': 7,
-        'pipeline_quality_regression': 8,
-        'pipeline_quality_regression_by_lang': 8, 'pipeline_rag_ingest':
-        5, 'pipeline_session_dialogues': 7, 'pipeline_shuffle_shards':
-        7, 'pipeline_stratified_sample': 5, 'pipeline_train_split': 4,
-        'pipeline_weighted_sample': 7, 'ppdb_alignment_explode': 7,
-        'ppdb_collect_nested': 7, 'ppdb_collect_paraphrases': 4,
-        'ppdb_entailment_dist': 6, 'ppdb_feature_keys': 6,
-        'ppdb_map_ops': 7, 'ppdb_parse_stats': 4,
-        'ppdb_parse_stats_bz2': 9, 'ppdb_parse_throughput': 6,
-        'ppdb_quarantine': 4, 'ppdb_symmetric_pairs': 4,
+        'dedup_winnow_match': 10, 'except_custkeys': 6,
+        'filter_project': 7, 'flagship': 6, 'fuzzy_phrase_match': 6,
+        'govern_luhn_scan': 8, 'govern_pii_mask': 10,
+        'intersect_nations': 7, 'left_join_coverage': 8,
+        'lookup_oov_tokens': 7, 'lookup_paraphrase_coverage': 7,
+        'mm_binary_hash': 7, 'mm_decode_meta': 6, 'mm_dhash': 10,
+        'mm_dhash_near': 5, 'mm_img_features': 8, 'mm_media_meta': 8,
+        'mm_media_stats': 9, 'mm_meta_stats': 7, 'mm_png_features': 10,
+        'mm_resize': 7, 'mm_wav_sample': 7, 'order_limit': 10,
+        'pattern_scd2_merge': 10, 'pattern_scd2_pointintime': 5,
+        'pattern_unpivot': 7, 'pipeline_chunk_overlap': 5,
+        'pipeline_corpus_curation': 10, 'pipeline_corpus_curation_v2':
+        6, 'pipeline_corpus_curation_v3': 8, 'pipeline_corpus_datacard':
+        8, 'pipeline_decontaminate': 10, 'pipeline_decontaminate_bloom':
+        10, 'pipeline_drift_tvd': 8, 'pipeline_dsir_weights': 8,
+        'pipeline_mixture_sample': 10, 'pipeline_mixture_temperature':
+        8, 'pipeline_mixture_waterfill': 8, 'pipeline_pack_windows': 6,
+        'pipeline_quality_classifier': 8, 'pipeline_quality_gate': 5,
+        'pipeline_quality_quartiles': 7, 'pipeline_quality_regression':
+        8, 'pipeline_quality_regression_by_lang': 8,
+        'pipeline_rag_ingest': 5, 'pipeline_session_dialogues': 7,
+        'pipeline_shuffle_shards': 7, 'pipeline_stratified_sample': 5,
+        'pipeline_train_split': 10, 'pipeline_weighted_sample': 7,
+        'ppdb_alignment_explode': 7, 'ppdb_collect_nested': 7,
+        'ppdb_collect_paraphrases': 10, 'ppdb_entailment_dist': 6,
+        'ppdb_feature_keys': 6, 'ppdb_map_ops': 7, 'ppdb_parse_stats':
+        10, 'ppdb_parse_stats_bz2': 9, 'ppdb_parse_throughput': 6,
+        'ppdb_quarantine': 10, 'ppdb_symmetric_pairs': 10,
         'ppdb_top_paraphrases': 7, 'profile_columns': 6,
         'range_join_bands': 9, 'region_revenue': 7, 'sample_orders': 6,
         'scalar_arrays': 9, 'scalar_bitwise': 9, 'scalar_dates': 9,
-        'scalar_json': 4, 'scalar_math': 7, 'scalar_null_handling': 9,
+        'scalar_json': 10, 'scalar_math': 7, 'scalar_null_handling': 9,
         'scalar_regex': 9, 'scalar_strings': 9, 'scalar_try_ops': 5,
-        'scalar_variant': 6, 'self_join_pairs': 9, 'semi_join': 9,
-        'sim_cosine_topk': 4, 'sim_hybrid_rrf': 8, 'sim_ivf_batch_topk':
-        9, 'sim_ivf_kmeans_topk': 7, 'sim_ivf_topk': 7,
-        'sim_ivfpq_residual_topk': 7, 'sim_ivfpq_topk': 6,
-        'sim_jl_project': 8, 'sim_jl_topk': 8,
-        'sim_lsh_jl_screened_pairs': 8, 'sim_lsh_multiprobe_topk': 7,
-        'sim_lsh_pairs_checked': 7, 'sim_neighbors_docs': 9,
+        'scalar_variant': 10, 'self_join_pairs': 9, 'semi_join': 9,
+        'sim_cosine_topk': 10, 'sim_hybrid_rrf': 8,
+        'sim_ivf_batch_topk': 10, 'sim_ivf_kmeans_topk': 10,
+        'sim_ivf_topk': 10, 'sim_ivfpq_residual_topk': 10,
+        'sim_ivfpq_topk': 10, 'sim_jl_project': 10, 'sim_jl_topk': 10,
+        'sim_lsh_jl_screened_pairs': 10, 'sim_lsh_multiprobe_topk': 10,
+        'sim_lsh_pairs_checked': 10, 'sim_neighbors_docs': 9,
         'sim_pairwise_cosine': 9, 'sim_pca_top_component': 8,
-        'sim_pq_encode': 5, 'sim_pq_kmeans_topk': 5, 'sim_pq_topk': 5,
-        'skew_salted_agg': 7, 'skew_salted_join': 5,
-        'snk_bucketed_join': 5, 'snk_json_roundtrip': 4,
+        'sim_pq_encode': 10, 'sim_pq_kmeans_topk': 10, 'sim_pq_topk':
+        10, 'skew_salted_agg': 7, 'skew_salted_join': 5,
+        'snk_bucketed_join': 5, 'snk_json_roundtrip': 10,
         'snk_orc_roundtrip': 9, 'snk_parquet_roundtrip': 9,
         'snk_partition_pruned': 7, 'snk_zorder_layout': 7,
         'src_csv_permissive': 6, 'src_csv_scan': 9,
@@ -255,13 +255,13 @@ _LAST_DRIVER_ROUND = {
         'stream_drift_batch': 8, 'stream_drift_live': 8,
         'stream_foreach_batch_sink': 7, 'stream_hll_batch': 8,
         'stream_hll_live': 8, 'stream_interval_join_batch': 9,
-        'stream_interval_join_live': 4,
+        'stream_interval_join_live': 10,
         'stream_left_interval_join_batch': 5,
-        'stream_left_interval_join_live': 6, 'stream_session_batch': 4,
+        'stream_left_interval_join_live': 6, 'stream_session_batch': 10,
         'stream_session_live': 6, 'stream_sliding_batch': 6,
         'stream_sliding_live': 9, 'stream_stateful_counter': 6,
         'stream_static_enrich_batch': 5, 'stream_static_enrich_live': 5,
-        'stream_tumbling_batch': 6, 'stream_tumbling_live': 4,
+        'stream_tumbling_batch': 6, 'stream_tumbling_live': 10,
         'sub_correlated_avg_qty': 5, 'sub_exists_idle_rich': 5,
         'sub_having_revenue_share': 6, 'sub_lateral_topn': 8,
         'subq_not_in_nulls': 5, 'text_bigram_ppl': 5, 'text_bm25_topk':
@@ -270,12 +270,12 @@ _LAST_DRIVER_ROUND = {
         'text_heavy_hitters': 8, 'text_inverted_index': 5,
         'text_lang_route': 9, 'text_langid': 9, 'text_phrase_search': 5,
         'text_pmi_collocations': 5, 'text_quality': 9,
-        'text_quality_rules': 4, 'text_repetition': 5, 'text_sentiment':
-        6, 'text_textrank': 5, 'text_tfidf_top5': 9, 'text_token_stats':
-        9, 'text_unigram_logprob': 5, 'text_winnow_fp': 5,
-        'ts_anomaly_argmax': 8, 'ts_ewma_dyadic': 9, 'ts_gapfill_locf':
-        7, 'ts_interpolate': 7, 'ts_ohlc_daily': 7,
-        'ts_recursive_month_spine': 5, 'udf_arrow_scalar': 6,
+        'text_quality_rules': 10, 'text_repetition': 5,
+        'text_sentiment': 6, 'text_textrank': 5, 'text_tfidf_top5': 9,
+        'text_token_stats': 9, 'text_unigram_logprob': 5,
+        'text_winnow_fp': 5, 'ts_anomaly_argmax': 8, 'ts_ewma_dyadic':
+        9, 'ts_gapfill_locf': 7, 'ts_interpolate': 7, 'ts_ohlc_daily':
+        7, 'ts_recursive_month_spine': 5, 'udf_arrow_scalar': 6,
         'udf_grouped_agg_sum': 6, 'udf_grouped_map_minmax': 6,
         'udf_map_in_arrow': 9, 'udf_map_partitions_bucket': 9,
         'udf_scalar_cents': 9, 'udtf_explode_types': 6,
@@ -285,41 +285,44 @@ _LAST_DRIVER_ROUND = {
         'window_running_sum': 9, 'window_value_family': 9
 }
 
-# Round-10 priority tier, sampled right behind the never-checked backlog:
-# queries whose implementations change THIS round and therefore need a
-# fresh hash-exact row against the mirrored oracle — the whole sim_ivf_*
-# family moves cell assignment onto the Arrow/GEMM block kernel (VERDICT
-# r9 item 1), pipeline_decontaminate_bloom sizes m/k from the
-# eval-shingle count via recommend_bloom_bits (item 2), the
-# dedup_semantic* queries route tier choice through
-# recommend_semantic_dedup_tier (item 8), and the rest of the kernel
-# family landed mid-round (PQ encode, trained-codebook ADC, LSH
-# signatures, JL projection — every full-corpus interpreted map now
-# defaults to an Arrow tier) — plus the three oldest ledger rows the r9
-# verdict names explicitly (scalar_json r4, analytics_promo_share r4,
-# scalar_variant r6; item 3/4 rotation debt).
-_ROUND10_PRIORITY = (
-    "sim_ivf_batch_topk",
-    "sim_ivf_topk",
-    "sim_ivf_kmeans_topk",
-    "sim_ivfpq_topk",
-    "sim_ivfpq_residual_topk",
-    "pipeline_decontaminate_bloom",
-    "dedup_semantic",
-    "dedup_semantic_h2",
+# Round-11 priority tier, sampled right behind the never-checked backlog:
+# the 24 rotation-tail queries whose latest driver row is r5 (VERDICT r10
+# What's-missing #2 — the ledger's oldest tier after folding r10), plus
+# the queries whose implementations change THIS round: the single-probe
+# exact scans move onto the float-flavor Arrow kernel (VERDICT item 3 —
+# sim_cosine_topk, sim_neighbors_docs) and one representative per kernel
+# family re-certifies the bytes-aware block sizing (VERDICT item 1 —
+# dedup_semantic_gemm, sim_ivf_topk; blocking never changes values, but
+# the n_blocks derivation is new plan input).
+_ROUND11_PRIORITY = (
+    "mm_dhash_near",
+    "pattern_scd2_pointintime",
+    "pipeline_chunk_overlap",
+    "pipeline_quality_gate",
+    "pipeline_rag_ingest",
+    "pipeline_stratified_sample",
+    "scalar_try_ops",
+    "skew_salted_join",
+    "snk_bucketed_join",
+    "stream_left_interval_join_batch",
+    "stream_static_enrich_batch",
+    "stream_static_enrich_live",
+    "sub_correlated_avg_qty",
+    "sub_exists_idle_rich",
+    "subq_not_in_nulls",
+    "text_bigram_ppl",
+    "text_inverted_index",
+    "text_phrase_search",
+    "text_pmi_collocations",
+    "text_repetition",
+    "text_textrank",
+    "text_unigram_logprob",
+    "text_winnow_fp",
+    "ts_recursive_month_spine",
+    "sim_cosine_topk",
+    "sim_neighbors_docs",
     "dedup_semantic_gemm",
-    "dedup_semantic_gemm_h2",
-    "sim_pq_encode",
-    "sim_pq_topk",
-    "sim_pq_kmeans_topk",
-    "sim_lsh_pairs_checked",
-    "sim_lsh_jl_screened_pairs",
-    "sim_lsh_multiprobe_topk",
-    "sim_jl_project",
-    "sim_jl_topk",
-    "scalar_json",
-    "scalar_variant",
-    "analytics_promo_share",
+    "sim_ivf_topk",
 )
 
 
@@ -328,11 +331,12 @@ def coverage_order() -> list[str]:
     value.
 
     Tier 1: every registered query that has never received a driver
-    CORRECTNESS row in rounds 1-9 (``_DRIVER_CHECKED_R1_R9`` complement),
+    CORRECTNESS row in rounds 1-10 (``_DRIVER_CHECKED_R1_R10`` complement),
     oracle-backed entries first — anything new this round lands here.
-    Tier 2: the round-10 priority tier (``_ROUND10_PRIORITY``): queries
-    whose implementations change this round (IVF GEMM assignment, Bloom
-    sizing, semantic-tier routing) plus the oldest ledger rows.
+    Tier 2: the round-11 priority tier (``_ROUND11_PRIORITY``): the 24
+    rotation-tail rows (latest driver row r5) plus the queries whose
+    implementations change this round (kernel-routed exact scans,
+    bytes-aware block sizing re-certs).
     Tier 3: least-recently-driver-checked first (``_LAST_DRIVER_ROUND``
     ascending, oracle-backed before rows-only, then name) — the ~40
     tier-3 slots of each ~50-query driver sample rotate oldest-first, so
@@ -350,11 +354,11 @@ def coverage_order() -> list[str]:
         (
             n
             for n in remaining
-            if n not in _DRIVER_CHECKED_R1_R9 and n not in _ROUND10_PRIORITY
+            if n not in _DRIVER_CHECKED_R1_R10 and n not in _ROUND11_PRIORITY
         ),
         key=lambda n: (remaining[n].oracle is None, n),
     )
-    for seed in (*never_checked, *_ROUND10_PRIORITY):
+    for seed in (*never_checked, *_ROUND11_PRIORITY):
         if seed in remaining:
             out.append(seed)
             del remaining[seed]
@@ -382,9 +386,9 @@ def prefix_tier_sizes() -> tuple[int, int]:
     tier1 = sum(
         1
         for n in REGISTRY
-        if n not in _DRIVER_CHECKED_R1_R9 and n not in _ROUND10_PRIORITY
+        if n not in _DRIVER_CHECKED_R1_R10 and n not in _ROUND11_PRIORITY
     )
-    tier2 = sum(1 for n in _ROUND10_PRIORITY if n in REGISTRY)
+    tier2 = sum(1 for n in _ROUND11_PRIORITY if n in REGISTRY)
     return tier1, tier2
 
 
