@@ -133,7 +133,16 @@ def main() -> None:
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
     with open(out_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
-    print("spreads " + json.dumps(spreads))
+    # Every spread value carries an explicit "x" suffix: the driver's
+    # tail capture keeps only the LAST 2000 stdout chars, which can crop
+    # the line's leading label and leave a bare {"query": 3.21, ...} map
+    # that reads like walls (VERDICT r10 wrong #2 — BENCH_r10's tail did
+    # exactly that). A "3.21x" string cannot be misread as seconds no
+    # matter where the crop lands.
+    print(
+        "spreads_maxmin_ratio "
+        + json.dumps({n: f"{v}x" for n, v in spreads.items()})
+    )
     print("fallbacks " + json.dumps(fallbacks))
     line = json.dumps(payload)
     # Loud guard: if the headline set ever grows the final line past the

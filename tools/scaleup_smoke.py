@@ -88,6 +88,38 @@ def _fresh_vocab_union(docs, k: int):
     return out
 
 
+def _block_bytes_check(proj, what):
+    """Assert the bytes-aware kernel block sizing at this rung: with
+    n_blocks = max(2x parallelism, ceil(est/128MB)) the per-block bytes
+    can never exceed the 128 MB target whenever Catalyst can price the
+    plan (VERDICT r10 weak #1 done-criterion)."""
+    from ppdb_parser_spark.operators.similarity import (
+        KERNEL_BLOCK_BYTES,
+        kernel_block_count,
+    )
+
+    nb = kernel_block_count(proj)
+    try:
+        est = int(
+            str(
+                proj._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes()
+            )
+        )
+    except Exception:
+        print(f"  -> {what}: plan stats unavailable, floor n_blocks={nb}")
+        return
+    per = est / nb
+    assert per <= KERNEL_BLOCK_BYTES, (
+        f"{what}: {per/1e6:.1f} MB/block exceeds the 128 MB target "
+        f"(est {est/1e6:.1f} MB, n_blocks {nb})"
+    )
+    print(
+        f"  -> {what}: n_blocks={nb} from est {est/1e6:.1f} MB "
+        f"-> {per/1e6:.2f} MB/block (target 128)"
+    )
+
+
 def main() -> None:
     import sys as _sys
 
@@ -191,6 +223,9 @@ def main() -> None:
             ek = emb if k == 1 else _shifted_union(emb, "vec_id", k)
             ek = ek.localCheckpoint(eager=True)
             n = ek.count()
+            _block_bytes_check(
+                ek.select("vec_id", "label", "embedding"), f"pqgemm {k}x"
+            )
             walls = {}
             for enc in ("hof", "gemm"):
                 walls[enc] = forced(
@@ -307,6 +342,9 @@ def main() -> None:
             ek = emb if k == 1 else _shifted_union(emb, "vec_id", k)
             ek = ek.localCheckpoint(eager=True)  # isolate from union cost
             n = ek.count()
+            _block_bytes_check(
+                ek.select("vec_id", "label", "embedding"), f"ivfgemm {k}x"
+            )
             for a in ("hof", "gemm"):
                 rows[(k, a)] = forced(
                     lambda ek=ek, a=a: ivf_topk(
