@@ -84,6 +84,127 @@ def word_shingles(
     return df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
 
 
+def word_shingles_pos(
+    df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """EVERY word n-gram occurrence with its 1-based start position:
+    (id, start, shingle).
+
+    The positioned sibling of :func:`word_shingles` — no per-doc
+    ``array_distinct``, because span-scrub consumers need each
+    occurrence individually (a span repeated inside one document has
+    several starts, each independently removable). Same narrow-map
+    shape: zero shuffles, one struct-transform + explode per row, so
+    it scales exactly like the distinct form (output rows ~ token
+    count, CPU-heavy per input byte — hence the same
+    ``min_partitions`` escape hatch for few-split local fixtures).
+    """
+    if min_partitions:
+        df = df.repartition(min_partitions)
+    toks = F.split(F.col(text_col), " ")
+    spans = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.struct(
+                i.alias("start"),
+                F.array_join(F.slice(toks, i, n), " ").alias("shingle"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<start:int,shingle:string>>"))
+    ex = df.select(F.col(id_col), F.explode(spans).alias("s"))
+    return ex.select(id_col, F.col("s.start").alias("start"), F.col("s.shingle").alias("shingle"))
+
+
+def span_scrub(
+    df: DataFrame,
+    n: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """C4/ExactSubstr-style span REMOVAL with text reconstruction.
+
+    The scrubbing complement of the span-mass report
+    (queries/governance.py::dedup_substring_spans, Lee et al. 2022
+    arXiv:2107.06499): every ``n``-token span occurring in ≥2 documents
+    keeps only its canonical carrier (min id); every occurrence in any
+    OTHER document has its ``n`` token positions deleted, and the
+    surviving tokens are re-joined in order. Same-document repeats are
+    deliberately untouched (self-repetition is text_repetition's
+    domain; C4's rule is cross-document).
+
+    Returns one row per input document: (id, n_tok, n_removed,
+    scrub_text) — total over the input, including docs shorter than
+    ``n`` tokens (nothing removable) and docs scrubbed to empty
+    (scrub_text '').
+
+    Plan shape / 100 TB notes: two corpus-sized exchanges — (1) the
+    span-key window electing the min-id owner (same cost class as the
+    winnow/minhash/span-mass shuffles), (2) the (id, pos) anti join
+    deleting covered positions. The ×n position expansion happens only
+    on NON-owner duplicated occurrences, i.e. the duplicated mass
+    itself, not the corpus. Deliberately an anti join on exploded
+    token positions rather than an ``array_contains`` filter over a
+    per-doc covered-position array: the latter is O(tokens × covered)
+    per document — quadratic on exactly the boilerplate-heavy
+    documents this operator exists to clean. At 100 TB the span join
+    key becomes xxhash64-int64 and ubiquitous spans get the same
+    document-frequency cap the prefix-Jaccard tier documents; the raw
+    string key here is the md5-friendly form the DuckDB oracle shares.
+    """
+    from pyspark.sql import Window
+
+    occ = word_shingles_pos(
+        df, n, id_col, text_col, min_partitions=min_partitions
+    )
+    owner = F.min(id_col).over(Window.partitionBy("shingle"))
+    covered = (
+        occ.withColumn("owner", owner)
+        .filter(F.col(id_col) != F.col("owner"))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos0", "token"),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "token")
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+        ).alias("scrub_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tok"),
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_tok",
+        (F.col("n_tok") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.coalesce(F.col("scrub_text"), F.lit("")).alias("scrub_text"),
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,

@@ -2032,21 +2032,40 @@ def lsh_similarity_join_exact(
     cand = _lsh_band_candidates(
         df, n_planes, n_bands, seed, id_col, vec_col, dim
     )
-    emb = df.select(F.col(id_col), F.col(vec_col))
+    # Per-VECTOR norms once (n rows), not per PAIR: ‖v‖ is a pure
+    # function of the vector, and recomputing it inside the pair-stage
+    # cosine costs two extra 64-term interpreted folds on EVERY
+    # candidate pair — measured round 11 as ~2.8× of the refine wall at
+    # sf0.1 (29.4 s → 10.4 s min-of-3 with the norms joined in
+    # precomputed, values bit-identical; the oracle's own ``vn`` CTE
+    # always had this shape). At sf0.1's τ=0.35 bulk-overlap regime the
+    # band screen passes 1.79 M of the 2.00 M possible pairs (89% — see
+    # the jl variant's docstring on why banding cannot prune there), so
+    # the refine IS an all-pairs-scale scan and every per-pair term
+    # counts.
+    emb = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _grid_norm6(F.col(vec_col)).alias("nrm"),
+    )
     cand = cand.join(
         emb.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"),
+            F.col("nrm").alias("na"),
         ),
         "id_a",
     ).join(
         emb.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vb"),
+            F.col("nrm").alias("nb"),
         ),
         "id_b",
     )
     cos = F.round(
         (_grid_dot(F.col("va"), F.col("vb")) / float(PQ_GRID))
-        / (_grid_norm6(F.col("va")) * _grid_norm6(F.col("vb"))),
+        / (F.col("na") * F.col("nb")),
         6,
     )
     return (
@@ -2155,17 +2174,31 @@ def lsh_jl_screened_pairs(
         .filter(d2 <= F.lit(bound).cast("decimal(38,0)"))
         .select("id_a", "id_b")
     )
-    emb = df.select(F.col(id_col), F.col(vec_col))
+    # per-vector norms precomputed, same rationale as
+    # lsh_similarity_join_exact: never fold ‖v‖ per candidate pair
+    emb = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _grid_norm6(F.col(vec_col)).alias("nrm"),
+    )
     pairs = screened.join(
-        emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")),
+        emb.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"),
+            F.col("nrm").alias("na"),
+        ),
         "id_a",
     ).join(
-        emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")),
+        emb.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vb"),
+            F.col("nrm").alias("nb"),
+        ),
         "id_b",
     )
     cos = F.round(
         (_grid_dot(F.col("va"), F.col("vb")) / float(PQ_GRID))
-        / (_grid_norm6(F.col("va")) * _grid_norm6(F.col("vb"))),
+        / (F.col("na") * F.col("nb")),
         6,
     )
     return (

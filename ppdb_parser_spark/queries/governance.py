@@ -324,6 +324,93 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# dedup_span_scrub — C4/ExactSubstr-style span REMOVAL with reconstruction.
+#
+# The scrubbing complement of dedup_substring_spans above: that query
+# REPORTS duplicated-span mass; this one actually deletes every cross-doc
+# duplicated 12-token span from all but its canonical (min doc_id)
+# carrier and rebuilds the surviving text — the operation C4
+# (arXiv:1910.10683 §2.2, three-sentence span rule) and Lee et al.'s
+# ExactSubstr apply before training. Output is total over documents:
+# (doc_id, n_tok, n_removed, scrub_md5) — md5 of the reconstructed text
+# rather than the text itself keeps the driver artifact compact while
+# still pinning every byte of the reconstruction.
+#
+# Plan/scale notes live on the operator (operators/dedup.py::span_scrub):
+# one span-key window + one (doc_id, pos) anti join, position expansion
+# only on the duplicated mass.
+# --------------------------------------------------------------------------
+_SCRUB_N = 12
+
+_SPAN_SCRUB_ORACLE = f"""
+    WITH base AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    occ AS (
+      SELECT doc_id,
+             struct_extract(s, 'start') AS start,
+             struct_extract(s, 'g') AS g
+      FROM (
+        SELECT doc_id,
+               unnest([{{'start': i,
+                         'g': array_to_string(t[i:i+{_SCRUB_N}-1], ' ')}}
+                       for i in range(1, len(t)-{_SCRUB_N}+2)]) AS s
+        FROM base WHERE len(t) >= {_SCRUB_N}
+      )
+    ),
+    marked AS (
+      SELECT doc_id, start,
+             MIN(doc_id) OVER (PARTITION BY g) AS owner
+      FROM occ
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, start + d AS pos
+      FROM (SELECT doc_id, start FROM marked WHERE doc_id <> owner)
+      CROSS JOIN (SELECT unnest(range(0, {_SCRUB_N})) AS d)
+    ),
+    toks AS (
+      SELECT doc_id, unnest(t) AS token,
+             unnest(range(1, len(t) + 1)) AS pos
+      FROM base
+    ),
+    kept AS (
+      SELECT k.doc_id, k.pos, k.token
+      FROM toks k LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.pos = k.pos
+      WHERE c.doc_id IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS scrub_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.t) AS BIGINT) AS n_tok,
+           CAST(len(b.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           md5(COALESCE(a.scrub_text, '')) AS scrub_md5
+    FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query(
+    "dedup_span_scrub",
+    oracle=_SPAN_SCRUB_ORACLE,
+    tags=("O6", "W4", "J5", "A4", "X4"),
+    bench=True,
+)
+def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = DD.span_scrub(
+        docs,
+        n=_SCRUB_N,
+        min_partitions=spark.sparkContext.defaultParallelism,
+    )
+    return scrubbed.select(
+        "doc_id",
+        "n_tok",
+        "n_removed",
+        F.md5("scrub_text").alias("scrub_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
 # pipeline_dsir_weights — hashed-n-gram importance reweighting (DSIR).
 #
 # Data Selection via Importance Resampling (Xie et al. 2023,

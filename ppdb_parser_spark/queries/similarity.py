@@ -524,6 +524,7 @@ def _lsh_planes_values_sql() -> str:
     WHERE round((dg / 1000000000.0) / (na.vnorm * nb.vnorm), 6) >= 0.35
     """,
     tags=("L2", "J2", "A1"),
+    bench=True,
 )
 def sim_lsh_pairs_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -693,6 +694,7 @@ def _jl_screened_oracle() -> str:
     "sim_lsh_jl_screened_pairs",
     oracle=_jl_screened_oracle(),
     tags=("L2", "J2", "X4"),
+    bench=True,
 )
 def sim_lsh_jl_screened_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The banded-LSH pair join with the 16-dim integer JL screen between
@@ -1010,6 +1012,7 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     tags=("L1", "L2", "W1", "O2"),
+    bench=True,
 )
 def sim_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")

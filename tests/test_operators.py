@@ -2328,3 +2328,48 @@ def test_cosine_topk_fold_kernel_equivalence(spark):
         )
 
     assert rows("fold") == rows("kernel")
+
+
+def test_span_scrub_semantics(spark):
+    """span_scrub on a constructed corpus: cross-doc duplicated n-grams
+    are deleted from every non-canonical carrier only; same-doc repeats
+    and sub-threshold docs are untouched; a doc that is one big
+    duplicated span scrubs to empty but STAYS in the output (total)."""
+    from ppdb_parser_spark.operators.dedup import span_scrub
+
+    docs = spark.createDataFrame(
+        [
+            # owner of the shared trigrams "a b c" and "b c tail"
+            (1, "a b c tail one"),
+            # non-owner: both shared trigrams cover positions 1-4
+            (2, "a b c tail two"),
+            # exactly the span and nothing else -> scrubbed to empty
+            (3, "a b c"),
+            # same-doc repeat, span unique to this doc -> untouched
+            (4, "x y z x y z"),
+            # shorter than n -> no spans, untouched
+            (5, "p q"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tok"], r["n_removed"], r["scrub_text"])
+        for r in span_scrub(docs, n=3).collect()
+    }
+    assert out[1] == (5, 0, "a b c tail one")  # canonical keeps all
+    assert out[2] == (5, 4, "two")
+    assert out[3] == (3, 3, "")  # total: present though empty
+    assert out[4] == (6, 0, "x y z x y z")  # cross-doc rule only
+    assert out[5] == (2, 0, "p q")
+    # overlap: doc 7 shares BOTH trigrams of doc 6's "w1 w2 w3 w4";
+    # covered positions union (1-3)+(2-4) = all four -> empty
+    docs2 = spark.createDataFrame(
+        [(6, "w1 w2 w3 w4"), (7, "w1 w2 w3 w4 uniq")],
+        "doc_id long, text string",
+    )
+    out2 = {
+        r["doc_id"]: (r["n_removed"], r["scrub_text"])
+        for r in span_scrub(docs2, n=3).collect()
+    }
+    assert out2[6] == (0, "w1 w2 w3 w4")
+    assert out2[7] == (4, "uniq")

@@ -8,11 +8,15 @@ compare.
 
 Run:  python tools/full_sweep.py [sf_dir]
 
-Uses the repo session factory (24g driver) — a default-memory vanilla
-session OOMs the JVM on the heavy dedup tiers at sf0.1 (GCLocker
-allocation stalls), which is a harness sizing fact, not a plan defect:
-the driver gate runs at sf0.01 where the vanilla session is fine
-(verified by the round-8 driver sim).
+Memory: the round-8 note here ("a default-memory vanilla session OOMs
+the JVM on the heavy dedup tiers at sf0.1, GCLocker stalls") is CLOSED
+as of round 11 — the bytes-aware kernel block sizing
+(``kernel_block_count``, operators/similarity.py) removed the oversized
+collect_list blocks, and ``tools/default_mem_smoke.py`` measures all ten
+heavy-tier queries oracle-clean on a 1g (Spark-default) driver at sf0.1.
+The sweep therefore no longer pins 24g: it runs on whatever
+``SPARK_GRAFT_DRIVER_MEM`` says (repo default 24g purely for wall-clock
+headroom — GC pressure at 1g costs time, not correctness).
 """
 
 from __future__ import annotations
