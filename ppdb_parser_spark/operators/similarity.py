@@ -2561,6 +2561,72 @@ def _sem_cell_dominance(
     )
 
 
+def semantic_decontaminate(
+    df: DataFrame,
+    eval_col: Column,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination: every TRAIN vector whose cosine
+    to ANY EVAL vector reaches ``threshold`` is flagged contaminated —
+    the semantic complement of n-gram decontamination
+    (queries/training_data.py::pipeline_decontaminate), catching
+    paraphrased/reworded benchmark leakage that shares no 8-gram with
+    the eval slice (the failure mode n-gram overlap provably misses).
+
+    ``eval_col`` is a boolean Column marking the eval slice on ``df``.
+    Returns ``(id_col, contaminated)`` for every train (non-eval) row.
+
+    Determinism: the quantize-once int64 grid shared with the SemDeDup
+    family (``_sem_quant`` / ``_sem_qdot`` / ``_sem_qnorm6``) — the
+    ``round(cos, 6) >= threshold`` compare is bit-identical
+    cross-engine, so the flag carries a full value-hash oracle.
+
+    Plan shape / scale: the eval side collects into ONE row (grouping-
+    free aggregate → maxRows=1, the same bounded seeds-row idiom the
+    registry-wide cartesian sweep proves for semantic_dedup) and
+    broadcasts; the train side is a narrow per-row EXISTS map — zero
+    shuffles beyond the broadcast. That is the right shape because an
+    eval suite is small BY CONSTRUCTION (benchmarks, ~10⁵ vectors ≈
+    tens of MB quantized) while train is the 100 TB side; per-row cost
+    is O(|eval|·dim) interpreted terms, and if the eval suite grows
+    past what the interpreter tolerates the assignment-kernel route
+    (:func:`gemm_assign_cells` with eval vectors as cells, keeping the
+    max instead of the argmax) is the established tier."""
+    q = df.select(
+        F.col(id_col),
+        eval_col.alias("__ev"),
+        _sem_quant(F.col(vec_col)).alias("__qv"),
+    ).select(
+        id_col,
+        "__ev",
+        "__qv",
+        _sem_qnorm6(F.col("__qv")).alias("__nrm"),
+    )
+    ev_row = q.filter(F.col("__ev")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("__qv").alias("qe"), F.col("__nrm").alias("ne")
+            )
+        ).alias("evs")
+    )
+    hit = F.exists(
+        F.col("evs"),
+        lambda e: F.round(
+            (_sem_qdot(F.col("__qv"), e["qe"]) / float(SEM_QSCALE) ** 2)
+            / (F.col("__nrm") * e["ne"]),
+            6,
+        )
+        >= F.lit(threshold),
+    )
+    return (
+        q.filter(~F.col("__ev"))
+        .crossJoin(F.broadcast(ev_row))
+        .select(id_col, hit.alias("contaminated"))
+    )
+
+
 def _sem_argmax_cell(qv: Column, nrm: Column, arr: Column) -> Column:
     """cell_id of the argmax rounded-cosine seed in ``arr`` (array of
     struct with ``cell_id``/``sq``/``snorm``), ties to the smaller

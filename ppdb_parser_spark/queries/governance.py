@@ -324,6 +324,133 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# pipeline_decontaminate_semantic — embedding-space decontamination.
+#
+# The semantic complement of the n-gram decontaminators above/below
+# (pipeline_decontaminate: exact 8-gram probe; _bloom: the same probe
+# through a sized Bloom filter): a train document that PARAPHRASES an
+# eval document shares no 8-gram and sails through both, but its
+# embedding sits within cosine τ of the eval embedding. Same eval slice
+# convention (md5 bucket, salt "eval:", < _EVAL_MAX ≈ 5%) keyed on
+# vec_id (= doc_id for the embeddings fixture), so the three
+# decontamination tiers are directly comparable. Per-language report
+# over the train side plus an md5 manifest of the contaminated ids —
+# the counts alone would hash-collide across wrong flag assignments
+# that preserve totals.
+#
+# Plan/scale notes on the operator
+# (operators/similarity.py::semantic_decontaminate): eval collects to
+# ONE broadcast row (bounded seeds-row idiom), train is a narrow
+# per-row EXISTS map — no shuffle beyond the final report aggregate.
+# --------------------------------------------------------------------------
+_SEMDECON_T = 0.35
+
+_SEMDECON_ORACLE = f"""
+    WITH qflat AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(round(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT) AS qx,
+             i
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ),
+    norms AS MATERIALIZED (
+      SELECT vec_id,
+             round(sqrt(CAST(CAST(SUM(qx * qx) AS BIGINT) AS DOUBLE))
+                   / 10000000.0, 6) AS nrm
+      FROM qflat GROUP BY vec_id
+    ),
+    flags AS (
+      SELECT vec_id,
+             {_BUCKET_SQL.format(salt='eval:').replace('doc_id', 'vec_id')}
+               < '{_EVAL_MAX}' AS is_eval
+      FROM embeddings
+    ),
+    pairdots AS (
+      SELECT ft.vec_id AS tid, fe.vec_id AS eid,
+             CAST(SUM(a.qx * b.qx) AS BIGINT) AS dg
+      FROM flags ft
+      JOIN flags fe ON fe.is_eval AND NOT ft.is_eval
+      JOIN qflat a ON a.vec_id = ft.vec_id
+      JOIN qflat b ON b.vec_id = fe.vec_id AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    contaminated AS (
+      SELECT DISTINCT p.tid AS vec_id
+      FROM pairdots p
+      JOIN norms na ON p.tid = na.vec_id
+      JOIN norms nb ON p.eid = nb.vec_id
+      WHERE round((CAST(p.dg AS DOUBLE) / 100000000000000.0)
+                  / (na.nrm * nb.nrm), 6) >= {_SEMDECON_T}
+    ),
+    train AS (
+      SELECT f.vec_id, d.lang
+      FROM flags f JOIN documents d ON d.doc_id = f.vec_id
+      WHERE NOT f.is_eval
+    )
+    SELECT t.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_train,
+           CAST(COUNT(c.vec_id) AS BIGINT) AS n_contaminated,
+           CAST(COUNT(*) - COUNT(c.vec_id) AS BIGINT) AS n_clean,
+           md5(COALESCE(string_agg(
+               CASE WHEN c.vec_id IS NOT NULL
+                    THEN CAST(t.vec_id AS VARCHAR) END, ','
+               ORDER BY t.vec_id), '')) AS contaminated_md5
+    FROM train t LEFT JOIN contaminated c USING (vec_id)
+    GROUP BY t.lang
+"""
+
+
+@query(
+    "pipeline_decontaminate_semantic",
+    oracle=_SEMDECON_ORACLE,
+    tags=("L1", "L2", "J1", "J9", "A1", "A4"),
+)
+def pipeline_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_eval = (
+        F.substring(
+            F.md5(F.concat(F.lit("eval:"), F.col("vec_id").cast("string"))),
+            1,
+            4,
+        )
+        < _EVAL_MAX
+    )
+    flagged = semantic_decontaminate(emb, is_eval, threshold=_SEMDECON_T)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        flagged.join(docs, flagged.vec_id == docs.doc_id)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.count(F.when(F.col("contaminated"), 1)).alias(
+                "n_contaminated"
+            ),
+            (
+                F.count(F.lit(1)) - F.count(F.when(F.col("contaminated"), 1))
+            ).alias("n_clean"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("contaminated"), F.col("vec_id")
+                                )
+                            )
+                        ),
+                        lambda v: v.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("contaminated_md5"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # dedup_span_scrub — C4/ExactSubstr-style span REMOVAL with reconstruction.
 #
 # The scrubbing complement of dedup_substring_spans above: that query

@@ -2373,3 +2373,32 @@ def test_span_scrub_semantics(spark):
     }
     assert out2[6] == (0, "w1 w2 w3 w4")
     assert out2[7] == (4, "uniq")
+
+
+def test_semantic_decontaminate_planted(spark):
+    """semantic_decontaminate on planted vectors: a train vector
+    identical to an eval vector flags (cos 1.0), an orthogonal one does
+    not, an ANTI-parallel one does not (cosine -1 < tau), and eval rows
+    never appear in the output."""
+    from pyspark.sql import functions as F
+
+    from ppdb_parser_spark.operators.similarity import semantic_decontaminate
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),   # eval
+        (1, [0.0, 1.0, 0.0]),   # eval
+        (10, [1.0, 0.0, 0.0]),  # train == eval 0 -> contaminated
+        (11, [0.0, 0.0, 1.0]),  # train orthogonal -> clean
+        (12, [-1.0, 0.0, 0.0]), # train anti-parallel -> clean
+        (13, [0.7, 0.7, 0.0]),  # cos ~0.707 to both evals -> contaminated
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = {
+        r["vec_id"]: r["contaminated"]
+        for r in semantic_decontaminate(
+            emb, F.col("vec_id") < 2, threshold=0.35
+        ).collect()
+    }
+    assert out == {10: True, 11: False, 12: False, 13: True}

@@ -248,3 +248,52 @@ def test_np_round_half_away_is_exact_f_round(vals):
         for v in vals
     ]
     assert [int(x) for x in got] == want
+
+
+# --------------------------------------------------------------------------
+# span_scrub vs a direct per-corpus Python reference: the C4-style rule
+# (every n-gram occurring in >=2 docs keeps only its min-id carrier;
+# covered positions union; survivors re-join in order) re-derived with
+# plain dicts, so the distributed window + anti-join plan is checked
+# against an independent restatement on random corpora — including
+# overlapping spans, same-doc repeats, sub-n docs and scrub-to-empty.
+# --------------------------------------------------------------------------
+def _span_scrub_ref(corpus: list[str], n: int):
+    owner: dict[tuple, int] = {}
+    occs: dict[int, list[tuple[int, tuple]]] = {}
+    for did, text in enumerate(corpus):
+        toks = text.split(" ")
+        occs[did] = [
+            (i, tuple(toks[i : i + n])) for i in range(len(toks) - n + 1)
+        ]
+        for _, g in occs[did]:
+            owner[g] = min(owner.get(g, did), did)
+    out = {}
+    for did, text in enumerate(corpus):
+        toks = text.split(" ")
+        cov = set()
+        for i, g in occs[did]:
+            if owner[g] != did:
+                cov.update(range(i, i + n))
+        kept = [t for j, t in enumerate(toks) if j not in cov]
+        out[did] = (len(toks), len(cov), " ".join(kept))
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_corpus, n=st.sampled_from([2, 3]))
+def test_span_scrub_equals_reference_random_corpora(spark, corpus, n):
+    from ppdb_parser_spark.operators.dedup import span_scrub
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tok"], r["n_removed"], r["scrub_text"])
+        for r in span_scrub(docs, n=n).collect()
+    }
+    assert got == _span_scrub_ref(corpus, n)

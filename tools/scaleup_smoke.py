@@ -1115,6 +1115,68 @@ def main() -> None:
             )
             print(f"  -> {sk / s1:.1f}x time for {k}x fresh-vocab corpus")
 
+    if "scrubscale" in only:
+        # span_scrub growth law (the C4-style scrub, round 11): fresh-
+        # vocab copies keep per-universe duplication structure while
+        # sharing zero spans across copies, so both corpus-sized
+        # exchanges — the span-key owner window and the (doc_id, pos)
+        # anti join — should scale ~linearly. The ×n position expansion
+        # touches only the duplicated mass, which also grows ~k-fold.
+        from ppdb_parser_spark.operators.dedup import span_scrub
+
+        def scrub_report(frame):
+            return span_scrub(frame, n=12)
+
+        c1 = timed("span_scrub 1x", scrub_report(docs))
+        for k in (16, 64):
+            ck = timed(
+                f"span_scrub {k}x",
+                scrub_report(_fresh_vocab_union(docs, k)),
+            )
+            print(f"  -> {ck / c1:.1f}x time for {k}x fresh-vocab corpus")
+
+    if "semdeconscale" in only:
+        # semantic_decontaminate growth law (round 11): the eval side is
+        # FIXED (collected once, broadcast once) while the train side
+        # grows k-fold via id-shifted copies — the realistic shape (the
+        # benchmark suite does not grow with the corpus). The per-row
+        # EXISTS map is shuffle-free, so wall should scale ~linearly in
+        # train rows with a constant broadcast term.
+        from ppdb_parser_spark.operators.similarity import (
+            semantic_decontaminate,
+        )
+
+        emb = load_table(spark, sf, "embeddings")
+        # only BASE-copy ids are eval-eligible (shifted ids sit above
+        # the 10M offset), so the eval row count is identical at every
+        # rung and only the train side grows
+        is_eval = (
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("eval:"), F.col("vec_id").cast("string"))
+                ),
+                1,
+                4,
+            )
+            < "0ccc"
+        ) & (F.col("vec_id") < 10_000_000)
+
+        def decon_report(frame):
+            return (
+                semantic_decontaminate(frame, is_eval, threshold=0.35)
+                .groupBy("contaminated")
+                .count()
+            )
+
+        m1 = timed("semantic_decontaminate 1x", decon_report(emb))
+        for k in (16, 64):
+            mk = timed(
+                f"semantic_decontaminate {k}x",
+                decon_report(_shifted_union(emb, "vec_id", k)),
+            )
+            print(f"  -> {mk / m1:.1f}x time for {k}x train side "
+                  "(eval side fixed)")
+
     if "dsirscale" in only:
         # DSIR importance reweighting under corpus growth: the 4096-row
         # bucket-weight table is corpus-size-independent (broadcast), so
