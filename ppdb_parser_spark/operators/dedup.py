@@ -205,6 +205,80 @@ def span_scrub(
     )
 
 
+def span_scrub_intra(
+    df: DataFrame,
+    n: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Intra-document repeated-span removal (the RefinedWeb/C4
+    line-dedup analog at n-gram granularity): within EACH document,
+    every ``n``-token span keeps only its FIRST occurrence — later
+    occurrences have their token positions deleted — and the surviving
+    tokens re-join in order. Cross-document duplication is untouched
+    (that is :func:`span_scrub`'s rule); the two compose.
+
+    Overlap subtlety (deliberate, mirrored by the oracle): positions
+    covered by the first occurrence of one span may still be deleted by
+    a LATER occurrence of a DIFFERENT span — coverage is the union over
+    all non-first occurrences, computed on the original text's
+    positions (single-pass semantics, not iterated to fixpoint).
+
+    Plan shape: one exchange keyed by (id, shingle) for the min-start
+    window, one (id, pos) anti join — both corpus-sized, the same cost
+    class as :func:`span_scrub`; at 100 TB the shingle key becomes
+    xxhash64-int64 exactly as documented there.
+    """
+    from pyspark.sql import Window
+
+    occ = word_shingles_pos(
+        df, n, id_col, text_col, min_partitions=min_partitions
+    )
+    first = F.min("start").over(
+        Window.partitionBy(id_col, "shingle")
+    )
+    covered = (
+        occ.withColumn("first_start", first)
+        .filter(F.col("start") != F.col("first_start"))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos0", "token"),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "token")
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+        ).alias("scrub_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tok"),
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_tok",
+        (F.col("n_tok") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.coalesce(F.col("scrub_text"), F.lit("")).alias("scrub_text"),
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,

@@ -538,6 +538,87 @@ def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# dedup_span_scrub_intra — intra-document repeated-span removal.
+#
+# The in-document sibling of dedup_span_scrub above (RefinedWeb §"line
+# dedup" / C4's repeated-content rules, at n-gram granularity): within
+# each document every 3-token span keeps only its FIRST occurrence,
+# later occurrences are deleted, text is rebuilt. n=3 here (not the
+# cross-doc 12): intra-doc boilerplate repeats at short range, and the
+# fixture's synthetic docs carry plentiful repeated trigrams while a
+# repeated 12-gram within one doc is vanishingly rare — the cross-doc
+# and intra-doc rules deliberately probe different n regimes.
+# --------------------------------------------------------------------------
+_SCRUB_INTRA_N = 3
+
+_SPAN_SCRUB_INTRA_ORACLE = f"""
+    WITH base AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    occ AS (
+      SELECT doc_id,
+             struct_extract(s, 'start') AS start,
+             struct_extract(s, 'g') AS g
+      FROM (
+        SELECT doc_id,
+               unnest([{{'start': i,
+                         'g': array_to_string(t[i:i+{_SCRUB_INTRA_N}-1], ' ')}}
+                       for i in range(1, len(t)-{_SCRUB_INTRA_N}+2)]) AS s
+        FROM base WHERE len(t) >= {_SCRUB_INTRA_N}
+      )
+    ),
+    marked AS (
+      SELECT doc_id, start,
+             MIN(start) OVER (PARTITION BY doc_id, g) AS first_start
+      FROM occ
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, start + d AS pos
+      FROM (SELECT doc_id, start FROM marked WHERE start <> first_start)
+      CROSS JOIN (SELECT unnest(range(0, {_SCRUB_INTRA_N})) AS d)
+    ),
+    toks AS (
+      SELECT doc_id, unnest(t) AS token,
+             unnest(range(1, len(t) + 1)) AS pos
+      FROM base
+    ),
+    kept AS (
+      SELECT k.doc_id, k.pos, k.token
+      FROM toks k LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.pos = k.pos
+      WHERE c.doc_id IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS scrub_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.t) AS BIGINT) AS n_tok,
+           CAST(len(b.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           md5(COALESCE(a.scrub_text, '')) AS scrub_md5
+    FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query(
+    "dedup_span_scrub_intra",
+    oracle=_SPAN_SCRUB_INTRA_ORACLE,
+    tags=("O6", "W4", "J5", "A4", "X4"),
+)
+def dedup_span_scrub_intra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = DD.span_scrub_intra(
+        docs,
+        n=_SCRUB_INTRA_N,
+        min_partitions=spark.sparkContext.defaultParallelism,
+    )
+    return scrubbed.select(
+        "doc_id",
+        "n_tok",
+        "n_removed",
+        F.md5("scrub_text").alias("scrub_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
 # pipeline_dsir_weights — hashed-n-gram importance reweighting (DSIR).
 #
 # Data Selection via Importance Resampling (Xie et al. 2023,

@@ -2402,3 +2402,33 @@ def test_semantic_decontaminate_planted(spark):
         ).collect()
     }
     assert out == {10: True, 11: False, 12: False, 13: True}
+
+
+def test_span_scrub_intra_semantics(spark):
+    """span_scrub_intra: later same-doc occurrences removed, first kept;
+    cross-doc duplication untouched; single-pass coverage on original
+    positions (a span overlapping a removed region still keeps its own
+    first occurrence)."""
+    from ppdb_parser_spark.operators.dedup import span_scrub_intra
+
+    docs = spark.createDataFrame(
+        [
+            # "x y z" repeats at starts 1 and 4 -> positions 4-6 removed
+            (1, "x y z x y z"),
+            # same text in another doc: intra rule treats docs alone
+            (2, "x y z x y z"),
+            # no intra repeats -> untouched
+            (3, "a b c d"),
+            # shorter than n -> untouched
+            (4, "p q"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tok"], r["n_removed"], r["scrub_text"])
+        for r in span_scrub_intra(docs, n=3).collect()
+    }
+    assert out[1] == (6, 3, "x y z")
+    assert out[2] == (6, 3, "x y z")
+    assert out[3] == (4, 0, "a b c d")
+    assert out[4] == (2, 0, "p q")

@@ -297,3 +297,39 @@ def test_span_scrub_equals_reference_random_corpora(spark, corpus, n):
         for r in span_scrub(docs, n=n).collect()
     }
     assert got == _span_scrub_ref(corpus, n)
+
+
+def _span_scrub_intra_ref(corpus: list[str], n: int):
+    out = {}
+    for did, text in enumerate(corpus):
+        toks = text.split(" ")
+        first: dict[tuple, int] = {}
+        occ = [(i, tuple(toks[i : i + n])) for i in range(len(toks) - n + 1)]
+        for i, g in occ:
+            first.setdefault(g, i)
+        cov = set()
+        for i, g in occ:
+            if first[g] != i:
+                cov.update(range(i, i + n))
+        kept = [t for j, t in enumerate(toks) if j not in cov]
+        out[did] = (len(toks), len(cov), " ".join(kept))
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_corpus, n=st.sampled_from([2, 3]))
+def test_span_scrub_intra_equals_reference_random_corpora(spark, corpus, n):
+    from ppdb_parser_spark.operators.dedup import span_scrub_intra
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tok"], r["n_removed"], r["scrub_text"])
+        for r in span_scrub_intra(docs, n=n).collect()
+    }
+    assert got == _span_scrub_intra_ref(corpus, n)
