@@ -619,6 +619,196 @@ def dedup_span_scrub_intra(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# pipeline_scrub_cascade — the two scrubbers composed into one lineage.
+#
+# Stage 0: intra-document scrub (n=3, first occurrence kept) — remove
+# in-doc boilerplate FIRST so it cannot manufacture cross-doc span
+# collisions; stage 1: cross-document scrub (n=12, min-id canonical)
+# on the REBUILT text; stage 2: per-language report over both stages —
+# doc/token counts, per-stage removed mass, docs scrubbed to empty,
+# distinct final texts (the exact-dedup collapse the scrubbed corpus
+# feeds), plus an md5 manifest of per-doc total removals so a wrong
+# flag assignment that preserves the sums still hash-fails.
+#
+# The point of the query (beyond the report): the scrub operators
+# compose — stage 1 consumes stage 0's reconstructed text column, not
+# the original relation, and the DuckDB oracle chains the same two CTE
+# pipelines end-to-end.
+# --------------------------------------------------------------------------
+_CASCADE_ORACLE = f"""
+    WITH base1 AS (
+      SELECT doc_id, lang, str_split(text, ' ') AS t FROM documents
+    ),
+    occ1 AS (
+      SELECT doc_id,
+             struct_extract(s, 'start') AS start,
+             struct_extract(s, 'g') AS g
+      FROM (
+        SELECT doc_id,
+               unnest([{{'start': i,
+                         'g': array_to_string(t[i:i+{_SCRUB_INTRA_N}-1], ' ')}}
+                       for i in range(1, len(t)-{_SCRUB_INTRA_N}+2)]) AS s
+        FROM base1 WHERE len(t) >= {_SCRUB_INTRA_N}
+      )
+    ),
+    marked1 AS (
+      SELECT doc_id, start,
+             MIN(start) OVER (PARTITION BY doc_id, g) AS first_start
+      FROM occ1
+    ),
+    cov1 AS (
+      SELECT DISTINCT doc_id, start + d AS pos
+      FROM (SELECT doc_id, start FROM marked1 WHERE start <> first_start)
+      CROSS JOIN (SELECT unnest(range(0, {_SCRUB_INTRA_N})) AS d)
+    ),
+    toks1 AS (
+      SELECT doc_id, unnest(t) AS token,
+             unnest(range(1, len(t) + 1)) AS pos
+      FROM base1
+    ),
+    kept1 AS (
+      SELECT k.doc_id, k.pos, k.token
+      FROM toks1 k LEFT JOIN cov1 c ON c.doc_id = k.doc_id AND c.pos = k.pos
+      WHERE c.doc_id IS NULL
+    ),
+    stage1 AS MATERIALIZED (
+      SELECT b.doc_id, b.lang,
+             CAST(len(b.t) AS BIGINT) AS n_tok0,
+             CAST(len(b.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS intra_removed,
+             COALESCE(a.text1, '') AS text1
+      FROM base1 b LEFT JOIN (
+        SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS text1,
+               COUNT(*) AS n_kept
+        FROM kept1 GROUP BY doc_id
+      ) a USING (doc_id)
+    ),
+    base2 AS (
+      SELECT doc_id, lang, n_tok0, intra_removed,
+             str_split(text1, ' ') AS t
+      FROM stage1
+    ),
+    occ2 AS (
+      SELECT doc_id,
+             struct_extract(s, 'start') AS start,
+             struct_extract(s, 'g') AS g
+      FROM (
+        SELECT doc_id,
+               unnest([{{'start': i,
+                         'g': array_to_string(t[i:i+{_SCRUB_N}-1], ' ')}}
+                       for i in range(1, len(t)-{_SCRUB_N}+2)]) AS s
+        FROM base2 WHERE len(t) >= {_SCRUB_N}
+      )
+    ),
+    marked2 AS (
+      SELECT doc_id, start,
+             MIN(doc_id) OVER (PARTITION BY g) AS owner
+      FROM occ2
+    ),
+    cov2 AS (
+      SELECT DISTINCT doc_id, start + d AS pos
+      FROM (SELECT doc_id, start FROM marked2 WHERE doc_id <> owner)
+      CROSS JOIN (SELECT unnest(range(0, {_SCRUB_N})) AS d)
+    ),
+    toks2 AS (
+      SELECT doc_id, unnest(t) AS token,
+             unnest(range(1, len(t) + 1)) AS pos
+      FROM base2
+    ),
+    kept2 AS (
+      SELECT k.doc_id, k.pos, k.token
+      FROM toks2 k LEFT JOIN cov2 c ON c.doc_id = k.doc_id AND c.pos = k.pos
+      WHERE c.doc_id IS NULL
+    ),
+    stage2 AS (
+      SELECT b.doc_id, b.lang, b.n_tok0, b.intra_removed,
+             CAST(len(b.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS cross_removed,
+             COALESCE(a.text2, '') AS text2
+      FROM base2 b LEFT JOIN (
+        SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS text2,
+               COUNT(*) AS n_kept
+        FROM kept2 GROUP BY doc_id
+      ) a USING (doc_id)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok0) AS BIGINT) AS sum_tok0,
+           CAST(SUM(intra_removed) AS BIGINT) AS sum_intra_removed,
+           CAST(SUM(cross_removed) AS BIGINT) AS sum_cross_removed,
+           CAST(COUNT(CASE WHEN text2 = '' THEN 1 END) AS BIGINT)
+             AS n_empty_after,
+           CAST(COUNT(DISTINCT text2) AS BIGINT) AS n_distinct_texts,
+           md5(string_agg(
+               CAST(doc_id AS VARCHAR) || ':'
+                 || CAST(intra_removed + cross_removed AS VARCHAR),
+               ',' ORDER BY doc_id)) AS removal_md5
+    FROM stage2
+    GROUP BY lang
+"""
+
+
+@query(
+    "pipeline_scrub_cascade",
+    oracle=_CASCADE_ORACLE,
+    tags=("O5", "O6", "A1", "A2", "A4", "J5", "W4", "X1"),
+)
+def pipeline_scrub_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mp = spark.sparkContext.defaultParallelism
+    intra = DD.span_scrub_intra(docs, n=_SCRUB_INTRA_N, min_partitions=mp)
+    cross = DD.span_scrub(
+        intra.select("doc_id", F.col("scrub_text").alias("text")),
+        n=_SCRUB_N,
+    )
+    joined = (
+        intra.select(
+            "doc_id",
+            F.col("n_tok").alias("n_tok0"),
+            F.col("n_removed").alias("intra_removed"),
+        )
+        .join(
+            cross.select(
+                "doc_id",
+                F.col("n_removed").alias("cross_removed"),
+                F.col("scrub_text").alias("text2"),
+            ),
+            "doc_id",
+        )
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok0").alias("sum_tok0"),
+        F.sum("intra_removed").alias("sum_intra_removed"),
+        F.sum("cross_removed").alias("sum_cross_removed"),
+        F.count(F.when(F.col("text2") == "", 1)).alias("n_empty_after"),
+        F.countDistinct("text2").alias("n_distinct_texts"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "doc_id",
+                                (
+                                    F.col("intra_removed")
+                                    + F.col("cross_removed")
+                                ).alias("tot"),
+                            )
+                        )
+                    ),
+                    lambda s: F.concat(
+                        s["doc_id"].cast("string"),
+                        F.lit(":"),
+                        s["tot"].cast("string"),
+                    ),
+                ),
+                ",",
+            )
+        ).alias("removal_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
 # pipeline_dsir_weights — hashed-n-gram importance reweighting (DSIR).
 #
 # Data Selection via Importance Resampling (Xie et al. 2023,
