@@ -293,7 +293,11 @@ _LAST_DRIVER_ROUND = {
 # sim_cosine_topk, sim_neighbors_docs) and one representative per kernel
 # family re-certifies the bytes-aware block sizing (VERDICT item 1 —
 # dedup_semantic_gemm, sim_ivf_topk; blocking never changes values, but
-# the n_blocks derivation is new plan input).
+# the n_blocks derivation is new plan input). Mid-round additions (same
+# rule — plans changed, values proven unchanged, driver re-cert wanted):
+# the three norm-hoisted LSH refine consumers (sim_lsh_pairs_checked,
+# sim_lsh_jl_screened_pairs, dedup_embedding_checked) and the
+# d0-checkpointed pipeline_corpus_curation_v3.
 _ROUND11_PRIORITY = (
     "mm_dhash_near",
     "pattern_scd2_pointintime",
@@ -323,6 +327,10 @@ _ROUND11_PRIORITY = (
     "sim_neighbors_docs",
     "dedup_semantic_gemm",
     "sim_ivf_topk",
+    "sim_lsh_pairs_checked",
+    "sim_lsh_jl_screened_pairs",
+    "dedup_embedding_checked",
+    "pipeline_corpus_curation_v3",
 )
 
 
