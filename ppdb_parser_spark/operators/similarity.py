@@ -2567,6 +2567,8 @@ def semantic_decontaminate(
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tier: str = "gemm",
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Embedding-space decontamination: every TRAIN vector whose cosine
     to ANY EVAL vector reaches ``threshold`` is flagged contaminated —
@@ -2589,11 +2591,26 @@ def semantic_decontaminate(
     broadcasts; the train side is a narrow per-row EXISTS map — zero
     shuffles beyond the broadcast. That is the right shape because an
     eval suite is small BY CONSTRUCTION (benchmarks, ~10⁵ vectors ≈
-    tens of MB quantized) while train is the 100 TB side; per-row cost
-    is O(|eval|·dim) interpreted terms, and if the eval suite grows
-    past what the interpreter tolerates the assignment-kernel route
-    (:func:`gemm_assign_cells` with eval vectors as cells, keeping the
-    max instead of the argmax) is the established tier."""
+    tens of MB quantized) while train is the 100 TB side.
+
+    ``tier``: the compare is O(|eval|·dim) PER TRAIN ROW — the exact
+    map class the round-10 kernel family exists for, and the 256×
+    ladder measured the interpreted EXISTS at 91 s for 512k train ×
+    ~100 eval (~28 ns/term — pure interpreter). ``"gemm"`` (default)
+    therefore routes the train side through the
+    :func:`gemm_assign_cells` block layout: rows group into
+    :func:`kernel_block_count`-sized blocks (one eval-matrix copy per
+    BLOCK, not per row), numpy computes the exact int64 ``Q @ Eᵀ``
+    (in-range by ``_sem_quant``'s enforced |x| ≤ 37 bound), converts
+    and divides with the in-plan parenthesization pinned — doubles
+    bit-identical to the JVM's — and decides ``round(cos, 6) ≥ τ`` on
+    the per-row MAX (rounding is monotone, so the max pair decides the
+    EXISTS), with a Decimal(repr) half-up fallback only within 1e-9 of
+    the decision boundary. ``"hof"`` keeps the in-plan EXISTS as the
+    A/B tier; the kernel raises on a zero norm (no NaN ordering may
+    silently decide a flag). Equivalence pinned by
+    tests/test_operators.py::test_semantic_decontaminate_tier_equivalence.
+    """
     q = df.select(
         F.col(id_col),
         eval_col.alias("__ev"),
@@ -2611,20 +2628,97 @@ def semantic_decontaminate(
             )
         ).alias("evs")
     )
-    hit = F.exists(
-        F.col("evs"),
-        lambda e: F.round(
-            (_sem_qdot(F.col("__qv"), e["qe"]) / float(SEM_QSCALE) ** 2)
-            / (F.col("__nrm") * e["ne"]),
-            6,
+    if tier == "hof":
+        hit = F.exists(
+            F.col("evs"),
+            lambda e: F.round(
+                (_sem_qdot(F.col("__qv"), e["qe"]) / float(SEM_QSCALE) ** 2)
+                / (F.col("__nrm") * e["ne"]),
+                6,
+            )
+            >= F.lit(threshold),
         )
-        >= F.lit(threshold),
+        return (
+            q.filter(~F.col("__ev"))
+            .crossJoin(F.broadcast(ev_row))
+            .select(id_col, hit.alias("contaminated"))
+        )
+    if tier != "gemm":
+        raise ValueError(f"tier must be 'gemm' or 'hof', got {tier!r}")
+
+    id_type = dict(df.dtypes)[id_col]
+    proj = q.filter(~F.col("__ev")).select(id_col, "__qv", "__nrm")
+    n_blocks = kernel_block_count(proj, n_blocks)
+    blocks = (
+        proj.withColumn(
+            "__blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+        )
+        .groupBy("__blk")
+        .agg(
+            F.collect_list(F.struct(id_col, "__qv", "__nrm")).alias(
+                "ablock"
+            )
+        )
     )
-    return (
-        q.filter(~F.col("__ev"))
-        .crossJoin(F.broadcast(ev_row))
-        .select(id_col, hit.alias("contaminated"))
-    )
+    ctx = blocks.crossJoin(F.broadcast(ev_row))
+    out_schema = f"`{id_col}` {id_type}, contaminated boolean"
+    thr = float(threshold)
+
+    def flag_blocks(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        tau = Decimal(str(thr))
+        grid6 = Decimal("0.000001")
+        # real decision boundary of round-half-up at 6 places: the
+        # smallest real that rounds to >= tau is tau - 5e-7
+        thr_b = thr - 5e-7
+        for pdf in batches:
+            for ablock, evs in zip(pdf["ablock"], pdf["evs"]):
+                ids = [r[id_col] for r in ablock]
+                if not len(evs):
+                    # EXISTS over an empty eval suite is false — same
+                    # as the HOF tier
+                    yield pd.DataFrame(
+                        {id_col: ids, "contaminated": [False] * len(ids)}
+                    )
+                    continue
+                Q = np.array([r["__qv"] for r in ablock], dtype=np.int64)
+                na = np.array(
+                    [r["__nrm"] for r in ablock], dtype=np.float64
+                )
+                E = np.array([e["qe"] for e in evs], dtype=np.int64)
+                ne = np.array([e["ne"] for e in evs], dtype=np.float64)
+                if Q.size == 0:
+                    Q = Q.reshape(0, E.shape[1])
+                if not (na.all() and ne.all()):
+                    raise ValueError(
+                        "semantic_decontaminate: zero norm in train or "
+                        "eval — a NaN cosine may not decide a flag"
+                    )
+                # exact int64 GEMM (in-range by _sem_quant's bound),
+                # then the in-plan parenthesization pinned:
+                # (dot as double / 1e14) / (nrm * ne)
+                D = (Q @ E.T).astype(np.float64)
+                C = (D / float(SEM_QSCALE) ** 2) / (
+                    na[:, None] * ne[None, :]
+                )
+                m = C.max(axis=1) if len(ids) else C.reshape(0)
+                flags = m > thr_b + 1e-9
+                for r in np.nonzero(np.abs(m - thr_b) <= 1e-9)[0]:
+                    flags[r] = (
+                        Decimal(repr(float(m[r]))).quantize(
+                            grid6, rounding=ROUND_HALF_UP
+                        )
+                        >= tau
+                    )
+                yield pd.DataFrame(
+                    {id_col: ids, "contaminated": flags}
+                )
+
+    return ctx.mapInPandas(flag_blocks, out_schema)
 
 
 def _sem_argmax_cell(qv: Column, nrm: Column, arr: Column) -> Column:

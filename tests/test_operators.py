@@ -2432,3 +2432,35 @@ def test_span_scrub_intra_semantics(spark):
     assert out[2] == (6, 3, "x y z")
     assert out[3] == (4, 0, "a b c d")
     assert out[4] == (2, 0, "p q")
+
+
+def test_semantic_decontaminate_tier_equivalence(spark):
+    """The gemm (Arrow int64 GEMM + max-decides-EXISTS) and hof
+    (in-plan per-pair EXISTS) tiers of semantic_decontaminate return
+    IDENTICAL flags — on the fixture embeddings at several thresholds
+    including ones near the observed cosine mass."""
+    from pyspark.sql import functions as F
+
+    from ppdb_parser_spark.operators.similarity import semantic_decontaminate
+    from ppdb_parser_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    is_eval = (
+        F.substring(
+            F.md5(F.concat(F.lit("eval:"), F.col("vec_id").cast("string"))),
+            1,
+            4,
+        )
+        < "0ccc"
+    )
+
+    def rows(t, thr):
+        return sorted(
+            (r["vec_id"], r["contaminated"])
+            for r in semantic_decontaminate(
+                emb, is_eval, threshold=thr, tier=t
+            ).collect()
+        )
+
+    for thr in (0.2, 0.35, 0.5, 0.9):
+        assert rows("gemm", thr) == rows("hof", thr), thr

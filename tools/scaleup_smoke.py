@@ -1161,21 +1161,25 @@ def main() -> None:
             < "0ccc"
         ) & (F.col("vec_id") < 10_000_000)
 
-        def decon_report(frame):
+        def decon_report(frame, t):
             return (
-                semantic_decontaminate(frame, is_eval, threshold=0.35)
+                semantic_decontaminate(frame, is_eval, threshold=0.35, tier=t)
                 .groupBy("contaminated")
                 .count()
             )
 
-        m1 = timed("semantic_decontaminate 1x", decon_report(emb))
-        for k in (16, 64):
-            mk = timed(
-                f"semantic_decontaminate {k}x",
-                decon_report(_shifted_union(emb, "vec_id", k)),
-            )
-            print(f"  -> {mk / m1:.1f}x time for {k}x train side "
-                  "(eval side fixed)")
+        # A/B both tiers per rung: the interpreted EXISTS is the map
+        # the kernel default exists to replace (round 11: 256x rung
+        # measured hof 91.1 s vs gemm 19.1 s, 4.8x)
+        for t in ("gemm", "hof"):
+            m1 = timed(f"semantic_decontaminate[{t}] 1x", decon_report(emb, t))
+            for k in (16, 64, 256):
+                mk = timed(
+                    f"semantic_decontaminate[{t}] {k}x",
+                    decon_report(_shifted_union(emb, "vec_id", k), t),
+                )
+                print(f"  -> {mk / m1:.1f}x time for {k}x train side "
+                      "(eval side fixed)")
 
     if "dsirscale" in only:
         # DSIR importance reweighting under corpus growth: the 4096-row
