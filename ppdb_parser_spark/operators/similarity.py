@@ -528,6 +528,42 @@ def _round6_half_up(x: float) -> float:
     )
 
 
+def _np_round6(v):
+    """Vectorized ``F.round(x, 6)`` over a float64 array — the batch form
+    of :func:`_round6_half_up`, for kernels whose OUTPUT is the rounded
+    value itself (the pair-refine tier emits round-6 cosines for every
+    surviving pair, so a per-value Decimal would put an interpreter back
+    in the hot path it just left).
+
+    Fast path: ``y = |v|·1e6`` has absolute error < 1.2e-10 (rel 2⁻⁵³ at
+    |v| ≤ 1 scaled by 1e6) and the shortest-repr decimal F.round actually
+    parses differs from v by < half an ulp (< 5.6e-11 scaled). So when
+    the fraction of y is ≥ 1e-8 away from the 0.5 midpoint, plain
+    floor/ceil on y equals HALF_UP on the decimal — both errors are two
+    orders of magnitude inside the guard. Only values INSIDE the guard
+    band (possible midpoint stragglers, O(near-boundary values) not
+    O(rows)) fall back to the exact Decimal path. Zeros are normalized
+    to +0.0: the JVM's BigDecimal has no signed zero, so ``F.round``
+    returns +0.0 where ``copysign`` would produce −0.0.
+
+    Values are BIT-IDENTICAL to ``F.round``: the fast path's
+    ``k / 1e6`` is the correctly-rounded double of the decimal k·10⁻⁶ —
+    the same double ``BigDecimal.setScale(6).doubleValue()`` returns."""
+    import numpy as np
+
+    a = np.abs(v)
+    y = a * 1e6
+    fy = np.floor(y)
+    frac = y - fy
+    out = np.copysign((fy + (frac >= 0.5)) / 1e6, v)
+    risky = np.abs(frac - 0.5) < 1e-8
+    if risky.any():
+        idx = np.nonzero(risky)[0]
+        out[idx] = [_round6_half_up(float(v[i])) for i in idx]
+    out[out == 0.0] = 0.0
+    return out
+
+
 def brute_cosine_pairs_blocked(
     df: DataFrame,
     threshold: float = 0.8,
@@ -1949,7 +1985,29 @@ def _lsh_band_candidates(
     n_planes × dim per-term ``F.round`` interpreter work per row — runs
     via :func:`gemm_lsh_bits` (shuffle-free narrow Arrow map, exact
     int64 signs, identical buckets → oracles unchanged); ``"hof"``
-    keeps the in-plan form."""
+    keeps the in-plan form.
+
+    Pair dedup (round 12): a pair colliding in k bands used to be
+    emitted k times and collapsed by ``.distinct()`` — a second
+    corpus-pair-scale exchange (~4 M pre-distinct rows for 1.79 M pairs
+    at sf0.1, ~1 s of the candidate wall). Standard LSH first-match
+    emission replaces it: each side carries its full packed signature
+    (one int64 — ``conv(band_{B-1}‖…‖band_0, 2, 10)``, band j at bits
+    [j·bpb, (j+1)·bpb)), and a joined pair survives only in its LOWEST
+    colliding band: with ``x = pa XOR pb``, fold each bpb-bit group's
+    OR into its LSB (``t = (x | x≫1 | … | x≫(bpb−1)) & lsbmask``), then
+    require every group below the join's band to be nonzero
+    (``(~t) & lsbmask & ((1≪(bpb·band))−1) == 0``). Pure codegen-able
+    int ops per joined row; the emitted SET is exactly the old distinct
+    (each colliding pair has a unique lowest band), so every downstream
+    oracle is unchanged. The one exchange this keeps is a deliberate
+    PRE-FAN-OUT repartition of the banded relation (n·bands rows — the
+    cheap side, ~16 k rows at sf0.1): the removed distinct was also the
+    exchange that spread the pair-scale work across cores, and without
+    a replacement the band join, screens, and refine kernel all inherit
+    the parquet scan's single partition (measured: the jl-screened
+    refine ran 2× SLOWER than the distinct form until this moved the
+    exchange from the 4 M-row pair stream to the 16 k-row banded side)."""
     planes = lsh_planes(n_planes, dim, seed)
     bits_per_band = n_planes // n_bands
     if sig_tier == "gemm":
@@ -1992,63 +2050,226 @@ def _lsh_band_candidates(
             for b in range(n_bands)
         ]
         sig = sig.select(id_col, vec_col, *band_cols)
+    packed = F.conv(
+        F.concat_ws(
+            "", *[F.col(f"band{b}") for b in reversed(range(n_bands))]
+        ),
+        2,
+        10,
+    ).cast("long")
     banded = sig.select(
-        id_col,
+        F.col(id_col),
+        packed.alias("psig"),
         F.posexplode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias(
             "band", "band_sig"
         ),
+    ).repartition(
+        # EXPLICIT count, not .repartition(col): AQE prices the exchange
+        # by its tiny pre-fan-out input (n·bands rows) and coalesces a
+        # count-less repartition to ONE partition — putting the 4 M-row
+        # band-join fan-out, the JL screen, and the refine kernel all on
+        # a single core (measured 2× the whole-query wall at sf0.1). A
+        # user-specified count is exempt from AQE coalescing, keeping
+        # the exploding join spread across the session's shuffle width.
+        int(sig.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        F.col(id_col),
     )
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_sig")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_sig")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("psig").alias("pa"), "band", "band_sig"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("psig").alias("pb"), "band", "band_sig"
+    )
+    lsb_mask = sum(1 << (bits_per_band * j) for j in range(n_bands))
+    x = F.col("pa").bitwiseXOR(F.col("pb"))
+    t = x
+    for k in range(1, bits_per_band):
+        t = t.bitwiseOR(F.shiftright(x, k))
+    t = t.bitwiseAND(F.lit(lsb_mask))
+    prior_mask = F.get(
+        F.array(
+            *[
+                F.lit((1 << (bits_per_band * j)) - 1).cast("long")
+                for j in range(n_bands)
+            ]
+        ),
+        F.col("band"),
+    )
+    first_match = (
+        F.bitwise_not(t).bitwiseAND(F.lit(lsb_mask)).bitwiseAND(prior_mask)
+        == 0
+    )
     return (
         a.join(b, ["band", "band_sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & first_match)
         .select("id_a", "id_b")
-        .distinct()
     )
 
 
-def lsh_similarity_join_exact(
-    df: DataFrame,
-    threshold: float = 0.35,
-    n_planes: int = 16,
-    n_bands: int = 8,
-    seed: int = 42,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def gemm_pair_cosine_refine(
+    pairs: DataFrame,
+    threshold: float,
     *,
-    dim: int,
+    id_type: str,
 ) -> DataFrame:
-    """:func:`lsh_similarity_join` made bit-reproducible cross-engine:
-    signature bits come from int64-grid projections (sign of
-    Σ round(x·h·1e9) — order-independent, no float accumulation at the
-    decision boundary) and the refine cosine runs on the same grid. The
-    candidate SET — not just the refined pairs — is therefore identical
-    in any engine evaluating the same plane constants, which upgrades the
-    hyperplane-LSH tier from a rows-only driver check to a full
-    hash-exact oracle. Same scale shape as the float variant: narrow
-    signature map → band equi-join → exact refine.
-    """
-    cand = _lsh_band_candidates(
-        df, n_planes, n_bands, seed, id_col, vec_col, dim
+    """The banded-LSH EXACT REFINE as an Arrow/numpy kernel — the fourth
+    (and last) member of the kernel family, extending the round-10 rule
+    from per-row maps to PER-PAIR maps: every full-corpus interpreted
+    map defaults to a vectorized kernel.
+
+    Input is the already-joined candidate-pair relation
+    ``(id_a, id_b, va, na, vb, nb)`` (norms precomputed per VECTOR —
+    the round-11 hoist is kept; the kernel never re-reduces ‖v‖).
+    Like :func:`gemm_lsh_bits` this is a pure NARROW map — no extra
+    shuffle, no broadcast context, no collect_list blocks: Arrow batches
+    ARE the blocks, and each batch's O(pairs·dim) grid dot runs as one
+    vectorized ``round((va·vb)·1e9)`` int64 row-sum instead of dim
+    interpreted ``F.round`` BigDecimals per pair. Measured round 12 at
+    sf0.1 (1.79 M candidate pairs × dim 64): `sim_lsh_pairs_checked`
+    10.4 → ~3.5 s, `sim_lsh_jl_screened_pairs` 9.7 → ~3.5 s min-of-3.
+
+    Exactness contract (DuckDB oracles unchanged, hof tier kept as the
+    A/B twin):
+
+    - per-term ``round(va_i·vb_i·1e9)`` replicated by
+      :func:`_np_round_half_away` with the in-plan parenthesization
+      ``(x·y)·1e9`` pinned; int64 sums are exact.
+    - ``cosine = round6((dg/1e9)/(na·nb))`` — int64→double, IEEE
+      divides and the ``na·nb`` product are correctly rounded in both
+      engines; round-6 via :func:`_np_round6` (bit-identical to
+      ``F.round``, Decimal fallback at the midpoint guard band).
+    - zero-norm mirror (probed in this session's ANSI mode, pinned in
+      tests/test_operators.py::test_pair_refine_gemm_equals_hof): the
+      engine runs Spark 4's default ``spark.sql.ansi.enabled=true``,
+      under which the in-plan tier's cosine divide RAISES
+      ``DIVIDE_BY_ZERO`` on a zero-norm pair — it never reaches a
+      NaN/Inf round. The kernel raises ``ValueError`` on the same
+      input class (the :func:`gemm_assign_cells` convention), so the
+      two tiers agree on EVERY input — both succeed bit-identically or
+      both fail loudly (the agreement ADVICE r11 #2 asks for).
+
+    Row chunking caps the elementwise product tensor at ~32 MB per step
+    regardless of Arrow batch size or dim; memory per task is bounded by
+    the batch (``spark.sql.execution.arrow.maxRecordsPerBatch``), not
+    the corpus, so the operator's 100 TB shape is unchanged from the hof
+    form it replaces."""
+    import pandas as pd
+
+    thr = float(threshold)
+
+    def refine_batches(batches):
+        import numpy as np
+
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                yield pd.DataFrame(
+                    {"id_a": [], "id_b": [], "cosine": []}
+                )
+                continue
+            A = np.array(list(pdf["va"]), dtype=np.float64)
+            B = np.array(list(pdf["vb"]), dtype=np.float64)
+            d = A.shape[1]
+            den = pdf["na"].to_numpy(dtype=np.float64) * pdf[
+                "nb"
+            ].to_numpy(dtype=np.float64)
+            dg = np.empty(n, dtype=np.int64)
+            step = max(1, 4_000_000 // max(1, d))
+            for lo in range(0, n, step):
+                t = _np_round_half_away(
+                    (A[lo : lo + step] * B[lo : lo + step]) * 1e9
+                )
+                dg[lo : lo + step] = t.sum(axis=1)
+            if not den.all():
+                # ANSI mirror: the in-plan tier raises DIVIDE_BY_ZERO
+                # on a zero cosine denominator (zero-norm vector)
+                raise ValueError(
+                    "gemm_pair_cosine_refine: zero cosine denominator "
+                    "(zero-norm vector); the hof tier raises "
+                    "DIVIDE_BY_ZERO here under ANSI"
+                )
+            cos = (dg.astype(np.float64) / 1e9) / den
+            r6 = _np_round6(cos)
+            keep = r6 >= thr
+            out = pdf.loc[keep, ["id_a", "id_b"]].reset_index(drop=True)
+            out["cosine"] = r6[keep]
+            yield out
+
+    return pairs.select(
+        "id_a", "id_b", "va", "na", "vb", "nb"
+    ).mapInPandas(
+        refine_batches, f"id_a {id_type}, id_b {id_type}, cosine double"
     )
-    # Per-VECTOR norms once (n rows), not per PAIR: ‖v‖ is a pure
-    # function of the vector, and recomputing it inside the pair-stage
-    # cosine costs two extra 64-term interpreted folds on EVERY
-    # candidate pair — measured round 11 as ~2.8× of the refine wall at
-    # sf0.1 (29.4 s → 10.4 s min-of-3 with the norms joined in
-    # precomputed, values bit-identical; the oracle's own ``vn`` CTE
-    # always had this shape). At sf0.1's τ=0.35 bulk-overlap regime the
-    # band screen passes 1.79 M of the 2.00 M possible pairs (89% — see
-    # the jl variant's docstring on why banding cannot prune there), so
-    # the refine IS an all-pairs-scale scan and every per-pair term
-    # counts.
+
+
+def gemm_jl_screen(
+    pairs: DataFrame, bound: int, *, id_type: str
+) -> DataFrame:
+    """The integer JL distance screen as an Arrow/numpy narrow map —
+    kernel twin of the in-plan ``Σ(jlaⱼ−jlbⱼ)² ≤ bound`` DECIMAL fold
+    (the screen needs 38-digit arithmetic because the ENFORCED |element|
+    ≤ 37 grid bound allows d² sums up to ~2.3e21 — past int64; the
+    decimal fold is therefore interpreted per pair, the exact class the
+    kernel family eliminates).
+
+    Exactness without decimals: ``d = jla − jlb`` is exact int64
+    (|d| < 2³⁶ at the bound), its float64 square-sum carries absolute
+    error < ~16·ulp(2.3e21) ≈ 1e7 — so any pair whose float sum lands
+    ≥ 1e9 away from the bound is decided exactly by the float compare,
+    and only pairs INSIDE the guard band (a measure-zero sliver of the
+    d² value range) fall back to exact Python-int arithmetic. Same
+    fast-path/exact-fallback discipline as :func:`_np_round6` and the
+    :func:`gemm_assign_cells` argmax.
+
+    Input: ``(id_a, id_b, jla, jlb)``; output: the surviving
+    ``(id_a, id_b)`` — identical to the decimal filter, so the
+    jl-screened oracle is unchanged."""
+    import pandas as pd
+
+    bnd_i = int(bound)
+    bnd_f = float(bnd_i)
+    guard = 1e9
+
+    def screen_batches(batches):
+        import numpy as np
+
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                yield pd.DataFrame({"id_a": [], "id_b": []})
+                continue
+            D = np.array(list(pdf["jla"]), dtype=np.int64) - np.array(
+                list(pdf["jlb"]), dtype=np.int64
+            )
+            Df = D.astype(np.float64)
+            s = (Df * Df).sum(axis=1)
+            keep = s <= bnd_f - guard
+            near = np.nonzero(np.abs(s - bnd_f) <= guard)[0]
+            for r in near:
+                keep[r] = (
+                    sum(int(x) * int(x) for x in D[r]) <= bnd_i
+                )
+            yield pdf.loc[keep, ["id_a", "id_b"]].reset_index(drop=True)
+
+    return pairs.select("id_a", "id_b", "jla", "jlb").mapInPandas(
+        screen_batches, f"id_a {id_type}, id_b {id_type}"
+    )
+
+
+def _pair_vectors_joined(
+    cand: DataFrame, df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Attach per-vector (vector, grid norm) to both sides of a bare
+    (id_a, id_b) candidate relation. Norms are computed once per VECTOR
+    (n rows) and joined in — never folded per pair (round-11 hoist:
+    29.4 → 10.4 s at sf0.1; the oracle's ``vn`` CTE always had this
+    shape)."""
     emb = df.select(
         F.col(id_col),
         F.col(vec_col),
         _grid_norm6(F.col(vec_col)).alias("nrm"),
     )
-    cand = cand.join(
+    return cand.join(
         emb.select(
             F.col(id_col).alias("id_a"),
             F.col(vec_col).alias("va"),
@@ -2063,13 +2284,57 @@ def lsh_similarity_join_exact(
         ),
         "id_b",
     )
+
+
+def lsh_similarity_join_exact(
+    df: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 16,
+    n_bands: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    dim: int,
+    refine_tier: str = "gemm",
+) -> DataFrame:
+    """:func:`lsh_similarity_join` made bit-reproducible cross-engine:
+    signature bits come from int64-grid projections (sign of
+    Σ round(x·h·1e9) — order-independent, no float accumulation at the
+    decision boundary) and the refine cosine runs on the same grid. The
+    candidate SET — not just the refined pairs — is therefore identical
+    in any engine evaluating the same plane constants, which upgrades the
+    hyperplane-LSH tier from a rows-only driver check to a full
+    hash-exact oracle. Same scale shape as the float variant: narrow
+    signature map → band equi-join → exact refine.
+
+    ``refine_tier="gemm"`` (default, round 12): the exact refine — the
+    last O(pairs·dim) interpreted map in the engine; at sf0.1's τ=0.35
+    bulk-overlap regime the band screen passes 1.79 M of 2.00 M
+    possible pairs (89%), so the refine IS an all-pairs-scale scan —
+    runs via :func:`gemm_pair_cosine_refine` (narrow Arrow map,
+    bit-identical values, oracle unchanged); ``"hof"`` keeps the
+    in-plan fold as the A/B twin.
+    """
+    cand = _lsh_band_candidates(
+        df, n_planes, n_bands, seed, id_col, vec_col, dim
+    )
+    pairs = _pair_vectors_joined(cand, df, id_col, vec_col)
+    if refine_tier == "gemm":
+        return gemm_pair_cosine_refine(
+            pairs, threshold, id_type=dict(df.dtypes)[id_col]
+        )
+    if refine_tier != "hof":
+        raise ValueError(
+            f"refine_tier must be 'gemm' or 'hof', got {refine_tier!r}"
+        )
     cos = F.round(
         (_grid_dot(F.col("va"), F.col("vb")) / float(PQ_GRID))
         / (F.col("na") * F.col("nb")),
         6,
     )
     return (
-        cand.withColumn("cosine", cos)
+        pairs.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -2116,6 +2381,7 @@ def lsh_jl_screened_pairs(
     jl_dim: int = 16,
     slack_num: int = 2,
     slack_den: int = 1,
+    refine_tier: str = "gemm",
 ) -> DataFrame:
     """:func:`lsh_similarity_join_exact` with a 16-dim integer JL screen
     between banding and the exact refine — the three-tier ladder the JL
@@ -2130,8 +2396,11 @@ def lsh_jl_screened_pairs(
        grid cosine ≥ τ refine.
 
     Every stage is deterministic integer arithmetic (the screen compares
-    a DECIMAL(38,0) sum against an exact rational-derived integer), so
-    the whole ladder carries a full value-hash DuckDB oracle. The screen
+    an exact integer square-sum against an exact rational-derived
+    integer — a DECIMAL(38,0) fold in the ``"hof"`` tier, the
+    :func:`gemm_jl_screen` guarded-float kernel in the default
+    ``"gemm"`` tier, identical decisions), so the whole ladder carries
+    a full value-hash DuckDB oracle. The screen
     is APPROXIMATE BY CONTRACT — a true-positive pair whose projected
     distance lands beyond the slack·p95 tail is dropped. Measured
     (tests/test_operators.py::test_jl_screened_lsh_pairs), both regimes:
@@ -2158,44 +2427,44 @@ def lsh_jl_screened_pairs(
         dim_out=jl_dim,
     ).select(F.col(id_col), F.col("jl"))
     bound = jl_screen_bound(threshold, jl_dim, slack_num, slack_den)
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("jla"),
-            F.col("jlb"),
-            lambda x, y: (x - y).cast("decimal(19,0)")
-            * (x - y).cast("decimal(19,0)"),
-        ),
-        F.lit(0).cast("decimal(38,0)"),
-        lambda acc, v: acc + v,
-    )
-    screened = (
-        cand.join(jl.select(F.col(id_col).alias("id_a"), F.col("jl").alias("jla")), "id_a")
-        .join(jl.select(F.col(id_col).alias("id_b"), F.col("jl").alias("jlb")), "id_b")
-        .filter(d2 <= F.lit(bound).cast("decimal(38,0)"))
-        .select("id_a", "id_b")
-    )
-    # per-vector norms precomputed, same rationale as
-    # lsh_similarity_join_exact: never fold ‖v‖ per candidate pair
-    emb = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        _grid_norm6(F.col(vec_col)).alias("nrm"),
-    )
-    pairs = screened.join(
-        emb.select(
-            F.col(id_col).alias("id_a"),
-            F.col(vec_col).alias("va"),
-            F.col("nrm").alias("na"),
-        ),
+    withjl = cand.join(
+        jl.select(F.col(id_col).alias("id_a"), F.col("jl").alias("jla")),
         "id_a",
     ).join(
-        emb.select(
-            F.col(id_col).alias("id_b"),
-            F.col(vec_col).alias("vb"),
-            F.col("nrm").alias("nb"),
-        ),
+        jl.select(F.col(id_col).alias("id_b"), F.col("jl").alias("jlb")),
         "id_b",
     )
+    if refine_tier == "gemm":
+        # screen kernel BEFORE the dim-64 vector join, preserving the
+        # ladder's scale shape (only survivors ever carry full vectors)
+        screened = gemm_jl_screen(
+            withjl, bound, id_type=dict(df.dtypes)[id_col]
+        )
+    else:
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("jla"),
+                F.col("jlb"),
+                lambda x, y: (x - y).cast("decimal(19,0)")
+                * (x - y).cast("decimal(19,0)"),
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, v: acc + v,
+        )
+        screened = withjl.filter(
+            d2 <= F.lit(bound).cast("decimal(38,0)")
+        ).select("id_a", "id_b")
+    # per-vector norms precomputed (never folded per candidate pair) and
+    # the refine tier dispatch both shared with lsh_similarity_join_exact
+    pairs = _pair_vectors_joined(screened, df, id_col, vec_col)
+    if refine_tier == "gemm":
+        return gemm_pair_cosine_refine(
+            pairs, threshold, id_type=dict(df.dtypes)[id_col]
+        )
+    if refine_tier != "hof":
+        raise ValueError(
+            f"refine_tier must be 'gemm' or 'hof', got {refine_tier!r}"
+        )
     cos = F.round(
         (_grid_dot(F.col("va"), F.col("vb")) / float(PQ_GRID))
         / (F.col("na") * F.col("nb")),
@@ -2607,8 +2876,17 @@ def semantic_decontaminate(
     the per-row MAX (rounding is monotone, so the max pair decides the
     EXISTS), with a Decimal(repr) half-up fallback only within 1e-9 of
     the decision boundary. ``"hof"`` keeps the in-plan EXISTS as the
-    A/B tier; the kernel raises on a zero norm (no NaN ordering may
-    silently decide a flag). Equivalence pinned by
+    A/B tier. ``threshold`` must lie on the 1e-6 grid (raise otherwise):
+    the kernel's fast-path boundary τ − 5e-7 is only the true round-6
+    decision boundary for grid thresholds (ADVICE r11).
+
+    Zero-norm agreement (probed, pinned in tests/test_operators.py::
+    test_semantic_decontaminate_zero_norm_both_tiers_raise): under the
+    engine session's ANSI mode the hof tier's cosine divide raises
+    ``DIVIDE_BY_ZERO`` on any zero-norm train OR eval vector — it never
+    reaches a NaN compare — and the kernel raises ``ValueError`` on the
+    same input class, so the tiers agree on every input: both succeed
+    bit-identically or both fail loudly. Equivalence pinned by
     tests/test_operators.py::test_semantic_decontaminate_tier_equivalence.
     """
     q = df.select(
@@ -2663,6 +2941,20 @@ def semantic_decontaminate(
     ctx = blocks.crossJoin(F.broadcast(ev_row))
     out_schema = f"`{id_col}` {id_type}, contaminated boolean"
     thr = float(threshold)
+    from decimal import Decimal as _Dec
+
+    # the kernel's fast-path boundary tau - 5e-7 is the true decision
+    # boundary of round(cos, 6) >= tau ONLY when tau lies on the 1e-6
+    # grid; a finer threshold would silently diverge from the hof tier
+    # near the boundary (ADVICE r11), so reject it loudly at plan time
+    if _Dec(str(threshold)) != _Dec(str(threshold)).quantize(
+        _Dec("0.000001")
+    ):
+        raise ValueError(
+            "semantic_decontaminate: threshold must lie on the 1e-6 "
+            f"grid (round-6 cosines cannot resolve {threshold!r}); "
+            "quantize it to 6 decimal places"
+        )
 
     def flag_blocks(batches):
         from decimal import ROUND_HALF_UP, Decimal
@@ -2673,8 +2965,9 @@ def semantic_decontaminate(
         tau = Decimal(str(thr))
         grid6 = Decimal("0.000001")
         # real decision boundary of round-half-up at 6 places: the
-        # smallest real that rounds to >= tau is tau - 5e-7
-        thr_b = thr - 5e-7
+        # smallest real that rounds to >= tau is tau - 5e-7 — derived
+        # in exact decimal, not float subtraction
+        thr_b = float(tau - Decimal("0.0000005"))
         for pdf in batches:
             for ablock, evs in zip(pdf["ablock"], pdf["evs"]):
                 ids = [r[id_col] for r in ablock]

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup as DD
 from ..sources.tables import load_table
 from .registry import query
-from .training_data import _BUCKET_SQL, _EVAL_MAX, _GOPHER_PASS_SQL, _bucket, gopher_pass_all
+from .training_data import _bucket_sql, _EVAL_MAX, _GOPHER_PASS_SQL, _bucket, gopher_pass_all
 
 # --------------------------------------------------------------------------
 # Shared hashing idioms (mirrored token-for-token in the oracles below).
@@ -117,7 +117,7 @@ _B_POS_SQL = (
 _DECON_BLOOM_ORACLE = f"""
     WITH docs AS (
       SELECT doc_id, lang, str_split(text, ' ') AS t,
-             {_BUCKET_SQL.format(salt='eval:')} < '{_EVAL_MAX}' AS is_eval
+             {_bucket_sql('eval:')} < '{_EVAL_MAX}' AS is_eval
       FROM documents
     ),
     sh AS (
@@ -362,7 +362,7 @@ _SEMDECON_ORACLE = f"""
     ),
     flags AS (
       SELECT vec_id,
-             {_BUCKET_SQL.format(salt='eval:').replace('doc_id', 'vec_id')}
+             {_bucket_sql('eval:', 'vec_id')}
                < '{_EVAL_MAX}' AS is_eval
       FROM embeddings
     ),
@@ -754,7 +754,14 @@ _CASCADE_ORACLE = f"""
 def pipeline_scrub_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     mp = spark.sparkContext.defaultParallelism
-    intra = DD.span_scrub_intra(docs, n=_SCRUB_INTRA_N, min_partitions=mp)
+    # span_scrub references its input in three branches (occ/toks/base)
+    # and the report joins it a fourth time — without a cut point the
+    # whole intra window+anti-join lineage recomputes ~4x per run
+    # (ADVICE r11; the surv1/surv2 convention in
+    # pipeline_corpus_curation_v3)
+    intra = DD.span_scrub_intra(
+        docs, n=_SCRUB_INTRA_N, min_partitions=mp
+    ).localCheckpoint(eager=True)
     cross = DD.span_scrub(
         intra.select("doc_id", F.col("scrub_text").alias("text")),
         n=_SCRUB_N,
@@ -1026,7 +1033,7 @@ _DRIFT_CAP = 16  # buckets 0..16 (docs ≥ 256 tokens share the tail bucket)
 _DRIFT_ORACLE = f"""
     WITH slices AS (
       SELECT lang,
-             {_BUCKET_SQL.format(salt='eval:')} < '{_EVAL_MAX}' AS is_eval,
+             {_bucket_sql('eval:')} < '{_EVAL_MAX}' AS is_eval,
              least(len(str_split(text, ' ')) // {_DRIFT_BIN}, {_DRIFT_CAP})
                AS b
       FROM documents

@@ -59,17 +59,17 @@ def query(
 
 
 # Queries that already earned a driver CORRECTNESS row in rounds 1-10
-# (keys of CORRECTNESS_r01.json ∪ … ∪ r10, intersected with the live
-# registry; re-frozen 2026-08-15 for round 11). The driver prefix
+# (keys of CORRECTNESS_r01.json ∪ … ∪ r11, intersected with the live
+# registry; re-frozen 2026-08-16 for round 12). The driver prefix
 # is built from the registry MINUS this set, so anything new this round
 # earns a row first.
 #
-# ROUND-12 NOTE: first move next round — regenerate both structures below
-# with ``python tools/gen_prefix_freeze.py`` (folds CORRECTNESS_r11.json
-# in, bumps _LAST_DRIVER_ROUND), rename to _DRIVER_CHECKED_R1_R11, replace
-# _ROUND11_PRIORITY with the next stale/marquee tier, and update
-# tests/test_oracle_parity.py::test_coverage_order_round11_prefix_contract.
-_DRIVER_CHECKED_R1_R10 = frozenset(
+# ROUND-13 NOTE: first move next round — regenerate both structures below
+# with ``python tools/gen_prefix_freeze.py`` (folds CORRECTNESS_r12.json
+# in, bumps _LAST_DRIVER_ROUND), rename to _DRIVER_CHECKED_R1_R12, replace
+# _ROUND12_PRIORITY with the next stale/marquee tier, and update
+# tests/test_oracle_parity.py::test_coverage_order_round12_prefix_contract.
+_DRIVER_CHECKED_R1_R11 = frozenset(
     {
         'agg_approx_distinct', 'agg_approx_percentile', 'agg_cube',
         'agg_distinct_counts', 'agg_filtered', 'agg_grouping_sets',
@@ -96,6 +96,7 @@ _DRIVER_CHECKED_R1_R10 = frozenset(
         'dedup_minhash_relational', 'dedup_semantic',
         'dedup_semantic_gemm', 'dedup_semantic_gemm_h2',
         'dedup_semantic_h2', 'dedup_simhash', 'dedup_simhash_pairs',
+        'dedup_span_scrub', 'dedup_span_scrub_intra',
         'dedup_substring_spans', 'dedup_tier_agreement',
         'dedup_triangle_count', 'dedup_winnow_match', 'except_custkeys',
         'filter_project', 'flagship', 'fuzzy_phrase_match',
@@ -110,24 +111,25 @@ _DRIVER_CHECKED_R1_R10 = frozenset(
         'pipeline_chunk_overlap', 'pipeline_corpus_curation',
         'pipeline_corpus_curation_v2', 'pipeline_corpus_curation_v3',
         'pipeline_corpus_datacard', 'pipeline_decontaminate',
-        'pipeline_decontaminate_bloom', 'pipeline_drift_tvd',
+        'pipeline_decontaminate_bloom',
+        'pipeline_decontaminate_semantic', 'pipeline_drift_tvd',
         'pipeline_dsir_weights', 'pipeline_mixture_sample',
         'pipeline_mixture_temperature', 'pipeline_mixture_waterfill',
         'pipeline_pack_windows', 'pipeline_quality_classifier',
         'pipeline_quality_gate', 'pipeline_quality_quartiles',
         'pipeline_quality_regression',
         'pipeline_quality_regression_by_lang', 'pipeline_rag_ingest',
-        'pipeline_session_dialogues', 'pipeline_shuffle_shards',
-        'pipeline_stratified_sample', 'pipeline_train_split',
-        'pipeline_weighted_sample', 'ppdb_alignment_explode',
-        'ppdb_collect_nested', 'ppdb_collect_paraphrases',
-        'ppdb_entailment_dist', 'ppdb_feature_keys', 'ppdb_map_ops',
-        'ppdb_parse_stats', 'ppdb_parse_stats_bz2',
-        'ppdb_parse_throughput', 'ppdb_quarantine',
-        'ppdb_symmetric_pairs', 'ppdb_top_paraphrases',
-        'profile_columns', 'range_join_bands', 'region_revenue',
-        'sample_orders', 'scalar_arrays', 'scalar_bitwise',
-        'scalar_dates', 'scalar_json', 'scalar_math',
+        'pipeline_scrub_cascade', 'pipeline_session_dialogues',
+        'pipeline_shuffle_shards', 'pipeline_stratified_sample',
+        'pipeline_train_split', 'pipeline_weighted_sample',
+        'ppdb_alignment_explode', 'ppdb_collect_nested',
+        'ppdb_collect_paraphrases', 'ppdb_entailment_dist',
+        'ppdb_feature_keys', 'ppdb_map_ops', 'ppdb_parse_stats',
+        'ppdb_parse_stats_bz2', 'ppdb_parse_throughput',
+        'ppdb_quarantine', 'ppdb_symmetric_pairs',
+        'ppdb_top_paraphrases', 'profile_columns', 'range_join_bands',
+        'region_revenue', 'sample_orders', 'scalar_arrays',
+        'scalar_bitwise', 'scalar_dates', 'scalar_json', 'scalar_math',
         'scalar_null_handling', 'scalar_regex', 'scalar_strings',
         'scalar_try_ops', 'scalar_variant', 'self_join_pairs',
         'semi_join', 'sim_cosine_topk', 'sim_hybrid_rrf',
@@ -174,8 +176,8 @@ _DRIVER_CHECKED_R1_R10 = frozenset(
 )
 
 _LAST_DRIVER_ROUND = {
-        'agg_approx_distinct': 6, 'agg_approx_percentile': 6,
-        'agg_cube': 6, 'agg_distinct_counts': 6, 'agg_filtered': 6,
+        'agg_approx_distinct': 11, 'agg_approx_percentile': 11,
+        'agg_cube': 11, 'agg_distinct_counts': 11, 'agg_filtered': 11,
         'agg_grouping_sets': 9, 'agg_histogram': 10, 'agg_hll_rollup':
         8, 'agg_hll_set_ops': 8, 'agg_hll_sketch': 8, 'agg_percentiles':
         9, 'agg_pivot_status': 9, 'agg_pricing_summary': 9,
@@ -184,47 +186,50 @@ _LAST_DRIVER_ROUND = {
         'analytics_disjunctive_join': 10, 'analytics_event_funnel': 8,
         'analytics_large_orders': 9, 'analytics_local_supplier_volume':
         9, 'analytics_lost_opportunity': 9, 'analytics_market_basket':
-        6, 'analytics_market_share': 6, 'analytics_promo_share': 10,
+        11, 'analytics_market_share': 11, 'analytics_promo_share': 10,
         'analytics_rfm_segments': 10, 'analytics_rolling_wau': 10,
         'analytics_shipping_priority': 7, 'analytics_signup_funnel': 7,
         'analytics_small_qty_revenue': 7, 'analytics_trade_flows': 10,
-        'anti_join': 7, 'asof_click_next_purchase': 6,
+        'anti_join': 7, 'asof_click_next_purchase': 11,
         'asof_purchase_click': 10, 'broadcast_join': 7, 'case_when': 7,
-        'cross_join': 6, 'dedup_cluster_report': 9, 'dedup_components':
+        'cross_join': 11, 'dedup_cluster_report': 9, 'dedup_components':
         7, 'dedup_components_star': 7, 'dedup_containment': 10,
-        'dedup_embedding': 8, 'dedup_embedding_checked': 8,
+        'dedup_embedding': 8, 'dedup_embedding_checked': 11,
         'dedup_embedding_lsh': 6, 'dedup_exact': 7,
         'dedup_jaccard_bitmap': 7, 'dedup_jaccard_capped': 7,
         'dedup_jaccard_incremental': 10, 'dedup_jaccard_pairs': 7,
-        'dedup_jaccard_prefix': 6, 'dedup_minhash_lsh': 6,
-        'dedup_minhash_relational': 6, 'dedup_semantic': 10,
-        'dedup_semantic_gemm': 10, 'dedup_semantic_gemm_h2': 10,
+        'dedup_jaccard_prefix': 11, 'dedup_minhash_lsh': 6,
+        'dedup_minhash_relational': 11, 'dedup_semantic': 10,
+        'dedup_semantic_gemm': 11, 'dedup_semantic_gemm_h2': 10,
         'dedup_semantic_h2': 10, 'dedup_simhash': 7,
-        'dedup_simhash_pairs': 7, 'dedup_substring_spans': 8,
+        'dedup_simhash_pairs': 7, 'dedup_span_scrub': 11,
+        'dedup_span_scrub_intra': 11, 'dedup_substring_spans': 8,
         'dedup_tier_agreement': 8, 'dedup_triangle_count': 9,
-        'dedup_winnow_match': 10, 'except_custkeys': 6,
-        'filter_project': 7, 'flagship': 6, 'fuzzy_phrase_match': 6,
+        'dedup_winnow_match': 10, 'except_custkeys': 11,
+        'filter_project': 7, 'flagship': 11, 'fuzzy_phrase_match': 11,
         'govern_luhn_scan': 8, 'govern_pii_mask': 10,
         'intersect_nations': 7, 'left_join_coverage': 8,
         'lookup_oov_tokens': 7, 'lookup_paraphrase_coverage': 7,
         'mm_binary_hash': 7, 'mm_decode_meta': 6, 'mm_dhash': 10,
-        'mm_dhash_near': 5, 'mm_img_features': 8, 'mm_media_meta': 8,
+        'mm_dhash_near': 11, 'mm_img_features': 8, 'mm_media_meta': 8,
         'mm_media_stats': 9, 'mm_meta_stats': 7, 'mm_png_features': 10,
         'mm_resize': 7, 'mm_wav_sample': 7, 'order_limit': 10,
-        'pattern_scd2_merge': 10, 'pattern_scd2_pointintime': 5,
-        'pattern_unpivot': 7, 'pipeline_chunk_overlap': 5,
+        'pattern_scd2_merge': 10, 'pattern_scd2_pointintime': 11,
+        'pattern_unpivot': 7, 'pipeline_chunk_overlap': 11,
         'pipeline_corpus_curation': 10, 'pipeline_corpus_curation_v2':
-        6, 'pipeline_corpus_curation_v3': 8, 'pipeline_corpus_datacard':
-        8, 'pipeline_decontaminate': 10, 'pipeline_decontaminate_bloom':
-        10, 'pipeline_drift_tvd': 8, 'pipeline_dsir_weights': 8,
-        'pipeline_mixture_sample': 10, 'pipeline_mixture_temperature':
-        8, 'pipeline_mixture_waterfill': 8, 'pipeline_pack_windows': 6,
-        'pipeline_quality_classifier': 8, 'pipeline_quality_gate': 5,
-        'pipeline_quality_quartiles': 7, 'pipeline_quality_regression':
-        8, 'pipeline_quality_regression_by_lang': 8,
-        'pipeline_rag_ingest': 5, 'pipeline_session_dialogues': 7,
-        'pipeline_shuffle_shards': 7, 'pipeline_stratified_sample': 5,
-        'pipeline_train_split': 10, 'pipeline_weighted_sample': 7,
+        6, 'pipeline_corpus_curation_v3': 11,
+        'pipeline_corpus_datacard': 8, 'pipeline_decontaminate': 10,
+        'pipeline_decontaminate_bloom': 10,
+        'pipeline_decontaminate_semantic': 11, 'pipeline_drift_tvd': 8,
+        'pipeline_dsir_weights': 8, 'pipeline_mixture_sample': 10,
+        'pipeline_mixture_temperature': 8, 'pipeline_mixture_waterfill':
+        8, 'pipeline_pack_windows': 6, 'pipeline_quality_classifier': 8,
+        'pipeline_quality_gate': 11, 'pipeline_quality_quartiles': 7,
+        'pipeline_quality_regression': 8,
+        'pipeline_quality_regression_by_lang': 8, 'pipeline_rag_ingest':
+        11, 'pipeline_scrub_cascade': 11, 'pipeline_session_dialogues':
+        7, 'pipeline_shuffle_shards': 7, 'pipeline_stratified_sample':
+        11, 'pipeline_train_split': 10, 'pipeline_weighted_sample': 7,
         'ppdb_alignment_explode': 7, 'ppdb_collect_nested': 7,
         'ppdb_collect_paraphrases': 10, 'ppdb_entailment_dist': 6,
         'ppdb_feature_keys': 6, 'ppdb_map_ops': 7, 'ppdb_parse_stats':
@@ -234,18 +239,18 @@ _LAST_DRIVER_ROUND = {
         'range_join_bands': 9, 'region_revenue': 7, 'sample_orders': 6,
         'scalar_arrays': 9, 'scalar_bitwise': 9, 'scalar_dates': 9,
         'scalar_json': 10, 'scalar_math': 7, 'scalar_null_handling': 9,
-        'scalar_regex': 9, 'scalar_strings': 9, 'scalar_try_ops': 5,
+        'scalar_regex': 9, 'scalar_strings': 9, 'scalar_try_ops': 11,
         'scalar_variant': 10, 'self_join_pairs': 9, 'semi_join': 9,
-        'sim_cosine_topk': 10, 'sim_hybrid_rrf': 8,
+        'sim_cosine_topk': 11, 'sim_hybrid_rrf': 8,
         'sim_ivf_batch_topk': 10, 'sim_ivf_kmeans_topk': 10,
-        'sim_ivf_topk': 10, 'sim_ivfpq_residual_topk': 10,
+        'sim_ivf_topk': 11, 'sim_ivfpq_residual_topk': 10,
         'sim_ivfpq_topk': 10, 'sim_jl_project': 10, 'sim_jl_topk': 10,
-        'sim_lsh_jl_screened_pairs': 10, 'sim_lsh_multiprobe_topk': 10,
-        'sim_lsh_pairs_checked': 10, 'sim_neighbors_docs': 9,
+        'sim_lsh_jl_screened_pairs': 11, 'sim_lsh_multiprobe_topk': 10,
+        'sim_lsh_pairs_checked': 11, 'sim_neighbors_docs': 11,
         'sim_pairwise_cosine': 9, 'sim_pca_top_component': 8,
         'sim_pq_encode': 10, 'sim_pq_kmeans_topk': 10, 'sim_pq_topk':
-        10, 'skew_salted_agg': 7, 'skew_salted_join': 5,
-        'snk_bucketed_join': 5, 'snk_json_roundtrip': 10,
+        10, 'skew_salted_agg': 7, 'skew_salted_join': 11,
+        'snk_bucketed_join': 11, 'snk_json_roundtrip': 10,
         'snk_orc_roundtrip': 9, 'snk_parquet_roundtrip': 9,
         'snk_partition_pruned': 7, 'snk_zorder_layout': 7,
         'src_csv_permissive': 6, 'src_csv_scan': 9,
@@ -256,26 +261,26 @@ _LAST_DRIVER_ROUND = {
         'stream_foreach_batch_sink': 7, 'stream_hll_batch': 8,
         'stream_hll_live': 8, 'stream_interval_join_batch': 9,
         'stream_interval_join_live': 10,
-        'stream_left_interval_join_batch': 5,
+        'stream_left_interval_join_batch': 11,
         'stream_left_interval_join_live': 6, 'stream_session_batch': 10,
         'stream_session_live': 6, 'stream_sliding_batch': 6,
         'stream_sliding_live': 9, 'stream_stateful_counter': 6,
-        'stream_static_enrich_batch': 5, 'stream_static_enrich_live': 5,
-        'stream_tumbling_batch': 6, 'stream_tumbling_live': 10,
-        'sub_correlated_avg_qty': 5, 'sub_exists_idle_rich': 5,
+        'stream_static_enrich_batch': 11, 'stream_static_enrich_live':
+        11, 'stream_tumbling_batch': 6, 'stream_tumbling_live': 10,
+        'sub_correlated_avg_qty': 11, 'sub_exists_idle_rich': 11,
         'sub_having_revenue_share': 6, 'sub_lateral_topn': 8,
-        'subq_not_in_nulls': 5, 'text_bigram_ppl': 5, 'text_bm25_topk':
-        8, 'text_bpe_token_count': 9, 'text_cms_heavy_hitters': 8,
-        'text_entropy_bound': 8, 'text_fingerprint': 9,
-        'text_heavy_hitters': 8, 'text_inverted_index': 5,
-        'text_lang_route': 9, 'text_langid': 9, 'text_phrase_search': 5,
-        'text_pmi_collocations': 5, 'text_quality': 9,
-        'text_quality_rules': 10, 'text_repetition': 5,
-        'text_sentiment': 6, 'text_textrank': 5, 'text_tfidf_top5': 9,
-        'text_token_stats': 9, 'text_unigram_logprob': 5,
-        'text_winnow_fp': 5, 'ts_anomaly_argmax': 8, 'ts_ewma_dyadic':
+        'subq_not_in_nulls': 11, 'text_bigram_ppl': 11,
+        'text_bm25_topk': 8, 'text_bpe_token_count': 9,
+        'text_cms_heavy_hitters': 8, 'text_entropy_bound': 8,
+        'text_fingerprint': 9, 'text_heavy_hitters': 8,
+        'text_inverted_index': 11, 'text_lang_route': 9, 'text_langid':
+        9, 'text_phrase_search': 11, 'text_pmi_collocations': 11,
+        'text_quality': 9, 'text_quality_rules': 10, 'text_repetition':
+        11, 'text_sentiment': 6, 'text_textrank': 11, 'text_tfidf_top5':
+        9, 'text_token_stats': 9, 'text_unigram_logprob': 11,
+        'text_winnow_fp': 11, 'ts_anomaly_argmax': 8, 'ts_ewma_dyadic':
         9, 'ts_gapfill_locf': 7, 'ts_interpolate': 7, 'ts_ohlc_daily':
-        7, 'ts_recursive_month_spine': 5, 'udf_arrow_scalar': 6,
+        7, 'ts_recursive_month_spine': 11, 'udf_arrow_scalar': 6,
         'udf_grouped_agg_sum': 6, 'udf_grouped_map_minmax': 6,
         'udf_map_in_arrow': 9, 'udf_map_partitions_bucket': 9,
         'udf_scalar_cents': 9, 'udtf_explode_types': 6,
@@ -285,52 +290,44 @@ _LAST_DRIVER_ROUND = {
         'window_running_sum': 9, 'window_value_family': 9
 }
 
-# Round-11 priority tier, sampled right behind the never-checked backlog:
-# the 24 rotation-tail queries whose latest driver row is r5 (VERDICT r10
-# What's-missing #2 — the ledger's oldest tier after folding r10), plus
-# the queries whose implementations change THIS round: the single-probe
-# exact scans move onto the float-flavor Arrow kernel (VERDICT item 3 —
-# sim_cosine_topk, sim_neighbors_docs) and one representative per kernel
-# family re-certifies the bytes-aware block sizing (VERDICT item 1 —
-# dedup_semantic_gemm, sim_ivf_topk; blocking never changes values, but
-# the n_blocks derivation is new plan input). Mid-round additions (same
-# rule — plans changed, values proven unchanged, driver re-cert wanted):
-# the three norm-hoisted LSH refine consumers (sim_lsh_pairs_checked,
-# sim_lsh_jl_screened_pairs, dedup_embedding_checked) and the
-# d0-checkpointed pipeline_corpus_curation_v3.
-_ROUND11_PRIORITY = (
-    "mm_dhash_near",
-    "pattern_scd2_pointintime",
-    "pipeline_chunk_overlap",
-    "pipeline_quality_gate",
-    "pipeline_rag_ingest",
-    "pipeline_stratified_sample",
-    "scalar_try_ops",
-    "skew_salted_join",
-    "snk_bucketed_join",
-    "stream_left_interval_join_batch",
-    "stream_static_enrich_batch",
-    "stream_static_enrich_live",
-    "sub_correlated_avg_qty",
-    "sub_exists_idle_rich",
-    "subq_not_in_nulls",
-    "text_bigram_ppl",
-    "text_inverted_index",
-    "text_phrase_search",
-    "text_pmi_collocations",
-    "text_repetition",
-    "text_textrank",
-    "text_unigram_logprob",
-    "text_winnow_fp",
-    "ts_recursive_month_spine",
-    "sim_cosine_topk",
-    "sim_neighbors_docs",
-    "dedup_semantic_gemm",
-    "sim_ivf_topk",
+# Round-12 priority tier, sampled right behind the never-checked backlog:
+# the 23 rotation-tail queries whose latest driver row is r6 (VERDICT r11
+# next-round #4 — the ledger's oldest tier after folding r11), plus the
+# queries whose PLANS change this round: the pair-refine Arrow kernel +
+# first-matching-band candidate emission (sim_lsh_pairs_checked,
+# sim_lsh_jl_screened_pairs, dedup_embedding_checked — VERDICT r11 weak
+# #2), the intra-checkpointed pipeline_scrub_cascade (ADVICE r11 #3),
+# and pipeline_decontaminate_semantic (decimal-derived gemm boundary +
+# 1e-6-grid threshold guard, ADVICE r11 #1).
+_ROUND12_PRIORITY = (
+    "dedup_embedding_lsh",
+    "dedup_minhash_lsh",
+    "mm_decode_meta",
+    "pipeline_corpus_curation_v2",
+    "pipeline_pack_windows",
+    "ppdb_entailment_dist",
+    "ppdb_feature_keys",
+    "ppdb_parse_throughput",
+    "profile_columns",
+    "sample_orders",
+    "src_csv_permissive",
+    "stream_dedup_live",
+    "stream_left_interval_join_live",
+    "stream_session_live",
+    "stream_sliding_batch",
+    "stream_stateful_counter",
+    "stream_tumbling_batch",
+    "sub_having_revenue_share",
+    "text_sentiment",
+    "udf_arrow_scalar",
+    "udf_grouped_agg_sum",
+    "udf_grouped_map_minmax",
+    "udtf_explode_types",
     "sim_lsh_pairs_checked",
     "sim_lsh_jl_screened_pairs",
     "dedup_embedding_checked",
-    "pipeline_corpus_curation_v3",
+    "pipeline_scrub_cascade",
+    "pipeline_decontaminate_semantic",
 )
 
 
@@ -339,12 +336,12 @@ def coverage_order() -> list[str]:
     value.
 
     Tier 1: every registered query that has never received a driver
-    CORRECTNESS row in rounds 1-10 (``_DRIVER_CHECKED_R1_R10`` complement),
+    CORRECTNESS row in rounds 1-11 (``_DRIVER_CHECKED_R1_R11`` complement),
     oracle-backed entries first — anything new this round lands here.
-    Tier 2: the round-11 priority tier (``_ROUND11_PRIORITY``): the 24
-    rotation-tail rows (latest driver row r5) plus the queries whose
-    implementations change this round (kernel-routed exact scans,
-    bytes-aware block sizing re-certs).
+    Tier 2: the round-12 priority tier (``_ROUND12_PRIORITY``): the 23
+    rotation-tail rows (latest driver row r6) plus the queries whose
+    plans change this round (pair-refine kernel, first-match banding,
+    cascade checkpoint, decontaminate boundary guard).
     Tier 3: least-recently-driver-checked first (``_LAST_DRIVER_ROUND``
     ascending, oracle-backed before rows-only, then name) — the ~40
     tier-3 slots of each ~50-query driver sample rotate oldest-first, so
@@ -362,11 +359,11 @@ def coverage_order() -> list[str]:
         (
             n
             for n in remaining
-            if n not in _DRIVER_CHECKED_R1_R10 and n not in _ROUND11_PRIORITY
+            if n not in _DRIVER_CHECKED_R1_R11 and n not in _ROUND12_PRIORITY
         ),
         key=lambda n: (remaining[n].oracle is None, n),
     )
-    for seed in (*never_checked, *_ROUND11_PRIORITY):
+    for seed in (*never_checked, *_ROUND12_PRIORITY):
         if seed in remaining:
             out.append(seed)
             del remaining[seed]
@@ -394,9 +391,9 @@ def prefix_tier_sizes() -> tuple[int, int]:
     tier1 = sum(
         1
         for n in REGISTRY
-        if n not in _DRIVER_CHECKED_R1_R10 and n not in _ROUND11_PRIORITY
+        if n not in _DRIVER_CHECKED_R1_R11 and n not in _ROUND12_PRIORITY
     )
-    tier2 = sum(1 for n in _ROUND11_PRIORITY if n in REGISTRY)
+    tier2 = sum(1 for n in _ROUND12_PRIORITY if n in REGISTRY)
     return tier1, tier2
 
 

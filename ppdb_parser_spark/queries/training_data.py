@@ -40,7 +40,16 @@ def _bucket(salt: str) -> F.Column:
     )
 
 
-_BUCKET_SQL = "substring(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 4)"
+_BUCKET_SQL = "substring(md5('{salt}' || CAST({col} AS VARCHAR)), 1, 4)"
+
+
+def _bucket_sql(salt: str, col: str = "doc_id") -> str:
+    """The deterministic md5 bucket as oracle SQL, parameterized on the
+    id COLUMN — callers bucketing a non-document relation pass its id
+    column name instead of string-replacing the rendered SQL (which
+    silently breaks if the template's spelling ever changes —
+    ADVICE r11)."""
+    return _BUCKET_SQL.format(salt=salt, col=col)
 
 
 def gopher_pass_all(text_col: str = "text") -> F.Column:
@@ -81,7 +90,7 @@ _NGRAM = 8
 _DECONTAMINATE_ORACLE = f"""
     WITH flagged AS (
       SELECT doc_id, lang, str_split(text, ' ') AS t,
-             {_BUCKET_SQL.format(salt='eval:')} < '{_EVAL_MAX}' AS is_eval
+             {_bucket_sql('eval:')} < '{_EVAL_MAX}' AS is_eval
       FROM documents
     ),
     sh AS (
@@ -153,7 +162,7 @@ _MIX_DEFAULT = "4000"
 _MIXTURE_ORACLE = f"""
     WITH sampled AS (
       SELECT lang, n_chars FROM documents
-      WHERE {_BUCKET_SQL.format(salt='mix:')} <
+      WHERE {_bucket_sql('mix:')} <
             CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN 'c000'
                       ELSE '4000' END
     )
@@ -187,7 +196,7 @@ def pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _SPLIT_ORACLE = f"""
     WITH b AS (
-      SELECT lang, n_chars, {_BUCKET_SQL.format(salt='split:')} AS bucket
+      SELECT lang, n_chars, {_bucket_sql('split:')} AS bucket
       FROM documents
     )
     SELECT CASE WHEN bucket < 'cccc' THEN 'train'
@@ -311,7 +320,7 @@ _CURATION_V2_ORACLE = f"""
       SELECT doc_id, lang, text FROM documents WHERE {_GOPHER_PASS_SQL}
     ),
     fl AS (
-      SELECT *, {_BUCKET_SQL.format(salt='eval:')} < '{_EVAL_MAX}' AS is_eval
+      SELECT *, {_bucket_sql('eval:')} < '{_EVAL_MAX}' AS is_eval
       FROM q
     ),
     g8 AS (
@@ -332,7 +341,7 @@ _CURATION_V2_ORACLE = f"""
     ),
     mixed AS (
       SELECT * FROM train
-      WHERE {_BUCKET_SQL.format(salt='mix:')} <
+      WHERE {_bucket_sql('mix:')} <
             CASE lang WHEN 'en' THEN '{_MIX_RATES["en"]}'
                       WHEN 'de' THEN '{_MIX_RATES["de"]}'
                       ELSE '{_MIX_DEFAULT}' END
@@ -375,8 +384,8 @@ _CURATION_V2_ORACLE = f"""
       SELECT e.* FROM ex e LEFT JOIN drops d ON e.doc_id = d.id_b
       WHERE d.id_b IS NULL
     )
-    SELECT CASE WHEN {_BUCKET_SQL.format(salt='split:')} < 'cccc' THEN 'train'
-                WHEN {_BUCKET_SQL.format(salt='split:')} < 'e666' THEN 'val'
+    SELECT CASE WHEN {_bucket_sql('split:')} < 'cccc' THEN 'train'
+                WHEN {_bucket_sql('split:')} < 'e666' THEN 'val'
                 ELSE 'test' END AS split,
            lang,
            COUNT(*) AS n_docs,
@@ -681,10 +690,10 @@ from .text_analysis import WINNOW_FP_SQL as _WINNOW_FP_SQL_V3
     oracle=_CURATION_V3_ORACLE.format(
         winnow_fp_sql=_WINNOW_FP_SQL_V3.replace("FROM documents", "FROM ex0"),
         gopher_sql=_GOPHER_PASS_SQL,
-        bucket_eval=_BUCKET_SQL.format(salt="eval:"),
+        bucket_eval=_bucket_sql("eval:"),
         eval_max=_EVAL_MAX,
         ngram=_NGRAM,
-        bucket_mix=_BUCKET_SQL.format(salt="mix:"),
+        bucket_mix=_bucket_sql("mix:"),
         mix_en=_MIX_RATES["en"],
         mix_de=_MIX_RATES["de"],
         mix_default=_MIX_DEFAULT,

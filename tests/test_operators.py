@@ -2464,3 +2464,211 @@ def test_semantic_decontaminate_tier_equivalence(spark):
 
     for thr in (0.2, 0.35, 0.5, 0.9):
         assert rows("gemm", thr) == rows("hof", thr), thr
+
+
+def test_np_round6_matches_f_round(spark):
+    """The vectorized round-6 (_np_round6, the pair-refine kernel's
+    output path) is bit-identical to ``F.round(x, 6)`` on adversarial
+    doubles: exact 1e-6 half-boundaries both signs (the Decimal
+    fallback band), one-ulp-off-boundary values (where naive
+    floor(y+0.5) flips), shortest-repr '5'-enders whose binary value
+    sits below the decimal midpoint, tiny negatives (BigDecimal has no
+    signed zero -> +0.0), and ordinary cosines."""
+    import math
+
+    import numpy as np
+
+    from ppdb_parser_spark.operators.similarity import _np_round6
+
+    vals = [
+        0.1234565, -0.1234565, 0.3500005, -0.3500005,
+        math.nextafter(0.3500005, 0), math.nextafter(0.3500005, 1),
+        0.9999995, -0.9999995, 1.0, -1.0, 0.0, -0.0,
+        -0.0000001, 0.0000001, -0.0000005, 0.0000005,
+        0.35, 0.349999949999, 0.728318, -0.55555549999,
+        0.49999999999999994e-6,
+    ]
+    fast = _np_round6(np.array(vals, dtype=np.float64))
+    jvm = (
+        spark.createDataFrame([(x,) for x in vals], "v double")
+        .select(F.round(F.col("v"), 6).alias("r"))
+        .collect()
+    )
+    got = [float(x) for x in fast]
+    want = [r["r"] for r in jvm]
+    assert got == want
+    # signed-zero normalization matches the JVM (+0.0, never -0.0)
+    assert all(math.copysign(1.0, g) > 0 for g in got if g == 0.0)
+
+
+def test_pair_refine_gemm_equals_hof(spark):
+    """The Arrow pair-refine kernel (gemm_pair_cosine_refine) and the
+    in-plan grid-dot fold produce IDENTICAL (id_a, id_b, cosine) rows
+    for both LSH pair queries, and both tiers fail loudly (ANSI
+    DIVIDE_BY_ZERO / ValueError) on a zero-norm vector instead of
+    diverging."""
+    from pyspark.errors import PythonException
+
+    from ppdb_parser_spark.operators.similarity import (
+        lsh_jl_screened_pairs,
+        lsh_similarity_join_exact,
+    )
+    from ppdb_parser_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    for fn in (lsh_similarity_join_exact, lsh_jl_screened_pairs):
+        by_tier = {
+            t: sorted(
+                map(
+                    tuple,
+                    fn(
+                        emb,
+                        threshold=0.35,
+                        n_planes=16,
+                        n_bands=8,
+                        seed=42,
+                        dim=64,
+                        refine_tier=t,
+                    ).collect(),
+                )
+            )
+            for t in ("gemm", "hof")
+        }
+        assert by_tier["gemm"] == by_tier["hof"], fn.__name__
+        assert len(by_tier["gemm"]) > 0, fn.__name__
+
+    # zero-norm mirror: both tiers raise (never a silent NaN decision)
+    zero = spark.createDataFrame(
+        [(70001, [0.0] * 64)], "vec_id long, embedding array<double>"
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    salted = emb.select("vec_id", "embedding").unionByName(zero)
+    for tier, exc in (("gemm", PythonException), ("hof", Exception)):
+        with pytest.raises(exc):
+            lsh_similarity_join_exact(
+                salted, threshold=0.35, n_planes=16, n_bands=8,
+                seed=42, dim=64, refine_tier=tier,
+            ).collect()
+
+
+def test_lsh_first_match_candidates_match_reference(spark):
+    """First-matching-band emission (the round-12 distinct-free pair
+    dedup) returns EXACTLY the distinct band-collision pair set — each
+    pair once — verified against an independent Python bucketing of the
+    kernel signatures."""
+    from collections import defaultdict
+
+    from ppdb_parser_spark.operators.similarity import (
+        _lsh_band_candidates,
+        gemm_lsh_bits,
+        lsh_planes,
+    )
+    from ppdb_parser_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = (
+        gemm_lsh_bits(
+            emb, lsh_planes(16, 64), id_col="vec_id", vec_col="embedding"
+        )
+        .select("vec_id", "bits")
+        .collect()
+    )
+    buckets = defaultdict(list)
+    for r in rows:
+        for band in range(8):
+            buckets[(band, tuple(r.bits[band * 2 : band * 2 + 2]))].append(
+                r.vec_id
+            )
+    ref = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                ref.add((ids[i], ids[j]))
+    got = [
+        (r.id_a, r.id_b)
+        for r in _lsh_band_candidates(
+            emb, 16, 8, 42, "vec_id", "embedding", 64
+        ).collect()
+    ]
+    assert len(got) == len(set(got))  # multiplicity exactly 1
+    assert set(got) == ref
+
+
+def test_jl_screen_gemm_matches_decimal_at_bound(spark):
+    """The guarded-float JL screen kernel (gemm_jl_screen) decides
+    EXACTLY like the DECIMAL(38) fold — pinned on synthetic sketches
+    placed exactly AT, one-unit BELOW, and one-unit ABOVE the integer
+    bound (inside the float guard band, forcing the exact-int
+    fallback), plus far-side values decided by the fast path."""
+    from ppdb_parser_spark.operators.similarity import gemm_jl_screen
+
+    bound = 4_160_000_000_000_000  # jl_screen_bound(0.35, 16)
+    import math
+
+    base = int(math.isqrt(bound // 16))
+    cases = []
+    # (delta on one coordinate) -> d2 = 15*base^2 + (base+delta)^2
+    d2_15 = 15 * base * base
+    for k, delta in enumerate(range(-3, 4)):
+        d = base + delta
+        cases.append((k, d2_15 + d * d))
+    # exact-at-bound: craft a last coordinate hitting bound precisely
+    rem = bound - d2_15
+    r = int(math.isqrt(rem))
+    hit = r if r * r == rem else None
+    rows = []
+    for k, d2 in cases:
+        # jla = the difference vector, jlb = zeros
+        diff = [base] * 15 + [int(math.isqrt(d2 - d2_15))]
+        rows.append((k, k + 1000, diff, [0] * 16))
+    if hit is not None:
+        rows.append((999, 1999, [base] * 15 + [hit], [0] * 16))
+    df = spark.createDataFrame(
+        rows,
+        "id_a long, id_b long, jla array<long>, jlb array<long>",
+    )
+    got = {
+        r.id_a
+        for r in gemm_jl_screen(df, bound, id_type="bigint").collect()
+    }
+    want = {
+        ida
+        for (ida, idb, jla, jlb) in rows
+        if sum((a - b) ** 2 for a, b in zip(jla, jlb)) <= bound
+    }
+    assert got == want
+
+
+def test_semantic_decontaminate_zero_norm_both_tiers_raise(spark):
+    """ADVICE r11 claimed the hof tier silently passes zero-norm rows
+    the gemm tier rejects; probed under the engine session's ANSI mode
+    the hof tier's divide RAISES DIVIDE_BY_ZERO — the tiers already
+    agree (both fail loudly). Pin that, for zero-norm TRAIN and EVAL
+    vectors, plus the round-12 1e-6-grid threshold guard."""
+    from pyspark.sql import functions as F
+
+    from ppdb_parser_spark.operators.similarity import semantic_decontaminate
+
+    zero_train = spark.createDataFrame(
+        [(1, [1.0] * 4, True), (2, [1.0] * 4, False), (3, [0.0] * 4, False)],
+        "vec_id long, embedding array<double>, ev boolean",
+    )
+    zero_eval = spark.createDataFrame(
+        [(1, [0.0] * 4, True), (2, [1.0] * 4, False)],
+        "vec_id long, embedding array<double>, ev boolean",
+    )
+    for df in (zero_train, zero_eval):
+        for tier in ("gemm", "hof"):
+            with pytest.raises(Exception):
+                semantic_decontaminate(
+                    df, F.col("ev"), threshold=0.35, tier=tier
+                ).collect()
+    # non-grid threshold rejected at plan time (gemm fast path cannot
+    # represent its decision boundary)
+    with pytest.raises(ValueError, match="1e-6 grid"):
+        semantic_decontaminate(
+            zero_train.filter(F.col("vec_id") < 3),
+            F.col("ev"),
+            threshold=0.1234567,
+            tier="gemm",
+        )
