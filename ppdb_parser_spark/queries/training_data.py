@@ -751,11 +751,19 @@ def govern_documents_v3(
     )
 
     # 1. winnow screen: only docs sharing >= 2 df-capped fingerprints
-    #    ever enter a pair join
+    #    ever enter a pair join. Both endpoints come out of ONE scan
+    #    (explode of the pair struct), not a two-branch union — the
+    #    union form re-ran the whole fingerprint pair join per branch
+    #    (measured round 12: the winnow stage was 9.1 s of the forced
+    #    stage ladder, ~2x the 2.5 s winnow_match wall, exactly the
+    #    double-scan).
     wm = DD.winnow_match(d0)
     screened = (
-        wm.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(wm.select(F.col("doc_b").alias("doc_id")))
+        wm.select(
+            F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias(
+                "doc_id"
+            )
+        )
         .distinct()
     )
     sub = d0.join(screened, "doc_id", "left_semi")

@@ -1135,6 +1135,63 @@ def main() -> None:
             )
             print(f"  -> {ck / c1:.1f}x time for {k}x fresh-vocab corpus")
 
+    if "cascadescale" in only:
+        # pipeline_scrub_cascade growth law (round 12, VERDICT r11
+        # next-round #8): the COMPOSED lineage — intra-doc scrub (n=3)
+        # feeding cross-doc span scrub (n=12) on the rebuilt text, then
+        # the per-language report join — must inherit the components'
+        # sublinear law, not multiply their exchanges. Fresh-vocab
+        # copies again keep duplication structure per universe while
+        # sharing zero spans across copies. The intra output is
+        # checkpointed exactly as the registered query does it, so the
+        # rung measures the production lineage shape.
+        from ppdb_parser_spark.operators.dedup import (
+            span_scrub,
+            span_scrub_intra,
+        )
+
+        def cascade_report(frame):
+            mp = spark.sparkContext.defaultParallelism
+            intra = span_scrub_intra(
+                frame, n=3, min_partitions=mp
+            ).localCheckpoint(eager=True)
+            cross = span_scrub(
+                intra.select(
+                    "doc_id", F.col("scrub_text").alias("text")
+                ),
+                n=12,
+            )
+            return (
+                intra.select(
+                    "doc_id",
+                    F.col("n_removed").alias("intra_removed"),
+                )
+                .join(
+                    cross.select(
+                        "doc_id",
+                        F.col("n_removed").alias("cross_removed"),
+                        F.col("scrub_text").alias("text2"),
+                    ),
+                    "doc_id",
+                )
+                .join(frame.select("doc_id", "lang"), "doc_id")
+                .groupBy("lang")
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("intra_removed").alias("sum_intra"),
+                    F.sum("cross_removed").alias("sum_cross"),
+                    F.count_distinct(F.col("text2")).alias("n_texts"),
+                )
+            )
+
+        k1 = timed("scrub_cascade 1x", cascade_report(docs))
+        for k in (16, 64):
+            kk = timed(
+                f"scrub_cascade {k}x",
+                cascade_report(_fresh_vocab_union(docs, k)),
+            )
+            print(f"  -> {kk / k1:.1f}x time for {k}x fresh-vocab corpus")
+
     if "semdeconscale" in only:
         # semantic_decontaminate growth law (round 11): the eval side is
         # FIXED (collected once, broadcast once) while the train side
