@@ -704,11 +704,38 @@ def simhash_near_pairs(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
         "band_idx", "band_bits",
     )
+    # First-matching-band emission instead of a pair-level distinct
+    # (round 12, the LSH `_first_match_pairs` rule): a near-identical
+    # pair collides in MANY bands (an equal signature collides in all of
+    # them), and each collision used to contribute a duplicate row to a
+    # pair-scale distinct exchange. The signature itself is the packed
+    # band vector, so "no earlier band matched" is pure bit arithmetic
+    # on sig_a XOR sig_b: fold each band's OR into its LSB, then require
+    # every band below the join's band_idx to be nonzero. Emitted set
+    # identical; one less corpus-pair exchange.
+    x = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    t = x
+    for k in range(1, bits_per_band):
+        t = t.bitwiseOR(F.shiftright(x, k))
+    lsb_mask = sum(1 << (bits_per_band * j) for j in range(n_bands))
+    t = t.bitwiseAND(F.lit(lsb_mask))
+    prior_mask = F.get(
+        F.array(
+            *[
+                F.lit((1 << (bits_per_band * j)) - 1).cast("long")
+                for j in range(n_bands)
+            ]
+        ),
+        F.col("band_idx"),
+    )
+    first_match = (
+        F.bitwise_not(t).bitwiseAND(F.lit(lsb_mask)).bitwiseAND(prior_mask)
+        == 0
+    )
     cand = (
         a.join(b, ["band_idx", "band_bits"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & first_match)
         .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
     )
     return (
         cand.withColumn(

@@ -724,11 +724,18 @@ def lsh_similarity_join(
     (it's part of the table contract); requiring it keeps plan construction
     100% lazy — no first()-probe job hidden inside what looks like a pure
     plan-building call.
-    """
-    import random
 
-    rng = random.Random(seed)
-    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+    Round-12 plan modernization (values unchanged — the float sign bits,
+    candidate SET, and left-fold cosine are all replicated exactly):
+    banding runs over BARE ids with first-matching-band emission
+    (:func:`_first_match_pairs` — the pair-level distinct over rows
+    CARRYING dim-64 arrays is gone, the heaviest possible distinct),
+    vectors + hoisted norms rejoin by id afterwards, and the refine is
+    the float flavor of :func:`gemm_pair_cosine_refine` (termwise
+    left-fold accumulation, bit-identical to the in-plan
+    :func:`_dot`).
+    """
+    planes = lsh_planes(n_planes, dim, seed)
     bits_per_band = n_planes // n_bands
 
     sig_bits = [
@@ -737,12 +744,6 @@ def lsh_similarity_join(
         .alias(f"bit{i}")
         for i, p in enumerate(planes)
     ]
-    sig = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        _norm(F.col(vec_col)).alias("__nrm"),
-        *sig_bits,
-    )
     band_cols = [
         F.concat_ws(
             "",
@@ -750,40 +751,11 @@ def lsh_similarity_join(
         ).alias(f"band{b}")
         for b in range(n_bands)
     ]
-    sig = sig.select(id_col, vec_col, "__nrm", *band_cols)
-    banded = sig.select(
-        id_col,
-        vec_col,
-        "__nrm",
-        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias(
-            "band", "band_sig"
-        ),
-    )
-    a = banded.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        F.col("__nrm").alias("na"),
-        "band",
-        "band_sig",
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        F.col("__nrm").alias("nb"),
-        "band",
-        "band_sig",
-    )
-    cand = (
-        a.join(b, ["band", "band_sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb", "na", "nb")
-        .distinct()
-    )
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        cand.withColumn("cosine", F.round(cos, 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+    sig = df.select(F.col(id_col), *sig_bits).select(id_col, *band_cols)
+    cand = _first_match_pairs(sig, n_bands, bits_per_band, id_col)
+    pairs = _pair_vectors_joined(cand, df, id_col, vec_col, norm="float")
+    return gemm_pair_cosine_refine(
+        pairs, threshold, id_type=dict(df.dtypes)[id_col], dot="float"
     )
 
 
@@ -2050,6 +2022,17 @@ def _lsh_band_candidates(
             for b in range(n_bands)
         ]
         sig = sig.select(id_col, vec_col, *band_cols)
+    return _first_match_pairs(sig, n_bands, bits_per_band, id_col)
+
+
+def _first_match_pairs(
+    sig: DataFrame, n_bands: int, bits_per_band: int, id_col: str
+) -> DataFrame:
+    """Distinct band-collision pairs from a signature relation carrying
+    ``band0..band{n_bands-1}`` bit-string columns — the shared
+    first-matching-band machinery of `_lsh_band_candidates` (see its
+    docstring for the emission rule and the bit-arithmetic layout),
+    reused verbatim by the float-signature tier."""
     packed = F.conv(
         F.concat_ws(
             "", *[F.col(f"band{b}") for b in reversed(range(n_bands))]
@@ -2111,6 +2094,7 @@ def gemm_pair_cosine_refine(
     threshold: float,
     *,
     id_type: str,
+    dot: str = "grid",
 ) -> DataFrame:
     """The banded-LSH EXACT REFINE as an Arrow/numpy kernel — the fourth
     (and last) member of the kernel family, extending the round-10 rule
@@ -2152,10 +2136,21 @@ def gemm_pair_cosine_refine(
     regardless of Arrow batch size or dim; memory per task is bounded by
     the batch (``spark.sql.execution.arrow.maxRecordsPerBatch``), not
     the corpus, so the operator's 100 TB shape is unchanged from the hof
-    form it replaces."""
+    form it replaces.
+
+    ``dot="float"`` serves the float-signature LSH tier
+    (:func:`lsh_similarity_join`): the in-plan :func:`_dot` is an
+    order-dependent LEFT FOLD, so the kernel accumulates
+    dimension-by-dimension (``acc += A[:,t]·B[:,t]`` — the identical
+    ``((0+t₀)+t₁)+…`` sequence per pair, vectorized over pairs; the
+    :func:`gemm_assign_cells` float-flavor rule), then the same
+    round-6 + threshold tail."""
     import pandas as pd
 
     thr = float(threshold)
+    if dot not in ("grid", "float"):
+        raise ValueError(f"dot must be 'grid' or 'float', got {dot!r}")
+    use_grid = dot == "grid"
 
     def refine_batches(batches):
         import numpy as np
@@ -2173,13 +2168,20 @@ def gemm_pair_cosine_refine(
             den = pdf["na"].to_numpy(dtype=np.float64) * pdf[
                 "nb"
             ].to_numpy(dtype=np.float64)
-            dg = np.empty(n, dtype=np.int64)
-            step = max(1, 4_000_000 // max(1, d))
-            for lo in range(0, n, step):
-                t = _np_round_half_away(
-                    (A[lo : lo + step] * B[lo : lo + step]) * 1e9
-                )
-                dg[lo : lo + step] = t.sum(axis=1)
+            if use_grid:
+                dg = np.empty(n, dtype=np.int64)
+                step = max(1, 4_000_000 // max(1, d))
+                for lo in range(0, n, step):
+                    t = _np_round_half_away(
+                        (A[lo : lo + step] * B[lo : lo + step]) * 1e9
+                    )
+                    dg[lo : lo + step] = t.sum(axis=1)
+                num = dg.astype(np.float64) / 1e9
+            else:
+                acc = np.zeros(n, dtype=np.float64)
+                for t in range(d):
+                    acc += A[:, t] * B[:, t]
+                num = acc
             if not den.all():
                 # ANSI mirror: the in-plan tier raises DIVIDE_BY_ZERO
                 # on a zero cosine denominator (zero-norm vector)
@@ -2188,7 +2190,7 @@ def gemm_pair_cosine_refine(
                     "(zero-norm vector); the hof tier raises "
                     "DIVIDE_BY_ZERO here under ANSI"
                 )
-            cos = (dg.astype(np.float64) / 1e9) / den
+            cos = num / den
             r6 = _np_round6(cos)
             keep = r6 >= thr
             out = pdf.loc[keep, ["id_a", "id_b"]].reset_index(drop=True)
@@ -2257,17 +2259,23 @@ def gemm_jl_screen(
 
 
 def _pair_vectors_joined(
-    cand: DataFrame, df: DataFrame, id_col: str, vec_col: str
+    cand: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    norm: str = "grid",
 ) -> DataFrame:
-    """Attach per-vector (vector, grid norm) to both sides of a bare
+    """Attach per-vector (vector, norm) to both sides of a bare
     (id_a, id_b) candidate relation. Norms are computed once per VECTOR
     (n rows) and joined in — never folded per pair (round-11 hoist:
     29.4 → 10.4 s at sf0.1; the oracle's ``vn`` CTE always had this
-    shape)."""
+    shape). ``norm="grid"`` → :func:`_grid_norm6` (the checked tiers),
+    ``"float"`` → :func:`_norm` (the float-signature tier)."""
+    norm_expr = {"grid": _grid_norm6, "float": _norm}[norm]
     emb = df.select(
         F.col(id_col),
         F.col(vec_col),
-        _grid_norm6(F.col(vec_col)).alias("nrm"),
+        norm_expr(F.col(vec_col)).alias("nrm"),
     )
     return cand.join(
         emb.select(
