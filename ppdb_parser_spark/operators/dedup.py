@@ -904,10 +904,17 @@ def minhash_match(
     # and join the hash columns back to the occurrence stream, instead of
     # re-hashing per (doc, shingle) occurrence inside the MIN aggregates —
     # measured 4.1M → 15k md5 calls at sf0.1 (14 s → ~1 s for the
-    # signature stage). At corpus scale the join keys on the shingle
-    # (uniform) and the aggregate's map-side partial MINs do the rest.
+    # signature stage). Round 12: the dictionary join (the one
+    # corpus-occurrence exchange) keys on the 8-byte ``xxhash64``
+    # fingerprint rather than the shingle STRING — ~4× lighter exchange
+    # payload, same shape; both sides derive the key in-row. This shares
+    # `jaccard_pairs_prefix`'s documented collision exposure (two
+    # distinct shingles colliding would merge their hash rows —
+    # p ≈ vocab²/2⁶⁵, negligible; string-path equality is
+    # regression-tested).
+    fp = F.xxhash64(F.col("shingle")).alias("fp")
     hashes = sh.select("shingle").distinct().select(
-        "shingle",
+        fp,
         *[
             F.substring(
                 F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))), 1, 16
@@ -915,8 +922,9 @@ def minhash_match(
             for s in range(n_hashes)
         ],
     )
+    sh_fp = sh.select(F.col(id_col), fp)
     sigs = (
-        sh.join(hashes, "shingle")
+        sh_fp.join(hashes, "fp")
         .groupBy(id_col)
         .agg(*[F.min(f"h{s}").alias(f"sig{s}") for s in range(n_hashes)])
     )
@@ -937,25 +945,35 @@ def minhash_match(
         .select("id_a", "id_b")
         .distinct()
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    sa_stream = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sb_stream = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    # join order matters at scale: candidates FIRST, then fan out each
-    # pair's a-side shingles and probe the b-side on (id_b, shingle) —
-    # cost |cand| · avg|A|, never the Σ df² shingle self-join the banding
-    # exists to avoid (a shingle-keyed a⋈b join followed by a cand filter
-    # measured 47 s vs 3 s at sf0.1 for the identical result).
-    inter = (
-        cand.join(sa_stream, "id_a")
-        .join(sb_stream, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # Exact-Jaccard verification on PACKED per-doc fingerprint sets (the
+    # `jaccard_pairs_prefix` layout, round 12): attach each side's sorted
+    # int64 set to the candidate pair and count the intersection with one
+    # codegen'd ``array_intersect`` per pair — |cand| rows total. The
+    # previous form re-fanned each pair out to its a-side shingle STREAM
+    # and probed the b-side on (id_b, shingle): |cand|·avg|A| rows
+    # (~7.2 M at sf0.1 for 142 k candidates) through two string-keyed
+    # exchanges for the identical counts. (Still candidates-FIRST — the
+    # Σ df² shingle self-join the banding exists to avoid stays avoided;
+    # that alternative measured 47 s vs 3 s at sf0.1.) The sets relation
+    # is n·avg|A|·8 B — AQE broadcasts it locally; at scale it joins by
+    # id like every other per-doc relation.
+    sets = sh_fp.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("fp")).alias("fps")
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("fps").alias("fps_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("fps").alias("fps_b"))
     return (
-        inter.join(sa, "id_a")
+        cand.join(sa, "id_a")
         .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("fps_a", "fps_b"))
+            .cast("long")
+            .alias("n_common"),
+            F.size("fps_a").cast("long").alias("n_a"),
+            F.size("fps_b").cast("long").alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),

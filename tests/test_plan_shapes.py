@@ -327,13 +327,29 @@ def test_minhash_refine_joins_candidates_first(spark, sf_dir):
     )
     import re
 
-    # the refine stage must probe b-side shingles WITH the candidate id
-    # bound into the join key (id_b AND shingle in one equi-condition);
-    # shingle-only joins are fine only as dictionary lookups (hash columns
-    # / df filter), which join a DISTINCT-shingle relation
-    assert re.search(r"Join Inner, \(\(?.*id_b.*shingle.*\)", plan) or re.search(
-        r"Join Inner, .*shingle.*id_b", plan
-    ), f"refine join no longer keys on (id_b, shingle):\n{plan}"
+    # round-12 refine shape: the exact Jaccard comes from ONE codegen'd
+    # array_intersect per candidate pair over packed per-doc fingerprint
+    # sets (attached by id_a/id_b joins) — never a per-occurrence stream
+    # join. Fingerprint-keyed joins are legal only as the dictionary
+    # lookup (occurrence stream ⋈ distinct-vocab hash columns): exactly
+    # one fp-only-keyed join may appear in the plan.
+    assert "array_intersect" in plan, (
+        f"refine no longer verifies via packed-set intersection:\n{plan}"
+    )
+    fp_only_joins = [
+        m
+        for m in re.findall(r"Join Inner, \([^\n]*\)", plan)
+        if "fp" in m and "id_a" not in m and "id_b" not in m
+        and "band" not in m
+    ]
+    # the band SELF-join embeds the signature lineage once per side, so
+    # the dictionary lookup may appear twice in the logical plan (AQE
+    # dedups the identical shuffle stages at runtime); three or more
+    # means an occurrence-stream pair join crept back in
+    assert len(fp_only_joins) <= 2, (
+        "more than two fingerprint-only joins — a per-occurrence pair "
+        f"stream join is back:\n{plan}"
+    )
 
 
 def test_chunk_overlap_zero_shuffle(spark, sf_dir):
