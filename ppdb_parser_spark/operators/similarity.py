@@ -2032,14 +2032,27 @@ def _first_match_pairs(
     ``band0..band{n_bands-1}`` bit-string columns — the shared
     first-matching-band machinery of `_lsh_band_candidates` (see its
     docstring for the emission rule and the bit-arithmetic layout),
-    reused verbatim by the float-signature tier."""
-    packed = F.conv(
-        F.concat_ws(
-            "", *[F.col(f"band{b}") for b in reversed(range(n_bands))]
-        ),
-        2,
-        10,
-    ).cast("long")
+    reused verbatim by the float-signature tier.
+
+    Wide-signature fallback: the packed-int64 bit arithmetic holds only
+    for ``n_bands·bits_per_band ≤ 62`` (``conv`` to a signed long wraps
+    past 2⁶³ — a silently wrong emission set, not an error). Wider
+    configs — scale deployments grow plane count ∝ log n to keep bucket
+    occupancy constant — carry the band-sig ARRAY instead and decide
+    "no earlier band matched" with a short zip_with/exists over at most
+    ``band`` elements (≤ n_bands terms per joined row; interpreted, but
+    bounded by band count, not dim)."""
+    wide = n_bands * bits_per_band > 62
+    if wide:
+        packed = F.array(*[F.col(f"band{b}") for b in range(n_bands)])
+    else:
+        packed = F.conv(
+            F.concat_ws(
+                "", *[F.col(f"band{b}") for b in reversed(range(n_bands))]
+            ),
+            2,
+            10,
+        ).cast("long")
     banded = sig.select(
         F.col(id_col),
         packed.alias("psig"),
@@ -2063,25 +2076,35 @@ def _first_match_pairs(
     b = banded.select(
         F.col(id_col).alias("id_b"), F.col("psig").alias("pb"), "band", "band_sig"
     )
-    lsb_mask = sum(1 << (bits_per_band * j) for j in range(n_bands))
-    x = F.col("pa").bitwiseXOR(F.col("pb"))
-    t = x
-    for k in range(1, bits_per_band):
-        t = t.bitwiseOR(F.shiftright(x, k))
-    t = t.bitwiseAND(F.lit(lsb_mask))
-    prior_mask = F.get(
-        F.array(
-            *[
-                F.lit((1 << (bits_per_band * j)) - 1).cast("long")
-                for j in range(n_bands)
-            ]
-        ),
-        F.col("band"),
-    )
-    first_match = (
-        F.bitwise_not(t).bitwiseAND(F.lit(lsb_mask)).bitwiseAND(prior_mask)
-        == 0
-    )
+    if wide:
+        first_match = ~F.exists(
+            F.zip_with(
+                F.slice(F.col("pa"), F.lit(1), F.col("band")),
+                F.slice(F.col("pb"), F.lit(1), F.col("band")),
+                lambda s1, s2: s1 == s2,
+            ),
+            lambda eq: eq,
+        )
+    else:
+        lsb_mask = sum(1 << (bits_per_band * j) for j in range(n_bands))
+        x = F.col("pa").bitwiseXOR(F.col("pb"))
+        t = x
+        for k in range(1, bits_per_band):
+            t = t.bitwiseOR(F.shiftright(x, k))
+        t = t.bitwiseAND(F.lit(lsb_mask))
+        prior_mask = F.get(
+            F.array(
+                *[
+                    F.lit((1 << (bits_per_band * j)) - 1).cast("long")
+                    for j in range(n_bands)
+                ]
+            ),
+            F.col("band"),
+        )
+        first_match = (
+            F.bitwise_not(t).bitwiseAND(F.lit(lsb_mask)).bitwiseAND(prior_mask)
+            == 0
+        )
     return (
         a.join(b, ["band", "band_sig"])
         .filter((F.col("id_a") < F.col("id_b")) & first_match)

@@ -2672,3 +2672,51 @@ def test_semantic_decontaminate_zero_norm_both_tiers_raise(spark):
             threshold=0.1234567,
             tier="gemm",
         )
+
+
+def test_lsh_first_match_wide_signature_fallback(spark):
+    """n_bands*bits_per_band > 62 overflows the packed-int64 emission
+    trick (conv to a signed long wraps) — wide configs, the scale
+    deployment shape where plane count grows with log n, must route
+    through the band-sig-array zip_with/exists fallback and still emit
+    EXACTLY the distinct collision set. Verified against an independent
+    Python bucketing at 64 planes (8-bit bands)."""
+    from collections import defaultdict
+
+    from ppdb_parser_spark.operators.similarity import (
+        _lsh_band_candidates,
+        gemm_lsh_bits,
+        lsh_planes,
+    )
+    from ppdb_parser_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n_planes, n_bands = 64, 8
+    bpb = n_planes // n_bands
+    rows = (
+        gemm_lsh_bits(
+            emb, lsh_planes(n_planes, 64), id_col="vec_id", vec_col="embedding"
+        )
+        .select("vec_id", "bits")
+        .collect()
+    )
+    buckets = defaultdict(list)
+    for r in rows:
+        for band in range(n_bands):
+            buckets[
+                (band, tuple(r.bits[band * bpb : band * bpb + bpb]))
+            ].append(r.vec_id)
+    ref = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                ref.add((ids[i], ids[j]))
+    got = [
+        (r.id_a, r.id_b)
+        for r in _lsh_band_candidates(
+            emb, n_planes, n_bands, 42, "vec_id", "embedding", 64
+        ).collect()
+    ]
+    assert len(got) == len(set(got))
+    assert set(got) == ref

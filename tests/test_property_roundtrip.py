@@ -333,3 +333,71 @@ def test_span_scrub_intra_equals_reference_random_corpora(spark, corpus, n):
         for r in span_scrub_intra(docs, n=n).collect()
     }
     assert got == _span_scrub_intra_ref(corpus, n)
+
+
+# --------------------------------------------------------------------------
+# Vectorized round-6 kernel (operators/similarity._np_round6) vs the exact
+# Decimal(repr) HALF_UP reference — the contract every pair-refine kernel
+# output rides on. Pure Python/numpy (no Spark job per example), so
+# hypothesis can hammer the boundary hard: uniform cosines, values ON the
+# 1e-6 grid, values a few ulps around .xxxxx5 midpoints, and signed zeros.
+# --------------------------------------------------------------------------
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _round6_ref(x: float) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+_plain = st.floats(
+    min_value=-1.5, max_value=1.5, allow_nan=False, allow_infinity=False
+)
+_grid = st.integers(min_value=-1_500_000, max_value=1_500_000).map(
+    lambda k: k / 1e6
+)
+_mid = st.integers(min_value=-1_499_999, max_value=1_499_999).map(
+    lambda k: (2 * k + 1) / 2e6
+)
+_ulp_jitter = st.integers(min_value=-3, max_value=3)
+
+
+@settings(max_examples=2000, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            _plain,
+            _grid,
+            st.tuples(_mid, _ulp_jitter).map(
+                lambda t: math.nextafter(
+                    t[0], math.inf if t[1] >= 0 else -math.inf
+                )
+                if t[1]
+                else t[0]
+            ),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_np_round6_fuzz_matches_decimal_reference(vals):
+    import numpy as np
+
+    from ppdb_parser_spark.operators.similarity import _np_round6
+
+    got = _np_round6(np.array(vals, dtype=np.float64))
+    want = [_round6_ref(v) for v in vals]
+    for g, w, v in zip(got, want, vals):
+        assert g == w, (v, float(g), w)
+        # sign of zero is normalized to +0.0 (the JVM BigDecimal has no
+        # signed zero)
+        if g == 0.0:
+            assert math.copysign(1.0, float(g)) > 0, v

@@ -1135,6 +1135,91 @@ def main() -> None:
             )
             print(f"  -> {ck / c1:.1f}x time for {k}x fresh-vocab corpus")
 
+    if "pairscale" in only:
+        # LSH pair-join growth law in the DEPLOYMENT regime (round 12):
+        # τ=0.9, 100 planted jittered duplicates, and — the part fixed
+        # bands cannot give — plane count grown with n so per-band
+        # bucket occupancy stays constant (64/80/96 planes over 8 bands
+        # → 256/1024/4096 buckets at 1×/4×/16×; the ≥64-plane rungs
+        # exercise the wide-signature first-match fallback). Copies are
+        # SIGNED PERMUTATIONS of the base vectors: orthogonal, so every
+        # copy carries the identical intra-copy pair structure (cosines
+        # invariant), while cross-copy signatures decorrelate and
+        # buckets stay uniformly occupied. Expected: wall ~linear in n
+        # (candidates ∝ n at constant occupancy; the τ=0.9 JL screen
+        # kills ~99% of collisions before any dim-64 work).
+        import random as _random
+
+        import numpy as _np
+
+        from ppdb_parser_spark.operators.similarity import (
+            lsh_jl_screened_pairs,
+        )
+
+        emb = load_table(spark, sf, "embeddings")
+        pdf = emb.select("vec_id", "embedding").toPandas()
+        X = _np.stack(pdf.embedding.to_numpy()).astype(float)
+        rng = _np.random.default_rng(3)
+        idx = rng.integers(0, len(X), 100)
+        D = X[idx] + 0.05 * rng.normal(size=(100, X.shape[1]))
+        D /= _np.linalg.norm(D, axis=1, keepdims=True)
+        rows = [
+            (int(i), [float(v) for v in X[i]]) for i in range(len(X))
+        ] + [
+            (1_000_000 + k, [float(v) for v in D[k]])
+            for k in range(100)
+        ]
+        base = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        dim = X.shape[1]
+
+        def perm_union(k):
+            parts = []
+            for c in range(k):
+                if c == 0:
+                    parts.append(base)
+                    continue
+                r = _random.Random(7000 + c)
+                perm = list(range(dim))
+                r.shuffle(perm)
+                signs = [r.choice((-1.0, 1.0)) for _ in range(dim)]
+                vec = F.array(
+                    *[
+                        F.lit(signs[j])
+                        * F.element_at(F.col("embedding"), perm[j] + 1)
+                        for j in range(dim)
+                    ]
+                )
+                parts.append(
+                    base.select(
+                        (F.col("vec_id") + c * 10_000_000).alias("vec_id"),
+                        vec.alias("embedding"),
+                    )
+                )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
+        prev_k, prev_t = None, None
+        for k, planes in ((1, 64), (4, 80), (16, 96)):
+            ek = perm_union(k)
+            tk = timed(
+                f"lsh_jl_pairs tau=0.9 {k}x planes={planes} (∝log n)",
+                lsh_jl_screened_pairs(
+                    ek, threshold=0.9, n_planes=planes, n_bands=8,
+                    seed=42, dim=dim,
+                ),
+            )
+            if prev_t is not None:
+                step = (tk / prev_t) / (k / prev_k)
+                print(
+                    f"  -> step efficiency {step:.2f} "
+                    f"(1.0 = perfectly linear in n)"
+                )
+            prev_k, prev_t = k, tk
+
     if "cascadescale" in only:
         # pipeline_scrub_cascade growth law (round 12, VERDICT r11
         # next-round #8): the COMPOSED lineage — intra-doc scrub (n=3)
