@@ -2724,6 +2724,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seeds_from: DataFrame | None = None,
+    dominance_tier: str = "gemm",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas, Tirumala, Simig,
     Ganguli & Morcos 2023, "SemDeDup: Data-efficient learning at web-scale
@@ -2810,18 +2811,95 @@ def semantic_dedup(
             F.element_at(ranked, 1)["cell_id"].alias("cell_id"),
         )
     )
-    return _sem_cell_dominance(assigned, threshold, id_col)
+    return _sem_cell_dominance(
+        assigned, threshold, id_col, tier=dominance_tier
+    )
 
 
 def _sem_cell_dominance(
-    assigned: DataFrame, threshold: float, id_col: str
+    assigned: DataFrame, threshold: float, id_col: str, tier: str = "gemm"
 ) -> DataFrame:
-    """Shared SemDeDup tail: cell-keyed self equi join (bounded fan-out)
-    → distinct dominated ids (``round(cos,6) ≥ threshold`` against some
-    strictly-smaller id in the SAME cell) → keep mark. ``assigned`` must
-    carry ``(id_col, __qv, __nrm, cell_id)``; cosines reduce on the
+    """Shared SemDeDup tail: within each cell, a row is DOMINATED iff
+    some strictly-smaller id in the same cell has
+    ``round(cos, 6) ≥ threshold``. ``assigned`` must carry
+    ``(id_col, __qv, __nrm, cell_id)``; cosines reduce on the
     quantize-once int64 grid, so the threshold compare is bit-identical
-    cross-engine."""
+    cross-engine in BOTH tiers.
+
+    ``tier="gemm"`` (default, round 12 — the last interpreted per-PAIR
+    fold in the SemDeDup family): one ``applyInPandas`` over the cell
+    key computes each cell's pairwise int64 GEMM (exact within
+    ``_sem_quant``'s enforced |x| ≤ 37 bound: 64·(3.7e8)² < 2⁶³),
+    divides with the in-plan parenthesization pinned, rounds via
+    :func:`_np_round6` (bit-identical to ``F.round``, so ANY threshold
+    is exact — no 1e-6-grid restriction here), and marks the
+    strict-lower-triangle dominance directly. That REPLACES the
+    cell-keyed self join + per-pair interpreted ``_sem_qdot`` fold +
+    distinct + left-join tail with ONE exchange and zero interpreted
+    per-pair work; tiles cap the kernel's working set (~32 MB per
+    tile) so a skewed cell bounds memory, not correctness. Zero-norm
+    rows raise ``ValueError`` (the family's ANSI mirror — the hof
+    tier's divide raises DIVIDE_BY_ZERO). Ids must be orderable the
+    same way in numpy and Spark (numeric ids — every current caller).
+    ``tier="hof"`` keeps the join form as the A/B twin; equivalence is
+    pinned by tests/test_operators.py::test_sem_dominance_gemm_equals_hof.
+    """
+    if tier == "gemm":
+        import pandas as pd
+
+        dtypes = dict(assigned.dtypes)
+        out_schema = (
+            f"`{id_col}` {dtypes[id_col]}, "
+            f"cell_id {dtypes['cell_id']}, kept boolean"
+        )
+        thr = float(threshold)
+
+        def dominate(pdf):
+            import numpy as np
+
+            n = len(pdf)
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell_id"].to_numpy()
+            if n <= 1:
+                return pd.DataFrame(
+                    {id_col: ids, "cell_id": cells, "kept": [True] * n}
+                )
+            order = np.argsort(ids, kind="stable")
+            Q = np.array(list(pdf["__qv"]), dtype=np.int64)[order]
+            nrm = pdf["__nrm"].to_numpy(dtype=np.float64)[order]
+            if not nrm.all():
+                raise ValueError(
+                    "_sem_cell_dominance: zero norm in cell — the hof "
+                    "tier raises DIVIDE_BY_ZERO here under ANSI"
+                )
+            dom = np.zeros(n, dtype=bool)
+            step = max(1, 4_000_000 // n)
+            for i0 in range(1, n, step):
+                i1 = min(i0 + step, n)
+                G = (Q[i0:i1] @ Q[:i1].T).astype(np.float64)
+                C = (G / float(SEM_QSCALE) ** 2) / (
+                    nrm[i0:i1, None] * nrm[None, :i1]
+                )
+                r6 = _np_round6(C.ravel()).reshape(C.shape)
+                m = r6 >= thr
+                # only strictly-smaller GLOBAL index dominates: full
+                # columns below i0, strict lower triangle inside the
+                # tile-local square
+                m[:, i0:] = np.tril(m[:, i0:], k=-1)
+                dom[i0:i1] = m.any(axis=1)
+            kept = np.empty(n, dtype=bool)
+            kept[order] = ~dom
+            return pd.DataFrame(
+                {id_col: ids, "cell_id": cells, "kept": kept}
+            )
+
+        return (
+            assigned.select(id_col, "__qv", "__nrm", "cell_id")
+            .groupBy("cell_id")
+            .applyInPandas(dominate, out_schema)
+        )
+    if tier != "hof":
+        raise ValueError(f"tier must be 'gemm' or 'hof', got {tier!r}")
     a = assigned.select(
         F.col(id_col).alias("id_a"),
         F.col("__qv").alias("qa"),
@@ -3078,6 +3156,7 @@ def semantic_dedup_two_level(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seeds_from: DataFrame | None = None,
+    dominance_tier: str = "gemm",
 ) -> DataFrame:
     """:func:`semantic_dedup` with a HIERARCHICAL (two-level) coarse
     assignment: routing each row through ``n_super ≈ √cells`` top-level
@@ -3184,7 +3263,9 @@ def semantic_dedup_two_level(
             ).alias("cell_id"),
         )
     )
-    return _sem_cell_dominance(assigned, threshold, id_col)
+    return _sem_cell_dominance(
+        assigned, threshold, id_col, tier=dominance_tier
+    )
 
 
 def semantic_dedup_gemm(
@@ -3198,6 +3279,7 @@ def semantic_dedup_gemm(
     checkpoint: bool = False,
     two_level: bool = False,
     n_super: int | None = None,
+    dominance_tier: str = "gemm",
 ) -> DataFrame:
     """:func:`semantic_dedup` with the cell ASSIGNMENT as a blocked int64
     GEMM (the :func:`brute_cosine_pairs_blocked` layout) instead of
@@ -3235,9 +3317,12 @@ def semantic_dedup_gemm(
       :func:`_sem_cell_dominance` (round-6 ≥ threshold), unchanged.
 
     ``checkpoint=True`` materializes the assignment once
-    (``localCheckpoint``) before the dominance tail's three consumers —
-    engine default stays lazy; large-scale harnesses opt in so the
-    Python stage runs once, not three times.
+    (``localCheckpoint``) before the dominance tail — load-bearing for
+    ``dominance_tier="hof"``, whose join tail consumes the assignment
+    three times (a/b sides + the keep-mark join); the default gemm
+    dominance consumes it ONCE, so the checkpoint is then just an
+    optional lineage cut. Engine default stays lazy; large-scale
+    harnesses opt in.
 
     ``two_level=True`` (with ``n_super``) composes the hierarchy INTO
     the kernel — the answer to the measured 256× knee (BASELINE_HISTORY.md
@@ -3362,7 +3447,9 @@ def semantic_dedup_gemm(
     ).withColumnRenamed("id", id_col)
     if checkpoint:
         assigned = assigned.localCheckpoint(eager=True)
-    return _sem_cell_dominance(assigned, threshold, id_col)
+    return _sem_cell_dominance(
+        assigned, threshold, id_col, tier=dominance_tier
+    )
 
 
 def ivfpq_residual_topk(

@@ -2720,3 +2720,61 @@ def test_lsh_first_match_wide_signature_fallback(spark):
     ]
     assert len(got) == len(set(got))
     assert set(got) == ref
+
+
+def test_sem_dominance_gemm_equals_hof(spark):
+    """The per-cell dominance KERNEL (applyInPandas int64 GEMM +
+    _np_round6) and the cell-keyed self-join + interpreted per-pair fold
+    produce IDENTICAL (id, cell_id, kept) rows for every SemDeDup family
+    member — flat, two-level, gemm-assigned, and gemm two-level — and
+    for an OFF-GRID threshold (the kernel rounds every pair exactly, so
+    no 1e-6-grid restriction applies to dominance)."""
+    from ppdb_parser_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_gemm,
+        semantic_dedup_two_level,
+    )
+    from ppdb_parser_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cases = [
+        (semantic_dedup, {}),
+        (semantic_dedup_two_level, {"n_super": 4}),
+        (semantic_dedup_gemm, {}),
+        (semantic_dedup_gemm, {"two_level": True, "n_super": 4}),
+    ]
+    for fn, kw in cases:
+        by_tier = {
+            t: sorted(
+                map(
+                    tuple,
+                    fn(
+                        emb,
+                        n_cells=16,
+                        threshold=0.35,
+                        dominance_tier=t,
+                        **kw,
+                    ).collect(),
+                )
+            )
+            for t in ("gemm", "hof")
+        }
+        assert by_tier["gemm"] == by_tier["hof"], (fn.__name__, kw)
+    # off-grid threshold: exact in both tiers
+    g = sorted(
+        map(
+            tuple,
+            semantic_dedup(
+                emb, n_cells=8, threshold=0.1234567, dominance_tier="gemm"
+            ).collect(),
+        )
+    )
+    h = sorted(
+        map(
+            tuple,
+            semantic_dedup(
+                emb, n_cells=8, threshold=0.1234567, dominance_tier="hof"
+            ).collect(),
+        )
+    )
+    assert g == h and any(not r[2] for r in g)
