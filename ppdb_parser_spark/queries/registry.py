@@ -328,6 +328,20 @@ _ROUND12_PRIORITY = (
     "dedup_embedding_checked",
     "pipeline_scrub_cascade",
     "pipeline_decontaminate_semantic",
+    # Mid-round additions (same rule — plans changed, values proven
+    # unchanged at sf0.001/sf0.01, driver re-cert wanted): the SemDeDup
+    # dominance-kernel consumers, the packed-set MinHash, the
+    # first-match SimHash consumers, and the single-scan curation v3.
+    "dedup_semantic",
+    "dedup_semantic_h2",
+    "dedup_semantic_gemm",
+    "dedup_semantic_gemm_h2",
+    "dedup_minhash_relational",
+    "dedup_simhash_pairs",
+    "dedup_triangle_count",
+    "dedup_cluster_report",
+    "dedup_tier_agreement",
+    "pipeline_corpus_curation_v3",
 )
 
 
