@@ -2895,6 +2895,21 @@ def _sem_cell_dominance(
 
         return (
             assigned.select(id_col, "__qv", "__nrm", "cell_id")
+            # explicit partition count: the exchange carries quantized
+            # vectors (~bytes-cheap, compute-heavy downstream), so AQE
+            # would coalesce it to a handful of tasks and serialize the
+            # per-cell GEMMs (measured 7 tasks on 16 cores at the 16×
+            # rung). A user-specified count is AQE-exempt, and a relation
+            # already hash-partitioned by cell_id satisfies the
+            # applyInPandas clustering requirement — no second exchange.
+            .repartition(
+                int(
+                    assigned.sparkSession.conf.get(
+                        "spark.sql.shuffle.partitions"
+                    )
+                ),
+                F.col("cell_id"),
+            )
             .groupBy("cell_id")
             .applyInPandas(dominate, out_schema)
         )
