@@ -405,6 +405,7 @@ def jaccard_pairs_prefix(
     text_col: str = "text",
     min_partitions: int | None = None,
     delta_min_id: int | None = None,
+    cross_min_id: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-join via prefix filtering (AllPairs / PPJoin family —
     Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity Search",
@@ -586,6 +587,19 @@ def jaccard_pairs_prefix(
     if delta_min_id is not None:
         # incremental mode: the larger-id side must be a delta doc
         join_cond = join_cond & (F.col(f"b.{id_col}") >= F.lit(delta_min_id))
+    if cross_min_id is not None:
+        # two-corpus mode: ONLY pairs straddling the id cutoff (a below,
+        # b at/above — with the a<b convention every cross pair has this
+        # shape). Stricter than delta_min_id: the within-upper-corpus
+        # pairs are excluded too, so the pair aggregate's input shrinks
+        # from Σ df·df_upper to Σ df_lower·df_upper. Callers shift one
+        # corpus's ids above the cutoff (decontamination: the eval
+        # corpus) and read id_a = lower-corpus doc, id_b = upper.
+        join_cond = (
+            join_cond
+            & (F.col(f"a.{id_col}") < F.lit(cross_min_id))
+            & (F.col(f"b.{id_col}") >= F.lit(cross_min_id))
+        )
     cand = (
         a.join(b, join_cond)
         .groupBy(

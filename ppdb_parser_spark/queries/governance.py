@@ -451,6 +451,111 @@ def pipeline_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # --------------------------------------------------------------------------
+# pipeline_decontaminate_jaccard — document-level near-dup decontamination.
+#
+# The FOURTH decontamination tier, filling the gap between the n-gram
+# probes and the embedding tier: exact 8-gram / Bloom (pipeline_
+# decontaminate / _bloom) flag literal n-gram overlap, semantic
+# (pipeline_decontaminate_semantic) flags paraphrase in embedding space —
+# this tier flags WHOLE-DOCUMENT set-level near-duplication (shingle
+# Jaccard ≥ τ against ANY eval document): a train doc that is a light
+# edit of an eval doc (reordered/substituted words, partial 8-gram decay)
+# but not a paraphrase. Same eval-slice convention (md5 bucket, salt
+# "eval:", < _EVAL_MAX) so all four tiers are directly comparable.
+#
+# Spark-first shape: the eval corpus's ids shift above a cutoff and the
+# SAME AllPairs/PPJoin prefix machinery as dedup_jaccard_prefix runs in
+# two-corpus mode (operators/dedup.py::jaccard_pairs_prefix
+# cross_min_id): only cross pairs (train below the cutoff, eval at/above)
+# survive the join condition, so the pair aggregate's input is
+# Σ df_train·df_eval — proportional to the eval corpus, not the corpus
+# square. Per contaminated train doc: match count + max Jaccard (int/int
+# division → correctly-rounded double, cross-engine exact).
+# --------------------------------------------------------------------------
+_XDECON_T = 0.5
+_XDECON_SHIFT = 1_000_000_000
+
+_XDECON_ORACLE = f"""
+    WITH pos_toks AS (
+      SELECT doc_id,
+             unnest(str_split(text, ' ')) AS token,
+             generate_subscripts(str_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    sh_all AS (
+      SELECT DISTINCT doc_id,
+             token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS shingle
+      FROM pos_toks
+    ),
+    sh AS (SELECT doc_id, shingle FROM sh_all WHERE shingle IS NOT NULL
+           AND len(str_split(shingle, ' ')) = 2),
+    flags AS (
+      SELECT doc_id, lang,
+             {{bucket}} < '{{evmax}}' AS is_eval
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+             COUNT(*) AS n_common
+      FROM sh t
+      JOIN flags ft ON ft.doc_id = t.doc_id AND NOT ft.is_eval
+      JOIN sh e ON e.shingle = t.shingle
+      JOIN flags fe ON fe.doc_id = e.doc_id AND fe.is_eval
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT i.train_id, i.eval_id,
+             i.n_common / (st.n + se.n - i.n_common) AS jaccard
+      FROM inter i
+      JOIN sizes st ON st.doc_id = i.train_id
+      JOIN sizes se ON se.doc_id = i.eval_id
+      WHERE i.n_common / (st.n + se.n - i.n_common) >= {{tau}}
+    )
+    SELECT j.train_id AS doc_id, f.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           MAX(j.jaccard) AS max_jaccard
+    FROM jac j JOIN flags f ON f.doc_id = j.train_id
+    GROUP BY 1, 2
+""".format(bucket=_bucket_sql('eval:'), evmax=_EVAL_MAX, tau=0.5)
+
+
+@query(
+    "pipeline_decontaminate_jaccard",
+    oracle=_XDECON_ORACLE,
+    tags=("O6", "J2", "A1", "X1"),
+)
+def pipeline_decontaminate_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = _bucket("eval:") < _EVAL_MAX
+    tagged = docs.select(
+        F.when(is_eval, F.col("doc_id") + _XDECON_SHIFT)
+        .otherwise(F.col("doc_id"))
+        .alias("doc_id"),
+        "text",
+    )
+    pairs = DD.jaccard_pairs_prefix(
+        tagged,
+        threshold=_XDECON_T,
+        n=2,
+        min_partitions=spark.sparkContext.defaultParallelism,
+        cross_min_id=_XDECON_SHIFT,
+    )
+    return (
+        pairs.groupBy(F.col("id_a").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_matches", "max_jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
 # dedup_span_scrub — C4/ExactSubstr-style span REMOVAL with reconstruction.
 #
 # The scrubbing complement of dedup_substring_spans above: that query

@@ -2778,3 +2778,45 @@ def test_sem_dominance_gemm_equals_hof(spark):
         )
     )
     assert g == h and any(not r[2] for r in g)
+
+
+def test_jaccard_prefix_cross_corpus_mode(spark, sf_dir):
+    """cross_min_id (two-corpus decontamination mode) returns EXACTLY
+    the full prefix join's pairs that straddle the cutoff — no within-
+    corpus pair on either side, nothing lost. Drives the
+    pipeline_decontaminate_jaccard tier."""
+    from pyspark.sql import functions as F
+
+    import ppdb_parser_spark.operators.dedup as DD
+    from ppdb_parser_spark.queries.training_data import _EVAL_MAX, _bucket
+    from ppdb_parser_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    S = 1_000_000_000
+    is_eval = _bucket("eval:") < _EVAL_MAX
+    tagged = docs.select(
+        F.when(is_eval, F.col("doc_id") + S)
+        .otherwise(F.col("doc_id"))
+        .alias("doc_id"),
+        "text",
+    )
+    full = sorted(
+        map(
+            tuple,
+            DD.jaccard_pairs_prefix(tagged, threshold=0.5, n=2, min_partitions=8)
+            .filter((F.col("id_a") < S) & (F.col("id_b") >= S))
+            .collect(),
+        )
+    )
+    cross = sorted(
+        map(
+            tuple,
+            DD.jaccard_pairs_prefix(
+                tagged, threshold=0.5, n=2, min_partitions=8, cross_min_id=S
+            ).collect(),
+        )
+    )
+    assert cross == full
+    assert len(cross) > 0  # non-degenerate on the fixture
+    # every pair straddles: train side below, eval side at/above
+    assert all(a < S <= b for (a, b, *_rest) in cross)
