@@ -847,12 +847,25 @@ def winnow_match(
     """
     from .text_analysis import winnow_fingerprints
 
-    fp = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    # LAZY localCheckpoints (no job at plan-construction time — the
+    # operator stays a pure plan builder): the fingerprint relation
+    # feeds its own df aggregate AND the join probe, and the df-capped
+    # ``kept`` relation feeds three consumers (both pair-join sides +
+    # sizes). Without cut points Catalyst inlines the whole
+    # window-backed fingerprint subtree into every consumer — measured
+    # round 12: EIGHT Window replays and zero exchange reuse in the
+    # executed plan (AQE reuses no exchange here), ~2.6 s of the 2.66 s
+    # query wall. With the cuts, the first action materializes each
+    # relation once and every consumer reads the shared RDD.
+    fp = winnow_fingerprints(df, id_col, text_col, k=k, w=w).localCheckpoint(
+        eager=False
+    )
     freq = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("fp_df"))
     kept = (
         fp.join(freq, "fingerprint")
         .filter(F.col("fp_df") <= max_doc_freq)
         .select(id_col, "fingerprint")
+        .localCheckpoint(eager=False)
     )
     sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
     a, b = kept.alias("a"), kept.alias("b")
