@@ -950,10 +950,16 @@ def minhash_match(
         ],
     )
     sh_fp = sh.select(F.col(id_col), fp)
+    # lazy cut point (the winnow_match convention, round 12): the
+    # signature relation feeds BOTH sides of the band self-join and the
+    # executed plan shows zero exchange reuse, so without it the whole
+    # dictionary-join + 16-MIN aggregate runs twice per action. n-docs
+    # sized (16 hex prefixes per doc) — materialization is trivial.
     sigs = (
         sh_fp.join(hashes, "fp")
         .groupBy(id_col)
         .agg(*[F.min(f"h{s}").alias(f"sig{s}") for s in range(n_hashes)])
+        .localCheckpoint(eager=False)
     )
     band_exprs = [
         F.md5(
@@ -984,8 +990,12 @@ def minhash_match(
     # that alternative measured 47 s vs 3 s at sf0.1.) The sets relation
     # is n·avg|A|·8 B — AQE broadcasts it locally; at scale it joins by
     # id like every other per-doc relation.
-    sets = sh_fp.groupBy(id_col).agg(
-        F.sort_array(F.collect_set("fp")).alias("fps")
+    sets = (
+        sh_fp.groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("fp")).alias("fps"))
+        # same cut rationale: attached to BOTH pair sides; without it the
+        # shingle stream re-shingles once per side
+        .localCheckpoint(eager=False)
     )
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("fps").alias("fps_a"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("fps").alias("fps_b"))
