@@ -499,10 +499,20 @@ def jaccard_pairs_prefix(
     nparts = min_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
+    # LAZY cut point (round 12): the doc-keyed repartition below was
+    # DOCUMENTED as the plan's reuse barrier for its four consumers
+    # (df count, occurrence⋈df join, both verification-set sides) — but
+    # the executed plan shows ZERO exchange reuse and SIX file scans:
+    # Catalyst re-inlines the scan + shingling into every consumer. The
+    # non-eager localCheckpoint makes the sharing real (materialized
+    # once per action; the operator stays a pure plan builder), which
+    # also collapses the upstream lineage — in pipeline_corpus_curation
+    # that is a quality join + dedup window, not just a scan.
     base = (
         df.select(F.col(id_col), F.sort_array(sh_arr).alias("fps"))
         .select(id_col, F.size("fps").alias("n"), "fps")
         .repartition(nparts, F.col(id_col))
+        .localCheckpoint(eager=False)
     )
     occ = base.select(id_col, "n", F.explode("fps").alias("fp"))
     freq = occ.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
@@ -537,6 +547,8 @@ def jaccard_pairs_prefix(
             (F.col("pos") + 1).alias("pos"),
             F.col("k.fp").alias("fp"),
         )
+        # both candidate-join sides read pref; same cut rationale
+        .localCheckpoint(eager=False)
     )
     # Candidate pruning (PPJoin family — Xiao, Wang, Lin & Yu, WWW 2008),
     # AGGREGATED per pair rather than per occurrence: the equi-join on
