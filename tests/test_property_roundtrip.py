@@ -401,3 +401,54 @@ def test_np_round6_fuzz_matches_decimal_reference(vals):
         # signed zero)
         if g == 0.0:
             assert math.copysign(1.0, float(g)) > 0, v
+
+
+def _round0_ref(x: float) -> int:
+    """Exact F.round(x) reference: HALF_UP on the shortest-repr decimal."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(float(x))).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+    )
+
+
+_half_center = st.integers(min_value=-10_000_000, max_value=10_000_000).map(
+    lambda k: k + 0.5
+)
+
+
+@settings(max_examples=2000, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.floats(
+                min_value=-1e10,
+                max_value=1e10,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            _half_center,
+            st.tuples(_half_center, st.integers(min_value=-3, max_value=3)).map(
+                lambda t: math.nextafter(
+                    t[0], math.inf if t[1] >= 0 else -math.inf
+                )
+                if t[1]
+                else t[0]
+            ),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_np_round_half_away_fuzz_matches_decimal_reference(vals):
+    """The grid kernels' per-term ``round(x)`` replica vs the exact
+    Decimal(repr) HALF_UP reference — integer half-boundaries and
+    ulp-jittered neighbors up to the 1e10 term magnitude the grid dots
+    produce."""
+    import numpy as np
+
+    from ppdb_parser_spark.operators.similarity import _np_round_half_away
+
+    got = _np_round_half_away(np.array(vals, dtype=np.float64))
+    want = [_round0_ref(v) for v in vals]
+    assert [int(g) for g in got] == want, vals
