@@ -800,8 +800,18 @@ def containment_pairs(
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         keep = freq.filter(F.col("df") <= max_doc_freq).select("shingle")
         sh = sh.join(keep, "shingle")
-    fp = sh.select(F.col(id_col), F.xxhash64("shingle").alias("fp"))
-    sets = fp.groupBy(id_col).agg(F.sort_array(F.collect_set("fp")).alias("fps"))
+    # lazy cut points (the round-12 prefix-join convention): fp feeds
+    # both candidate-join sides AND the sets aggregate, and sets
+    # attaches to both pair sides — without the cuts the shingle build
+    # replays once per consumer (zero exchange reuse in executed plans)
+    fp = sh.select(
+        F.col(id_col), F.xxhash64("shingle").alias("fp")
+    ).localCheckpoint(eager=False)
+    sets = (
+        fp.groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("fp")).alias("fps"))
+        .localCheckpoint(eager=False)
+    )
     a, b = fp.alias("a"), fp.alias("b")
     cand = (
         a.join(b, "fp")
