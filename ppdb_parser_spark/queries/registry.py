@@ -58,18 +58,18 @@ def query(
     return deco
 
 
-# Queries that already earned a driver CORRECTNESS row in rounds 1-10
-# (keys of CORRECTNESS_r01.json ∪ … ∪ r11, intersected with the live
-# registry; re-frozen 2026-08-16 for round 12). The driver prefix
+# Queries that already earned a driver CORRECTNESS row in rounds 1-12
+# (keys of CORRECTNESS_r01.json ∪ … ∪ r12, intersected with the live
+# registry; re-frozen 2026-08-16 for round 13). The driver prefix
 # is built from the registry MINUS this set, so anything new this round
 # earns a row first.
 #
-# ROUND-13 NOTE: first move next round — regenerate both structures below
-# with ``python tools/gen_prefix_freeze.py`` (folds CORRECTNESS_r12.json
-# in, bumps _LAST_DRIVER_ROUND), rename to _DRIVER_CHECKED_R1_R12, replace
-# _ROUND12_PRIORITY with the next stale/marquee tier, and update
-# tests/test_oracle_parity.py::test_coverage_order_round12_prefix_contract.
-_DRIVER_CHECKED_R1_R11 = frozenset(
+# ROUND-14 NOTE: first move next round — regenerate both structures below
+# with ``python tools/gen_prefix_freeze.py`` (folds CORRECTNESS_r13.json
+# in, bumps _LAST_DRIVER_ROUND), rename to _DRIVER_CHECKED_R1_R13, replace
+# _ROUND13_PRIORITY with the next stale/marquee tier, and update
+# tests/test_oracle_parity.py::test_coverage_order_round13_prefix_contract.
+_DRIVER_CHECKED_R1_R12 = frozenset(
     {
         'agg_approx_distinct', 'agg_approx_percentile', 'agg_cube',
         'agg_distinct_counts', 'agg_filtered', 'agg_grouping_sets',
@@ -112,6 +112,7 @@ _DRIVER_CHECKED_R1_R11 = frozenset(
         'pipeline_corpus_curation_v2', 'pipeline_corpus_curation_v3',
         'pipeline_corpus_datacard', 'pipeline_decontaminate',
         'pipeline_decontaminate_bloom',
+        'pipeline_decontaminate_jaccard',
         'pipeline_decontaminate_semantic', 'pipeline_drift_tvd',
         'pipeline_dsir_weights', 'pipeline_mixture_sample',
         'pipeline_mixture_temperature', 'pipeline_mixture_waterfill',
@@ -188,55 +189,56 @@ _LAST_DRIVER_ROUND = {
         9, 'analytics_lost_opportunity': 9, 'analytics_market_basket':
         11, 'analytics_market_share': 11, 'analytics_promo_share': 10,
         'analytics_rfm_segments': 10, 'analytics_rolling_wau': 10,
-        'analytics_shipping_priority': 7, 'analytics_signup_funnel': 7,
-        'analytics_small_qty_revenue': 7, 'analytics_trade_flows': 10,
-        'anti_join': 7, 'asof_click_next_purchase': 11,
-        'asof_purchase_click': 10, 'broadcast_join': 7, 'case_when': 7,
-        'cross_join': 11, 'dedup_cluster_report': 9, 'dedup_components':
-        7, 'dedup_components_star': 7, 'dedup_containment': 10,
-        'dedup_embedding': 8, 'dedup_embedding_checked': 11,
-        'dedup_embedding_lsh': 6, 'dedup_exact': 7,
-        'dedup_jaccard_bitmap': 7, 'dedup_jaccard_capped': 7,
-        'dedup_jaccard_incremental': 10, 'dedup_jaccard_pairs': 7,
-        'dedup_jaccard_prefix': 11, 'dedup_minhash_lsh': 6,
-        'dedup_minhash_relational': 11, 'dedup_semantic': 10,
-        'dedup_semantic_gemm': 11, 'dedup_semantic_gemm_h2': 10,
-        'dedup_semantic_h2': 10, 'dedup_simhash': 7,
-        'dedup_simhash_pairs': 7, 'dedup_span_scrub': 11,
-        'dedup_span_scrub_intra': 11, 'dedup_substring_spans': 8,
-        'dedup_tier_agreement': 8, 'dedup_triangle_count': 9,
-        'dedup_winnow_match': 10, 'except_custkeys': 11,
-        'filter_project': 7, 'flagship': 11, 'fuzzy_phrase_match': 11,
-        'govern_luhn_scan': 8, 'govern_pii_mask': 10,
-        'intersect_nations': 7, 'left_join_coverage': 8,
-        'lookup_oov_tokens': 7, 'lookup_paraphrase_coverage': 7,
-        'mm_binary_hash': 7, 'mm_decode_meta': 6, 'mm_dhash': 10,
-        'mm_dhash_near': 11, 'mm_img_features': 8, 'mm_media_meta': 8,
-        'mm_media_stats': 9, 'mm_meta_stats': 7, 'mm_png_features': 10,
-        'mm_resize': 7, 'mm_wav_sample': 7, 'order_limit': 10,
-        'pattern_scd2_merge': 10, 'pattern_scd2_pointintime': 11,
-        'pattern_unpivot': 7, 'pipeline_chunk_overlap': 11,
-        'pipeline_corpus_curation': 10, 'pipeline_corpus_curation_v2':
-        6, 'pipeline_corpus_curation_v3': 11,
-        'pipeline_corpus_datacard': 8, 'pipeline_decontaminate': 10,
-        'pipeline_decontaminate_bloom': 10,
-        'pipeline_decontaminate_semantic': 11, 'pipeline_drift_tvd': 8,
+        'analytics_shipping_priority': 12, 'analytics_signup_funnel':
+        12, 'analytics_small_qty_revenue': 12, 'analytics_trade_flows':
+        10, 'anti_join': 12, 'asof_click_next_purchase': 11,
+        'asof_purchase_click': 10, 'broadcast_join': 12, 'case_when':
+        12, 'cross_join': 11, 'dedup_cluster_report': 12,
+        'dedup_components': 12, 'dedup_components_star': 12,
+        'dedup_containment': 10, 'dedup_embedding': 8,
+        'dedup_embedding_checked': 12, 'dedup_embedding_lsh': 12,
+        'dedup_exact': 12, 'dedup_jaccard_bitmap': 12,
+        'dedup_jaccard_capped': 12, 'dedup_jaccard_incremental': 10,
+        'dedup_jaccard_pairs': 7, 'dedup_jaccard_prefix': 11,
+        'dedup_minhash_lsh': 12, 'dedup_minhash_relational': 12,
+        'dedup_semantic': 12, 'dedup_semantic_gemm': 12,
+        'dedup_semantic_gemm_h2': 12, 'dedup_semantic_h2': 12,
+        'dedup_simhash': 7, 'dedup_simhash_pairs': 12,
+        'dedup_span_scrub': 11, 'dedup_span_scrub_intra': 11,
+        'dedup_substring_spans': 8, 'dedup_tier_agreement': 12,
+        'dedup_triangle_count': 12, 'dedup_winnow_match': 10,
+        'except_custkeys': 11, 'filter_project': 7, 'flagship': 11,
+        'fuzzy_phrase_match': 11, 'govern_luhn_scan': 8,
+        'govern_pii_mask': 10, 'intersect_nations': 7,
+        'left_join_coverage': 8, 'lookup_oov_tokens': 7,
+        'lookup_paraphrase_coverage': 7, 'mm_binary_hash': 7,
+        'mm_decode_meta': 12, 'mm_dhash': 10, 'mm_dhash_near': 11,
+        'mm_img_features': 8, 'mm_media_meta': 8, 'mm_media_stats': 9,
+        'mm_meta_stats': 7, 'mm_png_features': 10, 'mm_resize': 7,
+        'mm_wav_sample': 7, 'order_limit': 10, 'pattern_scd2_merge': 10,
+        'pattern_scd2_pointintime': 11, 'pattern_unpivot': 7,
+        'pipeline_chunk_overlap': 11, 'pipeline_corpus_curation': 10,
+        'pipeline_corpus_curation_v2': 12,
+        'pipeline_corpus_curation_v3': 12, 'pipeline_corpus_datacard':
+        8, 'pipeline_decontaminate': 10, 'pipeline_decontaminate_bloom':
+        10, 'pipeline_decontaminate_jaccard': 12,
+        'pipeline_decontaminate_semantic': 12, 'pipeline_drift_tvd': 8,
         'pipeline_dsir_weights': 8, 'pipeline_mixture_sample': 10,
         'pipeline_mixture_temperature': 8, 'pipeline_mixture_waterfill':
-        8, 'pipeline_pack_windows': 6, 'pipeline_quality_classifier': 8,
-        'pipeline_quality_gate': 11, 'pipeline_quality_quartiles': 7,
+        8, 'pipeline_pack_windows': 12, 'pipeline_quality_classifier':
+        8, 'pipeline_quality_gate': 11, 'pipeline_quality_quartiles': 7,
         'pipeline_quality_regression': 8,
         'pipeline_quality_regression_by_lang': 8, 'pipeline_rag_ingest':
-        11, 'pipeline_scrub_cascade': 11, 'pipeline_session_dialogues':
+        11, 'pipeline_scrub_cascade': 12, 'pipeline_session_dialogues':
         7, 'pipeline_shuffle_shards': 7, 'pipeline_stratified_sample':
         11, 'pipeline_train_split': 10, 'pipeline_weighted_sample': 7,
         'ppdb_alignment_explode': 7, 'ppdb_collect_nested': 7,
-        'ppdb_collect_paraphrases': 10, 'ppdb_entailment_dist': 6,
-        'ppdb_feature_keys': 6, 'ppdb_map_ops': 7, 'ppdb_parse_stats':
-        10, 'ppdb_parse_stats_bz2': 9, 'ppdb_parse_throughput': 6,
+        'ppdb_collect_paraphrases': 10, 'ppdb_entailment_dist': 12,
+        'ppdb_feature_keys': 12, 'ppdb_map_ops': 7, 'ppdb_parse_stats':
+        10, 'ppdb_parse_stats_bz2': 9, 'ppdb_parse_throughput': 12,
         'ppdb_quarantine': 10, 'ppdb_symmetric_pairs': 10,
-        'ppdb_top_paraphrases': 7, 'profile_columns': 6,
-        'range_join_bands': 9, 'region_revenue': 7, 'sample_orders': 6,
+        'ppdb_top_paraphrases': 7, 'profile_columns': 12,
+        'range_join_bands': 9, 'region_revenue': 7, 'sample_orders': 12,
         'scalar_arrays': 9, 'scalar_bitwise': 9, 'scalar_dates': 9,
         'scalar_json': 10, 'scalar_math': 7, 'scalar_null_handling': 9,
         'scalar_regex': 9, 'scalar_strings': 9, 'scalar_try_ops': 11,
@@ -245,30 +247,30 @@ _LAST_DRIVER_ROUND = {
         'sim_ivf_batch_topk': 10, 'sim_ivf_kmeans_topk': 10,
         'sim_ivf_topk': 11, 'sim_ivfpq_residual_topk': 10,
         'sim_ivfpq_topk': 10, 'sim_jl_project': 10, 'sim_jl_topk': 10,
-        'sim_lsh_jl_screened_pairs': 11, 'sim_lsh_multiprobe_topk': 10,
-        'sim_lsh_pairs_checked': 11, 'sim_neighbors_docs': 11,
+        'sim_lsh_jl_screened_pairs': 12, 'sim_lsh_multiprobe_topk': 10,
+        'sim_lsh_pairs_checked': 12, 'sim_neighbors_docs': 11,
         'sim_pairwise_cosine': 9, 'sim_pca_top_component': 8,
         'sim_pq_encode': 10, 'sim_pq_kmeans_topk': 10, 'sim_pq_topk':
         10, 'skew_salted_agg': 7, 'skew_salted_join': 11,
         'snk_bucketed_join': 11, 'snk_json_roundtrip': 10,
         'snk_orc_roundtrip': 9, 'snk_parquet_roundtrip': 9,
         'snk_partition_pruned': 7, 'snk_zorder_layout': 7,
-        'src_csv_permissive': 6, 'src_csv_scan': 9,
+        'src_csv_permissive': 12, 'src_csv_scan': 9,
         'src_custom_datasource': 7, 'src_json_scan': 7,
         'stream_anomaly_live': 9, 'stream_cms_batch': 8,
-        'stream_cms_live': 8, 'stream_dedup_live': 6,
+        'stream_cms_live': 8, 'stream_dedup_live': 12,
         'stream_drift_batch': 8, 'stream_drift_live': 8,
         'stream_foreach_batch_sink': 7, 'stream_hll_batch': 8,
         'stream_hll_live': 8, 'stream_interval_join_batch': 9,
         'stream_interval_join_live': 10,
         'stream_left_interval_join_batch': 11,
-        'stream_left_interval_join_live': 6, 'stream_session_batch': 10,
-        'stream_session_live': 6, 'stream_sliding_batch': 6,
-        'stream_sliding_live': 9, 'stream_stateful_counter': 6,
+        'stream_left_interval_join_live': 12, 'stream_session_batch':
+        10, 'stream_session_live': 12, 'stream_sliding_batch': 12,
+        'stream_sliding_live': 9, 'stream_stateful_counter': 12,
         'stream_static_enrich_batch': 11, 'stream_static_enrich_live':
-        11, 'stream_tumbling_batch': 6, 'stream_tumbling_live': 10,
+        11, 'stream_tumbling_batch': 12, 'stream_tumbling_live': 10,
         'sub_correlated_avg_qty': 11, 'sub_exists_idle_rich': 11,
-        'sub_having_revenue_share': 6, 'sub_lateral_topn': 8,
+        'sub_having_revenue_share': 12, 'sub_lateral_topn': 8,
         'subq_not_in_nulls': 11, 'text_bigram_ppl': 11,
         'text_bm25_topk': 8, 'text_bpe_token_count': 9,
         'text_cms_heavy_hitters': 8, 'text_entropy_bound': 8,
@@ -276,72 +278,59 @@ _LAST_DRIVER_ROUND = {
         'text_inverted_index': 11, 'text_lang_route': 9, 'text_langid':
         9, 'text_phrase_search': 11, 'text_pmi_collocations': 11,
         'text_quality': 9, 'text_quality_rules': 10, 'text_repetition':
-        11, 'text_sentiment': 6, 'text_textrank': 11, 'text_tfidf_top5':
-        9, 'text_token_stats': 9, 'text_unigram_logprob': 11,
-        'text_winnow_fp': 11, 'ts_anomaly_argmax': 8, 'ts_ewma_dyadic':
-        9, 'ts_gapfill_locf': 7, 'ts_interpolate': 7, 'ts_ohlc_daily':
-        7, 'ts_recursive_month_spine': 11, 'udf_arrow_scalar': 6,
-        'udf_grouped_agg_sum': 6, 'udf_grouped_map_minmax': 6,
+        11, 'text_sentiment': 12, 'text_textrank': 11,
+        'text_tfidf_top5': 9, 'text_token_stats': 9,
+        'text_unigram_logprob': 11, 'text_winnow_fp': 11,
+        'ts_anomaly_argmax': 8, 'ts_ewma_dyadic': 9, 'ts_gapfill_locf':
+        7, 'ts_interpolate': 7, 'ts_ohlc_daily': 7,
+        'ts_recursive_month_spine': 11, 'udf_arrow_scalar': 12,
+        'udf_grouped_agg_sum': 12, 'udf_grouped_map_minmax': 12,
         'udf_map_in_arrow': 9, 'udf_map_partitions_bucket': 9,
-        'udf_scalar_cents': 9, 'udtf_explode_types': 6,
+        'udf_scalar_cents': 9, 'udtf_explode_types': 12,
         'udtf_polymorphic_split': 7, 'union_parties': 9,
         'window_cume_dist': 9, 'window_lag_lead': 9,
         'window_range_frame': 9, 'window_rank_family': 9,
         'window_running_sum': 9, 'window_value_family': 9
 }
 
-# Round-12 priority tier, sampled right behind the never-checked backlog:
-# the 23 rotation-tail queries whose latest driver row is r6 (VERDICT r11
-# next-round #4 — the ledger's oldest tier after folding r11), plus the
-# queries whose PLANS change this round: the pair-refine Arrow kernel +
-# first-matching-band candidate emission (sim_lsh_pairs_checked,
-# sim_lsh_jl_screened_pairs, dedup_embedding_checked — VERDICT r11 weak
-# #2), the intra-checkpointed pipeline_scrub_cascade (ADVICE r11 #3),
-# and pipeline_decontaminate_semantic (decimal-derived gemm boundary +
-# 1e-6-grid threshold guard, ADVICE r11 #1).
-_ROUND12_PRIORITY = (
-    "dedup_embedding_lsh",
-    "dedup_minhash_lsh",
-    "mm_decode_meta",
-    "pipeline_corpus_curation_v2",
-    "pipeline_pack_windows",
-    "ppdb_entailment_dist",
-    "ppdb_feature_keys",
-    "ppdb_parse_throughput",
-    "profile_columns",
-    "sample_orders",
-    "src_csv_permissive",
-    "stream_dedup_live",
-    "stream_left_interval_join_live",
-    "stream_session_live",
-    "stream_sliding_batch",
-    "stream_stateful_counter",
-    "stream_tumbling_batch",
-    "sub_having_revenue_share",
-    "text_sentiment",
-    "udf_arrow_scalar",
-    "udf_grouped_agg_sum",
-    "udf_grouped_map_minmax",
-    "udtf_explode_types",
-    "sim_lsh_pairs_checked",
-    "sim_lsh_jl_screened_pairs",
-    "dedup_embedding_checked",
-    "pipeline_scrub_cascade",
-    "pipeline_decontaminate_semantic",
-    # Mid-round additions (same rule — plans changed, values proven
-    # unchanged at sf0.001/sf0.01, driver re-cert wanted): the SemDeDup
-    # dominance-kernel consumers, the packed-set MinHash, the
-    # first-match SimHash consumers, and the single-scan curation v3.
-    "dedup_semantic",
-    "dedup_semantic_h2",
-    "dedup_semantic_gemm",
-    "dedup_semantic_gemm_h2",
-    "dedup_minhash_relational",
-    "dedup_simhash_pairs",
-    "dedup_triangle_count",
-    "dedup_cluster_report",
-    "dedup_tier_agreement",
-    "pipeline_corpus_curation_v3",
+# Round-13 priority tier, sampled right behind the never-checked backlog:
+# the 31 rotation-tail queries whose latest driver row is r7 (VERDICT r12
+# next-round #3 — the ledger's oldest tier after folding r12). All 31 fit
+# the ~50-row driver sample alongside the (currently empty) tier-1
+# backlog, so the post-round ledger should show no live query with
+# evidence older than r8.
+_ROUND13_PRIORITY = (
+    "dedup_jaccard_pairs",
+    "dedup_simhash",
+    "filter_project",
+    "intersect_nations",
+    "lookup_oov_tokens",
+    "lookup_paraphrase_coverage",
+    "mm_binary_hash",
+    "mm_meta_stats",
+    "mm_resize",
+    "mm_wav_sample",
+    "pattern_unpivot",
+    "pipeline_quality_quartiles",
+    "pipeline_session_dialogues",
+    "pipeline_shuffle_shards",
+    "pipeline_weighted_sample",
+    "ppdb_alignment_explode",
+    "ppdb_collect_nested",
+    "ppdb_map_ops",
+    "ppdb_top_paraphrases",
+    "region_revenue",
+    "scalar_math",
+    "skew_salted_agg",
+    "snk_partition_pruned",
+    "snk_zorder_layout",
+    "src_custom_datasource",
+    "src_json_scan",
+    "stream_foreach_batch_sink",
+    "ts_gapfill_locf",
+    "ts_interpolate",
+    "ts_ohlc_daily",
+    "udtf_polymorphic_split",
 )
 
 
@@ -350,12 +339,10 @@ def coverage_order() -> list[str]:
     value.
 
     Tier 1: every registered query that has never received a driver
-    CORRECTNESS row in rounds 1-11 (``_DRIVER_CHECKED_R1_R11`` complement),
+    CORRECTNESS row in rounds 1-12 (``_DRIVER_CHECKED_R1_R12`` complement),
     oracle-backed entries first — anything new this round lands here.
-    Tier 2: the round-12 priority tier (``_ROUND12_PRIORITY``): the 23
-    rotation-tail rows (latest driver row r6) plus the queries whose
-    plans change this round (pair-refine kernel, first-match banding,
-    cascade checkpoint, decontaminate boundary guard).
+    Tier 2: the round-13 priority tier (``_ROUND13_PRIORITY``): the 31
+    rotation-tail rows (latest driver row r7; VERDICT r12 next-round #3).
     Tier 3: least-recently-driver-checked first (``_LAST_DRIVER_ROUND``
     ascending, oracle-backed before rows-only, then name) — the ~40
     tier-3 slots of each ~50-query driver sample rotate oldest-first, so
@@ -373,11 +360,11 @@ def coverage_order() -> list[str]:
         (
             n
             for n in remaining
-            if n not in _DRIVER_CHECKED_R1_R11 and n not in _ROUND12_PRIORITY
+            if n not in _DRIVER_CHECKED_R1_R12 and n not in _ROUND13_PRIORITY
         ),
         key=lambda n: (remaining[n].oracle is None, n),
     )
-    for seed in (*never_checked, *_ROUND12_PRIORITY):
+    for seed in (*never_checked, *_ROUND13_PRIORITY):
         if seed in remaining:
             out.append(seed)
             del remaining[seed]
@@ -405,9 +392,9 @@ def prefix_tier_sizes() -> tuple[int, int]:
     tier1 = sum(
         1
         for n in REGISTRY
-        if n not in _DRIVER_CHECKED_R1_R11 and n not in _ROUND12_PRIORITY
+        if n not in _DRIVER_CHECKED_R1_R12 and n not in _ROUND13_PRIORITY
     )
-    tier2 = sum(1 for n in _ROUND12_PRIORITY if n in REGISTRY)
+    tier2 = sum(1 for n in _ROUND13_PRIORITY if n in REGISTRY)
     return tier1, tier2
 
 
