@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ppdb_parser_spark.session import shuffle_width
+
 from .text_analysis import exploded_tokens
 
 #: Number of SimHash bits (60 = 15 hex chars, safely inside int64).
@@ -496,9 +498,7 @@ def jaccard_pairs_prefix(
     # game for AQE coalescing, which sees the few-MB exchange and folds it
     # to 1 partition — serializing the CPU-heavy candidate join downstream
     # (measured 11.9 s vs 4.4 s at sf0.1, tools/prefix_ab.py)
-    nparts = min_partitions or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    nparts = min_partitions or shuffle_width(df.sparkSession)
     # LAZY cut point (round 12): the doc-keyed repartition below was
     # DOCUMENTED as the plan's reuse barrier for its four consumers
     # (df count, occurrence⋈df join, both verification-set sides) — but

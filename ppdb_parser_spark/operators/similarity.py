@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ppdb_parser_spark.session import shuffle_width
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -2067,7 +2069,7 @@ def _first_match_pairs(
         # a single core (measured 2× the whole-query wall at sf0.1). A
         # user-specified count is exempt from AQE coalescing, keeping
         # the exploding join spread across the session's shuffle width.
-        int(sig.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        shuffle_width(sig.sparkSession),
         F.col(id_col),
     )
     a = banded.select(
@@ -2903,11 +2905,7 @@ def _sem_cell_dominance(
             # already hash-partitioned by cell_id satisfies the
             # applyInPandas clustering requirement — no second exchange.
             .repartition(
-                int(
-                    assigned.sparkSession.conf.get(
-                        "spark.sql.shuffle.partitions"
-                    )
-                ),
+                shuffle_width(assigned.sparkSession),
                 F.col("cell_id"),
             )
             .groupBy("cell_id")
