@@ -809,41 +809,51 @@ def embedding_dedup_pairs(
     )
 
 
-def ivf_kmeans_topk(
+def _ivf_cell_argmax(emb, nrm):
+    """Nearest-cell id for one row against the broadcast ``seeds``
+    list column — the interpreted (``assign="hof"``) per-row argmax
+    shared by both IVF assignment passes."""
+    return F.element_at(
+        F.array_sort(
+            F.transform(
+                F.col("seeds"),
+                lambda s: F.struct(
+                    (
+                        -F.round(_dot(emb, s["semb"]) / (nrm * s["snorm"]), 6)
+                    ).alias("negcos"),
+                    s["cell_id"].alias("cell_id"),
+                ),
+            )
+        ),
+        1,
+    )["cell_id"]
+
+
+def ivf_build_centroids(
     df: DataFrame,
     n_cells: int = 8,
-    probe_id: int = 1,
-    n_probe: int = 2,
-    k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    keep_cols: tuple[str, ...] = ("label",),
     assign: str = "gemm",
     n_blocks: int | None = None,
 ) -> DataFrame:
-    """IVF top-k with one relational Lloyd (k-means) refinement step —
-    the "trained centroids" upgrade over :func:`ivf_topk`'s raw seeds.
+    """The TRAINING half of :func:`ivf_kmeans_topk`: one relational Lloyd
+    step producing the refined centroid relation ``(cell_id int,
+    semb array<double>)``.
 
     1. assign each vector to its nearest seed (ids < n_cells), exactly as
        :func:`ivf_topk` does;
     2. recompute each cell's centroid as the element-wise mean — the sums
        run over the embedding's 1e-8 decimal grid as int64 (order-
-       independent, hash-exact), divided once;
-    3. re-assign vectors to the nearest CENTROID, route the probe to its
-       top ``n_probe`` centroid cells, and take the exact top-k inside.
+       independent, hash-exact), divided once.
 
-    Everything is one lineage: explode → two hash aggregates → broadcast
-    1-row centroid context → narrow map. No driver-side jobs, no
-    iteration loop in Python — one Lloyd step is a fixed plan; more steps
-    would unroll the same stage pattern.
-
-    ``assign="gemm"`` (default) routes BOTH corpus assignment passes
-    (seed assignment feeding the centroid recompute, and centroid
-    re-assignment) through :func:`gemm_assign_cells` (``dot="float"``,
-    bit-identical left-fold cosines — oracle unchanged); ``"hof"`` keeps
-    the interpreted per-row argmax. Training via k-means is exactly the
-    workload where the interpreter multiplies: every Lloyd step pays the
-    O(n·cells) map again.
+    The output is a plain two-column relation, so it persists through the
+    S5 parquet sink unchanged (arrays of double round-trip bit-exact) —
+    the build-once / search-many index workflow
+    (:func:`ivf_search_centroids`, queries/similarity.py
+    ``sim_ivf_persisted_topk``). Norms are NOT stored: they are derived
+    data, recomputed from ``semb`` on load with the same ``_norm``
+    expression, so a persisted index cannot carry a stale norm.
     """
     GRID = 100_000_000  # embeddings are rounded to 8 decimals
 
@@ -858,23 +868,6 @@ def ivf_kmeans_topk(
             )
         ).alias("seeds")
     )
-
-    def _cell_argmax(emb: Column, nrm: Column):
-        return F.element_at(
-            F.array_sort(
-                F.transform(
-                    F.col("seeds"),
-                    lambda s: F.struct(
-                        (
-                            -F.round(_dot(emb, s["semb"]) / (nrm * s["snorm"]), 6)
-                        ).alias("negcos"),
-                        s["cell_id"].alias("cell_id"),
-                    ),
-                )
-            ),
-            1,
-        )["cell_id"]
-
     base = df.withColumn("__nrm", _norm(F.col(vec_col)))
     if assign == "gemm":
         a1 = gemm_assign_cells(
@@ -888,7 +881,7 @@ def ivf_kmeans_topk(
         ).withColumnRenamed("cell_id", "cell1")
     else:
         a1 = base.crossJoin(F.broadcast(seeds_row)).withColumn(
-            "cell1", _cell_argmax(F.col(vec_col), F.col("__nrm"))
+            "cell1", _ivf_cell_argmax(F.col(vec_col), F.col("__nrm"))
         )
 
     exploded = a1.select(
@@ -896,11 +889,17 @@ def ivf_kmeans_topk(
     )
     cent_components = exploded.groupBy("cell1", "pos").agg(
         (
-            F.sum(F.round(F.col("x") * GRID).cast("long"))
+            # x is FLOAT in the fixture: the product must run in DOUBLE
+            # (matching DuckDB's float→double promotion) or the binary32
+            # product crosses round()'s .5 ties differently and the
+            # centroid numerators drift by ±1 grid unit — caught when the
+            # persisted-index oracle exposed raw centroid values
+            # (sim_ivf_persist_build, round 13).
+            F.sum(F.round(F.col("x").cast("double") * GRID).cast("long"))
             / (F.count(F.lit(1)) * float(GRID))
         ).alias("c")
     )
-    centroids = (
+    return (
         cent_components.groupBy("cell1")
         .agg(
             F.transform(
@@ -908,15 +907,38 @@ def ivf_kmeans_topk(
                 lambda s: s["c"],
             ).alias("semb")
         )
-        .select(
-            F.col("cell1").cast("int").alias("cell_id"),
-            "semb",
-            _norm(F.col("semb")).alias("snorm"),
-        )
+        .select(F.col("cell1").cast("int").alias("cell_id"), "semb")
     )
-    cent_row = centroids.agg(
-        F.collect_list(F.struct("cell_id", "semb", "snorm")).alias("seeds")
-    )
+
+
+def ivf_search_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    probe_id: int = 1,
+    n_probe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = ("label",),
+    assign: str = "gemm",
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """The SEARCH half of :func:`ivf_kmeans_topk`: given a centroid
+    relation ``(cell_id, semb)`` — freshly built or loaded from a
+    persisted parquet index — assign every corpus vector to its nearest
+    centroid, route the probe to its top ``n_probe`` centroid cells, and
+    take the exact top-k inside the probed cells.
+
+    Centroid norms are recomputed here from ``semb`` (derived data never
+    persists), then the whole ≤``n_cells``-row index collapses to a
+    1-row broadcast context exactly as in :func:`ivf_kmeans_topk` — the
+    search never shuffles the corpus; its one wide stage is the
+    narrow assignment map over the scan.
+    """
+    cent_row = centroids.select(
+        "cell_id", "semb", _norm(F.col("semb")).alias("snorm")
+    ).agg(F.collect_list(F.struct("cell_id", "semb", "snorm")).alias("seeds"))
+    base = df.withColumn("__nrm", _norm(F.col(vec_col)))
     probe_row = df.filter(F.col(id_col) == probe_id).select(
         F.col(vec_col).alias("probe_emb"), _norm(F.col(vec_col)).alias("probe_nrm")
     ).limit(1)  # provably 1-row broadcast context (see cosine_topk_by_id)
@@ -966,7 +988,7 @@ def ivf_kmeans_topk(
         )
     else:
         a2 = base.crossJoin(F.broadcast(ctx)).withColumn(
-            "cell2", _cell_argmax(F.col(vec_col), F.col("__nrm"))
+            "cell2", _ivf_cell_argmax(F.col(vec_col), F.col("__nrm"))
         )
     cand = a2.filter(
         F.array_contains(F.col("probe_cells"), F.col("cell2"))
@@ -981,6 +1003,59 @@ def ivf_kmeans_topk(
         cand.select(id_col, *keep_cols, cosine.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def ivf_kmeans_topk(
+    df: DataFrame,
+    n_cells: int = 8,
+    probe_id: int = 1,
+    n_probe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = ("label",),
+    assign: str = "gemm",
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """IVF top-k with one relational Lloyd (k-means) refinement step —
+    the "trained centroids" upgrade over :func:`ivf_topk`'s raw seeds.
+
+    Since round 13 this is literally
+    ``ivf_search_centroids(df, ivf_build_centroids(df, ...), ...)`` — the
+    train/search split exists so the trained index can be PERSISTED once
+    and searched many times (VERDICT r12 next-round #8); composing the
+    halves in one lineage reproduces the original single-plan form
+    (explode → two hash aggregates → broadcast 1-row centroid context →
+    narrow map; no driver-side jobs, no Python iteration loop).
+
+    ``assign="gemm"`` (default) routes BOTH corpus assignment passes
+    (seed assignment feeding the centroid recompute, and centroid
+    re-assignment) through :func:`gemm_assign_cells` (``dot="float"``,
+    bit-identical left-fold cosines — oracle unchanged); ``"hof"`` keeps
+    the interpreted per-row argmax. Training via k-means is exactly the
+    workload where the interpreter multiplies: every Lloyd step pays the
+    O(n·cells) map again.
+    """
+    centroids = ivf_build_centroids(
+        df,
+        n_cells=n_cells,
+        id_col=id_col,
+        vec_col=vec_col,
+        assign=assign,
+        n_blocks=n_blocks,
+    )
+    return ivf_search_centroids(
+        df,
+        centroids,
+        probe_id=probe_id,
+        n_probe=n_probe,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        keep_cols=keep_cols,
+        assign=assign,
+        n_blocks=n_blocks,
     )
 
 

@@ -331,6 +331,14 @@ _ROUND13_PRIORITY = (
     "ts_interpolate",
     "ts_ohlc_daily",
     "udtf_polymorphic_split",
+    # Mid-round additions (the r12 rule — plans changed, values proven
+    # unchanged at sf0.001/0.01/0.1, driver re-cert wanted): the IVF
+    # train/search split behind the persisted index (VERDICT r12 #8)
+    # also moved the centroid grid product to an explicit double
+    # (float×int stayed binary32 and crossed round() ties differently
+    # than the oracle — exposed when sim_ivf_persist_build hash-checks
+    # raw centroid values).
+    "sim_ivf_kmeans_topk",
 )
 
 

@@ -9,6 +9,8 @@ rounding grid both sides share.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -173,7 +175,11 @@ def sim_neighbors_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit-identical cross-engine and the whole index construction is
 # hash-checked — not just the final neighbors.
 # --------------------------------------------------------------------------
-_IVF_KMEANS_ORACLE = """
+def _ivf_kmeans_oracle(probe_id: int = 1, n_probe: int = 2, k: int = 5) -> str:
+    """IVF+1-Lloyd oracle, parameterized on the probe/route/top-k knobs so
+    the persisted-index twin (different probe) shares the exact centroid
+    CTEs with ``sim_ivf_kmeans_topk``."""
+    return f"""
     WITH v AS (
       SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
       FROM embeddings
@@ -200,13 +206,13 @@ _IVF_KMEANS_ORACLE = """
     ),
     cent AS (
       SELECT a1.cell_id, v.i,
-             CAST(SUM(CAST(ROUND(v.x * 100000000) AS BIGINT)) AS BIGINT)
+             CAST(SUM(CAST(ROUND(CAST(v.x AS DOUBLE) * 100000000) AS BIGINT)) AS BIGINT)
                / (COUNT(*) * 100000000.0) AS c
       FROM v JOIN a1 ON v.vec_id = a1.vec_id GROUP BY 1, 2
     ),
     cnorm AS (SELECT cell_id, sqrt(SUM(c * c)) AS nc FROM cent GROUP BY 1),
-    pv AS (SELECT x, i FROM v WHERE vec_id = 1),
-    pnorm AS (SELECT nrm AS np FROM norms WHERE vec_id = 1),
+    pv AS (SELECT x, i FROM v WHERE vec_id = {probe_id}),
+    pnorm AS (SELECT nrm AS np FROM norms WHERE vec_id = {probe_id}),
     pd AS (
       SELECT cent.cell_id, SUM(cent.c * CAST(pv.x AS DOUBLE)) AS dot
       FROM cent JOIN pv ON cent.i = pv.i GROUP BY 1
@@ -217,7 +223,7 @@ _IVF_KMEANS_ORACLE = """
                ROW_NUMBER() OVER (ORDER BY round(pd.dot / (pnorm.np * cnorm.nc), 6)
                                   DESC, pd.cell_id) AS rk
         FROM pd JOIN cnorm USING (cell_id), pnorm
-      ) WHERE rk <= 2
+      ) WHERE rk <= {n_probe}
     ),
     a2d AS (
       SELECT v.vec_id, cent.cell_id, SUM(CAST(v.x AS DOUBLE) * cent.c) AS dot
@@ -235,7 +241,7 @@ _IVF_KMEANS_ORACLE = """
       ) WHERE rk = 1
     ),
     cand AS (SELECT a2.vec_id FROM a2 JOIN pcells USING (cell_id)
-             WHERE a2.vec_id <> 1),
+             WHERE a2.vec_id <> {probe_id}),
     fd AS (
       SELECT v.vec_id, SUM(CAST(v.x AS DOUBLE) * CAST(pv.x AS DOUBLE)) AS dot
       FROM v JOIN pv ON v.i = pv.i JOIN cand ON v.vec_id = cand.vec_id
@@ -247,8 +253,11 @@ _IVF_KMEANS_ORACLE = """
     JOIN norms nv ON fd.vec_id = nv.vec_id
     JOIN embeddings e ON e.vec_id = fd.vec_id, pnorm
     ORDER BY cosine DESC, vec_id
-    LIMIT 5
+    LIMIT {k}
 """
+
+
+_IVF_KMEANS_ORACLE = _ivf_kmeans_oracle()
 
 
 @query(
@@ -259,6 +268,103 @@ _IVF_KMEANS_ORACLE = """
 def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return SIM.ivf_kmeans_topk(e, n_cells=8, probe_id=1, n_probe=2, k=5)
+
+
+# --------------------------------------------------------------------------
+# Persisted IVF index (VERDICT r12 next-round #8): the real user workflow
+# is build-ONCE / search-MANY — retraining the codebook per query throws
+# the training cost away. `sim_ivf_persist_build` trains the 1-Lloyd
+# centroids and writes them through the S5 parquet sink (arrays of double
+# round-trip bit-exact; norms are derived data, recomputed on load, so a
+# persisted index cannot go stale against its own vectors);
+# `sim_ivf_persisted_topk` loads the index (building it if absent — the
+# driver may sample the queries in any order) and runs only the SEARCH
+# half: assign → probe-route → exact top-k. At 100 TB the index is a few
+# KB per thousand cells — a broadcast-side artifact — while the corpus
+# scan it saves is the whole training pass per query.
+# --------------------------------------------------------------------------
+def _index_dir(sf_dir: str, name: str) -> str:
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(repo, ".cache", "indexes", f"{name}_{sf}")
+
+
+#: parameters of the persisted index are part of its directory name, so a
+#: knob change can never read a stale artifact.
+_IVF_INDEX_NAME = "ivf_c8_lloyd1"
+
+
+def _ivf_centroids_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the persisted centroid relation, training + persisting it
+    first iff the index directory does not exist yet."""
+    path = _index_dir(sf_dir, _IVF_INDEX_NAME)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        e = load_table(spark, sf_dir, "embeddings")
+        SIM.ivf_build_centroids(e, n_cells=8).write.mode("overwrite").parquet(
+            path
+        )
+    return spark.read.parquet(path)
+
+
+def _ivf_build_oracle() -> str:
+    """Centroid-relation oracle: the exact centroid CTEs of
+    ``_ivf_kmeans_oracle`` (sliced, not duplicated — the two must never
+    drift), projected as (cell_id, pos, c) scalar rows."""
+    base = _ivf_kmeans_oracle()
+    cut = base.index("cnorm AS")
+    head = base[:cut].rstrip().rstrip(",")
+    return (
+        head
+        + "\n    SELECT CAST(cell_id AS BIGINT) AS cell_id,"
+        + " CAST(i AS BIGINT) AS pos, c FROM cent"
+    )
+
+
+@query(
+    "sim_ivf_persist_build",
+    oracle=_ivf_build_oracle(),
+    tags=("L1", "S5", "A1"),
+)
+def sim_ivf_persist_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the IVF centroids, persist via the parquet sink, read BACK,
+    and emit the loaded index as scalar rows — the oracle hash-checks the
+    on-disk artifact itself, not just the in-memory relation."""
+    path = _index_dir(sf_dir, _IVF_INDEX_NAME)
+    e = load_table(spark, sf_dir, "embeddings")
+    SIM.ivf_build_centroids(e, n_cells=8).write.mode("overwrite").parquet(path)
+    loaded = spark.read.parquet(path)
+    return loaded.select(
+        F.col("cell_id").cast("long").alias("cell_id"),
+        F.posexplode("semb").alias("pos", "c"),
+    ).select(
+        "cell_id",
+        (F.col("pos") + 1).cast("long").alias("pos"),
+        # NO round(): c is int64-grid-sum / (count · 1e8) — the same int
+        # numerator and double denominator on both engines, so the IEEE
+        # division is bit-identical as-is, while round(c, 6) can land on
+        # an exact .xxxxxx5 half-way point where HALF_UP and binary
+        # rounding disagree (hit at sf0.001; the verify-skill gotcha).
+        F.col("c"),
+    )
+
+
+@query(
+    "sim_ivf_persisted_topk",
+    oracle=_ivf_kmeans_oracle(probe_id=2),
+    tags=("L1", "L2", "W1", "S5"),
+    bench=True,
+)
+def sim_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-only IVF top-k against the persisted index (amortized
+    path): zero training work when the index exists — one corpus scan,
+    one broadcast of the ≤8-row centroid relation, exact top-k in the
+    probed cells. Different probe (vec_id=2) than ``sim_ivf_kmeans_topk``
+    so the two results are independently checkable."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids_persisted(spark, sf_dir)
+    return SIM.ivf_search_centroids(e, cents, probe_id=2, n_probe=2, k=5)
 
 
 # --------------------------------------------------------------------------
