@@ -408,6 +408,7 @@ def jaccard_pairs_prefix(
     min_partitions: int | None = None,
     delta_min_id: int | None = None,
     cross_min_id: int | None = None,
+    stage_probe: dict | None = None,
 ) -> DataFrame:
     """Exact Jaccard-join via prefix filtering (AllPairs / PPJoin family —
     Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity Search",
@@ -514,6 +515,11 @@ def jaccard_pairs_prefix(
         .repartition(nparts, F.col(id_col))
         .localCheckpoint(eager=False)
     )
+    if stage_probe is not None:
+        # diagnostic hook (tools/stage_walls.py): expose the plan's stage
+        # boundaries for forced per-stage walls — pure plan objects, zero
+        # cost when unused. Keys follow the plan-shape comment above.
+        stage_probe["base"] = base
     occ = base.select(id_col, "n", F.explode("fps").alias("fp"))
     freq = occ.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
     keyed = occ.join(freq, "fp").select(
@@ -582,6 +588,9 @@ def jaccard_pairs_prefix(
     # (tests/test_operators.py::test_jaccard_prefix_positional_bound_sound
     # regression-pins the fix; the fixture corpora never exercised the
     # gap, which is why rounds 1-4 stayed oracle-green).
+    if stage_probe is not None:
+        stage_probe["freq"] = freq
+        stage_probe["pref"] = pref
     a, b = pref.alias("a"), pref.alias("b")
     tc = F.lit(t)
 
@@ -632,6 +641,8 @@ def jaccard_pairs_prefix(
         )
         .select("id_a", "id_b")
     )
+    if stage_probe is not None:
+        stage_probe["cand"] = cand
     # verification sets come straight off the scan (base is a narrow map —
     # no shuffle to build them; the attach joins are tiny post-c-bound)
     sa = base.select(F.col(id_col).alias("id_a"), F.col("fps").alias("fps_a"))
@@ -926,6 +937,7 @@ def minhash_match(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_partitions: int | None = None,
+    stage_probe: dict | None = None,
 ) -> DataFrame:
     """Deterministic relational MinHash-LSH near-dup join (Broder 1997
     "On the resemblance and containment of documents"; banding per
@@ -983,6 +995,9 @@ def minhash_match(
         .agg(*[F.min(f"h{s}").alias(f"sig{s}") for s in range(n_hashes)])
         .localCheckpoint(eager=False)
     )
+    if stage_probe is not None:
+        # diagnostic hook (tools/stage_walls.py) — see jaccard_pairs_prefix
+        stage_probe["sigs"] = sigs
     band_exprs = [
         F.md5(
             F.concat_ws("|", *[F.col(f"sig{b * r + j}") for j in range(r)])
@@ -1000,6 +1015,8 @@ def minhash_match(
         .select("id_a", "id_b")
         .distinct()
     )
+    if stage_probe is not None:
+        stage_probe["cand"] = cand
     # Exact-Jaccard verification on PACKED per-doc fingerprint sets (the
     # `jaccard_pairs_prefix` layout, round 12): attach each side's sorted
     # int64 set to the candidate pair and count the intersection with one

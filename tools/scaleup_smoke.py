@@ -1203,7 +1203,11 @@ def main() -> None:
             return out
 
         prev_k, prev_t = None, None
-        for k, planes in ((1, 64), (4, 80), (16, 96)):
+        # 64× rung added round 13 (VERDICT r12 next-round #7): 128 planes
+        # keeps occupancy ∝ const AND exercises the wide-signature
+        # fallback's bounded zip_with/exists — the newest interpreted
+        # construct on the scale path — at the largest corpus.
+        for k, planes in ((1, 64), (4, 80), (16, 96), (64, 128)):
             ek = perm_union(k)
             tk = timed(
                 f"lsh_jl_pairs tau=0.9 {k}x planes={planes} (∝log n)",
