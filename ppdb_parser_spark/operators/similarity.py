@@ -1760,48 +1760,26 @@ def pq_topk(
     )
 
 
-def pq_kmeans_topk(
+def pq_build_codebook(
     df: DataFrame,
-    probe_id: int = 1,
     n_centroids: int = 16,
     m: int = 8,
-    k: int = 10,
-    rerank: int = 50,
     *,
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    keep_cols: tuple[str, ...] = ("label",),
-    encode_tier: str = "gemm",
     n_blocks: int | None = None,
 ) -> DataFrame:
-    """:func:`pq_topk` with one relational Lloyd refinement of every
-    per-subspace codebook — the PQ counterpart of
-    :func:`ivf_kmeans_topk`'s trained-centroid upgrade:
-
-    1. seed-assign codes exactly as :func:`pq_encode`;
-    2. refine centroid (s, c) as the element-wise mean of its assigned
-       subvectors — int64 grid sums divided once, rounded to 1e-9, so the
-       trained codebook is bit-identical cross-engine (a cluster whose
-       assignment set is empty simply drops out, same both engines);
-    3. re-encode against the refined codebook, ADC-score, exact-rerank.
-
-    One lineage: the refinement is two hash aggregates over the
-    (vector, subspace, element) stream; the refined codebook comes back
-    as a 1-row broadcast context. No driver loops — more Lloyd steps
-    would unroll the same stage pattern.
-
-    ``encode_tier="gemm"`` (default, round 10): the corpus RE-ENCODE +
-    ADC scan against the trained codebook — per row, m × centroids
-    interpreted grid sums for the argmin PLUS an O(centroids) in-plan
-    array filter per ADC term — runs as one Arrow block kernel that
-    emits ``adc_dot_grid`` directly (exact int64 distances for the
-    argmin, first-min = smallest centroid id over the cc-sorted
-    codebook — trained codebooks may drop empty clusters, so ids are
-    sorted, not assumed contiguous; exact int64 q·centroid grid dots
-    for the ADC terms). The stage-1 seed encode already rides
-    :func:`pq_encode`'s kernel. ``"hof"`` keeps the in-plan map.
-    Values bit-identical — oracle unchanged.
+    """The TRAINING half of :func:`pq_kmeans_topk`: seed-assign codes
+    exactly as :func:`pq_encode`, then refine every per-subspace centroid
+    as the element-wise mean of its assigned subvectors (int64 grid sums
+    divided once, rounded to 1e-9 — the rounding IS the codebook value,
+    identical cross-engine). Returns the codebook relation
+    ``(s int, c int, cvec array<double>)`` — a plain three-column
+    relation that persists through the S5 parquet sink bit-exactly
+    (queries/similarity.py ``sim_pq_persist_codebook`` /
+    ``sim_pq_persisted_topk``). A cluster whose assignment set is empty
+    drops out, same both engines.
     """
     sub = dim // m
     codes0 = pq_encode(
@@ -1818,14 +1796,33 @@ def pq_kmeans_topk(
         el.join(codes0, [id_col, "s"])
         .groupBy("s", "c0", "pos")
         .agg(
-            F.round(
-                F.sum(F.round(F.col("x").cast("double") * PQ_GRID).cast("long"))
-                / (F.count(F.lit(1)) * float(PQ_GRID)),
-                9,
+            # exact 1e-9-grid mean with an engine-independent tie rule:
+            # k = floor((2S + n) / (2n)) (round-half-toward-+inf on the
+            # int grid; the double quotient is exact at ties because
+            # 2S + n = 2kn exactly there, and ≥ 1/(2n) from an integer
+            # otherwise). round(S/(n·1e9), 9) instead left the codebook
+            # ENGINE-DEPENDENT at exact .5e-9 boundaries — Spark HALF_UP
+            # rounded up where DuckDB's float-multiply round landed one
+            # grid unit lower (caught when sim_pq_persist_codebook
+            # hash-checks raw codebook values, round 13).
+            (
+                F.floor(
+                    (
+                        F.sum(
+                            F.round(
+                                F.col("x").cast("double") * PQ_GRID
+                            ).cast("long")
+                        )
+                        * 2
+                        + F.count(F.lit(1))
+                    )
+                    / (F.count(F.lit(1)) * 2.0)
+                )
+                / float(PQ_GRID)
             ).alias("cx")
         )
     )
-    cents_row = (
+    return (
         refined.groupBy("s", "c0")
         .agg(
             F.transform(
@@ -1833,15 +1830,43 @@ def pq_kmeans_topk(
                 lambda p: p["cx"],
             ).alias("cvec")
         )
-        .agg(
-            F.collect_list(
-                F.struct(
-                    F.col("s").alias("cs"),
-                    F.col("c0").alias("cc"),
-                    F.col("cvec").alias("cvec"),
-                )
-            ).alias("cents")
-        )
+        .select(F.col("s"), F.col("c0").alias("c"), "cvec")
+    )
+
+
+def pq_search_codebook(
+    df: DataFrame,
+    codebook: DataFrame,
+    probe_id: int = 1,
+    k: int = 10,
+    rerank: int = 50,
+    *,
+    dim: int,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = ("label",),
+    encode_tier: str = "gemm",
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """The SEARCH half of :func:`pq_kmeans_topk`: given a codebook
+    relation ``(s, c, cvec)`` — freshly trained or loaded from a
+    persisted parquet index — re-encode the corpus against it, ADC-score
+    the probe, and exact-rerank the top ``rerank`` candidates to the
+    final top-k. The whole ≤ m·n_centroids-row codebook collapses to a
+    1-row broadcast context; the corpus is never shuffled — the one wide
+    stage is the narrow encode/ADC map over the scan (Arrow kernel on
+    the default tier).
+    """
+    sub = dim // m
+    cents_row = codebook.agg(
+        F.collect_list(
+            F.struct(
+                F.col("s").alias("cs"),
+                F.col("c").alias("cc"),
+                F.col("cvec").alias("cvec"),
+            )
+        ).alias("cents")
     )
     probe_row = df.filter(F.col(id_col) == probe_id).select(
         F.col(vec_col).alias("q"), _grid_norm6(F.col(vec_col)).alias("qnorm")
@@ -1998,6 +2023,76 @@ def pq_kmeans_topk(
         .select(id_col, *keep_cols, "adc_cosine", "cosine")
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
+    )
+
+
+
+
+def pq_kmeans_topk(
+    df: DataFrame,
+    probe_id: int = 1,
+    n_centroids: int = 16,
+    m: int = 8,
+    k: int = 10,
+    rerank: int = 50,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = ("label",),
+    encode_tier: str = "gemm",
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """:func:`pq_topk` with one relational Lloyd refinement of every
+    per-subspace codebook — the PQ counterpart of
+    :func:`ivf_kmeans_topk`'s trained-centroid upgrade:
+
+    1. seed-assign codes exactly as :func:`pq_encode`;
+    2. refine centroid (s, c) as the element-wise mean of its assigned
+       subvectors — int64 grid sums divided once, rounded to 1e-9, so the
+       trained codebook is bit-identical cross-engine (a cluster whose
+       assignment set is empty simply drops out, same both engines);
+    3. re-encode against the refined codebook, ADC-score, exact-rerank.
+
+    One lineage: the refinement is two hash aggregates over the
+    (vector, subspace, element) stream; the refined codebook comes back
+    as a 1-row broadcast context. No driver loops — more Lloyd steps
+    would unroll the same stage pattern.
+
+    ``encode_tier="gemm"`` (default, round 10): the corpus RE-ENCODE +
+    ADC scan against the trained codebook — per row, m × centroids
+    interpreted grid sums for the argmin PLUS an O(centroids) in-plan
+    array filter per ADC term — runs as one Arrow block kernel that
+    emits ``adc_dot_grid`` directly (exact int64 distances for the
+    argmin, first-min = smallest centroid id over the cc-sorted
+    codebook — trained codebooks may drop empty clusters, so ids are
+    sorted, not assumed contiguous; exact int64 q·centroid grid dots
+    for the ADC terms). The stage-1 seed encode already rides
+    :func:`pq_encode`'s kernel. ``"hof"`` keeps the in-plan map.
+    Values bit-identical — oracle unchanged.
+    """
+    codebook = pq_build_codebook(
+        df,
+        n_centroids=n_centroids,
+        m=m,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_blocks=n_blocks,
+    )
+    return pq_search_codebook(
+        df,
+        codebook,
+        probe_id=probe_id,
+        k=k,
+        rerank=rerank,
+        dim=dim,
+        m=m,
+        id_col=id_col,
+        vec_col=vec_col,
+        keep_cols=keep_cols,
+        encode_tier=encode_tier,
+        n_blocks=n_blocks,
     )
 
 

@@ -339,6 +339,13 @@ _ROUND13_PRIORITY = (
     # than the oracle — exposed when sim_ivf_persist_build hash-checks
     # raw centroid values).
     "sim_ivf_kmeans_topk",
+    # Same rule for the PQ twin: the train/search split behind the
+    # persisted codebook replaced the codebook mean's round(·, 9) with an
+    # exact floor-based integer tie rule (round(·, 9) left the codebook
+    # engine-dependent at exact .5e-9 boundaries — caught when
+    # sim_pq_persist_codebook hash-checks raw codebook values). Values
+    # re-proven hash-exact at sf0.001/0.01/0.1.
+    "sim_pq_kmeans_topk",
 )
 
 

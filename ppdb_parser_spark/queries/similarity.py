@@ -487,14 +487,18 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_topk(e, probe_id=1, n_centroids=16, m=8, k=10, rerank=50, dim=64)
 
 
-@query(
-    "sim_pq_kmeans_topk",
-    oracle=f"""
+def _pq_kmeans_oracle(probe_id: int = 1) -> str:
+    """PQ+1-Lloyd oracle, parameterized on the probe so the
+    persisted-codebook twin (different probe) shares the exact codebook
+    CTEs with ``sim_pq_kmeans_topk``."""
+    return f"""
     WITH {_PQ_EL_SQL},
     rc AS (
       SELECT e.s, code.c AS c0, e.i,
-             round(CAST(SUM(CAST(round(e.x * 1000000000.0) AS BIGINT))
-                        AS BIGINT) / (COUNT(*) * 1000000000.0), 9) AS cx
+             CAST(FLOOR((CAST(SUM(CAST(round(e.x * 1000000000.0) AS BIGINT))
+                              AS BIGINT) * 2 + COUNT(*))
+                        / (COUNT(*) * 2.0)) AS BIGINT)
+               / 1000000000.0 AS cx
       FROM el e JOIN code ON e.vec_id = code.vec_id AND e.s = code.s
       GROUP BY 1, 2, 3
     ),
@@ -512,7 +516,7 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d2r
       ) WHERE rk = 1
     ),
-    pel AS (SELECT x, s, i FROM el WHERE vec_id = 1),
+    pel AS (SELECT x, s, i FROM el WHERE vec_id = {probe_id}),
     qn AS (
       SELECT round(sqrt(CAST(SUM(CAST(round(x * x * 1000000000.0) AS BIGINT))
                              AS BIGINT) / 1000000000.0), 6) AS qnorm
@@ -534,7 +538,7 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.vec_id,
              round((adcg / 1000000000.0) / (vnorm * qnorm), 6) AS adc_cosine
       FROM adc a JOIN vn USING (vec_id), qn
-      WHERE a.vec_id <> 1
+      WHERE a.vec_id <> {probe_id}
     ),
     cand AS (SELECT * FROM scored ORDER BY adc_cosine DESC, vec_id LIMIT 50),
     ex AS (
@@ -553,7 +557,12 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN embeddings emb ON emb.vec_id = c.vec_id, qn
     ORDER BY cosine DESC, c.vec_id
     LIMIT 10
-    """,
+    """
+
+
+@query(
+    "sim_pq_kmeans_topk",
+    oracle=_pq_kmeans_oracle(),
     tags=("L1", "L2", "W1", "A1"),
 )
 def sim_pq_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -561,6 +570,85 @@ def sim_pq_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_kmeans_topk(
         e, probe_id=1, n_centroids=16, m=8, k=10, rerank=50, dim=64
     )
+
+
+# --------------------------------------------------------------------------
+# Persisted PQ codebook — the PQ counterpart of the persisted IVF index
+# (VERDICT r12 next-round #8): train the 1-Lloyd-refined per-subspace
+# codebook once, persist through the S5 parquet sink, and serve searches
+# from the loaded artifact (re-encode + ADC + exact rerank only). At
+# 100 TB the codebook is m·n_centroids rows — broadcast-side — while the
+# training pass it amortizes away is a full corpus scan + two aggregates.
+# --------------------------------------------------------------------------
+_PQ_INDEX_NAME = "pq_m8_c16_lloyd1"
+
+
+def _pq_codebook_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _index_dir(sf_dir, _PQ_INDEX_NAME)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        e = load_table(spark, sf_dir, "embeddings")
+        SIM.pq_build_codebook(e, 16, 8, dim=64).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
+def _pq_codebook_oracle() -> str:
+    """Codebook-relation oracle: the exact codebook CTEs of
+    ``_pq_kmeans_oracle`` (sliced, not duplicated), projected as
+    (s, c, pos, cx) scalar rows; ``pos`` is the 1-based element index
+    WITHIN the subspace (global i = s·8 + pos)."""
+    base = _pq_kmeans_oracle()
+    cut = base.index("d2r AS")
+    head = base[:cut].rstrip().rstrip(",")
+    return (
+        head
+        + "\n    SELECT CAST(s AS BIGINT) AS s, CAST(c0 AS BIGINT) AS c,"
+        + " CAST(i - s * 8 AS BIGINT) AS pos, cx FROM rc"
+    )
+
+
+@query(
+    "sim_pq_persist_codebook",
+    oracle=_pq_codebook_oracle(),
+    tags=("L1", "S5", "A1"),
+)
+def sim_pq_persist_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the PQ codebook, persist via the parquet sink, read BACK,
+    and emit the loaded artifact as scalar rows — the oracle hash-checks
+    the on-disk codebook itself."""
+    path = _index_dir(sf_dir, _PQ_INDEX_NAME)
+    e = load_table(spark, sf_dir, "embeddings")
+    SIM.pq_build_codebook(e, 16, 8, dim=64).write.mode("overwrite").parquet(
+        path
+    )
+    loaded = spark.read.parquet(path)
+    return loaded.select(
+        F.col("s").cast("long").alias("s"),
+        F.col("c").cast("long").alias("c"),
+        F.posexplode("cvec").alias("pos", "cx"),
+    ).select(
+        "s",
+        "c",
+        (F.col("pos") + 1).cast("long").alias("pos"),
+        F.col("cx"),
+    )
+
+
+@query(
+    "sim_pq_persisted_topk",
+    oracle=_pq_kmeans_oracle(probe_id=2),
+    tags=("L1", "L2", "W1", "S5"),
+)
+def sim_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-only PQ top-k against the persisted codebook (amortized
+    path): zero training work when the codebook exists — one corpus
+    scan through the Arrow encode/ADC kernel, broadcast rerank.
+    Different probe (vec_id=2) than ``sim_pq_kmeans_topk`` so the two
+    results are independently checkable."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = _pq_codebook_persisted(spark, sf_dir)
+    return SIM.pq_search_codebook(e, cb, probe_id=2, k=10, rerank=50, dim=64, m=8)
 
 
 # --------------------------------------------------------------------------
