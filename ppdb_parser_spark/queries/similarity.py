@@ -296,16 +296,45 @@ def _index_dir(sf_dir: str, name: str) -> str:
 _IVF_INDEX_NAME = "ivf_c8_lloyd1"
 
 
+def _load_persisted_index(spark, corpus, path, build, force=False):
+    """Load a persisted index relation, (re)building it when absent OR
+    STALE. Freshness contract: the corpus row count is stamped next to
+    the artifact at build time (``<path>_meta``) and re-checked on every
+    load — a count over parquet is answered from footer metadata (no
+    data scan), so the guard costs one metadata job at any corpus scale.
+    Parquet files are immutable, so any append/compaction/delete changes
+    the count; an index built against an older corpus snapshot can then
+    never silently serve wrong centroids — it rebuilds. (This count is a
+    control-plane job at plan-BUILD time, deliberately outside the
+    returned DataFrame's lineage; the data path stays zero-driver-side.)
+    """
+    meta_path = path + "_meta"
+    n_corpus = corpus.count()
+    stale = True
+    if not force and os.path.exists(
+        os.path.join(path, "_SUCCESS")
+    ) and os.path.exists(os.path.join(meta_path, "_SUCCESS")):
+        meta = spark.read.parquet(meta_path).first()
+        stale = meta is None or meta.n_corpus != n_corpus
+    if stale:
+        build().write.mode("overwrite").parquet(path)
+        spark.createDataFrame(
+            [(n_corpus,)], "n_corpus long"
+        ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+    return spark.read.parquet(path)
+
+
 def _ivf_centroids_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load the persisted centroid relation, training + persisting it
-    first iff the index directory does not exist yet."""
-    path = _index_dir(sf_dir, _IVF_INDEX_NAME)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        e = load_table(spark, sf_dir, "embeddings")
-        SIM.ivf_build_centroids(e, n_cells=8).write.mode("overwrite").parquet(
-            path
-        )
-    return spark.read.parquet(path)
+    first iff the index directory does not exist yet or is stale against
+    the current corpus (see :func:`_load_persisted_index`)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return _load_persisted_index(
+        spark,
+        e,
+        _index_dir(sf_dir, _IVF_INDEX_NAME),
+        lambda: SIM.ivf_build_centroids(e, n_cells=8),
+    )
 
 
 def _ivf_build_oracle() -> str:
@@ -331,10 +360,14 @@ def sim_ivf_persist_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the IVF centroids, persist via the parquet sink, read BACK,
     and emit the loaded index as scalar rows — the oracle hash-checks the
     on-disk artifact itself, not just the in-memory relation."""
-    path = _index_dir(sf_dir, _IVF_INDEX_NAME)
     e = load_table(spark, sf_dir, "embeddings")
-    SIM.ivf_build_centroids(e, n_cells=8).write.mode("overwrite").parquet(path)
-    loaded = spark.read.parquet(path)
+    loaded = _load_persisted_index(
+        spark,
+        e,
+        _index_dir(sf_dir, _IVF_INDEX_NAME),
+        lambda: SIM.ivf_build_centroids(e, n_cells=8),
+        force=True,
+    )
     return loaded.select(
         F.col("cell_id").cast("long").alias("cell_id"),
         F.posexplode("semb").alias("pos", "c"),
@@ -584,13 +617,13 @@ _PQ_INDEX_NAME = "pq_m8_c16_lloyd1"
 
 
 def _pq_codebook_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = _index_dir(sf_dir, _PQ_INDEX_NAME)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        e = load_table(spark, sf_dir, "embeddings")
-        SIM.pq_build_codebook(e, 16, 8, dim=64).write.mode(
-            "overwrite"
-        ).parquet(path)
-    return spark.read.parquet(path)
+    e = load_table(spark, sf_dir, "embeddings")
+    return _load_persisted_index(
+        spark,
+        e,
+        _index_dir(sf_dir, _PQ_INDEX_NAME),
+        lambda: SIM.pq_build_codebook(e, 16, 8, dim=64),
+    )
 
 
 def _pq_codebook_oracle() -> str:
@@ -617,12 +650,14 @@ def sim_pq_persist_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the PQ codebook, persist via the parquet sink, read BACK,
     and emit the loaded artifact as scalar rows — the oracle hash-checks
     the on-disk codebook itself."""
-    path = _index_dir(sf_dir, _PQ_INDEX_NAME)
     e = load_table(spark, sf_dir, "embeddings")
-    SIM.pq_build_codebook(e, 16, 8, dim=64).write.mode("overwrite").parquet(
-        path
+    loaded = _load_persisted_index(
+        spark,
+        e,
+        _index_dir(sf_dir, _PQ_INDEX_NAME),
+        lambda: SIM.pq_build_codebook(e, 16, 8, dim=64),
+        force=True,
     )
-    loaded = spark.read.parquet(path)
     return loaded.select(
         F.col("s").cast("long").alias("s"),
         F.col("c").cast("long").alias("c"),

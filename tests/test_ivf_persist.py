@@ -54,3 +54,33 @@ def test_persisted_search_equals_fresh(spark, tmp_path):
     persisted = ivf_search_centroids(e, loaded, probe_id=2, n_probe=2, k=5)
     assert _rows(persisted) == _rows(fresh)
     assert len(persisted.collect()) == 5
+
+
+def test_persisted_index_staleness_guard(spark, tmp_path):
+    """An index stamped against an older corpus snapshot must REBUILD,
+    never silently serve stale centroids (queries/similarity.py
+    _load_persisted_index)."""
+    from pyspark.sql import functions as F
+
+    from ppdb_parser_spark.queries.similarity import _load_persisted_index
+
+    e = load_table(spark, SF, "embeddings")
+    path = os.path.join(str(tmp_path), "guarded_idx")
+    builds = []
+
+    def build():
+        builds.append(1)
+        return ivf_build_centroids(e, n_cells=8)
+
+    first = _load_persisted_index(spark, e, path, build)
+    assert len(builds) == 1 and first.count() == 8
+    # same corpus -> cached artifact, no rebuild
+    again = _load_persisted_index(spark, e, path, build)
+    assert again.count() == 8
+    assert len(builds) == 1
+    # corpus changed (one row appended) -> count mismatch -> rebuild
+    grown = e.unionByName(
+        e.limit(1).withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    )
+    _load_persisted_index(spark, grown, path, build)
+    assert len(builds) == 2
