@@ -938,6 +938,7 @@ def minhash_match(
     text_col: str = "text",
     min_partitions: int | None = None,
     stage_probe: dict | None = None,
+    delta_min_id: int | None = None,
 ) -> DataFrame:
     """Deterministic relational MinHash-LSH near-dup join (Broder 1997
     "On the resemblance and containment of documents"; banding per
@@ -1009,12 +1010,18 @@ def minhash_match(
     )
     a = bands.select(F.col(id_col).alias("id_a"), "band", "band_sig")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "band_sig")
-    cand = (
-        a.join(b, ["band", "band_sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = a.join(b, ["band", "band_sig"]).filter(F.col("id_a") < F.col("id_b"))
+    if delta_min_id is not None:
+        # incremental-ingest mode (the jaccard_pairs_prefix contract):
+        # with append-only ids, pairs an incremental dedup must evaluate
+        # have their LARGER id in the delta. The single-side predicate
+        # pushes below the band join to the b-side input, so the join is
+        # full-corpus bands x DELTA bands — re-ingest cost proportional
+        # to the delta, not the corpus. Results equal the full join
+        # filtered to id_b >= the cutoff (oracle-checked by
+        # dedup_minhash_incremental).
+        cand = cand.filter(F.col("id_b") >= F.lit(delta_min_id))
+    cand = cand.select("id_a", "id_b").distinct()
     if stage_probe is not None:
         stage_probe["cand"] = cand
     # Exact-Jaccard verification on PACKED per-doc fingerprint sets (the

@@ -739,6 +739,51 @@ def dedup_minhash_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Incremental MinHash ingest: the jaccard_pairs_prefix delta contract
+# applied to the banded tier — only pairs whose larger id is in the last
+# _DELTA_DOCS docs are evaluated (band join = corpus bands x delta bands
+# after predicate pushdown), so re-ingest cost tracks the delta. Oracle =
+# the full relational-MinHash result filtered to the same cutoff.
+# --------------------------------------------------------------------------
+from .registry import REGISTRY as _REG
+
+_MH_INC_ORACLE = _REG["dedup_minhash_relational"].oracle
+assert _MH_INC_ORACLE.count("JOIN sizes sb ON inter.id_b = sb.doc_id") == 1
+assert _MH_INC_ORACLE.count("WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.3") == 1
+_MH_INC_ORACLE = _MH_INC_ORACLE.replace(
+    "JOIN sizes sb ON inter.id_b = sb.doc_id",
+    "JOIN sizes sb ON inter.id_b = sb.doc_id,\n"
+    f"         (SELECT MAX(doc_id) - {_DELTA_DOCS - 1} AS c0 FROM documents) cutoff",
+).replace(
+    "WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.3",
+    "WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.3\n"
+    "      AND id_b >= c0",
+)
+
+
+@query(
+    "dedup_minhash_incremental",
+    oracle=_MH_INC_ORACLE,
+    tags=("O6", "J2", "A1", "X1"),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow.parquet as pq
+
+    # doc ids are dense 0..N-1 (append-only ingest contract); the delta
+    # cutoff comes from the parquet footer (catalog stats on a cluster) —
+    # zero Spark jobs at plan time, same pattern as dedup_jaccard_incremental
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return DD.minhash_match(
+        load_table(spark, sf_dir, "documents"),
+        n_hashes=_MH_N,
+        n_bands=_MH_BANDS,
+        threshold=0.3,
+        min_partitions=_par(spark),
+        delta_min_id=n - _DELTA_DOCS,
+    )
+
+
+# --------------------------------------------------------------------------
 # Embedding near-dup over the HASH-EXACT LSH tier: identical survivor
 # semantics as dedup_embedding, candidates from the grid-exact hyperplane
 # join — so the sub-quadratic scale path itself now carries a full
