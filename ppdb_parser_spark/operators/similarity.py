@@ -2115,6 +2115,7 @@ def _lsh_band_candidates(
     vec_col: str,
     dim: int,
     sig_tier: str = "gemm",
+    delta_min_id: int | None = None,
 ) -> DataFrame:
     """Grid-exact hyperplane-LSH candidate generation shared by the
     checked LSH join and its JL-screened variant: signature bits from
@@ -2194,11 +2195,17 @@ def _lsh_band_candidates(
             for b in range(n_bands)
         ]
         sig = sig.select(id_col, vec_col, *band_cols)
-    return _first_match_pairs(sig, n_bands, bits_per_band, id_col)
+    return _first_match_pairs(
+        sig, n_bands, bits_per_band, id_col, delta_min_id=delta_min_id
+    )
 
 
 def _first_match_pairs(
-    sig: DataFrame, n_bands: int, bits_per_band: int, id_col: str
+    sig: DataFrame,
+    n_bands: int,
+    bits_per_band: int,
+    id_col: str,
+    delta_min_id: int | None = None,
 ) -> DataFrame:
     """Distinct band-collision pairs from a signature relation carrying
     ``band0..band{n_bands-1}`` bit-string columns — the shared
@@ -2277,9 +2284,15 @@ def _first_match_pairs(
             F.bitwise_not(t).bitwiseAND(F.lit(lsb_mask)).bitwiseAND(prior_mask)
             == 0
         )
+    pair_filter = (F.col("id_a") < F.col("id_b")) & first_match
+    if delta_min_id is not None:
+        # incremental-ingest conjunct (the jaccard/minhash delta
+        # contract): the single-side predicate pushes below the band
+        # join to the b-side input — corpus bands × DELTA bands.
+        pair_filter = pair_filter & (F.col("id_b") >= F.lit(delta_min_id))
     return (
         a.join(b, ["band", "band_sig"])
-        .filter((F.col("id_a") < F.col("id_b")) & first_match)
+        .filter(pair_filter)
         .select("id_a", "id_b")
     )
 
@@ -2500,6 +2513,7 @@ def lsh_similarity_join_exact(
     *,
     dim: int,
     refine_tier: str = "gemm",
+    delta_min_id: int | None = None,
 ) -> DataFrame:
     """:func:`lsh_similarity_join` made bit-reproducible cross-engine:
     signature bits come from int64-grid projections (sign of
@@ -2520,7 +2534,8 @@ def lsh_similarity_join_exact(
     in-plan fold as the A/B twin.
     """
     cand = _lsh_band_candidates(
-        df, n_planes, n_bands, seed, id_col, vec_col, dim
+        df, n_planes, n_bands, seed, id_col, vec_col, dim,
+        delta_min_id=delta_min_id,
     )
     pairs = _pair_vectors_joined(cand, df, id_col, vec_col)
     if refine_tier == "gemm":

@@ -860,6 +860,50 @@ def dedup_embedding_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Incremental embedding ingest — the delta contract on the THIRD near-dup
+# tier (jaccard prefix and MinHash already carry it): among the last
+# _DELTA_VECS vectors, a new vector is dropped iff it is within tau of
+# ANY smaller-id vector (existing corpus or earlier delta). The banded
+# candidate join takes the same id_b >= cutoff conjunct, which pushes
+# below the band join to the b side — corpus bands x delta bands.
+# --------------------------------------------------------------------------
+_DELTA_VECS = 100
+
+_EMB_INC_ORACLE = _REG["dedup_embedding_checked"].oracle
+assert _EMB_INC_ORACLE.count(
+    "FROM embeddings e LEFT JOIN drops dr ON e.vec_id = dr.id_b"
+) == 1
+_EMB_INC_ORACLE = _EMB_INC_ORACLE.replace(
+    "FROM embeddings e LEFT JOIN drops dr ON e.vec_id = dr.id_b",
+    "FROM embeddings e LEFT JOIN drops dr ON e.vec_id = dr.id_b,\n"
+    f"         (SELECT MAX(vec_id) - {_DELTA_VECS - 1} AS c0 FROM embeddings)"
+    " cutoff\n    WHERE e.vec_id >= c0",
+)
+
+
+@query(
+    "dedup_embedding_incremental",
+    oracle=_EMB_INC_ORACLE,
+    tags=("O6", "L2", "J3"),
+)
+def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow.parquet as pq
+
+    from ..operators import similarity as SIM
+
+    # ids dense 0..N-1 (append-only contract); cutoff from the parquet
+    # footer — zero Spark jobs at plan time
+    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    c0 = n - _DELTA_VECS
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = SIM.lsh_similarity_join_exact(
+        e, threshold=0.35, n_planes=16, n_bands=8, seed=42, dim=64,
+        delta_min_id=c0,
+    )
+    return _embedding_survivors(e.filter(F.col("vec_id") >= c0), pairs)
+
+
+# --------------------------------------------------------------------------
 # O6/L2 semantic tier: SemDeDup (Abbas et al. 2023) — coarse-cell
 # clustering bounds the near-dup pair search to Σ|cell|² instead of n².
 # Fully deterministic (seeded cells, 1e-6 cosine grid, min-id dominance)
