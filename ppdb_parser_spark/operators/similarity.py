@@ -2153,6 +2153,28 @@ def _lsh_band_candidates(
     the parquet scan's single partition (measured: the jl-screened
     refine ran 2× SLOWER than the distinct form until this moved the
     exchange from the 4 M-row pair stream to the 16 k-row banded side)."""
+    sig = _band_sig_relation(
+        df, n_planes, n_bands, seed, id_col, vec_col, dim, sig_tier
+    )
+    return _first_match_pairs(
+        sig, n_bands, n_planes // n_bands, id_col, delta_min_id=delta_min_id
+    )
+
+
+def _band_sig_relation(
+    df: DataFrame,
+    n_planes: int,
+    n_bands: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    sig_tier: str = "gemm",
+) -> DataFrame:
+    """(id, vec, band0..band{n_bands-1}) signature relation — the
+    grid-exact hyperplane bits grouped into band bit-strings, shared by
+    `_lsh_band_candidates` and the persistable index builder
+    :func:`lsh_banded_sigs`."""
     planes = lsh_planes(n_planes, dim, seed)
     bits_per_band = n_planes // n_bands
     if sig_tier == "gemm":
@@ -2195,9 +2217,7 @@ def _lsh_band_candidates(
             for b in range(n_bands)
         ]
         sig = sig.select(id_col, vec_col, *band_cols)
-    return _first_match_pairs(
-        sig, n_bands, bits_per_band, id_col, delta_min_id=delta_min_id
-    )
+    return sig
 
 
 def _first_match_pairs(
@@ -2221,6 +2241,31 @@ def _first_match_pairs(
     "no earlier band matched" with a short zip_with/exists over at most
     ``band`` elements (≤ n_bands terms per joined row; interpreted, but
     bounded by band count, not dim)."""
+    banded = _banded_relation(sig, n_bands, bits_per_band, id_col).repartition(
+        # EXPLICIT count, not .repartition(col): AQE prices the exchange
+        # by its tiny pre-fan-out input (n·bands rows) and coalesces a
+        # count-less repartition to ONE partition — putting the 4 M-row
+        # band-join fan-out, the JL screen, and the refine kernel all on
+        # a single core (measured 2× the whole-query wall at sf0.1). A
+        # user-specified count is exempt from AQE coalescing, keeping
+        # the exploding join spread across the session's shuffle width.
+        shuffle_width(sig.sparkSession),
+        F.col(id_col),
+    )
+    return _first_match_join(
+        banded, banded, n_bands, bits_per_band, id_col, delta_min_id
+    )
+
+
+def _banded_relation(
+    sig: DataFrame, n_bands: int, bits_per_band: int, id_col: str
+) -> DataFrame:
+    """(id, psig, band, band_sig) rows from a signature relation carrying
+    ``band0..band{n_bands-1}`` bit-string columns — the banded form the
+    first-match join consumes, and (via :func:`lsh_banded_sigs`) the
+    PERSISTABLE signature-index artifact: n·n_bands narrow rows whose
+    psig is one int64 for ≤ 62-bit configs (band-sig string array on the
+    wide fallback)."""
     wide = n_bands * bits_per_band > 62
     if wide:
         packed = F.array(*[F.col(f"band{b}") for b in range(n_bands)])
@@ -2232,27 +2277,32 @@ def _first_match_pairs(
             2,
             10,
         ).cast("long")
-    banded = sig.select(
+    return sig.select(
         F.col(id_col),
         packed.alias("psig"),
         F.posexplode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias(
             "band", "band_sig"
         ),
-    ).repartition(
-        # EXPLICIT count, not .repartition(col): AQE prices the exchange
-        # by its tiny pre-fan-out input (n·bands rows) and coalesces a
-        # count-less repartition to ONE partition — putting the 4 M-row
-        # band-join fan-out, the JL screen, and the refine kernel all on
-        # a single core (measured 2× the whole-query wall at sf0.1). A
-        # user-specified count is exempt from AQE coalescing, keeping
-        # the exploding join spread across the session's shuffle width.
-        shuffle_width(sig.sparkSession),
-        F.col(id_col),
     )
-    a = banded.select(
+
+
+def _first_match_join(
+    banded_a: DataFrame,
+    banded_b: DataFrame,
+    n_bands: int,
+    bits_per_band: int,
+    id_col: str,
+    delta_min_id: int | None = None,
+) -> DataFrame:
+    """First-matching-band pair emission over two (possibly distinct)
+    banded relations — see `_first_match_pairs` for the emission rule.
+    Two-sided form exists for the persisted-index ingest path, where the
+    a side is index ∪ delta and the b side is the delta alone."""
+    wide = n_bands * bits_per_band > 62
+    a = banded_a.select(
         F.col(id_col).alias("id_a"), F.col("psig").alias("pa"), "band", "band_sig"
     )
-    b = banded.select(
+    b = banded_b.select(
         F.col(id_col).alias("id_b"), F.col("psig").alias("pb"), "band", "band_sig"
     )
     if wide:
@@ -2294,6 +2344,64 @@ def _first_match_pairs(
         a.join(b, ["band", "band_sig"])
         .filter(pair_filter)
         .select("id_a", "id_b")
+    )
+
+
+def lsh_banded_sigs(
+    df: DataFrame,
+    n_planes: int,
+    n_bands: int,
+    seed: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    dim: int,
+    sig_tier: str = "gemm",
+) -> DataFrame:
+    """The PERSISTABLE LSH signature index: (id, psig, band, band_sig)
+    rows — n·n_bands narrow rows per corpus, psig one int64 for ≤ 62-bit
+    configs. Signing is the expensive O(n·planes·dim) map; persisting
+    this relation through the S5 sink means a delta-ingest batch never
+    re-signs the corpus — it signs only the delta and joins against the
+    loaded index (:func:`lsh_pairs_from_index`). Grid-exact projections
+    (`gemm_lsh_bits` tier by default), so the persisted signatures equal
+    the freshly-computed ones bit-for-bit."""
+    sig = _band_sig_relation(
+        df, n_planes, n_bands, seed, id_col, vec_col, dim, sig_tier
+    )
+    return _banded_relation(sig, n_bands, n_planes // n_bands, id_col)
+
+
+def lsh_pairs_from_index(
+    index_banded: DataFrame,
+    delta_banded: DataFrame,
+    corpus: DataFrame,
+    threshold: float,
+    n_planes: int,
+    n_bands: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Delta-ingest near-dup pairs against a persisted signature index:
+    band-join (index ∪ delta) × delta with first-matching-band emission,
+    then the exact grid refine on the candidate pairs' vectors. Emits
+    exactly the pairs of the full self-join restricted to id_b in the
+    delta (set-equality pinned in tests/test_lsh_index.py). The corpus
+    relation is touched only to attach CANDIDATE vectors by id — the
+    full-corpus signature map is what the index amortizes away."""
+    bits_per_band = n_planes // n_bands
+    both = index_banded.unionByName(delta_banded).repartition(
+        # same AQE-exempt rationale as _first_match_pairs: the exchange
+        # must spread the band-join fan-out across the shuffle width
+        shuffle_width(index_banded.sparkSession),
+        F.col(id_col),
+    )
+    cand = _first_match_join(
+        both, delta_banded, n_bands, bits_per_band, id_col
+    )
+    pairs = _pair_vectors_joined(cand, corpus, id_col, vec_col)
+    return gemm_pair_cosine_refine(
+        pairs, threshold, id_type=dict(corpus.dtypes)[id_col]
     )
 
 

@@ -903,6 +903,43 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _embedding_survivors(e.filter(F.col("vec_id") >= c0), pairs)
 
 
+@query(
+    "dedup_embedding_incremental_indexed",
+    oracle=_EMB_INC_ORACLE,
+    tags=("O6", "L2", "J3", "S5"),
+)
+def dedup_embedding_incremental_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`dedup_embedding_incremental` served from a PERSISTED signature
+    index: the base corpus (< cutoff) is signed ONCE and the banded
+    relation persisted through the parquet sink (staleness-guarded by
+    base row count); each ingest batch signs only its delta and
+    band-joins against the loaded index — the full-corpus
+    O(n·planes·dim) signature map never re-runs. Same oracle as the
+    self-join form (pair set equality pinned in tests/test_lsh_index.py).
+    """
+    import pyarrow.parquet as pq
+
+    from ..operators import similarity as SIM
+    from .similarity import _index_dir, _load_persisted_index
+
+    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    c0 = n - _DELTA_VECS
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") < c0)
+    delta = e.filter(F.col("vec_id") >= c0)
+    index = _load_persisted_index(
+        spark,
+        base,
+        _index_dir(sf_dir, "lshsig_p16_b8_s42"),
+        lambda: SIM.lsh_banded_sigs(base, 16, 8, 42, dim=64),
+    )
+    delta_banded = SIM.lsh_banded_sigs(delta, 16, 8, 42, dim=64)
+    pairs = SIM.lsh_pairs_from_index(index, delta_banded, e, 0.35, 16, 8)
+    return _embedding_survivors(delta, pairs)
+
+
 # --------------------------------------------------------------------------
 # O6/L2 semantic tier: SemDeDup (Abbas et al. 2023) — coarse-cell
 # clustering bounds the near-dup pair search to Σ|cell|² instead of n².
