@@ -3020,6 +3020,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     seeds_from: DataFrame | None = None,
     dominance_tier: str = "gemm",
+    delta_min_id: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas, Tirumala, Simig,
     Ganguli & Morcos 2023, "SemDeDup: Data-efficient learning at web-scale
@@ -3107,12 +3108,17 @@ def semantic_dedup(
         )
     )
     return _sem_cell_dominance(
-        assigned, threshold, id_col, tier=dominance_tier
+        assigned, threshold, id_col, tier=dominance_tier,
+        delta_min_id=delta_min_id,
     )
 
 
 def _sem_cell_dominance(
-    assigned: DataFrame, threshold: float, id_col: str, tier: str = "gemm"
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str,
+    tier: str = "gemm",
+    delta_min_id: int | None = None,
 ) -> DataFrame:
     """Shared SemDeDup tail: within each cell, a row is DOMINATED iff
     some strictly-smaller id in the same cell has
@@ -3149,13 +3155,27 @@ def _sem_cell_dominance(
         )
         thr = float(threshold)
 
+        delta = delta_min_id
+
         def dominate(pdf):
             import numpy as np
 
             n = len(pdf)
             ids = pdf[id_col].to_numpy()
             cells = pdf["cell_id"].to_numpy()
+            if delta is not None:
+                keep_rows = ids >= delta
+                if not keep_rows.any():
+                    return pd.DataFrame(
+                        {id_col: ids[:0], "cell_id": cells[:0],
+                         "kept": np.zeros(0, dtype=bool)}
+                    )
             if n <= 1:
+                if delta is not None:
+                    return pd.DataFrame(
+                        {id_col: ids[keep_rows], "cell_id": cells[keep_rows],
+                         "kept": [True] * int(keep_rows.sum())}
+                    )
                 return pd.DataFrame(
                     {id_col: ids, "cell_id": cells, "kept": [True] * n}
                 )
@@ -3169,7 +3189,16 @@ def _sem_cell_dominance(
                 )
             dom = np.zeros(n, dtype=bool)
             step = max(1, 4_000_000 // n)
-            for i0 in range(1, n, step):
+            # incremental mode: delta ids are a SUFFIX of the sorted
+            # order, so the row-tile loop starts at the first delta row —
+            # per-cell work is |delta_cell| x |cell|, not the full lower
+            # triangle (the columns compared against stay ALL smaller
+            # ids, existing corpus and earlier delta alike)
+            start = 1
+            if delta is not None:
+                start = int(np.searchsorted(ids[order], delta, side="left"))
+                start = max(start, 1)
+            for i0 in range(start, n, step):
                 i1 = min(i0 + step, n)
                 G = (Q[i0:i1] @ Q[:i1].T).astype(np.float64)
                 C = (G / float(SEM_QSCALE) ** 2) / (
@@ -3184,6 +3213,11 @@ def _sem_cell_dominance(
                 dom[i0:i1] = m.any(axis=1)
             kept = np.empty(n, dtype=bool)
             kept[order] = ~dom
+            if delta is not None:
+                return pd.DataFrame(
+                    {id_col: ids[keep_rows], "cell_id": cells[keep_rows],
+                     "kept": kept[keep_rows]}
+                )
             return pd.DataFrame(
                 {id_col: ids, "cell_id": cells, "kept": kept}
             )
@@ -3218,9 +3252,12 @@ def _sem_cell_dominance(
         F.col("__nrm").alias("nb"),
         "cell_id",
     )
+    pair_cond = F.col("id_a") < F.col("id_b")
+    if delta_min_id is not None:
+        pair_cond = pair_cond & (F.col("id_b") >= F.lit(delta_min_id))
     dominated = (
         a.join(b, "cell_id")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(pair_cond)
         .filter(
             F.round(
                 (_sem_qdot(F.col("qa"), F.col("qb"))
@@ -3233,8 +3270,11 @@ def _sem_cell_dominance(
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
+    marked = assigned
+    if delta_min_id is not None:
+        marked = marked.filter(F.col(id_col) >= F.lit(delta_min_id))
     return (
-        assigned.join(
+        marked.join(
             dominated.withColumn("__dom", F.lit(1)), id_col, "left"
         )
         .select(

@@ -1064,6 +1064,47 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --------------------------------------------------------------------------
+# Incremental SemDeDup — the delta contract on the FOURTH near-dup tier:
+# among the last _DELTA_VECS vectors, dominated iff some strictly-smaller
+# id in the same cell is within the cosine threshold (existing corpus and
+# earlier delta alike). The dominance kernel starts its row tiles at the
+# first delta row, so per-cell work is |delta_cell| x |cell|, not the full
+# lower triangle; the hof twin takes the same id_b >= cutoff conjunct.
+# --------------------------------------------------------------------------
+_SEM_INC_ORACLE = _SEMANTIC_ORACLE
+assert _SEM_INC_ORACLE.count(
+    "FROM assign a LEFT JOIN dominated d ON a.vec_id = d.vec_id"
+) == 1
+_SEM_INC_ORACLE = _SEM_INC_ORACLE.replace(
+    "FROM assign a LEFT JOIN dominated d ON a.vec_id = d.vec_id",
+    "FROM assign a LEFT JOIN dominated d ON a.vec_id = d.vec_id,\n"
+    f"         (SELECT MAX(vec_id) - {_DELTA_VECS - 1} AS c0 FROM embeddings)"
+    " cutoff\n    WHERE a.vec_id >= c0",
+)
+
+
+@query(
+    "dedup_semantic_incremental",
+    oracle=_SEM_INC_ORACLE,
+    tags=("O6", "L2", "U3"),
+)
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow.parquet as pq
+
+    from ..operators.similarity import semantic_dedup
+
+    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e,
+        n_cells=_SEMANTIC_N_CELLS,
+        threshold=_SEMANTIC_T,
+        delta_min_id=n - _DELTA_VECS,
+    )
+
+
 # --------------------------------------------------------------------------
 # Two-level (hierarchical) SemDeDup: same dominance semantics over a
 # √cells-routed coarse assignment — the remedy the single-level 256×
