@@ -860,6 +860,7 @@ def winnow_match(
     w: int = 5,
     max_doc_freq: int = 64,
     min_shared: int = 2,
+    delta_min_id: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs from shared winnowed fingerprints
     (SIGMOD'03 winnowing; see text_analysis.winnow_fingerprints). Two
@@ -902,9 +903,14 @@ def winnow_match(
     )
     sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
     a, b = kept.alias("a"), kept.alias("b")
+    pair_cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if delta_min_id is not None:
+        # incremental-ingest conjunct (the family contract): larger id in
+        # the delta; pushes below the fingerprint join to the b side
+        pair_cond = pair_cond & (F.col(f"b.{id_col}") >= F.lit(delta_min_id))
     pairs = (
         a.join(b, "fingerprint")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(pair_cond)
         .groupBy(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),

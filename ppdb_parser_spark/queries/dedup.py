@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as DD
 from ..sources.tables import load_table
+from .registry import REGISTRY as _REG
 from .registry import query
 
 def _par(spark: SparkSession) -> int:
@@ -658,6 +659,37 @@ def dedup_winnow_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Incremental winnowing ingest — the delta contract on the fingerprint
+# tier (every near-dup surface now carries it): only pairs whose larger
+# id is in the last _DELTA_DOCS docs are evaluated; the conjunct pushes
+# below the fingerprint join to the b side.
+# --------------------------------------------------------------------------
+_WM_INC_ORACLE = _REG["dedup_winnow_match"].oracle
+assert _WM_INC_ORACLE.count("WHERE n_shared >= 2") == 1
+_WM_INC_ORACLE = _WM_INC_ORACLE.replace(
+    "WHERE n_shared >= 2",
+    "WHERE n_shared >= 2\n"
+    f"      AND doc_b >= (SELECT MAX(doc_id) - {_DELTA_DOCS - 1}"
+    " FROM documents)",
+)
+
+
+@query(
+    "dedup_winnow_incremental",
+    oracle=_WM_INC_ORACLE,
+    tags=("O6", "L7", "J2", "A1"),
+)
+def dedup_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return DD.winnow_match(
+        load_table(spark, sf_dir, "documents"),
+        delta_min_id=n - _DELTA_DOCS,
+    )
+
+
+# --------------------------------------------------------------------------
 # Deterministic relational MinHash-LSH (Broder'97 + MMDS banding): md5
 # min-hashes make the signatures -> bands -> candidates -> exact-refine
 # pipeline hash-exact cross-engine, upgrading MinHash from the rows-only
@@ -745,8 +777,6 @@ def dedup_minhash_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
 # after predicate pushdown), so re-ingest cost tracks the delta. Oracle =
 # the full relational-MinHash result filtered to the same cutoff.
 # --------------------------------------------------------------------------
-from .registry import REGISTRY as _REG
-
 _MH_INC_ORACLE = _REG["dedup_minhash_relational"].oracle
 assert _MH_INC_ORACLE.count("JOIN sizes sb ON inter.id_b = sb.doc_id") == 1
 assert _MH_INC_ORACLE.count("WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.3") == 1
