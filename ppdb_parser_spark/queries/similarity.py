@@ -674,6 +674,7 @@ def sim_pq_persist_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_pq_persisted_topk",
     oracle=_pq_kmeans_oracle(probe_id=2),
     tags=("L1", "L2", "W1", "S5"),
+    bench=True,
 )
 def sim_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search-only PQ top-k against the persisted codebook (amortized
