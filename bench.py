@@ -80,6 +80,20 @@ def force_full(df) -> str:
         return "count"
 
 
+#: Queries whose in-bench walls have drifted above baseline under
+#: interleave while consecutive-run probes sat AT baseline (VERDICT r13
+#: #6 names the decontaminate pair as the worst two shared-subset ratios
+#: two rounds running; the jaccard/minhash family showed the same
+#: signature in r12/r13). Each gets an isolated back-to-back min-of-3
+#: beside the interleaved number in the bench record.
+_ISOLATED_CROSSCHECK = (
+    "pipeline_decontaminate",
+    "pipeline_decontaminate_bloom",
+    "dedup_minhash_relational",
+    "dedup_jaccard_prefix",
+)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -99,6 +113,27 @@ def main() -> None:
             t0 = time.perf_counter()
             force_full(spec.fn(spark, sf_dir))
             runs[spec.name].append(round(time.perf_counter() - t0, 4))
+
+    # Isolated-wall cross-check (VERDICT r13 #6): the interleaved loop
+    # above measures each query with ~40 neighbors' GC/codegen churn
+    # between its runs; the jaccard/decontaminate families have shown
+    # 1.2-2.8× in-bench elevation that vanishes when runs are
+    # CONSECUTIVE (BASELINE.md r12/r13 drift notes). For the named
+    # drift-watch set, also record a back-to-back min-of-3 so
+    # drift-vs-interleave is machine-readable per round instead of a
+    # hand-run probe. Diagnostics only — the gate metric stays the
+    # interleaved wall.
+    isolated: dict[str, float] = {}
+    for name in _ISOLATED_CROSSCHECK:
+        spec = REGISTRY.get(name)
+        if spec is None or not spec.bench:
+            continue
+        walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            force_full(spec.fn(spark, sf_dir))
+            walls.append(time.perf_counter() - t0)
+        isolated[name] = round(min(walls), 3)
 
     # Walls rounded to ms: the driver's artifact capture keeps only the
     # LAST 2000 chars of stdout and json-parses the final line, so the
@@ -124,7 +159,13 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    full = dict(payload, spreads=spreads, fallbacks=fallbacks, runs=runs)
+    full = dict(
+        payload,
+        spreads=spreads,
+        fallbacks=fallbacks,
+        runs=runs,
+        isolated=isolated,
+    )
     # The complete record (all three raw runs, spreads, fallbacks) goes to
     # a file the repo commits each round, so the numbers survive even if
     # stdout capture regresses; spreads/fallbacks also print as their own
@@ -144,6 +185,12 @@ def main() -> None:
         + json.dumps({n: f"{v}x" for n, v in spreads.items()})
     )
     print("fallbacks " + json.dumps(fallbacks))
+    # Isolated walls print with an explicit unit suffix for the same
+    # crop-safety reason as the spreads line.
+    print(
+        "isolated_min3_consecutive "
+        + json.dumps({n: f"{v}s" for n, v in isolated.items()})
+    )
     line = json.dumps(payload)
     # Loud guard: if the headline set ever grows the final line past the
     # driver's capture window again, fail the bench run instead of

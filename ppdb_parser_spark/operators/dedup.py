@@ -709,6 +709,7 @@ def simhash_near_pairs(
     n_bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    delta_min_id: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs at scale: signatures split into ``n_bands``
     bit-bands; candidates must share at least one exact band (equi join on
@@ -769,9 +770,17 @@ def simhash_near_pairs(
         F.bitwise_not(t).bitwiseAND(F.lit(lsb_mask)).bitwiseAND(prior_mask)
         == 0
     )
+    pair_cond = (F.col("id_a") < F.col("id_b")) & first_match
+    if delta_min_id is not None:
+        # incremental-ingest conjunct (the family contract): larger id in
+        # the delta. References only b columns, so Catalyst pushes it
+        # below the band join and through the b-side signature aggregate
+        # (filter on the group key) — the probe side shrinks to the delta
+        # while the build side keeps the full corpus signatures.
+        pair_cond = pair_cond & (F.col("id_b") >= F.lit(delta_min_id))
     cand = (
         a.join(b, ["band_idx", "band_bits"])
-        .filter((F.col("id_a") < F.col("id_b")) & first_match)
+        .filter(pair_cond)
         .select("id_a", "id_b", "sig_a", "sig_b")
     )
     return (
@@ -791,6 +800,7 @@ def containment_pairs(
     text_col: str = "text",
     max_doc_freq: int | None = None,
     min_partitions: int | None = None,
+    delta_min_id: int | None = None,
 ) -> DataFrame:
     """Shingle-containment near-dup pairs (Broder's containment measure):
     pairs where |S(A)∩S(B)| / min(|S(A)|, |S(B)|) ≥ threshold — the
@@ -824,9 +834,18 @@ def containment_pairs(
         .localCheckpoint(eager=False)
     )
     a, b = fp.alias("a"), fp.alias("b")
+    pair_cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if delta_min_id is not None:
+        # incremental-ingest conjunct (the family contract): larger id in
+        # the delta; references only b columns, so it pushes below the
+        # fingerprint join — the candidate probe shrinks to the delta
+        # batch while the shared fp/sets materializations (which the
+        # full-corpus a side and the verification join need anyway) are
+        # unchanged.
+        pair_cond = pair_cond & (F.col(f"b.{id_col}") >= F.lit(delta_min_id))
     cand = (
         a.join(b, "fp")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(pair_cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
@@ -934,6 +953,170 @@ def winnow_match(
     )
 
 
+def _mh_fp_and_dict(sh: DataFrame, n_hashes: int, id_col: str):
+    """(occurrence fp stream, distinct-shingle hash dictionary) shared by
+    :func:`minhash_match` and the persistable index builders.
+
+    Dictionary-hash: md5 each DISTINCT shingle once (vocabulary-sized)
+    and join the hash columns back to the occurrence stream, instead of
+    re-hashing per (doc, shingle) occurrence inside the MIN aggregates —
+    measured 4.1M → 15k md5 calls at sf0.1 (14 s → ~1 s for the
+    signature stage). Round 12: the dictionary join (the one
+    corpus-occurrence exchange) keys on the 8-byte ``xxhash64``
+    fingerprint rather than the shingle STRING — ~4× lighter exchange
+    payload, same shape; both sides derive the key in-row. This shares
+    `jaccard_pairs_prefix`'s documented collision exposure (two distinct
+    shingles colliding would merge their hash rows — p ≈ vocab²/2⁶⁵,
+    negligible; string-path equality is regression-tested)."""
+    fp = F.xxhash64(F.col("shingle")).alias("fp")
+    hashes = sh.select("shingle").distinct().select(
+        fp,
+        *[
+            F.substring(
+                F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))), 1, 16
+            ).alias(f"h{s}")
+            for s in range(n_hashes)
+        ],
+    )
+    return sh.select(F.col(id_col), fp), hashes
+
+
+def _mh_band_exprs(n_hashes: int, n_bands: int) -> list[F.Column]:
+    """Band collapse: r = n_hashes/n_bands signature columns md5-fold to
+    one band value (the MMDS banding step, string-deterministic)."""
+    r = n_hashes // n_bands
+    return [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"sig{b * r + j}") for j in range(r)])
+        )
+        for b in range(n_bands)
+    ]
+
+
+def minhash_banded_sigs(
+    df: DataFrame,
+    n_hashes: int = 16,
+    n_bands: int = 8,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """The PERSISTABLE MinHash band index: (id, band, band_sig) rows —
+    n·n_bands narrow rows per corpus (the MinHash counterpart of
+    similarity.lsh_banded_sigs). Shingling + the 16-MIN signature
+    aggregate is the expensive O(corpus tokens) pass; persisting this
+    relation through the S5 sink means a delta-ingest batch never
+    re-shingles or re-signs the corpus — it signs only the delta and
+    band-joins against the loaded index
+    (:func:`minhash_pairs_from_index`). Every hash is an md5 hex prefix,
+    so the persisted bands equal freshly-computed ones byte-for-byte."""
+    sh = word_shingles(df, n, id_col, text_col, min_partitions=min_partitions)
+    sh_fp, hashes = _mh_fp_and_dict(sh, n_hashes, id_col)
+    sigs = (
+        sh_fp.join(hashes, "fp")
+        .groupBy(id_col)
+        .agg(*[F.min(f"h{s}").alias(f"sig{s}") for s in range(n_hashes)])
+    )
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*_mh_band_exprs(n_hashes, n_bands))).alias(
+            "band", "band_sig"
+        ),
+    )
+
+
+def minhash_packed_sets(
+    df: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """The PERSISTABLE exact-verification side of the MinHash index:
+    per-doc sorted shingle-fp sets (id, fps array<bigint>) — what the
+    candidate refine's ``array_intersect`` consumes. Persisted alongside
+    :func:`minhash_banded_sigs` so the verification join also reads the
+    corpus side from the index instead of re-shingling it."""
+    sh = word_shingles(df, n, id_col, text_col, min_partitions=min_partitions)
+    return (
+        sh.select(F.col(id_col), F.xxhash64("shingle").alias("fp"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("fp")).alias("fps"))
+    )
+
+
+def _mh_verify_tail(
+    cand: DataFrame, sets: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
+    """Exact-Jaccard verification on packed fp sets: one codegen'd
+    ``array_intersect`` per candidate pair, int/int rational threshold
+    (cross-engine exact). Shared by :func:`minhash_match` and
+    :func:`minhash_pairs_from_index`."""
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("fps").alias("fps_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("fps").alias("fps_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("fps_a", "fps_b"))
+            .cast("long")
+            .alias("n_common"),
+            F.size("fps_a").cast("long").alias("n_a"),
+            F.size("fps_b").cast("long").alias("n_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+def minhash_pairs_from_index(
+    index_bands: DataFrame,
+    index_sets: DataFrame,
+    delta_df: DataFrame,
+    threshold: float = 0.3,
+    n_hashes: int = 16,
+    n_bands: int = 8,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Delta-ingest MinHash near-dup pairs against the persisted band +
+    set indexes: band-join (index ∪ delta bands) × delta bands, then the
+    exact-Jaccard refine over (index ∪ delta) packed sets. Emits exactly
+    the pairs of the full self-join restricted to id_b ≥ the delta cutoff
+    (same oracle as ``dedup_minhash_incremental`` — set equality pinned
+    in tests/test_operators.py). The corpus is never re-shingled or
+    re-signed: both corpus-side relations come from the loaded index,
+    so per-batch cost is O(delta tokens + collisions), not O(corpus)."""
+    delta_bands = minhash_banded_sigs(
+        delta_df, n_hashes, n_bands, n, id_col, text_col,
+        min_partitions=min_partitions,
+    ).localCheckpoint(eager=False)  # feeds both join sides below
+    delta_sets = minhash_packed_sets(
+        delta_df, n, id_col, text_col, min_partitions=min_partitions
+    )
+    a = index_bands.unionByName(delta_bands).select(
+        F.col(id_col).alias("id_a"), "band", "band_sig"
+    )
+    b = delta_bands.select(F.col(id_col).alias("id_b"), "band", "band_sig")
+    cand = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = index_sets.unionByName(delta_sets)
+    return _mh_verify_tail(cand, sets, threshold, id_col)
+
+
 def minhash_match(
     df: DataFrame,
     n_hashes: int = 16,
@@ -966,31 +1149,8 @@ def minhash_match(
 
     Returns (id_a, id_b, n_common, n_a, n_b, jaccard).
     """
-    r = n_hashes // n_bands
     sh = word_shingles(df, n, id_col, text_col, min_partitions=min_partitions)
-    # dictionary-hash: md5 each DISTINCT shingle once (vocabulary-sized)
-    # and join the hash columns back to the occurrence stream, instead of
-    # re-hashing per (doc, shingle) occurrence inside the MIN aggregates —
-    # measured 4.1M → 15k md5 calls at sf0.1 (14 s → ~1 s for the
-    # signature stage). Round 12: the dictionary join (the one
-    # corpus-occurrence exchange) keys on the 8-byte ``xxhash64``
-    # fingerprint rather than the shingle STRING — ~4× lighter exchange
-    # payload, same shape; both sides derive the key in-row. This shares
-    # `jaccard_pairs_prefix`'s documented collision exposure (two
-    # distinct shingles colliding would merge their hash rows —
-    # p ≈ vocab²/2⁶⁵, negligible; string-path equality is
-    # regression-tested).
-    fp = F.xxhash64(F.col("shingle")).alias("fp")
-    hashes = sh.select("shingle").distinct().select(
-        fp,
-        *[
-            F.substring(
-                F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))), 1, 16
-            ).alias(f"h{s}")
-            for s in range(n_hashes)
-        ],
-    )
-    sh_fp = sh.select(F.col(id_col), fp)
+    sh_fp, hashes = _mh_fp_and_dict(sh, n_hashes, id_col)
     # lazy cut point (the winnow_match convention, round 12): the
     # signature relation feeds BOTH sides of the band self-join and the
     # executed plan shows zero exchange reuse, so without it the whole
@@ -1005,14 +1165,11 @@ def minhash_match(
     if stage_probe is not None:
         # diagnostic hook (tools/stage_walls.py) — see jaccard_pairs_prefix
         stage_probe["sigs"] = sigs
-    band_exprs = [
-        F.md5(
-            F.concat_ws("|", *[F.col(f"sig{b * r + j}") for j in range(r)])
-        )
-        for b in range(n_bands)
-    ]
     bands = sigs.select(
-        F.col(id_col), F.posexplode(F.array(*band_exprs)).alias("band", "band_sig")
+        F.col(id_col),
+        F.posexplode(F.array(*_mh_band_exprs(n_hashes, n_bands))).alias(
+            "band", "band_sig"
+        ),
     )
     a = bands.select(F.col(id_col).alias("id_a"), "band", "band_sig")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "band_sig")
@@ -1049,24 +1206,4 @@ def minhash_match(
         # shingle stream re-shingles once per side
         .localCheckpoint(eager=False)
     )
-    sa = sets.select(F.col(id_col).alias("id_a"), F.col("fps").alias("fps_a"))
-    sb = sets.select(F.col(id_col).alias("id_b"), F.col("fps").alias("fps_b"))
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.size(F.array_intersect("fps_a", "fps_b"))
-            .cast("long")
-            .alias("n_common"),
-            F.size("fps_a").cast("long").alias("n_a"),
-            F.size("fps_b").cast("long").alias("n_b"),
-        )
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
-    )
+    return _mh_verify_tail(cand, sets, threshold, id_col)

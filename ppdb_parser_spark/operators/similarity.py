@@ -1798,13 +1798,20 @@ def pq_build_codebook(
         .agg(
             # exact 1e-9-grid mean with an engine-independent tie rule:
             # k = floor((2S + n) / (2n)) (round-half-toward-+inf on the
-            # int grid; the double quotient is exact at ties because
-            # 2S + n = 2kn exactly there, and ≥ 1/(2n) from an integer
-            # otherwise). round(S/(n·1e9), 9) instead left the codebook
-            # ENGINE-DEPENDENT at exact .5e-9 boundaries — Spark HALF_UP
-            # rounded up where DuckDB's float-multiply round landed one
-            # grid unit lower (caught when sim_pq_persist_codebook
-            # hash-checks raw codebook values, round 13).
+            # int grid). Validity bound (ADVICE r13): the double quotient
+            # identifies the tie exactly only while |2S + n| < 2^53 —
+            # 2S + n = 2kn is then representable, and a non-tie sits
+            # ≥ 1/(2n) away from an integer. 2S is bounded by
+            # 2·n·max|x|·1e9, so with |x| ≤ 4 (unit-norm-ish embeddings)
+            # the bound holds to n ≈ 2^50 subvectors per (s, c0, pos)
+            # cell — far beyond any realistic cluster; past it BOTH
+            # engines still agree (identical IEEE ops) but the tie rule
+            # is no longer provably half-up. round(S/(n·1e9), 9) instead
+            # left the codebook ENGINE-DEPENDENT at exact .5e-9
+            # boundaries — Spark HALF_UP rounded up where DuckDB's
+            # float-multiply round landed one grid unit lower (caught
+            # when sim_pq_persist_codebook hash-checks raw codebook
+            # values, round 13).
             (
                 F.floor(
                     (

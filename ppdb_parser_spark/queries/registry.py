@@ -58,18 +58,18 @@ def query(
     return deco
 
 
-# Queries that already earned a driver CORRECTNESS row in rounds 1-12
-# (keys of CORRECTNESS_r01.json ∪ … ∪ r12, intersected with the live
-# registry; re-frozen 2026-08-16 for round 13). The driver prefix
+# Queries that already earned a driver CORRECTNESS row in rounds 1-13
+# (keys of CORRECTNESS_r01.json ∪ … ∪ r13, intersected with the live
+# registry; re-frozen 2026-08-16 for round 14). The driver prefix
 # is built from the registry MINUS this set, so anything new this round
 # earns a row first.
 #
-# ROUND-14 NOTE: first move next round — regenerate both structures below
-# with ``python tools/gen_prefix_freeze.py`` (folds CORRECTNESS_r13.json
-# in, bumps _LAST_DRIVER_ROUND), rename to _DRIVER_CHECKED_R1_R13, replace
-# _ROUND13_PRIORITY with the next stale/marquee tier, and update
-# tests/test_oracle_parity.py::test_coverage_order_round13_prefix_contract.
-_DRIVER_CHECKED_R1_R12 = frozenset(
+# ROUND-15 NOTE: first move next round — regenerate both structures below
+# with ``python tools/gen_prefix_freeze.py`` (folds CORRECTNESS_r14.json
+# in, bumps _LAST_DRIVER_ROUND), rename to _DRIVER_CHECKED_R1_R14, replace
+# _ROUND14_PRIORITY with the next stale/marquee tier, and update
+# tests/test_oracle_parity.py::test_coverage_order_round14_prefix_contract.
+_DRIVER_CHECKED_R1_R13 = frozenset(
     {
         'agg_approx_distinct', 'agg_approx_percentile', 'agg_cube',
         'agg_distinct_counts', 'agg_filtered', 'agg_grouping_sets',
@@ -89,19 +89,22 @@ _DRIVER_CHECKED_R1_R12 = frozenset(
         'broadcast_join', 'case_when', 'cross_join',
         'dedup_cluster_report', 'dedup_components',
         'dedup_components_star', 'dedup_containment', 'dedup_embedding',
-        'dedup_embedding_checked', 'dedup_embedding_lsh', 'dedup_exact',
-        'dedup_jaccard_bitmap', 'dedup_jaccard_capped',
+        'dedup_embedding_checked', 'dedup_embedding_incremental',
+        'dedup_embedding_incremental_indexed', 'dedup_embedding_lsh',
+        'dedup_exact', 'dedup_jaccard_bitmap', 'dedup_jaccard_capped',
         'dedup_jaccard_incremental', 'dedup_jaccard_pairs',
-        'dedup_jaccard_prefix', 'dedup_minhash_lsh',
-        'dedup_minhash_relational', 'dedup_semantic',
-        'dedup_semantic_gemm', 'dedup_semantic_gemm_h2',
-        'dedup_semantic_h2', 'dedup_simhash', 'dedup_simhash_pairs',
-        'dedup_span_scrub', 'dedup_span_scrub_intra',
-        'dedup_substring_spans', 'dedup_tier_agreement',
-        'dedup_triangle_count', 'dedup_winnow_match', 'except_custkeys',
-        'filter_project', 'flagship', 'fuzzy_phrase_match',
-        'govern_luhn_scan', 'govern_pii_mask', 'intersect_nations',
-        'left_join_coverage', 'lookup_oov_tokens',
+        'dedup_jaccard_prefix', 'dedup_minhash_incremental',
+        'dedup_minhash_lsh', 'dedup_minhash_relational',
+        'dedup_semantic', 'dedup_semantic_gemm',
+        'dedup_semantic_gemm_h2', 'dedup_semantic_h2',
+        'dedup_semantic_incremental', 'dedup_simhash',
+        'dedup_simhash_pairs', 'dedup_span_scrub',
+        'dedup_span_scrub_intra', 'dedup_substring_spans',
+        'dedup_tier_agreement', 'dedup_triangle_count',
+        'dedup_winnow_incremental', 'dedup_winnow_match',
+        'except_custkeys', 'filter_project', 'flagship',
+        'fuzzy_phrase_match', 'govern_luhn_scan', 'govern_pii_mask',
+        'intersect_nations', 'left_join_coverage', 'lookup_oov_tokens',
         'lookup_paraphrase_coverage', 'mm_binary_hash',
         'mm_decode_meta', 'mm_dhash', 'mm_dhash_near',
         'mm_img_features', 'mm_media_meta', 'mm_media_stats',
@@ -134,12 +137,14 @@ _DRIVER_CHECKED_R1_R12 = frozenset(
         'scalar_null_handling', 'scalar_regex', 'scalar_strings',
         'scalar_try_ops', 'scalar_variant', 'self_join_pairs',
         'semi_join', 'sim_cosine_topk', 'sim_hybrid_rrf',
-        'sim_ivf_batch_topk', 'sim_ivf_kmeans_topk', 'sim_ivf_topk',
-        'sim_ivfpq_residual_topk', 'sim_ivfpq_topk', 'sim_jl_project',
-        'sim_jl_topk', 'sim_lsh_jl_screened_pairs',
+        'sim_ivf_batch_topk', 'sim_ivf_kmeans_topk',
+        'sim_ivf_persist_build', 'sim_ivf_persisted_topk',
+        'sim_ivf_topk', 'sim_ivfpq_residual_topk', 'sim_ivfpq_topk',
+        'sim_jl_project', 'sim_jl_topk', 'sim_lsh_jl_screened_pairs',
         'sim_lsh_multiprobe_topk', 'sim_lsh_pairs_checked',
         'sim_neighbors_docs', 'sim_pairwise_cosine',
         'sim_pca_top_component', 'sim_pq_encode', 'sim_pq_kmeans_topk',
+        'sim_pq_persist_codebook', 'sim_pq_persisted_topk',
         'sim_pq_topk', 'skew_salted_agg', 'skew_salted_join',
         'snk_bucketed_join', 'snk_json_roundtrip', 'snk_orc_roundtrip',
         'snk_parquet_roundtrip', 'snk_partition_pruned',
@@ -180,14 +185,15 @@ _LAST_DRIVER_ROUND = {
         'agg_approx_distinct': 11, 'agg_approx_percentile': 11,
         'agg_cube': 11, 'agg_distinct_counts': 11, 'agg_filtered': 11,
         'agg_grouping_sets': 9, 'agg_histogram': 10, 'agg_hll_rollup':
-        8, 'agg_hll_set_ops': 8, 'agg_hll_sketch': 8, 'agg_percentiles':
-        9, 'agg_pivot_status': 9, 'agg_pricing_summary': 9,
-        'agg_rollup': 9, 'agg_stats': 9, 'analytics_autocorr_lag1': 8,
-        'analytics_cohort_retention': 10, 'analytics_corr_pairs': 8,
-        'analytics_disjunctive_join': 10, 'analytics_event_funnel': 8,
-        'analytics_large_orders': 9, 'analytics_local_supplier_volume':
-        9, 'analytics_lost_opportunity': 9, 'analytics_market_basket':
-        11, 'analytics_market_share': 11, 'analytics_promo_share': 10,
+        13, 'agg_hll_set_ops': 13, 'agg_hll_sketch': 13,
+        'agg_percentiles': 9, 'agg_pivot_status': 9,
+        'agg_pricing_summary': 9, 'agg_rollup': 9, 'agg_stats': 9,
+        'analytics_autocorr_lag1': 13, 'analytics_cohort_retention': 10,
+        'analytics_corr_pairs': 13, 'analytics_disjunctive_join': 10,
+        'analytics_event_funnel': 13, 'analytics_large_orders': 9,
+        'analytics_local_supplier_volume': 9,
+        'analytics_lost_opportunity': 9, 'analytics_market_basket': 11,
+        'analytics_market_share': 11, 'analytics_promo_share': 10,
         'analytics_rfm_segments': 10, 'analytics_rolling_wau': 10,
         'analytics_shipping_priority': 12, 'analytics_signup_funnel':
         12, 'analytics_small_qty_revenue': 12, 'analytics_trade_flows':
@@ -195,28 +201,31 @@ _LAST_DRIVER_ROUND = {
         'asof_purchase_click': 10, 'broadcast_join': 12, 'case_when':
         12, 'cross_join': 11, 'dedup_cluster_report': 12,
         'dedup_components': 12, 'dedup_components_star': 12,
-        'dedup_containment': 10, 'dedup_embedding': 8,
-        'dedup_embedding_checked': 12, 'dedup_embedding_lsh': 12,
-        'dedup_exact': 12, 'dedup_jaccard_bitmap': 12,
-        'dedup_jaccard_capped': 12, 'dedup_jaccard_incremental': 10,
-        'dedup_jaccard_pairs': 7, 'dedup_jaccard_prefix': 11,
+        'dedup_containment': 10, 'dedup_embedding': 13,
+        'dedup_embedding_checked': 12, 'dedup_embedding_incremental':
+        13, 'dedup_embedding_incremental_indexed': 13,
+        'dedup_embedding_lsh': 12, 'dedup_exact': 12,
+        'dedup_jaccard_bitmap': 12, 'dedup_jaccard_capped': 12,
+        'dedup_jaccard_incremental': 10, 'dedup_jaccard_pairs': 13,
+        'dedup_jaccard_prefix': 11, 'dedup_minhash_incremental': 13,
         'dedup_minhash_lsh': 12, 'dedup_minhash_relational': 12,
         'dedup_semantic': 12, 'dedup_semantic_gemm': 12,
         'dedup_semantic_gemm_h2': 12, 'dedup_semantic_h2': 12,
-        'dedup_simhash': 7, 'dedup_simhash_pairs': 12,
-        'dedup_span_scrub': 11, 'dedup_span_scrub_intra': 11,
-        'dedup_substring_spans': 8, 'dedup_tier_agreement': 12,
-        'dedup_triangle_count': 12, 'dedup_winnow_match': 10,
-        'except_custkeys': 11, 'filter_project': 7, 'flagship': 11,
+        'dedup_semantic_incremental': 13, 'dedup_simhash': 13,
+        'dedup_simhash_pairs': 12, 'dedup_span_scrub': 11,
+        'dedup_span_scrub_intra': 11, 'dedup_substring_spans': 13,
+        'dedup_tier_agreement': 12, 'dedup_triangle_count': 12,
+        'dedup_winnow_incremental': 13, 'dedup_winnow_match': 10,
+        'except_custkeys': 11, 'filter_project': 13, 'flagship': 11,
         'fuzzy_phrase_match': 11, 'govern_luhn_scan': 8,
-        'govern_pii_mask': 10, 'intersect_nations': 7,
-        'left_join_coverage': 8, 'lookup_oov_tokens': 7,
-        'lookup_paraphrase_coverage': 7, 'mm_binary_hash': 7,
+        'govern_pii_mask': 10, 'intersect_nations': 13,
+        'left_join_coverage': 8, 'lookup_oov_tokens': 13,
+        'lookup_paraphrase_coverage': 13, 'mm_binary_hash': 13,
         'mm_decode_meta': 12, 'mm_dhash': 10, 'mm_dhash_near': 11,
         'mm_img_features': 8, 'mm_media_meta': 8, 'mm_media_stats': 9,
-        'mm_meta_stats': 7, 'mm_png_features': 10, 'mm_resize': 7,
-        'mm_wav_sample': 7, 'order_limit': 10, 'pattern_scd2_merge': 10,
-        'pattern_scd2_pointintime': 11, 'pattern_unpivot': 7,
+        'mm_meta_stats': 13, 'mm_png_features': 10, 'mm_resize': 13,
+        'mm_wav_sample': 13, 'order_limit': 10, 'pattern_scd2_merge':
+        10, 'pattern_scd2_pointintime': 11, 'pattern_unpivot': 13,
         'pipeline_chunk_overlap': 11, 'pipeline_corpus_curation': 10,
         'pipeline_corpus_curation_v2': 12,
         'pipeline_corpus_curation_v3': 12, 'pipeline_corpus_datacard':
@@ -226,41 +235,43 @@ _LAST_DRIVER_ROUND = {
         'pipeline_dsir_weights': 8, 'pipeline_mixture_sample': 10,
         'pipeline_mixture_temperature': 8, 'pipeline_mixture_waterfill':
         8, 'pipeline_pack_windows': 12, 'pipeline_quality_classifier':
-        8, 'pipeline_quality_gate': 11, 'pipeline_quality_quartiles': 7,
-        'pipeline_quality_regression': 8,
+        8, 'pipeline_quality_gate': 11, 'pipeline_quality_quartiles':
+        13, 'pipeline_quality_regression': 8,
         'pipeline_quality_regression_by_lang': 8, 'pipeline_rag_ingest':
         11, 'pipeline_scrub_cascade': 12, 'pipeline_session_dialogues':
-        7, 'pipeline_shuffle_shards': 7, 'pipeline_stratified_sample':
-        11, 'pipeline_train_split': 10, 'pipeline_weighted_sample': 7,
-        'ppdb_alignment_explode': 7, 'ppdb_collect_nested': 7,
+        13, 'pipeline_shuffle_shards': 13, 'pipeline_stratified_sample':
+        11, 'pipeline_train_split': 10, 'pipeline_weighted_sample': 13,
+        'ppdb_alignment_explode': 13, 'ppdb_collect_nested': 13,
         'ppdb_collect_paraphrases': 10, 'ppdb_entailment_dist': 12,
-        'ppdb_feature_keys': 12, 'ppdb_map_ops': 7, 'ppdb_parse_stats':
+        'ppdb_feature_keys': 12, 'ppdb_map_ops': 13, 'ppdb_parse_stats':
         10, 'ppdb_parse_stats_bz2': 9, 'ppdb_parse_throughput': 12,
         'ppdb_quarantine': 10, 'ppdb_symmetric_pairs': 10,
-        'ppdb_top_paraphrases': 7, 'profile_columns': 12,
-        'range_join_bands': 9, 'region_revenue': 7, 'sample_orders': 12,
-        'scalar_arrays': 9, 'scalar_bitwise': 9, 'scalar_dates': 9,
-        'scalar_json': 10, 'scalar_math': 7, 'scalar_null_handling': 9,
+        'ppdb_top_paraphrases': 13, 'profile_columns': 12,
+        'range_join_bands': 9, 'region_revenue': 13, 'sample_orders':
+        12, 'scalar_arrays': 9, 'scalar_bitwise': 9, 'scalar_dates': 9,
+        'scalar_json': 10, 'scalar_math': 13, 'scalar_null_handling': 9,
         'scalar_regex': 9, 'scalar_strings': 9, 'scalar_try_ops': 11,
         'scalar_variant': 10, 'self_join_pairs': 9, 'semi_join': 9,
         'sim_cosine_topk': 11, 'sim_hybrid_rrf': 8,
-        'sim_ivf_batch_topk': 10, 'sim_ivf_kmeans_topk': 10,
+        'sim_ivf_batch_topk': 10, 'sim_ivf_kmeans_topk': 13,
+        'sim_ivf_persist_build': 13, 'sim_ivf_persisted_topk': 13,
         'sim_ivf_topk': 11, 'sim_ivfpq_residual_topk': 10,
         'sim_ivfpq_topk': 10, 'sim_jl_project': 10, 'sim_jl_topk': 10,
         'sim_lsh_jl_screened_pairs': 12, 'sim_lsh_multiprobe_topk': 10,
         'sim_lsh_pairs_checked': 12, 'sim_neighbors_docs': 11,
         'sim_pairwise_cosine': 9, 'sim_pca_top_component': 8,
-        'sim_pq_encode': 10, 'sim_pq_kmeans_topk': 10, 'sim_pq_topk':
-        10, 'skew_salted_agg': 7, 'skew_salted_join': 11,
-        'snk_bucketed_join': 11, 'snk_json_roundtrip': 10,
+        'sim_pq_encode': 10, 'sim_pq_kmeans_topk': 13,
+        'sim_pq_persist_codebook': 13, 'sim_pq_persisted_topk': 13,
+        'sim_pq_topk': 10, 'skew_salted_agg': 13, 'skew_salted_join':
+        11, 'snk_bucketed_join': 11, 'snk_json_roundtrip': 10,
         'snk_orc_roundtrip': 9, 'snk_parquet_roundtrip': 9,
-        'snk_partition_pruned': 7, 'snk_zorder_layout': 7,
+        'snk_partition_pruned': 13, 'snk_zorder_layout': 13,
         'src_csv_permissive': 12, 'src_csv_scan': 9,
-        'src_custom_datasource': 7, 'src_json_scan': 7,
+        'src_custom_datasource': 13, 'src_json_scan': 13,
         'stream_anomaly_live': 9, 'stream_cms_batch': 8,
         'stream_cms_live': 8, 'stream_dedup_live': 12,
         'stream_drift_batch': 8, 'stream_drift_live': 8,
-        'stream_foreach_batch_sink': 7, 'stream_hll_batch': 8,
+        'stream_foreach_batch_sink': 13, 'stream_hll_batch': 8,
         'stream_hll_live': 8, 'stream_interval_join_batch': 9,
         'stream_interval_join_live': 10,
         'stream_left_interval_join_batch': 11,
@@ -282,70 +293,32 @@ _LAST_DRIVER_ROUND = {
         'text_tfidf_top5': 9, 'text_token_stats': 9,
         'text_unigram_logprob': 11, 'text_winnow_fp': 11,
         'ts_anomaly_argmax': 8, 'ts_ewma_dyadic': 9, 'ts_gapfill_locf':
-        7, 'ts_interpolate': 7, 'ts_ohlc_daily': 7,
+        13, 'ts_interpolate': 13, 'ts_ohlc_daily': 13,
         'ts_recursive_month_spine': 11, 'udf_arrow_scalar': 12,
         'udf_grouped_agg_sum': 12, 'udf_grouped_map_minmax': 12,
         'udf_map_in_arrow': 9, 'udf_map_partitions_bucket': 9,
         'udf_scalar_cents': 9, 'udtf_explode_types': 12,
-        'udtf_polymorphic_split': 7, 'union_parties': 9,
+        'udtf_polymorphic_split': 13, 'union_parties': 9,
         'window_cume_dist': 9, 'window_lag_lead': 9,
         'window_range_frame': 9, 'window_rank_family': 9,
         'window_running_sum': 9, 'window_value_family': 9
 }
 
-# Round-13 priority tier, sampled right behind the never-checked backlog:
-# the 31 rotation-tail queries whose latest driver row is r7 (VERDICT r12
-# next-round #3 — the ledger's oldest tier after folding r12). All 31 fit
-# the ~50-row driver sample alongside the (currently empty) tier-1
-# backlog, so the post-round ledger should show no live query with
-# evidence older than r8.
-_ROUND13_PRIORITY = (
-    "dedup_jaccard_pairs",
-    "dedup_simhash",
-    "filter_project",
-    "intersect_nations",
-    "lookup_oov_tokens",
-    "lookup_paraphrase_coverage",
-    "mm_binary_hash",
-    "mm_meta_stats",
-    "mm_resize",
-    "mm_wav_sample",
-    "pattern_unpivot",
-    "pipeline_quality_quartiles",
-    "pipeline_session_dialogues",
-    "pipeline_shuffle_shards",
-    "pipeline_weighted_sample",
-    "ppdb_alignment_explode",
-    "ppdb_collect_nested",
-    "ppdb_map_ops",
-    "ppdb_top_paraphrases",
-    "region_revenue",
-    "scalar_math",
-    "skew_salted_agg",
-    "snk_partition_pruned",
-    "snk_zorder_layout",
-    "src_custom_datasource",
-    "src_json_scan",
-    "stream_foreach_batch_sink",
-    "ts_gapfill_locf",
-    "ts_interpolate",
-    "ts_ohlc_daily",
-    "udtf_polymorphic_split",
-    # Mid-round additions (the r12 rule — plans changed, values proven
-    # unchanged at sf0.001/0.01/0.1, driver re-cert wanted): the IVF
-    # train/search split behind the persisted index (VERDICT r12 #8)
-    # also moved the centroid grid product to an explicit double
-    # (float×int stayed binary32 and crossed round() ties differently
-    # than the oracle — exposed when sim_ivf_persist_build hash-checks
-    # raw centroid values).
-    "sim_ivf_kmeans_topk",
-    # Same rule for the PQ twin: the train/search split behind the
-    # persisted codebook replaced the codebook mean's round(·, 9) with an
-    # exact floor-based integer tie rule (round(·, 9) left the codebook
-    # engine-dependent at exact .5e-9 boundaries — caught when
-    # sim_pq_persist_codebook hash-checks raw codebook values). Values
-    # re-proven hash-exact at sf0.001/0.01/0.1.
-    "sim_pq_kmeans_topk",
+# Round-14 priority tier, sampled right behind the never-checked backlog:
+# the stale-evidence marquee cohort VERDICT r13 next-round #2 names — the
+# X6 json ops last driver-checked r10 (scalar_json/scalar_variant) and
+# the J7/J8/L3 r9-r11 rows (range join, both as-of directions, fuzzy
+# string-similarity join) — so each §2 tag that had drifted to 3+ rounds
+# of driver silence gets an r14 hash-exact row. The r8 rotation tail (26
+# queries) follows immediately via tier 3's oldest-first order, so the
+# ~50-row driver sample still clears everything older than r9.
+_ROUND14_PRIORITY = (
+    "scalar_json",
+    "scalar_variant",
+    "range_join_bands",
+    "asof_purchase_click",
+    "asof_click_next_purchase",
+    "fuzzy_phrase_match",
 )
 
 
@@ -354,10 +327,11 @@ def coverage_order() -> list[str]:
     value.
 
     Tier 1: every registered query that has never received a driver
-    CORRECTNESS row in rounds 1-12 (``_DRIVER_CHECKED_R1_R12`` complement),
+    CORRECTNESS row in rounds 1-13 (``_DRIVER_CHECKED_R1_R13`` complement),
     oracle-backed entries first — anything new this round lands here.
-    Tier 2: the round-13 priority tier (``_ROUND13_PRIORITY``): the 31
-    rotation-tail rows (latest driver row r7; VERDICT r12 next-round #3).
+    Tier 2: the round-14 priority tier (``_ROUND14_PRIORITY``): the six
+    stale-evidence marquee rows (X6 r10, J7/J8/L3 r9-r11; VERDICT r13
+    next-round #2).
     Tier 3: least-recently-driver-checked first (``_LAST_DRIVER_ROUND``
     ascending, oracle-backed before rows-only, then name) — the ~40
     tier-3 slots of each ~50-query driver sample rotate oldest-first, so
@@ -375,11 +349,11 @@ def coverage_order() -> list[str]:
         (
             n
             for n in remaining
-            if n not in _DRIVER_CHECKED_R1_R12 and n not in _ROUND13_PRIORITY
+            if n not in _DRIVER_CHECKED_R1_R13 and n not in _ROUND14_PRIORITY
         ),
         key=lambda n: (remaining[n].oracle is None, n),
     )
-    for seed in (*never_checked, *_ROUND13_PRIORITY):
+    for seed in (*never_checked, *_ROUND14_PRIORITY):
         if seed in remaining:
             out.append(seed)
             del remaining[seed]
@@ -407,9 +381,9 @@ def prefix_tier_sizes() -> tuple[int, int]:
     tier1 = sum(
         1
         for n in REGISTRY
-        if n not in _DRIVER_CHECKED_R1_R12 and n not in _ROUND13_PRIORITY
+        if n not in _DRIVER_CHECKED_R1_R13 and n not in _ROUND14_PRIORITY
     )
-    tier2 = sum(1 for n in _ROUND13_PRIORITY if n in REGISTRY)
+    tier2 = sum(1 for n in _ROUND14_PRIORITY if n in REGISTRY)
     return tier1, tier2
 
 

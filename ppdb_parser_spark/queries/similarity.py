@@ -9,6 +9,7 @@ rounding grid both sides share.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -287,8 +288,37 @@ def _index_dir(sf_dir: str, name: str) -> str:
     repo = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    sf = os.path.basename(sf_dir.rstrip("/"))
-    return os.path.join(repo, ".cache", "indexes", f"{name}_{sf}")
+    resolved = os.path.realpath(sf_dir)
+    sf = os.path.basename(resolved)
+    # Hash of the RESOLVED dataset path in the directory name (ADVICE r13):
+    # two sf_dirs sharing a basename (e.g. /a/sf0.1 vs /b/sf0.1) must never
+    # share an index directory.
+    loc = hashlib.sha256(resolved.encode()).hexdigest()[:8]
+    return os.path.join(repo, ".cache", "indexes", f"{name}_{sf}_{loc}")
+
+
+def _source_fingerprint(sf_dir: str, table: str = "embeddings") -> str:
+    """Content fingerprint of a source parquet table: name, byte size and
+    mtime of every file under the table path (a directory for partitioned
+    sinks, a single file for the fixtures). Regenerating a dataset in
+    place changes size and/or mtime even when the row COUNT is identical
+    (ADVICE r13: the count-only guard served a stale index over a swapped
+    same-cardinality corpus) — metadata-only, no data scan at any corpus
+    scale."""
+    root = os.path.join(sf_dir, f"{table}.parquet")
+    parts: list[str] = []
+    if os.path.isdir(root):
+        for dirpath, _dirnames, filenames in sorted(os.walk(root)):
+            for fn in sorted(filenames):
+                p = os.path.join(dirpath, fn)
+                st = os.stat(p)
+                parts.append(
+                    f"{os.path.relpath(p, root)}:{st.st_size}:{st.st_mtime_ns}"
+                )
+    else:
+        st = os.stat(root)
+        parts.append(f".:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()
 
 
 #: parameters of the persisted index are part of its directory name, so a
@@ -296,16 +326,20 @@ def _index_dir(sf_dir: str, name: str) -> str:
 _IVF_INDEX_NAME = "ivf_c8_lloyd1"
 
 
-def _load_persisted_index(spark, corpus, path, build, force=False):
+def _load_persisted_index(
+    spark, corpus, path, build, force=False, fingerprint=""
+):
     """Load a persisted index relation, (re)building it when absent OR
-    STALE. Freshness contract: the corpus row count is stamped next to
-    the artifact at build time (``<path>_meta``) and re-checked on every
-    load — a count over parquet is answered from footer metadata (no
-    data scan), so the guard costs one metadata job at any corpus scale.
-    Parquet files are immutable, so any append/compaction/delete changes
-    the count; an index built against an older corpus snapshot can then
-    never silently serve wrong centroids — it rebuilds. (This count is a
-    control-plane job at plan-BUILD time, deliberately outside the
+    STALE. Freshness contract: the corpus row count AND a source-file
+    content fingerprint (``_source_fingerprint`` — sizes + mtimes, no
+    data scan) are stamped next to the artifact at build time
+    (``<path>_meta``) and re-checked on every load. The count over
+    parquet is answered from footer metadata, so the guard costs one
+    metadata job at any corpus scale; the fingerprint catches a
+    regenerated dataset whose row count happens to match (ADVICE r13).
+    An index built against an older corpus snapshot can then never
+    silently serve wrong centroids — it rebuilds. (Both guards are
+    control-plane work at plan-BUILD time, deliberately outside the
     returned DataFrame's lineage; the data path stays zero-driver-side.)
     """
     meta_path = path + "_meta"
@@ -315,11 +349,17 @@ def _load_persisted_index(spark, corpus, path, build, force=False):
         os.path.join(path, "_SUCCESS")
     ) and os.path.exists(os.path.join(meta_path, "_SUCCESS")):
         meta = spark.read.parquet(meta_path).first()
-        stale = meta is None or meta.n_corpus != n_corpus
+        stale = (
+            meta is None
+            or meta.n_corpus != n_corpus
+            # older stamps lack the column; treat them as stale once
+            or ("fingerprint" not in meta.__fields__)
+            or meta.fingerprint != fingerprint
+        )
     if stale:
         build().write.mode("overwrite").parquet(path)
         spark.createDataFrame(
-            [(n_corpus,)], "n_corpus long"
+            [(n_corpus, fingerprint)], "n_corpus long, fingerprint string"
         ).coalesce(1).write.mode("overwrite").parquet(meta_path)
     return spark.read.parquet(path)
 
@@ -334,6 +374,7 @@ def _ivf_centroids_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         e,
         _index_dir(sf_dir, _IVF_INDEX_NAME),
         lambda: SIM.ivf_build_centroids(e, n_cells=8),
+        fingerprint=_source_fingerprint(sf_dir),
     )
 
 
@@ -367,6 +408,7 @@ def sim_ivf_persist_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         _index_dir(sf_dir, _IVF_INDEX_NAME),
         lambda: SIM.ivf_build_centroids(e, n_cells=8),
         force=True,
+        fingerprint=_source_fingerprint(sf_dir),
     )
     return loaded.select(
         F.col("cell_id").cast("long").alias("cell_id"),
@@ -623,6 +665,7 @@ def _pq_codebook_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         e,
         _index_dir(sf_dir, _PQ_INDEX_NAME),
         lambda: SIM.pq_build_codebook(e, 16, 8, dim=64),
+        fingerprint=_source_fingerprint(sf_dir),
     )
 
 
@@ -657,6 +700,7 @@ def sim_pq_persist_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         _index_dir(sf_dir, _PQ_INDEX_NAME),
         lambda: SIM.pq_build_codebook(e, 16, 8, dim=64),
         force=True,
+        fingerprint=_source_fingerprint(sf_dir),
     )
     return loaded.select(
         F.col("s").cast("long").alias("s"),

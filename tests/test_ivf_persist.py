@@ -84,3 +84,57 @@ def test_persisted_index_staleness_guard(spark, tmp_path):
     )
     _load_persisted_index(spark, grown, path, build)
     assert len(builds) == 2
+
+
+def test_persisted_index_fingerprint_guard(spark, tmp_path):
+    """Same row COUNT, different source content → must rebuild (ADVICE
+    r13: the count-only guard silently served a stale index over a
+    regenerated same-cardinality corpus). The fingerprint hashes file
+    sizes + mtimes, so a touched/replaced source flips it with no data
+    scan."""
+    from ppdb_parser_spark.queries.similarity import _load_persisted_index
+
+    e = load_table(spark, SF, "embeddings")
+    path = os.path.join(str(tmp_path), "fp_idx")
+    builds = []
+
+    def build():
+        builds.append(1)
+        return ivf_build_centroids(e, n_cells=8)
+
+    _load_persisted_index(spark, e, path, build, fingerprint="fp-v1")
+    assert len(builds) == 1
+    # unchanged fingerprint -> cached
+    _load_persisted_index(spark, e, path, build, fingerprint="fp-v1")
+    assert len(builds) == 1
+    # same count, new fingerprint (dataset regenerated in place) -> rebuild
+    _load_persisted_index(spark, e, path, build, fingerprint="fp-v2")
+    assert len(builds) == 2
+
+
+def test_index_dir_distinguishes_same_basename():
+    """Two dataset roots sharing a basename must never share an index
+    directory (ADVICE r13: _index_dir keyed on basename alone)."""
+    from ppdb_parser_spark.queries.similarity import _index_dir
+
+    a = _index_dir("/tmp/gen_a/sf0.1", "ivf_c8_lloyd1")
+    b = _index_dir("/tmp/gen_b/sf0.1", "ivf_c8_lloyd1")
+    assert a != b
+    # stable for the same path
+    assert a == _index_dir("/tmp/gen_a/sf0.1", "ivf_c8_lloyd1")
+
+
+def test_source_fingerprint_tracks_mtime(tmp_path):
+    """The fingerprint must change when the source file is rewritten,
+    even at identical size/row count (mtime component)."""
+    import time
+
+    from ppdb_parser_spark.queries.similarity import _source_fingerprint
+
+    src = tmp_path / "embeddings.parquet"
+    src.write_bytes(b"x" * 64)
+    fp1 = _source_fingerprint(str(tmp_path))
+    time.sleep(0.01)
+    src.write_bytes(b"y" * 64)  # same size, new content/mtime
+    fp2 = _source_fingerprint(str(tmp_path))
+    assert fp1 != fp2

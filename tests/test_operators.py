@@ -2820,3 +2820,94 @@ def test_jaccard_prefix_cross_corpus_mode(spark, sf_dir):
     assert len(cross) > 0  # non-degenerate on the fixture
     # every pair straddles: train side below, eval side at/above
     assert all(a < S <= b for (a, b, *_rest) in cross)
+
+
+def test_simhash_incremental_matches_filtered_full(spark):
+    """delta_min_id on the SimHash tier (VERDICT r13 #3): the incremental
+    pair set must equal the full run filtered to pairs whose larger id is
+    in the delta — the family contract every other near-dup tier pins."""
+    from ppdb_parser_spark.operators.dedup import simhash_near_pairs
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    rows = [(i, base + f" extra{i % 3}") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    full = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_pairs(docs, max_hamming=8, n_bands=4).collect()
+    }
+    inc = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_pairs(
+            docs, max_hamming=8, n_bands=4, delta_min_id=9
+        ).collect()
+    }
+    assert inc == {p for p in full if p[1] >= 9}
+    assert inc, "delta fixture must be non-degenerate"
+    assert inc != full, "delta must actually prune old×old pairs"
+
+
+def test_containment_incremental_matches_filtered_full(spark):
+    """Same contract on the containment tier."""
+    from ppdb_parser_spark.operators.dedup import containment_pairs
+
+    long_text = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, long_text),
+        (2, " ".join(f"w{i}" for i in range(10))),
+        (3, " ".join(f"w{i}" for i in range(12))),
+        (4, " ".join(f"w{i}" for i in range(20, 35))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    full = {
+        (r.id_a, r.id_b)
+        for r in containment_pairs(docs, threshold=0.9, n=2).collect()
+    }
+    inc = {
+        (r.id_a, r.id_b)
+        for r in containment_pairs(
+            docs, threshold=0.9, n=2, delta_min_id=3
+        ).collect()
+    }
+    assert inc == {p for p in full if p[1] >= 3}
+    assert inc and inc != full
+
+
+def test_minhash_index_path_equals_delta_self_join(spark):
+    """The persisted-index delta path (minhash_pairs_from_index over
+    minhash_banded_sigs + minhash_packed_sets) must emit exactly the
+    pairs of the self-join form run with delta_min_id — the contract
+    that lets dedup_minhash_incremental_indexed share the incremental
+    oracle (VERDICT r13 #4)."""
+    from ppdb_parser_spark.operators.dedup import (
+        minhash_banded_sigs,
+        minhash_match,
+        minhash_packed_sets,
+        minhash_pairs_from_index,
+    )
+
+    base_text = " ".join(f"tok{i}" for i in range(25))
+    rows = [(i, base_text + f" tail{i % 4}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    c0 = 7
+    base = docs.filter(f"doc_id < {c0}")
+    delta = docs.filter(f"doc_id >= {c0}")
+
+    def key(rs):
+        return {
+            (r.id_a, r.id_b, r.n_common, r.n_a, r.n_b, round(r.jaccard, 9))
+            for r in rs
+        }
+
+    want = key(
+        minhash_match(docs, threshold=0.3, delta_min_id=c0).collect()
+    )
+    got = key(
+        minhash_pairs_from_index(
+            minhash_banded_sigs(base),
+            minhash_packed_sets(base),
+            delta,
+            threshold=0.3,
+        ).collect()
+    )
+    assert got == want
+    assert want, "delta fixture must be non-degenerate"

@@ -50,21 +50,21 @@ def test_entry_smoke(spark):
     assert len(df.schema) >= 2
 
 
-def test_coverage_order_round13_prefix_contract():
-    """Round-13 ordering contract (VERDICT r8 item 2 lineage): the driver
+def test_coverage_order_round14_prefix_contract():
+    """Round-14 ordering contract (VERDICT r8 item 2 lineage): the driver
     samples a ~50-query PREFIX of queries(), so the prefix must spend its
     rows on (tier 1) queries with no driver CORRECTNESS row in any of
-    r1-r12 — anything new this round — then (tier 2) the 31 rotation-tail
-    rows (latest driver row r7; VERDICT r12 next-round #3), then
+    r1-r13 — anything new this round — then (tier 2) the six stale-evidence
+    marquee rows (X6 r10, J7/J8/L3 r9-r11; VERDICT r13 next-round #2), then
     (tier 3) the rest rotated least-recently-checked first so the whole
     registry re-certifies on a bounded cycle. The full
     order still enumerates the entire registry with every tag covered.
     The freeze literals must also be an EXACT subset of the live
     registry (VERDICT r7 item 7 — no deregistered residue)."""
     from ppdb_parser_spark.queries.registry import (
-        _DRIVER_CHECKED_R1_R12,
+        _DRIVER_CHECKED_R1_R13,
         _LAST_DRIVER_ROUND,
-        _ROUND13_PRIORITY,
+        _ROUND14_PRIORITY,
         coverage_order,
     )
 
@@ -75,7 +75,7 @@ def test_coverage_order_round13_prefix_contract():
     assert covered == all_tags
 
     # freeze literals are an exact subset of the live registry
-    assert _DRIVER_CHECKED_R1_R12 <= set(REGISTRY), (
+    assert _DRIVER_CHECKED_R1_R13 <= set(REGISTRY), (
         "frozen checked-set contains deregistered names"
     )
     assert set(_LAST_DRIVER_ROUND) <= set(REGISTRY), (
@@ -85,7 +85,7 @@ def test_coverage_order_round13_prefix_contract():
     never = {
         n
         for n in REGISTRY
-        if n not in _DRIVER_CHECKED_R1_R12 and n not in _ROUND13_PRIORITY
+        if n not in _DRIVER_CHECKED_R1_R13 and n not in _ROUND14_PRIORITY
     }
     k = len(never)
     assert set(order[:k]) == never, "tier 1 must be exactly the backlog"
@@ -97,20 +97,20 @@ def test_coverage_order_round13_prefix_contract():
         else:
             assert not seen_rows_only, f"oracle-backed {n} after rows-only"
     # tier 2 rides immediately behind tier 1, in declared order
-    assert tuple(order[k : k + len(_ROUND13_PRIORITY)]) == _ROUND13_PRIORITY
-    # the entire round-13 evidence plan must fit the ~50-query sample
-    assert k + len(_ROUND13_PRIORITY) <= 50, (
-        "round-13 priority tier no longer fits the driver sample"
+    assert tuple(order[k : k + len(_ROUND14_PRIORITY)]) == _ROUND14_PRIORITY
+    # the entire round-14 evidence plan must fit the ~50-query sample
+    assert k + len(_ROUND14_PRIORITY) <= 50, (
+        "round-14 priority tier no longer fits the driver sample"
     )
     # tier 3 rotates least-recently-checked first: within the tier-3
     # region the recorded last-round values must be non-decreasing
-    tier3 = order[k + len(_ROUND13_PRIORITY) :]
+    tier3 = order[k + len(_ROUND14_PRIORITY) :]
     rounds_seq = [_LAST_DRIVER_ROUND.get(n, 0) for n in tier3]
     assert rounds_seq == sorted(rounds_seq), (
         "tier 3 must be ordered oldest-evidence-first"
     )
     # every query in the frozen set has a recorded last round
-    assert set(_LAST_DRIVER_ROUND) >= _DRIVER_CHECKED_R1_R12
+    assert set(_LAST_DRIVER_ROUND) >= _DRIVER_CHECKED_R1_R13
 
 
 def test_contract_shape():

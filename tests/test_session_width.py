@@ -34,9 +34,25 @@ def _vanilla_conf(spark):
             spark.conf.set(_KEY, saved)
 
 
+@contextlib.contextmanager
+def _conf_set(spark, key, value):
+    """Temporarily set a runtime conf, restoring the prior value after
+    (ADVICE r13: a bare set left every later test in the shared session
+    running at the overridden width — ordering-dependent pollution)."""
+    saved = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+
+
 def test_shuffle_width_uses_configured_value(spark):
-    spark.conf.set(_KEY, "8")
-    assert shuffle_width(spark) == 8
+    with _conf_set(spark, _KEY, "8"):
+        assert shuffle_width(spark) == 8
 
 
 def test_shuffle_width_falls_back_to_default_parallelism(spark):
