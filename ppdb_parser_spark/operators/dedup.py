@@ -721,9 +721,36 @@ def simhash_near_pairs(
     matches exactly, which (pigeonhole) covers every pair with hamming <
     n_bands; beyond that recall is partial — the point of the sketch.
     """
+    banded = simhash_banded(df, n_bands, id_col, text_col)
+    b = banded
+    if delta_min_id is not None:
+        # incremental-ingest conjunct (the family contract): larger id in
+        # the delta. Applied to the probe side only, and the filter on
+        # the group key pushes through the b-side signature aggregate to
+        # the scan — the probe shrinks to the delta while the build side
+        # keeps the full corpus signatures.
+        b = banded.filter(F.col(id_col) >= F.lit(delta_min_id))
+    return _simhash_pair_tail(banded, b, n_bands, max_hamming, id_col)
+
+
+def simhash_banded(
+    df: DataFrame,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The PERSISTABLE SimHash band index: (id, simhash, band_idx,
+    band_bits) rows — n·n_bands narrow integer rows per corpus (the
+    SimHash counterpart of minhash_banded_sigs / lsh_banded_sigs).
+    Signing is the O(corpus tokens · 60 bits) vote aggregate; persisting
+    this relation through the S5 sink means a delta-ingest batch signs
+    only its delta and band-joins against the loaded index
+    (:func:`simhash_pairs_from_index`) — and because the hamming refine
+    needs only the signatures CARRIED IN THIS RELATION, the corpus is
+    never re-touched at all. All-integer ops → the persisted rows equal
+    freshly-computed ones exactly."""
     bits_per_band = SIMHASH_BITS // n_bands
-    sig = simhash(df, id_col, text_col)
-    banded = sig.select(
+    return simhash(df, id_col, text_col).select(
         id_col,
         "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band_idx"),
@@ -734,23 +761,36 @@ def simhash_near_pairs(
             f" % shiftleft(CAST(1 AS BIGINT), {bits_per_band})"
         ),
     )
-    a = banded.select(
+
+
+def _simhash_pair_tail(
+    banded_a: DataFrame,
+    banded_b: DataFrame,
+    n_bands: int,
+    max_hamming: int,
+    id_col: str,
+) -> DataFrame:
+    """Band equi-join + first-matching-band emission + exact hamming
+    refine, shared by the self-join and persisted-index forms.
+
+    First-matching-band emission instead of a pair-level distinct
+    (round 12, the LSH `_first_match_pairs` rule): a near-identical
+    pair collides in MANY bands (an equal signature collides in all of
+    them), and each collision used to contribute a duplicate row to a
+    pair-scale distinct exchange. The signature itself is the packed
+    band vector, so "no earlier band matched" is pure bit arithmetic
+    on sig_a XOR sig_b: fold each band's OR into its LSB, then require
+    every band below the join's band_idx to be nonzero. Emitted set
+    identical; one less corpus-pair exchange."""
+    bits_per_band = SIMHASH_BITS // n_bands
+    a = banded_a.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),
         "band_idx", "band_bits",
     )
-    b = banded.select(
+    b = banded_b.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
         "band_idx", "band_bits",
     )
-    # First-matching-band emission instead of a pair-level distinct
-    # (round 12, the LSH `_first_match_pairs` rule): a near-identical
-    # pair collides in MANY bands (an equal signature collides in all of
-    # them), and each collision used to contribute a duplicate row to a
-    # pair-scale distinct exchange. The signature itself is the packed
-    # band vector, so "no earlier band matched" is pure bit arithmetic
-    # on sig_a XOR sig_b: fold each band's OR into its LSB, then require
-    # every band below the join's band_idx to be nonzero. Emitted set
-    # identical; one less corpus-pair exchange.
     x = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
     t = x
     for k in range(1, bits_per_band):
@@ -770,17 +810,9 @@ def simhash_near_pairs(
         F.bitwise_not(t).bitwiseAND(F.lit(lsb_mask)).bitwiseAND(prior_mask)
         == 0
     )
-    pair_cond = (F.col("id_a") < F.col("id_b")) & first_match
-    if delta_min_id is not None:
-        # incremental-ingest conjunct (the family contract): larger id in
-        # the delta. References only b columns, so Catalyst pushes it
-        # below the band join and through the b-side signature aggregate
-        # (filter on the group key) — the probe side shrinks to the delta
-        # while the build side keeps the full corpus signatures.
-        pair_cond = pair_cond & (F.col("id_b") >= F.lit(delta_min_id))
     cand = (
         a.join(b, ["band_idx", "band_bits"])
-        .filter(pair_cond)
+        .filter((F.col("id_a") < F.col("id_b")) & first_match)
         .select("id_a", "id_b", "sig_a", "sig_b")
     )
     return (
@@ -789,6 +821,31 @@ def simhash_near_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_pairs_from_index(
+    index_banded: DataFrame,
+    delta_df: DataFrame,
+    max_hamming: int = 8,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Delta-ingest SimHash near-dup pairs against a persisted band
+    index: band-join (index ∪ delta bands) × delta bands with
+    first-matching-band emission, then the exact hamming refine on the
+    signatures carried in the banded rows — the source corpus is never
+    read. Emits exactly the pairs of the full self-join restricted to
+    id_b ≥ the delta cutoff (set equality pinned in
+    tests/test_operators.py), so it shares the
+    ``dedup_simhash_incremental`` oracle."""
+    delta_banded = simhash_banded(
+        delta_df, n_bands, id_col, text_col
+    ).localCheckpoint(eager=False)  # feeds both join sides below
+    both = index_banded.unionByName(delta_banded)
+    return _simhash_pair_tail(
+        both, delta_banded, n_bands, max_hamming, id_col
     )
 
 
@@ -828,6 +885,60 @@ def containment_pairs(
     fp = sh.select(
         F.col(id_col), F.xxhash64("shingle").alias("fp")
     ).localCheckpoint(eager=False)
+    return _containment_tail(fp, threshold, id_col, delta_min_id)
+
+
+def containment_postings(
+    df: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """The PERSISTABLE containment index: (id, fp) shingle-fingerprint
+    postings — what :func:`containment_pairs` derives from the text
+    before any pair work. Persisting these through the S5 sink means a
+    delta-ingest batch never re-shingles the corpus
+    (:func:`containment_pairs_from_index`)."""
+    sh = word_shingles(df, n, id_col, text_col, min_partitions=min_partitions)
+    return sh.select(F.col(id_col), F.xxhash64("shingle").alias("fp"))
+
+
+def containment_pairs_from_index(
+    index_fp: DataFrame,
+    delta_df: DataFrame,
+    delta_min_id: int,
+    threshold: float = 0.9,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Delta-ingest containment pairs against the persisted posting
+    index: only the delta is shingled; the candidate join and the
+    packed-set verification read the base corpus's postings from the
+    loaded index. Emits exactly the self-join form's pairs at the same
+    cutoff (set equality pinned in tests/test_operators.py), sharing the
+    ``dedup_containment_incremental`` oracle. (Uncapped form only — the
+    registered containment tier runs df-uncapped; a capped index would
+    need the winnow treatment of re-deriving df over index ∪ delta.)"""
+    delta_fp = containment_postings(
+        delta_df, n, id_col, text_col, min_partitions=min_partitions
+    )
+    fp = index_fp.unionByName(delta_fp).localCheckpoint(eager=False)
+    return _containment_tail(fp, threshold, id_col, delta_min_id)
+
+
+def _containment_tail(
+    fp: DataFrame,
+    threshold: float,
+    id_col: str,
+    delta_min_id: int | None,
+) -> DataFrame:
+    """Candidate equi-join + packed-set verification + containment
+    threshold, shared by the self-join and persisted-index forms.
+    ``fp`` arrives behind a lazy cut point (it feeds both candidate-join
+    sides and the sets aggregate)."""
     sets = (
         fp.groupBy(id_col)
         .agg(F.sort_array(F.collect_set("fp")).alias("fps"))
@@ -913,6 +1024,51 @@ def winnow_match(
     fp = winnow_fingerprints(df, id_col, text_col, k=k, w=w).localCheckpoint(
         eager=False
     )
+    return _winnow_tail(fp, max_doc_freq, min_shared, id_col, delta_min_id)
+
+
+def winnow_pairs_from_index(
+    index_fp: DataFrame,
+    delta_df: DataFrame,
+    delta_min_id: int,
+    k: int = 4,
+    w: int = 5,
+    max_doc_freq: int = 64,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Delta-ingest winnow pairs against a PERSISTED fingerprint-posting
+    index (id, fingerprint): the window-backed fingerprint pass — the
+    winnow tier's dominant cost (round-12: eight Window replays before
+    the cut points) — runs only on the delta; the base corpus's postings
+    come from the loaded index. The df cap is then re-derived over
+    index ∪ delta postings (a narrow count aggregate, the production
+    "maintain df incrementally over stored postings" shape), because a
+    fingerprint's document frequency can cross the cap WHEN the delta
+    lands — capping against base-only df would diverge from the
+    self-join semantics. Emits exactly the self-join form's pairs at the
+    same cutoff (set equality pinned in tests/test_operators.py), so it
+    shares the ``dedup_winnow_incremental`` oracle."""
+    from .text_analysis import winnow_fingerprints
+
+    delta_fp = winnow_fingerprints(
+        delta_df, id_col, text_col, k=k, w=w
+    )
+    fp = index_fp.unionByName(delta_fp).localCheckpoint(eager=False)
+    return _winnow_tail(fp, max_doc_freq, min_shared, id_col, delta_min_id)
+
+
+def _winnow_tail(
+    fp: DataFrame,
+    max_doc_freq: int,
+    min_shared: int,
+    id_col: str,
+    delta_min_id: int | None,
+) -> DataFrame:
+    """df-cap → pair join → min-shared → overlap, shared by the
+    self-join and persisted-index winnow forms. ``fp`` arrives behind a
+    lazy cut point (it feeds its own df aggregate AND the join probe)."""
     freq = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("fp_df"))
     kept = (
         fp.join(freq, "fingerprint")

@@ -2911,3 +2911,110 @@ def test_minhash_index_path_equals_delta_self_join(spark):
     )
     assert got == want
     assert want, "delta fixture must be non-degenerate"
+
+
+def test_simhash_index_path_equals_delta_self_join(spark):
+    """The persisted-index delta path (simhash_pairs_from_index over
+    simhash_banded) must emit exactly the pairs of the self-join form
+    run with delta_min_id — the contract that lets
+    dedup_simhash_incremental_indexed share the incremental oracle."""
+    from ppdb_parser_spark.operators.dedup import (
+        simhash_banded,
+        simhash_near_pairs,
+        simhash_pairs_from_index,
+    )
+
+    base_text = " ".join(f"tok{i}" for i in range(30))
+    rows = [(i, base_text + f" extra{i % 3}") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    c0 = 9
+    want = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_pairs(
+            docs, max_hamming=8, n_bands=4, delta_min_id=c0
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs_from_index(
+            simhash_banded(docs.filter(f"doc_id < {c0}"), n_bands=4),
+            docs.filter(f"doc_id >= {c0}"),
+            max_hamming=8,
+            n_bands=4,
+        ).collect()
+    }
+    assert got == want
+    assert want, "delta fixture must be non-degenerate"
+
+
+def test_winnow_index_path_equals_delta_self_join(spark):
+    """The persisted-posting delta path (winnow_pairs_from_index) must
+    emit exactly the self-join form's pairs at the same cutoff —
+    INCLUDING the df-cap semantics: the cap re-derives over
+    index ∪ delta postings, because a fingerprint's df can cross the
+    cap when the delta lands."""
+    from ppdb_parser_spark.operators.dedup import (
+        winnow_match,
+        winnow_pairs_from_index,
+    )
+    from ppdb_parser_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    base_text = " ".join(f"tok{i}" for i in range(40))
+    rows = [(i, base_text + f" end{i % 2}") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    c0 = 6
+
+    def key(rs):
+        return {
+            (r.doc_a, r.doc_b, r.n_shared, round(r.overlap, 9)) for r in rs
+        }
+
+    want = key(winnow_match(docs, delta_min_id=c0).collect())
+    got = key(
+        winnow_pairs_from_index(
+            winnow_fingerprints(docs.filter(f"doc_id < {c0}")),
+            docs.filter(f"doc_id >= {c0}"),
+            delta_min_id=c0,
+        ).collect()
+    )
+    assert got == want
+    assert want, "delta fixture must be non-degenerate"
+
+
+def test_containment_index_path_equals_delta_self_join(spark):
+    """Same contract for the containment posting index."""
+    from ppdb_parser_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_from_index,
+        containment_postings,
+    )
+
+    long_text = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, long_text),
+        (2, " ".join(f"w{i}" for i in range(10))),
+        (3, " ".join(f"w{i}" for i in range(12))),
+        (4, " ".join(f"w{i}" for i in range(20, 35))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    c0 = 3
+
+    def key(rs):
+        return {(r.id_a, r.id_b, r.n_common, r.n_a, r.n_b) for r in rs}
+
+    want = key(
+        containment_pairs(docs, threshold=0.9, n=2, delta_min_id=c0).collect()
+    )
+    got = key(
+        containment_pairs_from_index(
+            containment_postings(docs.filter(f"doc_id < {c0}"), n=2),
+            docs.filter(f"doc_id >= {c0}"),
+            delta_min_id=c0,
+            threshold=0.9,
+            n=2,
+        ).collect()
+    )
+    assert got == want
+    assert want, "delta fixture must be non-degenerate"

@@ -1207,7 +1207,11 @@ def main() -> None:
         # keeps occupancy ∝ const AND exercises the wide-signature
         # fallback's bounded zip_with/exists — the newest interpreted
         # construct on the scale path — at the largest corpus.
-        for k, planes in ((1, 64), (4, 80), (16, 96), (64, 128)):
+        # 256× rung added round 14 (VERDICT r13 #9): 144 planes (18
+        # bits/band) holds per-band occupancy at the 64× rung's ~2
+        # vectors/bucket exactly where bucket occupancy next doubles —
+        # the knee the ladder exists to rule out.
+        for k, planes in ((1, 64), (4, 80), (16, 96), (64, 128), (256, 144)):
             ek = perm_union(k)
             tk = timed(
                 f"lsh_jl_pairs tau=0.9 {k}x planes={planes} (∝log n)",
@@ -1223,6 +1227,41 @@ def main() -> None:
                     f"(1.0 = perfectly linear in n)"
                 )
             prev_k, prev_t = k, tk
+
+    if "winnowscale" in only:
+        # Winnow incremental growth law (VERDICT r13 #7): at sf0.1 the
+        # incremental/full walls tie (0.39 vs 0.45 s) because the
+        # window-backed fingerprint stage dominates and is SHARED — the
+        # delta conjunct prunes only the pair join. This rung scales the
+        # corpus with EXACT copies (text unchanged, ids shifted): every
+        # fingerprint's df multiplies by k, so the candidate join's
+        # Σ df² fan-out grows k² while fingerprinting grows k — at 16×
+        # the join IS the knee, and the delta-tile saving the conjunct
+        # buys becomes measurable. max_doc_freq scales with k (the
+        # fixture's max df is 4 at 1×) so the df cap doesn't silently
+        # drop the very fingerprints whose fan-out we're measuring —
+        # same knob on both sides, fair comparison.
+        from ppdb_parser_spark.operators.dedup import winnow_match
+
+        n_docs = docs.count()
+        for k in (16, 64):
+            big = _shifted_union(docs, "doc_id", k)
+            cap = 4 * k
+            cutoff = (k - 1) * 10_000_000 + (n_docs - 100)
+            t_full = forced(
+                lambda: winnow_match(big, max_doc_freq=cap)
+            )
+            print(f"winnow_match full {k}x (cap={cap}): {t_full:.2f} s")
+            t_inc = forced(
+                lambda: winnow_match(
+                    big, max_doc_freq=cap, delta_min_id=cutoff
+                )
+            )
+            print(
+                f"winnow_match incremental {k}x (100-doc delta): "
+                f"{t_inc:.2f} s"
+            )
+            print(f"  -> incremental saving {t_full / t_inc:.2f}x")
 
     if "cascadescale" in only:
         # pipeline_scrub_cascade growth law (round 12, VERDICT r11
