@@ -113,6 +113,45 @@ def connected_components(
     return labels
 
 
+def incremental_components(
+    base_labels: DataFrame,
+    delta_edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Merge a delta batch's edges into an EXISTING component labeling —
+    the incremental-ingest form of :func:`connected_components`
+    (``delta_min_id`` family contract applied to the iterative tier).
+
+    Star-edge contraction: every base component is already connected, so
+    its members can be represented by star edges (member → label) without
+    changing reachability; the min-label fixpoint over
+    (star edges ∪ delta edges) therefore equals the fixpoint over
+    (base edges ∪ delta edges). Node coverage is preserved too: every
+    labeled base node appears in a star edge (components of size 1 never
+    arise from an edge set), and delta nodes appear in the delta edges.
+    Equality with the from-scratch run is pinned in
+    tests/test_operators.py.
+
+    Cost shape: the star relation is one row per PREVIOUSLY LABELED node
+    (≤ one per base edge endpoint) and the propagation starts from an
+    already-flat forest — merges chase only the delta's new connections,
+    so rounds track the delta's merge depth, not the base graph's
+    diameter, and the base EDGE computation (the expensive near-dup
+    join) never re-runs.
+    """
+    star = base_labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(src), F.col("component").alias(dst)
+    )
+    return connected_components(
+        star.unionByName(delta_edges.select(src, dst)),
+        src=src,
+        dst=dst,
+        max_iterations=max_iterations,
+    )
+
+
 def connected_components_star(
     edges: DataFrame,
     src: str = "id_a",

@@ -385,6 +385,86 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Incremental connected components (the delta contract on the ITERATIVE
+# tier): base components are computed once over the base corpus's edges,
+# persisted through the S5 sink, and each ingest batch merges only its
+# delta edges via star-edge contraction — the expensive base near-dup
+# join never re-runs, and propagation starts from an already-flat forest
+# so rounds track the delta's merge depth, not the base diameter. Edges
+# are the UNCAPPED 0.5-Jaccard pairs (the dedup_jaccard_incremental
+# tier): a df cap would couple base and delta (a shingle's df can cross
+# the cap when the delta lands, silently changing base-side edges), so
+# the capped edge set cannot be partitioned by larger-id — the uncapped
+# set can, exactly. Oracle = full-corpus uncapped CC (recursive CTE),
+# so the incremental path is checked END-TO-END against from-scratch.
+# --------------------------------------------------------------------------
+_COMPONENTS_UNCAPPED_ORACLE = _COMPONENTS_ORACLE
+assert _COMPONENTS_UNCAPPED_ORACLE.count(
+    "keep AS (SELECT shingle FROM sh_valid GROUP BY shingle\n"
+    "             HAVING COUNT(*) <= 40),\n"
+    "    shn AS (SELECT s.doc_id, s.shingle FROM sh_valid s JOIN keep "
+    "USING (shingle)),"
+) == 1
+_COMPONENTS_UNCAPPED_ORACLE = _COMPONENTS_UNCAPPED_ORACLE.replace(
+    "keep AS (SELECT shingle FROM sh_valid GROUP BY shingle\n"
+    "             HAVING COUNT(*) <= 40),\n"
+    "    shn AS (SELECT s.doc_id, s.shingle FROM sh_valid s JOIN keep "
+    "USING (shingle)),",
+    "shn AS (SELECT doc_id, shingle FROM sh_valid),",
+)
+
+
+@query(
+    "dedup_components_incremental",
+    oracle=_COMPONENTS_UNCAPPED_ORACLE,
+    tags=("O6", "J2", "A1", "S5"),
+)
+def dedup_components_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pyarrow.parquet as pq
+
+    from ..operators.graph import connected_components, incremental_components
+    from .similarity import (
+        _index_dir,
+        _load_persisted_index,
+        _source_fingerprint,
+    )
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    c0 = n - _DELTA_DOCS
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") < c0)
+    base_labels = _load_persisted_index(
+        spark,
+        base,
+        _index_dir(sf_dir, "cc_j05_uncapped"),
+        lambda: connected_components(
+            DD.jaccard_pairs_prefix(
+                base, threshold=0.5, n=2, min_partitions=_par(spark)
+            ).select("id_a", "id_b")
+        ),
+        fingerprint=_source_fingerprint(sf_dir, "documents"),
+    )
+    delta_edges = DD.jaccard_pairs_prefix(
+        docs,
+        threshold=0.5,
+        n=2,
+        min_partitions=_par(spark),
+        delta_min_id=c0,
+    ).select("id_a", "id_b")
+    labels = incremental_components(base_labels, delta_edges)
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return labels.join(sizes, "component").select(
+        "node",
+        "component",
+        F.col("group_size").cast("long").alias("group_size"),
+    )
+
+
+# --------------------------------------------------------------------------
 # O6: MinHash-LSH approximate near-dup join (pyspark.ml, fixed seed).
 # Approximate candidate recall is engine-specific → rows-only check; the
 # "every reported pair really exceeds the Jaccard threshold" property is

@@ -3018,3 +3018,37 @@ def test_containment_index_path_equals_delta_self_join(spark):
     )
     assert got == want
     assert want, "delta fixture must be non-degenerate"
+
+
+def test_incremental_components_equals_from_scratch(spark):
+    """Star-edge contraction (incremental_components): merging delta
+    edges into a persisted base labeling must reach the identical
+    min-label fixpoint as running CC from scratch over base ∪ delta
+    edges — including a delta edge that MERGES two existing base
+    components and a brand-new node chained through the delta."""
+    from ppdb_parser_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    base_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a int, id_b int"
+    )
+    # delta: merges {1,2,3} with {5,6} via 3-5, adds new node 9 via 6-9
+    delta_edges = spark.createDataFrame(
+        [(3, 5), (6, 9)], "id_a int, id_b int"
+    )
+    want = {
+        (r.node, r.component)
+        for r in connected_components(
+            base_edges.unionByName(delta_edges)
+        ).collect()
+    }
+    base_labels = connected_components(base_edges)
+    got = {
+        (r.node, r.component)
+        for r in incremental_components(base_labels, delta_edges).collect()
+    }
+    assert got == want
+    # everything merged into one component rooted at 1
+    assert {c for _, c in got} == {1}
