@@ -3075,6 +3075,30 @@ def semantic_dedup(
     seed rows (the composed-pipeline case): cell geometry then stays
     identical whether or not upstream stages dropped any seed.
     """
+    assigned = sem_assigned_relation(
+        df, n_cells, id_col, vec_col, seeds_from=seeds_from
+    )
+    return _sem_cell_dominance(
+        assigned, threshold, id_col, tier=dominance_tier,
+        delta_min_id=delta_min_id,
+    )
+
+
+def sem_assigned_relation(
+    df: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seeds_from: DataFrame | None = None,
+) -> DataFrame:
+    """The PERSISTABLE SemDeDup assignment index: (id, __qv, __nrm,
+    cell_id) — the per-row argmax cell assignment over the seeded
+    coarse cells, carrying the quantize-once int64 vector (``__qv``)
+    and its round-6 norm (``__nrm``) the dominance kernel consumes.
+    Both round-trip the S5 parquet sink exactly (int64 arrays; a
+    round-6 double), so a delta-ingest batch never re-assigns or
+    re-quantizes the corpus — it assigns only the delta and unions with
+    the loaded relation (:func:`semantic_dedup_from_index`)."""
     seeds_row = (
         (seeds_from if seeds_from is not None else df)
         .filter(F.col(id_col) < n_cells)
@@ -3103,7 +3127,7 @@ def semantic_dedup(
             ),
         )
     )
-    assigned = (
+    return (
         df.withColumn("__qv", _sem_quant(F.col(vec_col)))
         .withColumn("__nrm", _sem_qnorm6(F.col("__qv")))
         .crossJoin(F.broadcast(seeds_row))
@@ -3114,6 +3138,32 @@ def semantic_dedup(
             F.element_at(ranked, 1)["cell_id"].alias("cell_id"),
         )
     )
+
+
+def semantic_dedup_from_index(
+    index_assigned: DataFrame,
+    delta_df: DataFrame,
+    delta_min_id: int,
+    n_cells: int = 8,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seeds_from: DataFrame | None = None,
+    dominance_tier: str = "gemm",
+) -> DataFrame:
+    """Delta-ingest SemDeDup against the persisted assignment index:
+    only the delta is quantized and argmax-assigned (``seeds_from``
+    must supply the unrestricted seed rows — they live in the base
+    corpus); the dominance kernel then runs over index ∪ delta rows
+    with its delta row-tiles, exactly as the self-contained incremental
+    form. Emits the same (id, cell_id, kept) rows as
+    :func:`semantic_dedup` with ``delta_min_id`` (equality pinned in
+    tests/test_operators.py), so it shares the
+    ``dedup_semantic_incremental`` oracle."""
+    delta_assigned = sem_assigned_relation(
+        delta_df, n_cells, id_col, vec_col, seeds_from=seeds_from
+    )
+    assigned = index_assigned.unionByName(delta_assigned)
     return _sem_cell_dominance(
         assigned, threshold, id_col, tier=dominance_tier,
         delta_min_id=delta_min_id,

@@ -1492,6 +1492,57 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# `dedup_semantic_incremental` served from a PERSISTED assignment index:
+# the base corpus's argmax cell assignment — carrying the quantize-once
+# int64 vectors and round-6 norms the dominance kernel consumes — builds
+# once and persists through the S5 sink (int64 arrays and a round-6
+# double round-trip parquet exactly); each ingest batch quantizes and
+# assigns only its delta, completing the incremental+indexed story for
+# the semantic tier. Same oracle as the self-contained incremental.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_semantic_incremental_indexed",
+    oracle=_SEM_INC_ORACLE,
+    tags=("O6", "L2", "U3", "S5"),
+)
+def dedup_semantic_incremental_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pyarrow.parquet as pq
+
+    from ..operators.similarity import (
+        sem_assigned_relation,
+        semantic_dedup_from_index,
+    )
+    from .similarity import (
+        _index_dir,
+        _load_persisted_index,
+        _source_fingerprint,
+    )
+
+    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    c0 = n - _DELTA_VECS
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") < c0)
+    delta = e.filter(F.col("vec_id") >= c0)
+    index = _load_persisted_index(
+        spark,
+        base,
+        _index_dir(sf_dir, f"semassign_c{_SEMANTIC_N_CELLS}"),
+        lambda: sem_assigned_relation(base, _SEMANTIC_N_CELLS, seeds_from=e),
+        fingerprint=_source_fingerprint(sf_dir),
+    )
+    return semantic_dedup_from_index(
+        index,
+        delta,
+        delta_min_id=c0,
+        n_cells=_SEMANTIC_N_CELLS,
+        threshold=_SEMANTIC_T,
+        seeds_from=e,
+    )
+
+
+# --------------------------------------------------------------------------
 # Two-level (hierarchical) SemDeDup: same dominance semantics over a
 # √cells-routed coarse assignment — the remedy the single-level 256×
 # smoke names for its O(n·cells) assignment term (VERDICT r7 item 5).

@@ -3052,3 +3052,51 @@ def test_incremental_components_equals_from_scratch(spark):
     assert got == want
     # everything merged into one component rooted at 1
     assert {c for _, c in got} == {1}
+
+
+def test_semantic_index_path_equals_delta_self_contained(spark):
+    """The persisted-assignment delta path (semantic_dedup_from_index)
+    must emit exactly the self-contained incremental form's rows —
+    including correct dominance against BASE rows whose assignment (and
+    quantized vectors/norms) came from the loaded index rather than a
+    fresh quantization pass."""
+    import numpy as np
+
+    from ppdb_parser_spark.operators.similarity import (
+        sem_assigned_relation,
+        semantic_dedup,
+        semantic_dedup_from_index,
+    )
+
+    rng = np.random.default_rng(11)
+    base_vecs = rng.normal(size=(12, 8))
+    rows = [(i, [float(v) for v in base_vecs[i]]) for i in range(12)]
+    # plant a near-dup of row 2 inside the delta
+    rows.append((12, [float(v) for v in base_vecs[2] * 1.01]))
+    rows.append((13, [float(v) for v in rng.normal(size=8)]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c0 = 12
+    want = {
+        (r.vec_id, r.cell_id, r.kept)
+        for r in semantic_dedup(
+            e, n_cells=4, threshold=0.9, delta_min_id=c0
+        ).collect()
+    }
+    base = e.filter(f"vec_id < {c0}")
+    delta = e.filter(f"vec_id >= {c0}")
+    got = {
+        (r.vec_id, r.cell_id, r.kept)
+        for r in semantic_dedup_from_index(
+            sem_assigned_relation(base, 4, seeds_from=e),
+            delta,
+            delta_min_id=c0,
+            n_cells=4,
+            threshold=0.9,
+            seeds_from=e,
+        ).collect()
+    }
+    assert got == want
+    assert want, "delta fixture must be non-degenerate"
+    # the planted near-dup must actually be dropped
+    dropped = {vid for vid, _, kept in want if not kept}
+    assert 12 in dropped
