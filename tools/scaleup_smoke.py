@@ -1263,6 +1263,84 @@ def main() -> None:
             )
             print(f"  -> incremental saving {t_full / t_inc:.2f}x")
 
+    if "ccscale" in only:
+        # Incremental connected-components growth law (round 14): the
+        # dedup-maintenance story is a persisted labeling + per-batch
+        # delta merges, so the honest comparison is incremental_components
+        # (star-contracted base + delta edges) vs BOTH full-recompute
+        # strategies — min-label (O(diameter) rounds) and large/small-star
+        # (O(log n) rounds) — over the same edge set. Fixture: chains of
+        # 32 nodes (diameter 31 stresses min-label exactly the way long
+        # dup-chains do), 100-edge delta attaching new nodes and merging
+        # a few existing chains. The base labeling builds OUTSIDE the
+        # timed region (it is the persisted artifact).
+        from ppdb_parser_spark.operators.graph import (
+            connected_components,
+            connected_components_star,
+            incremental_components,
+        )
+
+        for k in (16, 64):
+            n_nodes = 2_000 * k
+            base_edges = (
+                spark.range(n_nodes - 1)
+                .select(
+                    F.col("id").alias("id_a"),
+                    (F.col("id") + 1).alias("id_b"),
+                )
+                .filter((F.col("id_b") % 32) != 0)  # chains of 32
+                .localCheckpoint(eager=True)
+            )
+            # delta: 100 new nodes, each attached to a deterministic
+            # existing node; every 10th also bridges two chains
+            delta_edges = (
+                spark.range(100)
+                .select(
+                    ((F.col("id") * 997) % n_nodes).alias("id_a"),
+                    (F.col("id") + n_nodes).alias("id_b"),
+                )
+                .unionByName(
+                    spark.range(10).select(
+                        ((F.col("id") * 3201) % n_nodes).alias("id_a"),
+                        ((F.col("id") * 7411) % n_nodes).alias("id_b"),
+                    ).filter(F.col("id_a") != F.col("id_b"))
+                )
+                .localCheckpoint(eager=True)
+            )
+            base_labels = connected_components(
+                base_edges, max_iterations=40
+            ).localCheckpoint(eager=True)
+            # fresh cut: unioning two checkpointed frames directly trips
+            # a Spark attribute-id remap inside the star variant's own
+            # checkpoint ("key not found: a#...") — materialize the
+            # union once and hand both consumers the same clean scan
+            all_edges = (
+                base_edges.unionByName(delta_edges)
+                .localCheckpoint(eager=True)
+            )
+
+            t0 = time.perf_counter()
+            connected_components(all_edges, max_iterations=40).count()
+            t_full = time.perf_counter() - t0
+            print(f"cc full min-label {k}x ({n_nodes} nodes): {t_full:.2f} s")
+
+            t0 = time.perf_counter()
+            labels, rounds = connected_components_star(all_edges)
+            labels.count()
+            t_star = time.perf_counter() - t0
+            print(
+                f"cc full star {k}x: {t_star:.2f} s ({rounds} rounds)"
+            )
+
+            t0 = time.perf_counter()
+            incremental_components(base_labels, delta_edges).count()
+            t_inc = time.perf_counter() - t0
+            print(
+                f"cc incremental {k}x (110-edge delta): {t_inc:.2f} s"
+                f" -> {t_full / t_inc:.1f}x vs min-label,"
+                f" {t_star / t_inc:.1f}x vs star"
+            )
+
     if "cascadescale" in only:
         # pipeline_scrub_cascade growth law (round 12, VERDICT r11
         # next-round #8): the COMPOSED lineage — intra-doc scrub (n=3)
