@@ -399,6 +399,76 @@ def jaccard_pairs_bitmap(
     )
 
 
+def jaccard_packed_base(
+    df: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """The PERSISTABLE prefix-Jaccard base: (id, n, fps) — per-doc
+    sorted distinct shingle xxhash64 arrays plus their size. Everything
+    downstream of the prefix machinery (df count, canonical ordering,
+    prefix slice, candidate join, packed-set verification) is a pure
+    function of this relation, so persisting it through the S5 sink
+    means a delta-ingest batch never re-shingles the corpus — it packs
+    only its delta and unions with the loaded relation
+    (:func:`jaccard_pairs_from_index`); document frequencies re-derive
+    over the union, preserving the full-corpus canonical order exactly."""
+    if min_partitions:
+        df = df.repartition(min_partitions)
+    toks = F.split(F.col(text_col), " ")
+    sh_arr = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "),
+                )
+            ),
+            lambda s: F.xxhash64(s),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return df.select(F.col(id_col), F.sort_array(sh_arr).alias("fps")).select(
+        id_col, F.size("fps").alias("n"), "fps"
+    )
+
+
+def jaccard_pairs_from_index(
+    index_base: DataFrame,
+    delta_df: DataFrame,
+    delta_min_id: int,
+    threshold: float = 0.5,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Delta-ingest prefix-Jaccard pairs against the persisted packed
+    base: only the delta is shingled and packed; the df count, canonical
+    (df, fp) ordering, prefix slice and verification sets all derive
+    from index ∪ delta — bit-identical to the self-join incremental
+    form at the same cutoff (set equality pinned in
+    tests/test_operators.py), so it shares the
+    ``dedup_jaccard_incremental`` oracle. The index read replaces the
+    corpus re-shingle (CPU-heavy per input byte) with a three-column
+    columnar scan."""
+    delta_base = jaccard_packed_base(
+        delta_df, n, id_col, text_col, min_partitions=min_partitions
+    )
+    nparts = min_partitions or shuffle_width(index_base.sparkSession)
+    base = (
+        index_base.unionByName(delta_base)
+        .repartition(nparts, F.col(id_col))
+        .localCheckpoint(eager=False)
+    )
+    return _jaccard_prefix_tail(
+        base, threshold, id_col,
+        delta_min_id=delta_min_id, cross_min_id=None, stage_probe=None,
+    )
+
+
 def jaccard_pairs_prefix(
     df: DataFrame,
     threshold: float = 0.5,
@@ -473,21 +543,6 @@ def jaccard_pairs_prefix(
     the corpus. Results equal the full join filtered to id_b ≥ the
     cutoff (oracle-checked by dedup_jaccard_incremental).
     """
-    if min_partitions:
-        df = df.repartition(min_partitions)
-    toks = F.split(F.col(text_col), " ")
-    sh_arr = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                    lambda i: F.array_join(F.slice(toks, i, n), " "),
-                )
-            ),
-            lambda s: F.xxhash64(s),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
     # the doc-keyed exchange of (id, n, fps) is the plan's ONE reuse
     # barrier: four consumers read it (df count, occurrence⋈df join, and
     # the two verification-set sides), so the upstream lineage — which in
@@ -510,11 +565,32 @@ def jaccard_pairs_prefix(
     # also collapses the upstream lineage — in pipeline_corpus_curation
     # that is a quality join + dedup window, not just a scan.
     base = (
-        df.select(F.col(id_col), F.sort_array(sh_arr).alias("fps"))
-        .select(id_col, F.size("fps").alias("n"), "fps")
+        jaccard_packed_base(
+            df, n, id_col, text_col, min_partitions=min_partitions
+        )
         .repartition(nparts, F.col(id_col))
         .localCheckpoint(eager=False)
     )
+    return _jaccard_prefix_tail(
+        base, threshold, id_col,
+        delta_min_id=delta_min_id, cross_min_id=cross_min_id,
+        stage_probe=stage_probe,
+    )
+
+
+def _jaccard_prefix_tail(
+    base: DataFrame,
+    threshold: float,
+    id_col: str,
+    *,
+    delta_min_id: int | None,
+    cross_min_id: int | None,
+    stage_probe: dict | None,
+) -> DataFrame:
+    """df count → canonical prefix slice → PPJoin candidate join with
+    the positional c-bound → packed-set verification, shared by the
+    self-join and persisted-index prefix-Jaccard forms. ``base`` arrives
+    doc-keyed behind a lazy cut point (four consumers read it)."""
     if stage_probe is not None:
         # diagnostic hook (tools/stage_walls.py): expose the plan's stage
         # boundaries for forced per-stage walls — pure plan objects, zero

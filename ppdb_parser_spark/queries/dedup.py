@@ -698,6 +698,57 @@ def dedup_jaccard_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# `dedup_jaccard_incremental` served from a PERSISTED packed base: the
+# (id, n, fps) sorted-fp relation — everything the prefix machinery
+# needs — builds once from the base corpus and persists through the S5
+# sink; each ingest batch shingles only its delta, and the df count /
+# canonical order / prefix slice / verification sets re-derive over
+# index ∪ delta (bit-identical to the self-join form — df is corpus-
+# global, so it must be re-derived, the winnow-postings rule). With
+# this, EVERY near-dup tier has the build-once/load-delta form. Same
+# oracle as the self-join incremental.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_jaccard_incremental_indexed",
+    oracle=_REG["dedup_jaccard_incremental"].oracle,
+    tags=("O6", "J2", "A1", "X4", "S5"),
+)
+def dedup_jaccard_incremental_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pyarrow.parquet as pq
+
+    from .similarity import (
+        _index_dir,
+        _load_persisted_index,
+        _source_fingerprint,
+    )
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    c0 = n - _DELTA_DOCS
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") < c0)
+    delta = docs.filter(F.col("doc_id") >= c0)
+    index = _load_persisted_index(
+        spark,
+        base,
+        _index_dir(sf_dir, "jacbase_n2"),
+        lambda: DD.jaccard_packed_base(
+            base, n=2, min_partitions=_par(spark)
+        ),
+        fingerprint=_source_fingerprint(sf_dir, "documents"),
+    )
+    return DD.jaccard_pairs_from_index(
+        index,
+        delta,
+        delta_min_id=c0,
+        threshold=0.5,
+        n=2,
+        min_partitions=_par(spark),
+    )
+
+
+# --------------------------------------------------------------------------
 # Winnowing-based near-dup pairs (SIGMOD'03): docs sharing >= 2 winnowed
 # fingerprints. The fingerprint join is the MOSS scheme at corpus scale:
 # selective md5-sampled k-grams, df-capped, never all-pairs.

@@ -3100,3 +3100,43 @@ def test_semantic_index_path_equals_delta_self_contained(spark):
     # the planted near-dup must actually be dropped
     dropped = {vid for vid, _, kept in want if not kept}
     assert 12 in dropped
+
+
+def test_jaccard_index_path_equals_delta_self_join(spark):
+    """The persisted packed-base delta path (jaccard_pairs_from_index)
+    must emit exactly the self-join prefix form's pairs at the same
+    cutoff — document frequencies and the canonical (df, fp) prefix
+    order re-derive over index ∪ delta, because df is corpus-global."""
+    from ppdb_parser_spark.operators.dedup import (
+        jaccard_packed_base,
+        jaccard_pairs_from_index,
+        jaccard_pairs_prefix,
+    )
+
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(i % 5, i % 5 + 20)))
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    c0 = 9
+
+    def key(rs):
+        return {
+            (r.id_a, r.id_b, r.n_common, r.n_a, r.n_b,
+             round(r.jaccard, 9))
+            for r in rs
+        }
+
+    want = key(
+        jaccard_pairs_prefix(docs, threshold=0.5, delta_min_id=c0).collect()
+    )
+    got = key(
+        jaccard_pairs_from_index(
+            jaccard_packed_base(docs.filter(f"doc_id < {c0}")),
+            docs.filter(f"doc_id >= {c0}"),
+            delta_min_id=c0,
+            threshold=0.5,
+        ).collect()
+    )
+    assert got == want
+    assert want, "delta fixture must be non-degenerate"
