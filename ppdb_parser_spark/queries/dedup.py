@@ -749,6 +749,147 @@ def dedup_jaccard_incremental_indexed(
 
 
 # --------------------------------------------------------------------------
+# The production ingest shape end-to-end, composing THREE persisted
+# artifacts in one query: per delta document, (1) exact-dup against any
+# earlier content hash, (2) prior-near-dup count from the packed-base
+# prefix-Jaccard index, (3) final component label from merging the
+# delta's edges into the persisted base components — plus the resulting
+# keep decision (kept = not exact-dup and no prior near-dup). This is
+# the per-batch report a continuously-fed corpus emits; every leg is
+# the delta-cost path (the corpus is never re-shingled, re-hashed into
+# prefix order, or re-clustered). Fully hash-checked: the oracle
+# recomputes the identical hash-firsts, the identical uncapped 0.5
+# edges, and the identical recursive-CTE component fixpoint.
+# --------------------------------------------------------------------------
+_INGEST_CC_PREFIX = _COMPONENTS_UNCAPPED_ORACLE[
+    : _COMPONENTS_UNCAPPED_ORACLE.index("SELECT node, component")
+].rstrip()
+_INGEST_REPORT_ORACLE = (
+    _INGEST_CC_PREFIX
+    + f""",
+    cutoff AS (SELECT MAX(doc_id) - {_DELTA_DOCS - 1} AS c0 FROM documents),
+    hashes AS (SELECT doc_id, md5(text) AS h FROM documents),
+    firsts AS (SELECT h, MIN(doc_id) AS first_id FROM hashes GROUP BY h),
+    near AS (
+      SELECT id_b, COUNT(*) AS n_prior_near FROM edges GROUP BY id_b
+    )
+    SELECT d.doc_id AS doc_id,
+           (f.first_id < d.doc_id) AS exact_dup,
+           CAST(COALESCE(nr.n_prior_near, 0) AS BIGINT) AS n_prior_near,
+           CAST(COALESCE(l.component, d.doc_id) AS BIGINT) AS component,
+           ((f.first_id >= d.doc_id)
+            AND COALESCE(nr.n_prior_near, 0) = 0) AS kept
+    FROM documents d
+    JOIN hashes h ON d.doc_id = h.doc_id
+    JOIN firsts f ON h.h = f.h
+    LEFT JOIN near nr ON nr.id_b = d.doc_id
+    LEFT JOIN labeled l ON l.node = d.doc_id, cutoff
+    WHERE d.doc_id >= c0
+"""
+)
+
+
+@query(
+    "pipeline_incremental_ingest_report",
+    oracle=_INGEST_REPORT_ORACLE,
+    tags=("O5", "O6", "J2", "J3", "A1", "S5"),
+)
+def pipeline_incremental_ingest_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pyarrow.parquet as pq
+
+    from ..operators.graph import connected_components, incremental_components
+    from .similarity import (
+        _index_dir,
+        _load_persisted_index,
+        _source_fingerprint,
+    )
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    c0 = n - _DELTA_DOCS
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") < c0)
+    delta = docs.filter(F.col("doc_id") >= c0)
+    fp = _source_fingerprint(sf_dir, "documents")
+
+    # leg 1 — exact dedup: first-id per content hash over the corpus
+    hashes = docs.select("doc_id", F.md5("text").alias("h"))
+    firsts = hashes.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    exact = (
+        delta.select("doc_id", F.md5("text").alias("h"))
+        .join(firsts, "h")
+        .select(
+            "doc_id", (F.col("first_id") < F.col("doc_id")).alias("exact_dup")
+        )
+    )
+
+    # leg 2 — near-dup pairs from the SAME persisted packed base the
+    # indexed jaccard query maintains (artifact shared, not rebuilt);
+    # lazy cut: the pair relation feeds the count AND the CC merge
+    packed = _load_persisted_index(
+        spark,
+        base,
+        _index_dir(sf_dir, "jacbase_n2"),
+        lambda: DD.jaccard_packed_base(
+            base, n=2, min_partitions=_par(spark)
+        ),
+        fingerprint=fp,
+    )
+    pairs = (
+        DD.jaccard_pairs_from_index(
+            packed, delta, delta_min_id=c0, threshold=0.5, n=2,
+            min_partitions=_par(spark),
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    near = pairs.groupBy(F.col("id_b").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_prior_near")
+    )
+
+    # leg 3 — merge delta edges into the persisted base components (the
+    # dedup_components_incremental artifact, shared)
+    base_labels = _load_persisted_index(
+        spark,
+        base,
+        _index_dir(sf_dir, "cc_j05_uncapped"),
+        lambda: connected_components(
+            DD.jaccard_pairs_prefix(
+                base, threshold=0.5, n=2, min_partitions=_par(spark)
+            ).select("id_a", "id_b")
+        ),
+        fingerprint=fp,
+    )
+    labels = incremental_components(base_labels, pairs)
+
+    return (
+        exact.join(near, "doc_id", "left")
+        .join(
+            labels.select(
+                F.col("node").alias("doc_id"), F.col("component")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "exact_dup",
+            F.coalesce("n_prior_near", F.lit(0)).cast("long").alias(
+                "n_prior_near"
+            ),
+            F.coalesce("component", F.col("doc_id")).cast("long").alias(
+                "component"
+            ),
+            (
+                (~F.col("exact_dup"))
+                & (F.coalesce("n_prior_near", F.lit(0)) == 0)
+            ).alias("kept"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Winnowing-based near-dup pairs (SIGMOD'03): docs sharing >= 2 winnowed
 # fingerprints. The fingerprint join is the MOSS scheme at corpus scale:
 # selective md5-sampled k-grams, df-capped, never all-pairs.
