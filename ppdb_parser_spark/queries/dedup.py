@@ -793,6 +793,7 @@ _INGEST_REPORT_ORACLE = (
     "pipeline_incremental_ingest_report",
     oracle=_INGEST_REPORT_ORACLE,
     tags=("O5", "O6", "J2", "J3", "A1", "S5"),
+    bench=True,
 )
 def pipeline_incremental_ingest_report(
     spark: SparkSession, sf_dir: str
@@ -1311,6 +1312,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_incremental_indexed",
     oracle=_MH_INC_ORACLE,
     tags=("O6", "J2", "A1", "X1", "S5"),
+    bench=True,
 )
 def dedup_minhash_incremental_indexed(
     spark: SparkSession, sf_dir: str
