@@ -1349,6 +1349,35 @@ def minhash_pairs_from_index(
     return _mh_verify_tail(cand, sets, threshold, id_col)
 
 
+def minhash_pairs_full_from_index(
+    index_bands: DataFrame,
+    index_sets: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full-corpus MinHash near-dup pairs served ENTIRELY from the
+    persisted band + packed-set index — the steady-state read path of an
+    appendable index (queries/similarity._load_appended_index): no
+    document text is scanned, no signature is recomputed. The band
+    self-join probes the loaded band relation and the exact-Jaccard
+    refine reads the loaded packed fp sets; both hashes are md5/xxhash64
+    prefixes, so results are byte-identical to :func:`minhash_match`
+    over the live corpus (the dedup_minhash_relational oracle applies
+    verbatim). At 100 TB this is the nightly-dedup serving shape: the
+    O(corpus tokens) shingle + 16-MIN signature pass happened once at
+    build (plus O(delta) per accepted batch), and each report pays only
+    the band join + refine."""
+    a = index_bands.select(F.col(id_col).alias("id_a"), "band", "band_sig")
+    b = index_bands.select(F.col(id_col).alias("id_b"), "band", "band_sig")
+    cand = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _mh_verify_tail(cand, index_sets, threshold, id_col)
+
+
 def minhash_match(
     df: DataFrame,
     n_hashes: int = 16,

@@ -462,6 +462,38 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def _bm25_score_expr(terms, tf_of, dl: F.Column) -> F.Column:
+    """The BM25 scoring expression shared by the full-scan and indexed
+    paths — ONE definition so the two can never drift on literal values,
+    parenthesization, or term order (all three decide the exact IEEE
+    doubles both engines must fold). Expects the 1-row stats context
+    (``n_docs``, ``total_tok``, ``df_i`` per term) already joined in;
+    ``tf_of(i, t)`` returns the per-term term-frequency as a DOUBLE
+    column; ``dl`` is the document token length. Left-associated term sum
+    in call order; caller applies the final round(6)."""
+    avglen = F.col("total_tok").cast("double") / F.col("n_docs")
+    nd = dl.cast("double") / avglen
+    denom_norm = F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * nd
+    )
+    score = None
+    for i, t in enumerate(terms):
+        tf = tf_of(i, t)
+        idf = F.round(
+            F.log(
+                F.lit(1.0)
+                + (
+                    (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+                    / (F.col(f"df_{i}") + F.lit(0.5))
+                )
+            ),
+            9,
+        )
+        term = idf * (tf * F.lit(BM25_K1 + 1.0)) / (tf + denom_norm)
+        score = term if score is None else score + term
+    return score
+
+
 def bm25_topk(
     df: DataFrame,
     terms: tuple[str, ...],
@@ -505,31 +537,150 @@ def bm25_topk(
         *per_term_df,
     )
     scored = df.crossJoin(F.broadcast(ctx))
-    avglen = F.col("total_tok").cast("double") / F.col("n_docs")
-    nd = F.size(tk).cast("double") / avglen
-    denom_norm = F.lit(BM25_K1) * (
-        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * nd
+    score = _bm25_score_expr(
+        terms,
+        lambda i, t: F.size(
+            F.filter(tk, lambda x: x == F.lit(t))
+        ).cast("double"),
+        F.size(tk),
     )
-    score = None
-    for i, t in enumerate(terms):
-        tf = F.size(F.filter(tk, lambda x: x == F.lit(t))).cast("double")
-        idf = F.round(
-            F.log(
-                F.lit(1.0)
-                + (
-                    (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
-                    / (F.col(f"df_{i}") + F.lit(0.5))
-                )
-            ),
-            9,
-        )
-        term = idf * (tf * F.lit(BM25_K1 + 1.0)) / (tf + denom_norm)
-        score = term if score is None else score + term
     return (
         scored.select(
             F.col(id_col),
             *keep_cols,
             F.round(score, 6).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+#: term-hash bucket count of the persisted postings index — the partition
+#: key a query's term filter prunes on (crc32 is computable engine-side
+#: AND driver-side via zlib.crc32, so the query planner knows its buckets
+#: without a Spark job).
+BM25_BUCKETS = 16
+
+
+def bm25_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = BM25_BUCKETS,
+) -> DataFrame:
+    """The PERSISTABLE inverted-index postings relation: one
+    (term, id, tf, bucket) row per distinct (document, term) — the text
+    counterpart of the ANN/minhash signature indexes. ``bucket`` =
+    crc32(term) % ``n_buckets`` is the artifact's partition column: a
+    search for q terms prunes the scan to ≤ q of the ``n_buckets``
+    partition directories before parquet row-group stats prune further
+    on ``term`` — at 100 TB the postings scan is sized by the queried
+    terms' document frequency, not the corpus."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn(
+            "bucket", F.pmod(F.crc32(F.col("term")), F.lit(n_buckets))
+        )
+    )
+
+
+def bm25_docstats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """The PERSISTABLE per-document side of the text index: (id, dl,
+    keep_cols) — document token length for the BM25 normalization plus
+    the projection columns a search result carries. Corpus statistics
+    (N, total tokens, per-term df) are NOT persisted: they are one tiny
+    aggregate over this relation / the postings at search time, so an
+    APPEND of new documents needs no stats invalidation."""
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("dl"),
+        *keep_cols,
+    )
+
+
+def bm25_topk_from_index(
+    postings: DataFrame,
+    docstats: DataFrame,
+    terms: tuple[str, ...],
+    k: int = 10,
+    n_buckets: int = BM25_BUCKETS,
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """BM25 top-k served from the persisted inverted index — the
+    steady-state read path of a text-retrieval pipeline. Scoring math is
+    :func:`_bm25_score_expr`, the SAME expression as the full-scan
+    :func:`bm25_topk`, with tf/df/dl read from the index instead of
+    recomputed from text; the value grid is therefore identical and an
+    exhaustive-scan oracle restricted to matching documents applies
+    verbatim.
+
+    Retrieval semantics: candidates are documents containing ≥1 query
+    term (the inverted-index contract — a document matching no term has
+    score 0 and is never materialized). Scale shape: partition-pruned
+    postings scan (``bucket`` ∈ the q term buckets, then ``term``
+    row-group pruning) → per-doc conditional-agg pivot to q tf columns
+    (ONE shuffle sized by matching postings) → broadcast 1-row stats ctx
+    → join doc lengths → TakeOrderedAndProject. The only corpus-sized
+    relation touched is the docstats join, and that join's probe side is
+    already candidate-sized.
+    """
+    import zlib
+
+    buckets = sorted({zlib.crc32(t.encode()) % n_buckets for t in terms})
+    hits = postings.filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(list(terms))
+    )
+    # per-candidate tf pivot: q narrow columns, map-side partial agg
+    tfs = hits.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("term") == F.lit(t), F.col("tf"))
+            ).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    # 1-row stats context: N/total tokens from docstats, df from postings
+    # (count of docs holding each term — the pruned scan again)
+    df_agg = hits.agg(
+        *[
+            F.sum(
+                F.when(F.col("term") == F.lit(t), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    n_agg = docstats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tok"),
+    )
+    ctx = n_agg.crossJoin(df_agg)
+    scored = (
+        tfs.join(docstats.select(id_col, "dl", *keep_cols), id_col)
+        .crossJoin(F.broadcast(ctx))
+    )
+    score = _bm25_score_expr(
+        terms,
+        lambda i, t: F.coalesce(F.col(f"tf_{i}"), F.lit(0)).cast("double"),
+        F.col("dl"),
+    )
+    return (
+        scored.select(
+            F.col(id_col), *keep_cols, F.round(score, 6).alias("bm25")
         )
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(k)

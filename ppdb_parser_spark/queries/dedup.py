@@ -1359,6 +1359,73 @@ def dedup_minhash_incremental_indexed(
 
 
 # --------------------------------------------------------------------------
+# Index APPEND maintenance (the batch-accept commit): where the
+# `_indexed` incrementals LOAD a base index and sign each delta on the
+# fly, this query COMMITS the delta into the persisted artifact — base
+# segment built once, the accepted batch appended as its own retry-safe
+# `seg=` partition, high-water mark advanced — then serves the FULL
+# corpus near-dup report from the index alone, never touching document
+# text. Oracle = the full dedup_minhash_relational SQL verbatim: append
+# followed by serve must be byte-identical to a from-scratch rebuild,
+# which is exactly the invariant an incremental ingest pipeline needs to
+# trust its index after every batch.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_minhash_index_append",
+    oracle=_REG["dedup_minhash_relational"].oracle,
+    tags=("O6", "J2", "A1", "X1", "S5"),
+)
+def dedup_minhash_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow.parquet as pq
+
+    from .similarity import (
+        _index_dir,
+        _load_appended_index,
+        _source_fingerprint,
+    )
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    c0 = n - _DELTA_DOCS
+    docs = load_table(spark, sf_dir, "documents")
+    fp = _source_fingerprint(sf_dir, "documents")
+
+    def _slice(lo: int | None) -> DataFrame:
+        # lo=None → the base snapshot; lo=k → the accepted batch [k, n)
+        cond = (
+            F.col("doc_id") < c0 if lo is None else F.col("doc_id") >= lo
+        )
+        return docs.filter(cond)
+
+    def _bands_of(lo: int | None):
+        return DD.minhash_banded_sigs(
+            _slice(lo), _MH_N, _MH_BANDS, min_partitions=_par(spark)
+        )
+
+    def _sets_of(lo: int | None):
+        return DD.minhash_packed_sets(_slice(lo), min_partitions=_par(spark))
+
+    bands = _load_appended_index(
+        spark,
+        _index_dir(sf_dir, f"mhbands_app_n{_MH_N}_b{_MH_BANDS}"),
+        fp,
+        c0,
+        n - 1,
+        lambda: _bands_of(None),
+        lambda lo: _bands_of(lo),
+    )
+    sets = _load_appended_index(
+        spark,
+        _index_dir(sf_dir, "mhsets_app_n2"),
+        fp,
+        c0,
+        n - 1,
+        lambda: _sets_of(None),
+        lambda lo: _sets_of(lo),
+    )
+    return DD.minhash_pairs_full_from_index(bands, sets, threshold=0.3)
+
+
+# --------------------------------------------------------------------------
 # Embedding near-dup over the HASH-EXACT LSH tier: identical survivor
 # semantics as dedup_embedding, candidates from the grid-exact hyperplane
 # join — so the sub-quadratic scale path itself now carries a full

@@ -855,6 +855,108 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# BM25 served from a PERSISTED inverted index — the text counterpart of
+# the ANN build/search splits: postings (term, doc_id, tf) partitioned by
+# term-hash bucket (a q-term search prunes the scan to ≤ q of 16
+# partition dirs, then term row-group stats) + per-doc lengths, both
+# maintained through the appendable-index commit path (base segment once,
+# each accepted batch as its own retry-safe seg= partition). Corpus stats
+# (N, total tokens, per-term df) are tiny aggregates at search time, so
+# appends need no stats invalidation. Retrieval semantics: candidates =
+# docs containing ≥1 query term (the inverted-index contract); the oracle
+# is the exhaustive scorer restricted to the same candidate set — scoring
+# math is the SAME expression as text_bm25_topk (shared
+# _bm25_score_expr), so the value grid is identical.
+# --------------------------------------------------------------------------
+_BM25_IDX_DELTA = 100  # the repo-wide 100-doc ingest-batch convention
+
+
+def _bm25_indexed_oracle() -> str:
+    match = " OR ".join(
+        f"list_contains(tk, '{t}')" for t in _BM25_TERMS
+    )
+    stats_df = ",\n             ".join(
+        f"SUM(CASE WHEN list_contains(tk, '{t}') THEN 1 ELSE 0 END)"
+        f" AS df_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    terms = " + ".join(
+        f"""(round(ln(1.0 + ((n_docs - df_{i} + 0.5) / (df_{i} + 0.5))), 9)
+         * (CAST(len(list_filter(tk, x -> x = '{t}')) AS DOUBLE) * 2.2)
+         / (CAST(len(list_filter(tk, x -> x = '{t}')) AS DOUBLE)
+            + 1.2 * (0.25 + 0.75 * (CAST(len(tk) AS DOUBLE)
+                                    / (CAST(total_tok AS DOUBLE)
+                                       / n_docs)))))"""
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, str_split(text, ' ') AS tk FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(len(tk)) AS BIGINT) AS total_tok,
+             {stats_df}
+      FROM toks
+    ),
+    cand AS (SELECT doc_id, lang, tk FROM toks WHERE {match})
+    SELECT doc_id, lang, round({terms}, 6) AS bm25
+    FROM cand, stats
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """
+
+
+@query(
+    "text_bm25_indexed_topk",
+    oracle=_bm25_indexed_oracle(),
+    tags=("L4", "O2", "X1", "A1", "S5"),
+)
+def text_bm25_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow.parquet as pq
+
+    from .similarity import (
+        _index_dir,
+        _load_appended_index,
+        _source_fingerprint,
+    )
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    c0 = n - _BM25_IDX_DELTA
+    docs = load_table(spark, sf_dir, "documents")
+    fp = _source_fingerprint(sf_dir, "documents")
+
+    def _slice(lo: int | None) -> DataFrame:
+        cond = (
+            F.col("doc_id") < c0 if lo is None else F.col("doc_id") >= lo
+        )
+        return docs.filter(cond)
+
+    postings = _load_appended_index(
+        spark,
+        _index_dir(sf_dir, f"bm25post_b{TA.BM25_BUCKETS}"),
+        fp,
+        c0,
+        n - 1,
+        lambda: TA.bm25_postings(_slice(None)),
+        lambda lo: TA.bm25_postings(_slice(lo)),
+        extra_part_cols=("bucket",),
+    )
+    docstats = _load_appended_index(
+        spark,
+        _index_dir(sf_dir, "bm25docs"),
+        fp,
+        c0,
+        n - 1,
+        lambda: TA.bm25_docstats(_slice(None)),
+        lambda lo: TA.bm25_docstats(_slice(lo)),
+    )
+    return TA.bm25_topk_from_index(
+        postings, docstats, terms=_BM25_TERMS, k=10
+    )
+
+
+# --------------------------------------------------------------------------
 # Dyadic entropy bound — a repetitiveness signal from the token-frequency
 # DISTRIBUTION (complementary to text_repetition's positional n-gram
 # fractions; low token entropy ≈ CCNet/RefinedWeb-style boilerplate).
