@@ -358,8 +358,10 @@ def _load_persisted_index(
         )
     if stale:
         build().write.mode("overwrite").parquet(path)
-        spark.createDataFrame(
-            [(n_corpus, fingerprint)], "n_corpus long, fingerprint string"
+        # JVM-side literal row (see _load_appended_index._stamp)
+        spark.range(1).select(
+            F.lit(n_corpus).cast("long").alias("n_corpus"),
+            F.lit(fingerprint).alias("fingerprint"),
         ).coalesce(1).write.mode("overwrite").parquet(meta_path)
     return spark.read.parquet(path)
 
@@ -422,8 +424,12 @@ def _load_appended_index(
             mark = meta.max_id
 
     def _stamp(new_mark: int) -> None:
-        spark.createDataFrame(
-            [(fingerprint, new_mark)], "fingerprint string, max_id long"
+        # range(1).select(lit...) not createDataFrame: writing a
+        # local-relation frame pays a ~5 s python-side task spin-up per
+        # stamp (measured r14); the JVM-side literal row writes in ~0.3 s
+        spark.range(1).select(
+            F.lit(fingerprint).alias("fingerprint"),
+            F.lit(new_mark).cast("long").alias("max_id"),
         ).coalesce(1).write.mode("overwrite").parquet(meta_path)
 
     def _write_seg(df: DataFrame, seg: int, truncate: bool = False) -> None:

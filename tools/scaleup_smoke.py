@@ -1263,6 +1263,78 @@ def main() -> None:
             )
             print(f"  -> incremental saving {t_full / t_inc:.2f}x")
 
+    if "appendscale" in only:
+        # Appendable-index growth law (round 14): the batch-accept commit
+        # signs ONLY the delta, so as the corpus grows with the batch
+        # size fixed, the base BUILD wall must grow ~k while the append
+        # COMMIT wall stays ~flat — the gap IS the O(delta)-vs-O(corpus)
+        # claim. Fresh-vocab copies (disjoint shingle universes) keep the
+        # signature stage the thing being measured: exact copies would
+        # multiply every shingle's df and the band-group sizes instead.
+        # Serve walls are deliberately NOT compared here — both the
+        # index path and the recompute twin pay the identical candidate
+        # join, which this fixture's growth would dominate.
+        import shutil
+
+        from ppdb_parser_spark.operators.dedup import (
+            minhash_banded_sigs,
+            minhash_packed_sets,
+        )
+        from ppdb_parser_spark.queries.similarity import (
+            _load_appended_index,
+        )
+
+        n_docs = docs.count()
+        for k in (4, 16):
+            big = _fresh_vocab_union(docs, k).localCheckpoint(eager=True)
+            max_id = (k - 1) * 10_000_000 + (n_docs - 1)
+            cutoff = (k - 1) * 10_000_000 + (n_docs - 100)
+            root = f"/tmp/appendscale_{k}"
+
+            def _sl(lo):
+                cond = (
+                    F.col("doc_id") < cutoff
+                    if lo is None
+                    else F.col("doc_id") >= lo
+                )
+                return big.filter(cond)
+
+            def _load(upto):
+                b = _load_appended_index(
+                    spark, f"{root}/bands", f"k{k}", cutoff, upto,
+                    lambda: minhash_banded_sigs(_sl(None), 16, 8),
+                    lambda lo: minhash_banded_sigs(_sl(lo), 16, 8),
+                )
+                s = _load_appended_index(
+                    spark, f"{root}/sets", f"k{k}", cutoff, upto,
+                    lambda: minhash_packed_sets(_sl(None)),
+                    lambda lo: minhash_packed_sets(_sl(lo)),
+                )
+                return b, s
+
+            def _clear():
+                for sub in ("bands", "bands_meta", "sets", "sets_meta"):
+                    shutil.rmtree(f"{root}/{sub}", ignore_errors=True)
+
+            _clear()
+            t0 = time.perf_counter()
+            _load(cutoff - 1)
+            t_build = time.perf_counter() - t0
+            print(f"appendscale {k}x base build: {t_build:.2f} s")
+            walls = []
+            for _ in range(2):
+                _clear()
+                _load(cutoff - 1)
+                t0 = time.perf_counter()
+                _load(max_id)
+                walls.append(time.perf_counter() - t0)
+            t_app = min(walls)
+            print(
+                f"appendscale {k}x append commit (100-doc batch): "
+                f"{t_app:.2f} s  -> build/append {t_build / t_app:.2f}x"
+            )
+            _clear()
+
     if "ccscale" in only:
         # Incremental connected-components growth law (round 14): the
         # dedup-maintenance story is a persisted labeling + per-batch
