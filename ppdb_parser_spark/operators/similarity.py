@@ -911,38 +911,32 @@ def ivf_build_centroids(
     )
 
 
-def ivf_search_centroids(
-    df: DataFrame,
-    centroids: DataFrame,
-    probe_id: int = 1,
-    n_probe: int = 2,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    keep_cols: tuple[str, ...] = ("label",),
-    assign: str = "gemm",
-    n_blocks: int | None = None,
-) -> DataFrame:
-    """The SEARCH half of :func:`ivf_kmeans_topk`: given a centroid
-    relation ``(cell_id, semb)`` — freshly built or loaded from a
-    persisted parquet index — assign every corpus vector to its nearest
-    centroid, route the probe to its top ``n_probe`` centroid cells, and
-    take the exact top-k inside the probed cells.
-
-    Centroid norms are recomputed here from ``semb`` (derived data never
-    persists), then the whole ≤``n_cells``-row index collapses to a
-    1-row broadcast context exactly as in :func:`ivf_kmeans_topk` — the
-    search never shuffles the corpus; its one wide stage is the
-    narrow assignment map over the scan.
-    """
-    cent_row = centroids.select(
+def _ivf_seeds_row(centroids: DataFrame) -> DataFrame:
+    """Collapse a centroid relation ``(cell_id, semb)`` to the 1-row
+    ``seeds`` broadcast context (norms recomputed — derived data never
+    persists). Shared by the search, assignment-build, and
+    inverted-list serving paths so the seed layout can't drift."""
+    return centroids.select(
         "cell_id", "semb", _norm(F.col("semb")).alias("snorm")
     ).agg(F.collect_list(F.struct("cell_id", "semb", "snorm")).alias("seeds"))
-    base = df.withColumn("__nrm", _norm(F.col(vec_col)))
+
+
+def _ivf_probe_ctx(
+    df: DataFrame,
+    centroids: DataFrame,
+    probe_id: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The 1-row probe context (probe vector + norm, seeds, and the
+    probe's top-``n_probe`` cells by round-6 cosine, ties to the smaller
+    cell id) — the routing decision every IVF serving path shares."""
+    cent_row = _ivf_seeds_row(centroids)
     probe_row = df.filter(F.col(id_col) == probe_id).select(
         F.col(vec_col).alias("probe_emb"), _norm(F.col(vec_col)).alias("probe_nrm")
     ).limit(1)  # provably 1-row broadcast context (see cosine_topk_by_id)
-    ctx = (
+    return (
         probe_row.crossJoin(cent_row)
         .withColumn(
             "probe_cells",
@@ -971,10 +965,38 @@ def ivf_search_centroids(
         )
         .select("probe_emb", "probe_nrm", "seeds", "probe_cells")
     )
+
+
+def ivf_search_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    probe_id: int = 1,
+    n_probe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = ("label",),
+    assign: str = "gemm",
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """The SEARCH half of :func:`ivf_kmeans_topk`: given a centroid
+    relation ``(cell_id, semb)`` — freshly built or loaded from a
+    persisted parquet index — assign every corpus vector to its nearest
+    centroid, route the probe to its top ``n_probe`` centroid cells, and
+    take the exact top-k inside the probed cells.
+
+    Centroid norms are recomputed here from ``semb`` (derived data never
+    persists), then the whole ≤``n_cells``-row index collapses to a
+    1-row broadcast context exactly as in :func:`ivf_kmeans_topk` — the
+    search never shuffles the corpus; its one wide stage is the
+    narrow assignment map over the scan.
+    """
+    base = df.withColumn("__nrm", _norm(F.col(vec_col)))
+    ctx = _ivf_probe_ctx(df, centroids, probe_id, n_probe, id_col, vec_col)
     if assign == "gemm":
         a2 = gemm_assign_cells(
             base,
-            cent_row,
+            _ivf_seeds_row(centroids),
             id_col=id_col,
             vec_col=vec_col,
             nrm_col="__nrm",
@@ -1001,6 +1023,90 @@ def ivf_search_centroids(
     )
     return (
         cand.select(id_col, *keep_cols, cosine.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_assignments(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = ("label",),
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """The PERSISTABLE inverted-list relation of an IVF index:
+    ``(cell_id, id, vec, *keep_cols)`` — every vector stored WITH its
+    coarse-cell assignment, the FAISS inverted-file layout. Persisted
+    partitioned by ``cell_id``, a search scans only its probed cells'
+    partition directories (n_probe/n_cells of the data) instead of
+    re-assigning the whole corpus per query, which is what
+    :func:`ivf_search_centroids` — the index-BUILD-time assignment pass —
+    pays. Assignment runs the same :func:`gemm_assign_cells` float-flavor
+    kernel as the search path, so a persisted assignment equals the one
+    the search would compute, and the ``sim_ivf_*`` oracles apply
+    unchanged. Norms are derived data: dropped here, recomputed at
+    serve."""
+    base = df.withColumn("__nrm", _norm(F.col(vec_col)))
+    return gemm_assign_cells(
+        base,
+        _ivf_seeds_row(centroids),
+        id_col=id_col,
+        vec_col=vec_col,
+        nrm_col="__nrm",
+        dot="float",
+        extra_cols=tuple(keep_cols),
+        n_blocks=n_blocks,
+    ).select("cell_id", id_col, vec_col, *keep_cols)
+
+
+def ivf_topk_from_assignments(
+    assignments: DataFrame,
+    probe_src: DataFrame,
+    centroids: DataFrame,
+    probe_id: int = 1,
+    n_probe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """IVF top-k served from the persisted inverted-list relation — the
+    steady-state ANN read path: NO corpus-wide assignment map runs. The
+    probe routes to its top ``n_probe`` cells (the shared
+    :func:`_ivf_probe_ctx` decision), the assignment scan prunes to
+    those cells, and the exact top-k runs over only the pruned rows with
+    the same round-6 cosine as :func:`ivf_search_centroids` — identical
+    candidates, identical values, same oracle.
+
+    The cell routing is collected driver-side (ONE bounded control-plane
+    job over two tiny relations: the ≤n_cells-row centroid index and the
+    pushed-filter probe lookup) so the probed cell ids are LITERALS in
+    the scan filter — that is what lets parquet partition pruning drop
+    the other n_cells − n_probe directories at plan time. This mirrors
+    FAISS serving, where the coarse quantizer runs on the query node;
+    an in-plan routing decision would keep the plan driver-job-free but
+    read every cell partition. At 100 TB the pruned scan IS the index."""
+    ctx = _ivf_probe_ctx(
+        probe_src, centroids, probe_id, n_probe, id_col, vec_col
+    )
+    cells = [
+        int(c) for c in ctx.select("probe_cells").first()["probe_cells"]
+    ]
+    cand = assignments.filter(
+        F.col("cell_id").isin(cells) & (F.col(id_col) != probe_id)
+    ).withColumn("__nrm", _norm(F.col(vec_col)))
+    scored = cand.crossJoin(
+        F.broadcast(ctx.select("probe_emb", "probe_nrm"))
+    )
+    cosine = F.round(
+        _dot(F.col(vec_col), F.col("probe_emb"))
+        / (F.col("__nrm") * F.col("probe_nrm")),
+        6,
+    )
+    return (
+        scored.select(id_col, *keep_cols, cosine.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )

@@ -534,6 +534,57 @@ def sim_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# The IVF INVERTED-LIST serving path (round 14): `sim_ivf_persisted_topk`
+# amortizes training but still re-assigns the whole corpus per query —
+# at 100 TB the corpus-wide assignment map IS the search cost. This query
+# persists the assignment relation itself (vector stored WITH its cell,
+# the FAISS inverted-file layout), partitioned by cell_id and maintained
+# through the appendable commit path: between centroid retrains, an
+# accepted batch ASSIGNS ONLY ITSELF to the fixed centroids and lands as
+# its own segment. A search then routes the probe (bounded control-plane
+# job over the ≤8-row centroid index + pushed-filter probe lookup) and
+# scans ONLY the probed cells' partition directories — n_probe/n_cells
+# of the data. Assignments and centroids invalidate together: both stamp
+# the same embeddings-source fingerprint, so a centroid rebuild can
+# never pair with stale lists. Probe vec_id=3 so the result is
+# independently checkable from the kmeans (1) and persisted (2) twins.
+# --------------------------------------------------------------------------
+@query(
+    "sim_ivf_append_topk",
+    oracle=_ivf_kmeans_oracle(probe_id=3),
+    tags=("L1", "L2", "O2", "S5"),
+)
+def sim_ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow.parquet as pq
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids_persisted(spark, sf_dir)
+    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    c0 = n - 100  # the repo-wide 100-row ingest-batch convention
+    fp = _source_fingerprint(sf_dir)
+
+    def _slice(lo: int | None) -> DataFrame:
+        cond = (
+            F.col("vec_id") < c0 if lo is None else F.col("vec_id") >= lo
+        )
+        return e.filter(cond)
+
+    assignments = _load_appended_index(
+        spark,
+        _index_dir(sf_dir, f"ivfassign_{_IVF_INDEX_NAME}"),
+        fp,
+        c0,
+        n - 1,
+        lambda: SIM.ivf_assignments(_slice(None), cents),
+        lambda lo: SIM.ivf_assignments(_slice(lo), cents),
+        extra_part_cols=("cell_id",),
+    )
+    return SIM.ivf_topk_from_assignments(
+        assignments, e, cents, probe_id=3, n_probe=2, k=5
+    )
+
+
+# --------------------------------------------------------------------------
 # Product quantization (TPAMI'11): codes for every vector (the compressed
 # index a 100 TB serving scan reads), then ADC top-k with exact rerank.
 # All float reductions run on the int64 PQ_GRID → hash-exact oracles.

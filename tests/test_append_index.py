@@ -176,6 +176,30 @@ def test_bm25_postings_scan_partition_pruned(spark, tmp_path):
     assert_partition_pruned(df, "bucket", "text_bm25_indexed_topk")
 
 
+def test_ivf_inverted_list_pruned_and_matches_search(spark, tmp_path):
+    """The inverted-list serve must (a) partition-prune the assignment
+    scan to the probed cells and (b) return exactly what the
+    corpus-reassigning search path returns — same candidates, same
+    round-6 cosines."""
+    import ppdb_parser_spark.operators.similarity as SIM
+
+    e = load_table(spark, SF, "embeddings")
+    cents = SIM.ivf_build_centroids(e, n_cells=8)
+    path = os.path.join(str(tmp_path), "ivfassign")
+    SIM.ivf_assignments(e, cents).withColumn(
+        "seg", F.lit(0)
+    ).write.partitionBy("seg", "cell_id").parquet(path)
+    assignments = spark.read.parquet(path).drop("seg")
+    got = SIM.ivf_topk_from_assignments(
+        assignments, e, cents, probe_id=3, n_probe=2, k=5
+    )
+    assert_partition_pruned(got, "cell_id", "sim_ivf_append_topk")
+    want = SIM.ivf_search_centroids(e, cents, probe_id=3, n_probe=2, k=5)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+
+
 def test_registered_queries_cold_and_warm(spark, tmp_path, monkeypatch):
     """The registered queries build their artifacts under .cache/indexes
     on first run and serve read-only when fresh; both states must return
@@ -195,4 +219,7 @@ def test_registered_queries_cold_and_warm(spark, tmp_path, monkeypatch):
     cold_bm = [tuple(r) for r in QT.text_bm25_indexed_topk(spark, SF).collect()]
     warm_bm = [tuple(r) for r in QT.text_bm25_indexed_topk(spark, SF).collect()]
     assert cold_bm == warm_bm and len(cold_bm) == 10
+    cold_ivf = [tuple(r) for r in QS.sim_ivf_append_topk(spark, SF).collect()]
+    warm_ivf = [tuple(r) for r in QS.sim_ivf_append_topk(spark, SF).collect()]
+    assert cold_ivf == warm_ivf and len(cold_ivf) == 5
     shutil.rmtree(os.path.join(str(tmp_path), "idx"), ignore_errors=True)
