@@ -455,6 +455,63 @@ def _load_appended_index(
     return spark.read.parquet(path).drop("seg")
 
 
+def compact_appended_index(
+    spark,
+    path: str,
+    extra_part_cols: tuple[str, ...] = (),
+    max_segments: int = 8,
+) -> bool:
+    """Compact an appendable index's accumulated batch segments back to
+    ONE ``seg=0`` partition — the LSM-style maintenance step. Every
+    accepted batch adds a segment directory; at nightly-batch cadence
+    that is the small-files problem (a year of batches = 365 segment
+    dirs, each holding per-partition files), and scan/listing cost grows
+    with segment count even though row count doesn't. Compaction rewrites
+    the artifact with identical rows (byte-identical values — the index
+    entries are immutable, only their physical layout moves) whenever
+    more than ``max_segments`` segments have accumulated; the meta stamp
+    (fingerprint + high-water mark) is untouched because compaction
+    changes no logical content.
+
+    Protocol: stage the rewrite to a sibling directory, then swap via
+    atomic-enough directory renames (driver-side control-plane; on a
+    production lake this is the table format's OPTIMIZE/rewrite
+    transaction). A crash before the swap leaves the artifact untouched;
+    a crash between the two renames is recovered by the retry (the
+    staged dir is rebuilt from scratch each run). Returns True iff a
+    compaction ran."""
+    import shutil
+
+    seg_dirs = (
+        [
+            d
+            for d in os.listdir(path)
+            if d.startswith("seg=")
+            and os.path.isdir(os.path.join(path, d))
+        ]
+        if os.path.isdir(path)
+        else []
+    )
+    if len(seg_dirs) <= max_segments:
+        return False
+    staged = path + "_compacting"
+    shutil.rmtree(staged, ignore_errors=True)
+    (
+        spark.read.parquet(path)
+        .drop("seg")
+        .withColumn("seg", F.lit(0).cast("long"))
+        .write.mode("overwrite")
+        .partitionBy("seg", *extra_part_cols)
+        .parquet(staged)
+    )
+    old = path + "_precompact"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return True
+
+
 def _ivf_centroids_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load the persisted centroid relation, training + persisting it
     first iff the index directory does not exist yet or is stale against

@@ -176,6 +176,59 @@ def test_bm25_postings_scan_partition_pruned(spark, tmp_path):
     assert_partition_pruned(df, "bucket", "text_bm25_indexed_topk")
 
 
+def test_multi_batch_append_then_compact(spark, tmp_path):
+    """Ten 10-doc batches accumulate ten segments on top of the base;
+    compaction collapses them to one seg=0 partition with byte-identical
+    rows, leaves the meta stamp alone, and the NEXT append still lands
+    correctly on the compacted artifact."""
+    from ppdb_parser_spark.queries.similarity import (
+        compact_appended_index,
+    )
+
+    docs = _docs(spark).filter(F.col("doc_id") < 500)
+    path = os.path.join(str(tmp_path), "bands")
+
+    def _load(upto):
+        return _load_appended_index(
+            spark,
+            path,
+            "fp0",
+            300,
+            upto,
+            lambda: DD.minhash_banded_sigs(
+                docs.filter(F.col("doc_id") < 300), 16, 8
+            ),
+            lambda lo: DD.minhash_banded_sigs(
+                docs.filter(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") <= upto)
+                ),
+                16,
+                8,
+            ),
+        )
+
+    for hi in range(309, 400, 10):  # batches [300..309], [310..319], ...
+        _load(hi)
+    segs = [d for d in os.listdir(path) if d.startswith("seg=")]
+    assert len(segs) == 11  # base + 10 batches
+    before = sorted(map(tuple, spark.read.parquet(path).drop("seg").collect()))
+    assert compact_appended_index(spark, path, max_segments=8)
+    segs2 = [d for d in os.listdir(path) if d.startswith("seg=")]
+    assert segs2 == ["seg=0"]
+    after = sorted(map(tuple, spark.read.parquet(path).drop("seg").collect()))
+    assert after == before
+    # below threshold now: a second compact is a no-op
+    assert not compact_appended_index(spark, path, max_segments=8)
+    # and the next batch still appends onto the compacted artifact
+    got = _load(409)
+    want = DD.minhash_banded_sigs(
+        docs.filter(F.col("doc_id") < 410), 16, 8
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
 def test_ivf_inverted_list_pruned_and_matches_search(spark, tmp_path):
     """The inverted-list serve must (a) partition-prune the assignment
     scan to the probed cells and (b) return exactly what the
