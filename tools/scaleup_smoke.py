@@ -209,6 +209,57 @@ def main() -> None:
             )
             print(f"  -> broadcast seeds context ~{ctx_kb:.0f} kB")
 
+    if "ivflists" in only:
+        # Inverted-list serving growth law (round 14): the per-query cost
+        # of `ivf_search_centroids` is the corpus-wide assignment map
+        # (O(n·cells·dim) per query, Arrow kernel or not), while
+        # `ivf_topk_from_assignments` reads ONLY the probed cells'
+        # partition directories of the PERSISTED assignment relation —
+        # n_probe/n_cells of the data and zero assignment arithmetic.
+        # Both walls grow ~linearly in k at fixed n_cells; the rung pins
+        # the widening absolute gap (the work a 100 TB query skips).
+        # Assignments build OUTSIDE the timed region (they are the
+        # persisted artifact; their build cost is the appendscale story).
+        import shutil as _sh
+
+        from ppdb_parser_spark.operators.similarity import (
+            ivf_assignments,
+            ivf_build_centroids,
+            ivf_search_centroids,
+            ivf_topk_from_assignments,
+        )
+
+        emb = load_table(spark, sf, "embeddings")
+        for k in (16, 64):
+            ek = _shifted_union(emb, "vec_id", k).localCheckpoint(
+                eager=True
+            )
+            cents = ivf_build_centroids(ek, n_cells=8).localCheckpoint(
+                eager=True
+            )
+            path = f"/tmp/ivflists_{k}"
+            _sh.rmtree(path, ignore_errors=True)
+            ivf_assignments(ek, cents).write.partitionBy(
+                "cell_id"
+            ).parquet(path)
+            lists = spark.read.parquet(path)
+            t_scan = forced(
+                lambda: ivf_search_centroids(
+                    ek, cents, probe_id=3, n_probe=2, k=5
+                )
+            )
+            print(f"ivflists {k}x corpus-reassign search: {t_scan:.2f} s")
+            t_srv = forced(
+                lambda: ivf_topk_from_assignments(
+                    lists, ek, cents, probe_id=3, n_probe=2, k=5
+                )
+            )
+            print(
+                f"ivflists {k}x pruned list serve:       {t_srv:.2f} s"
+                f"  -> serve saves {t_scan / t_srv:.2f}x"
+            )
+            _sh.rmtree(path, ignore_errors=True)
+
     if "pqgemm" in only or "pqgemm256" in only:
         # PQ encode: Arrow/GEMM code assignment vs the in-plan HOF argmin
         # (round 10 — the grid flavor of the interpreter weak: per-term
