@@ -2141,6 +2141,241 @@ def pq_search_codebook(
 
 
 
+def pq_codes_from_codebook(
+    df: DataFrame,
+    codebook: DataFrame,
+    *,
+    dim: int,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = ("label",),
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """The PERSISTABLE codes relation of a trained PQ index:
+    ``(id, *keep_cols, codes array<int>, vnorm)`` — each vector's
+    per-subspace nearest-centroid code VALUES (``cc`` as stored in the
+    codebook; trained codebooks may drop empty clusters, so codes are
+    ids, not positions) plus its grid norm. This is the table a 100 TB
+    PQ serving scan reads (~9 bytes/vector) instead of the float
+    embeddings; encoding against the codebook is exactly the argmin the
+    :func:`pq_search_codebook` kernel computes per query, paid ONCE here
+    (and per accepted batch on the append path) instead of per search.
+
+    ``vnorm`` persists deliberately: it derives from the VECTOR, which
+    the codes relation exists to avoid storing — the norm is primary
+    index payload (the FAISS IndexIVFPQ convention for IP/cosine), not
+    recomputable derived data like the centroid norms.
+
+    Exactness: exact int64 grid distances, argmin first-min = smallest
+    ``cc`` over the cc-sorted codebook — byte-identical to the per-query
+    encode, so serving from persisted codes equals re-encoding."""
+    import pandas as pd
+
+    sub = dim // m
+    cents_row = codebook.agg(
+        F.collect_list(
+            F.struct(
+                F.col("s").alias("cs"),
+                F.col("c").alias("cc"),
+                F.col("cvec").alias("cvec"),
+            )
+        ).alias("cents")
+    )
+    dtypes = dict(df.dtypes)
+    cols = [id_col, *keep_cols, vec_col]
+    out_schema = ", ".join(
+        [f"`{c}` {dtypes[c]}" for c in (id_col, *keep_cols)]
+        + ["codes array<int>", "vnorm double"]
+    )
+    proj = df.select(*cols).withColumn(
+        "__vnorm", _grid_norm6(F.col(vec_col))
+    )
+    n_blocks = kernel_block_count(proj, n_blocks)
+    blocks = (
+        proj.withColumn(
+            "__blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+        )
+        .groupBy("__blk")
+        .agg(F.collect_list(F.struct(*cols, "__vnorm")).alias("ablock"))
+    )
+    kctx = blocks.crossJoin(F.broadcast(cents_row))
+    sub_l, m_l, vc = sub, m, vec_col
+
+    def code_blocks(batches):
+        import numpy as np
+
+        for pdf in batches:
+            for ablock, cents in zip(pdf["ablock"], pdf["cents"]):
+                by_s: dict[int, list] = {}
+                for c in cents:
+                    by_s.setdefault(int(c["cs"]), []).append(
+                        (int(c["cc"]), c["cvec"])
+                    )
+                Q = np.array([r[vc] for r in ablock], dtype=np.float64)
+                n = len(ablock)
+                codes_out = np.empty((n, m_l), dtype=np.int32)
+                for s in range(m_l):
+                    ent = sorted(by_s[s], key=lambda e: e[0])
+                    cc_ids = np.array([e[0] for e in ent], dtype=np.int32)
+                    C = np.array([e[1] for e in ent], dtype=np.float64)
+                    Qs = Q[:, s * sub_l : (s + 1) * sub_l]
+                    diff = Qs[:, None, :] - C[None, :, :]
+                    D = _np_round_half_away((diff * diff) * 1e9).sum(
+                        axis=2
+                    )
+                    # first-min over cc-sorted entries = smallest cc
+                    codes_out[:, s] = cc_ids[np.argmin(D, axis=1)]
+                yield pd.DataFrame(
+                    {
+                        **{
+                            c: [r[c] for r in ablock]
+                            for c in (id_col, *keep_cols)
+                        },
+                        "codes": list(codes_out),
+                        "vnorm": [r["__vnorm"] for r in ablock],
+                    }
+                )
+
+    return kctx.mapInPandas(code_blocks, out_schema)
+
+
+def pq_topk_from_codes(
+    codes_rel: DataFrame,
+    probe_src: DataFrame,
+    codebook: DataFrame,
+    probe_id: int = 1,
+    k: int = 10,
+    rerank: int = 50,
+    *,
+    dim: int,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """PQ top-k served from the persisted codes relation — the
+    steady-state read path: the scan touches the ~9-byte/vector codes
+    table, NEVER the float embeddings (except the probe lookup and the
+    ``rerank``-row exact tail). ADC per row is an integer GATHER: the
+    probe's per-(subspace, centroid) dot table is computed once per
+    block from the broadcast codebook context, and each row sums its m
+    looked-up entries — no per-row distance argmin, that was paid at
+    encode/commit. Values are byte-identical to
+    :func:`pq_search_codebook` over the live corpus (same tdots ints,
+    same codes, same round-6 cosine), so the kmeans oracle applies
+    unchanged."""
+    import pandas as pd
+
+    sub = dim // m
+    cents_row = codebook.agg(
+        F.collect_list(
+            F.struct(
+                F.col("s").alias("cs"),
+                F.col("c").alias("cc"),
+                F.col("cvec").alias("cvec"),
+            )
+        ).alias("cents")
+    )
+    probe_row = probe_src.filter(F.col(id_col) == probe_id).select(
+        F.col(vec_col).alias("q"), _grid_norm6(F.col(vec_col)).alias("qnorm")
+    ).limit(1)  # provably 1-row broadcast context (see cosine_topk_by_id)
+    ctx = probe_row.crossJoin(cents_row)
+
+    cols = [id_col, *keep_cols, "codes", "vnorm"]
+    dtypes = dict(codes_rel.dtypes)
+    out_schema = ", ".join(
+        [f"`{c}` {dtypes[c]}" for c in (id_col, *keep_cols, "vnorm")]
+        + ["adc_dot_grid long"]
+    )
+    proj = codes_rel.select(*cols)
+    blocks = (
+        proj.withColumn(
+            "__blk",
+            F.pmod(
+                F.xxhash64(F.col(id_col)),
+                F.lit(kernel_block_count(proj, None)),
+            ),
+        )
+        .groupBy("__blk")
+        .agg(F.collect_list(F.struct(*cols)).alias("ablock"))
+    )
+    kctx = blocks.crossJoin(F.broadcast(ctx))
+    sub_l, m_l = sub, m
+
+    def adc_gather_blocks(batches):
+        import numpy as np
+
+        for pdf in batches:
+            for ablock, cents, q in zip(
+                pdf["ablock"], pdf["cents"], pdf["q"]
+            ):
+                qv = np.asarray(q, dtype=np.float64)
+                by_s: dict[int, list] = {}
+                for c in cents:
+                    by_s.setdefault(int(c["cs"]), []).append(
+                        (int(c["cc"]), c["cvec"])
+                    )
+                n = len(ablock)
+                codes = np.array(
+                    [r["codes"] for r in ablock], dtype=np.int32
+                ).reshape(n, m_l)
+                adc = np.zeros(n, dtype=np.int64)
+                for s in range(m_l):
+                    ent = sorted(by_s[s], key=lambda e: e[0])
+                    cc_ids = np.array([e[0] for e in ent], dtype=np.int32)
+                    C = np.array([e[1] for e in ent], dtype=np.float64)
+                    qs = qv[s * sub_l : (s + 1) * sub_l]
+                    tdots = _np_round_half_away(
+                        (qs[None, :] * C) * 1e9
+                    ).sum(axis=1)
+                    pos = np.searchsorted(cc_ids, codes[:, s])
+                    adc += tdots[pos]
+                yield pd.DataFrame(
+                    {
+                        **{
+                            c: [r[c] for r in ablock]
+                            for c in (id_col, *keep_cols)
+                        },
+                        "vnorm": [r["vnorm"] for r in ablock],
+                        "adc_dot_grid": adc,
+                    }
+                )
+
+    scored = (
+        kctx.mapInPandas(adc_gather_blocks, out_schema)
+        .crossJoin(F.broadcast(ctx.select("q", "qnorm")))
+        .withColumn(
+            "adc_cosine",
+            F.round(
+                (F.col("adc_dot_grid") / float(PQ_GRID))
+                / (F.col("vnorm") * F.col("qnorm")),
+                6,
+            ),
+        )
+        .filter(F.col(id_col) != probe_id)
+    )
+    cands = scored.select(
+        id_col, *keep_cols, "adc_cosine", "q", "qnorm", "vnorm"
+    ).orderBy(F.desc("adc_cosine"), F.asc(id_col)).limit(rerank)
+    reranked = probe_src.select(id_col, vec_col).join(
+        F.broadcast(cands), id_col
+    )
+    return (
+        reranked.withColumn(
+            "cosine",
+            F.round(
+                (_grid_dot(F.col(vec_col), F.col("q")) / float(PQ_GRID))
+                / (F.col("vnorm") * F.col("qnorm")),
+                6,
+            ),
+        )
+        .select(id_col, *keep_cols, "adc_cosine", "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def pq_kmeans_topk(
     df: DataFrame,
     probe_id: int = 1,

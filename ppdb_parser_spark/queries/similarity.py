@@ -931,6 +931,55 @@ def sim_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# The PQ CODES-SCAN serving path (round 14): `sim_pq_persisted_topk`
+# amortizes codebook training but still re-ENCODES the corpus per query —
+# the per-row distance argmin is the search cost. This query persists the
+# codes relation itself (the ~9-byte/vector table ARCHITECTURE.md's PQ
+# row says a 100 TB scan should read), maintained through the appendable
+# commit path: between codebook retrains an accepted batch encodes only
+# itself against the fixed codebook. A search is then an integer GATHER
+# over the codes scan (probe dot-table built once per block from the
+# broadcast codebook) + the rerank-row exact tail — the float embeddings
+# are touched only for the probe lookup and the 50 reranked rows. Codes
+# and codebook stamp the same source fingerprint, so a codebook rebuild
+# can never pair with stale codes. Probe vec_id=3, independently
+# checkable from the kmeans (1) and persisted (2) twins.
+# --------------------------------------------------------------------------
+@query(
+    "sim_pq_append_topk",
+    oracle=_pq_kmeans_oracle(probe_id=3),
+    tags=("L1", "L2", "O2", "S5", "U4"),
+)
+def sim_pq_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow.parquet as pq
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = _pq_codebook_persisted(spark, sf_dir)
+    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    c0 = n - 100  # the repo-wide 100-row ingest-batch convention
+    fp = _source_fingerprint(sf_dir)
+
+    def _slice(lo: int | None) -> DataFrame:
+        cond = (
+            F.col("vec_id") < c0 if lo is None else F.col("vec_id") >= lo
+        )
+        return e.filter(cond)
+
+    codes = _load_appended_index(
+        spark,
+        _index_dir(sf_dir, f"pqcodes_{_PQ_INDEX_NAME}"),
+        fp,
+        c0,
+        n - 1,
+        lambda: SIM.pq_codes_from_codebook(_slice(None), cb, dim=64, m=8),
+        lambda lo: SIM.pq_codes_from_codebook(_slice(lo), cb, dim=64, m=8),
+    )
+    return SIM.pq_topk_from_codes(
+        codes, e, cb, probe_id=3, k=10, rerank=50, dim=64, m=8
+    )
+
+
+# --------------------------------------------------------------------------
 # Hyperplane LSH, hash-exact twin: grid-exact projections + the plane
 # constants embedded as a VALUES relation make the CANDIDATE SET itself
 # reproducible in SQL, so the approximate tier earns a full value-hash

@@ -253,6 +253,29 @@ def test_ivf_inverted_list_pruned_and_matches_search(spark, tmp_path):
     ]
 
 
+def test_pq_codes_serve_matches_codebook_search(spark, tmp_path):
+    """Serving from the persisted codes relation must equal the
+    per-query re-encoding search byte-for-byte (same tdots ints, same
+    codes, same round-6 cosines), including through a parquet
+    round-trip of the codes."""
+    import ppdb_parser_spark.operators.similarity as SIM
+
+    e = load_table(spark, SF, "embeddings")
+    cb = SIM.pq_build_codebook(e, n_centroids=16, m=8, dim=64)
+    path = os.path.join(str(tmp_path), "pqcodes")
+    SIM.pq_codes_from_codebook(e, cb, dim=64, m=8).write.parquet(path)
+    codes = spark.read.parquet(path)
+    got = SIM.pq_topk_from_codes(
+        codes, e, cb, probe_id=3, k=10, rerank=50, dim=64, m=8
+    )
+    want = SIM.pq_search_codebook(
+        e, cb, probe_id=3, k=10, rerank=50, dim=64, m=8
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+
+
 def test_registered_queries_cold_and_warm(spark, tmp_path, monkeypatch):
     """The registered queries build their artifacts under .cache/indexes
     on first run and serve read-only when fresh; both states must return
