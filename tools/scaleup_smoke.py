@@ -260,6 +260,55 @@ def main() -> None:
             )
             _sh.rmtree(path, ignore_errors=True)
 
+    if "pqcodes" in only:
+        # PQ codes-scan serving growth law (round 14): per-query cost of
+        # `pq_search_codebook` is the corpus re-ENCODE (per-row distance
+        # argmin, the pqgemm ladder's subject) + ADC; `pq_topk_from_codes`
+        # replaces both with an integer gather over the persisted
+        # ~9-byte/vector codes relation. Codes build OUTSIDE the timed
+        # region (the appendscale story). Both walls grow in k; the rung
+        # pins the widening gap — the encode work a serving query skips.
+        import shutil as _sh
+
+        from ppdb_parser_spark.operators.similarity import (
+            pq_build_codebook,
+            pq_codes_from_codebook,
+            pq_search_codebook,
+            pq_topk_from_codes,
+        )
+
+        emb = load_table(spark, sf, "embeddings")
+        for k in (16, 64, 256):
+            ek = _shifted_union(emb, "vec_id", k).localCheckpoint(
+                eager=True
+            )
+            cb = pq_build_codebook(
+                ek, n_centroids=16, m=8, dim=64
+            ).localCheckpoint(eager=True)
+            path = f"/tmp/pqcodes_{k}"
+            _sh.rmtree(path, ignore_errors=True)
+            pq_codes_from_codebook(ek, cb, dim=64, m=8).write.parquet(
+                path
+            )
+            codes = spark.read.parquet(path)
+            t_enc = forced(
+                lambda: pq_search_codebook(
+                    ek, cb, probe_id=3, k=10, rerank=50, dim=64, m=8
+                )
+            )
+            print(f"pqcodes {k}x re-encode search: {t_enc:.2f} s")
+            t_srv = forced(
+                lambda: pq_topk_from_codes(
+                    codes, ek, cb, probe_id=3, k=10, rerank=50,
+                    dim=64, m=8,
+                )
+            )
+            print(
+                f"pqcodes {k}x codes-scan serve: {t_srv:.2f} s"
+                f"  -> serve saves {t_enc / t_srv:.2f}x"
+            )
+            _sh.rmtree(path, ignore_errors=True)
+
     if "pqgemm" in only or "pqgemm256" in only:
         # PQ encode: Arrow/GEMM code assignment vs the in-plan HOF argmin
         # (round 10 — the grid flavor of the interpreter weak: per-term
