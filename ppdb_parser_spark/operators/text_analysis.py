@@ -562,30 +562,102 @@ def bm25_topk(
 BM25_BUCKETS = 16
 
 
-def bm25_postings(
+def inverted_postings(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = BM25_BUCKETS,
 ) -> DataFrame:
-    """The PERSISTABLE inverted-index postings relation: one
-    (term, id, tf, bucket) row per distinct (document, term) — the text
-    counterpart of the ANN/minhash signature indexes. ``bucket`` =
+    """The PERSISTABLE POSITIONAL inverted-index postings relation: one
+    ``(term, id, tf, positions, bucket)`` row per distinct (document,
+    term) — ONE artifact serving both ranked retrieval (BM25 reads
+    term/tf and lets parquet column pruning skip the positions) and
+    positional queries (phrase adjacency reads the sorted positions
+    arrays; tf ≡ size(positions) by construction). ``bucket`` =
     crc32(term) % ``n_buckets`` is the artifact's partition column: a
-    search for q terms prunes the scan to ≤ q of the ``n_buckets``
-    partition directories before parquet row-group stats prune further
-    on ``term`` — at 100 TB the postings scan is sized by the queried
+    q-term search prunes the scan to ≤ q of the ``n_buckets`` partition
+    directories before parquet row-group stats prune further on
+    ``term`` — at 100 TB the postings scan is sized by the queried
     terms' document frequency, not the corpus."""
+    toks = F.split(F.col(text_col), " ")
     return (
         df.select(
             F.col(id_col),
-            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+            F.posexplode(toks).alias("pos", "term"),
         )
         .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
         .withColumn(
             "bucket", F.pmod(F.crc32(F.col("term")), F.lit(n_buckets))
         )
+    )
+
+
+def phrase_hits_from_index(
+    postings: DataFrame,
+    phrases: tuple[tuple[str, str], ...],
+    n_buckets: int = BM25_BUCKETS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Two-word phrase search served from the positional postings index:
+    for each (w1, w2) phrase, the adjacency count per document is
+    ``|{p : p ∈ positions(w1), p+1 ∈ positions(w2)}|`` — one
+    ``array_intersect`` over the two (already sorted, duplicate-free)
+    position arrays, no token re-scan, no position explode. The postings
+    scan prunes to the phrase words' buckets then terms (the
+    inverted-index contract); the only exchange is the doc-keyed join of
+    the two word lists, sized by the words' document frequency. Emits
+    exactly the full-scan ``text_phrase_search`` rows: (phrase, id,
+    n_hits) with n_hits ≥ 1."""
+    import zlib
+
+    words = sorted({w for p in phrases for w in p})
+    buckets = sorted({zlib.crc32(w.encode()) % n_buckets for w in words})
+    hits = postings.filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(words)
+    ).select(id_col, "term", "positions")
+    phrase_rows = F.array(
+        *[
+            F.struct(F.lit(a).alias("w1"), F.lit(b).alias("w2"))
+            for a, b in phrases
+        ]
+    )
+    pr = (
+        hits.sparkSession.range(1)
+        .select(F.explode(phrase_rows).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    p1 = hits.select(
+        F.col(id_col),
+        F.col("term").alias("t1"),
+        F.col("positions").alias("pos1"),
+    )
+    p2 = hits.select(
+        F.col(id_col).alias("d2"),
+        F.col("term").alias("t2"),
+        F.col("positions").alias("pos2"),
+    )
+    n_hits = F.size(
+        F.array_intersect(
+            F.transform(F.col("pos1"), lambda x: x + F.lit(1)),
+            F.col("pos2"),
+        )
+    ).cast("long")
+    return (
+        p1.join(F.broadcast(pr), F.col("t1") == F.col("w1"))
+        .join(
+            p2,
+            (F.col("d2") == F.col(id_col)) & (F.col("t2") == F.col("w2")),
+        )
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("phrase"),
+            id_col,
+            n_hits.alias("n_hits"),
+        )
+        .filter(F.col("n_hits") >= 1)
     )
 
 

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators import text_analysis as TA
 from ..sources.tables import load_table
-from .registry import query
+from .registry import REGISTRY as _REG, query
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in TA.STOPWORDS)
 
@@ -871,6 +871,52 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_IDX_DELTA = 100  # the repo-wide 100-doc ingest-batch convention
 
 
+def _postings_appended(spark: SparkSession, sf_dir: str):
+    """Load (building/appending as needed) the shared positional
+    inverted-index artifacts: the postings relation (term-bucket
+    partitioned) and the per-doc stats — ONE index pair serving BM25
+    ranking AND positional phrase queries."""
+    import pyarrow.parquet as pq
+
+    from .similarity import (
+        _index_dir,
+        _load_appended_index,
+        _source_fingerprint,
+    )
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    c0 = n - _BM25_IDX_DELTA
+    docs = load_table(spark, sf_dir, "documents")
+    fp = _source_fingerprint(sf_dir, "documents")
+
+    def _slice(lo: int | None) -> DataFrame:
+        cond = (
+            F.col("doc_id") < c0 if lo is None else F.col("doc_id") >= lo
+        )
+        return docs.filter(cond)
+
+    postings = _load_appended_index(
+        spark,
+        _index_dir(sf_dir, f"invpost_b{TA.BM25_BUCKETS}"),
+        fp,
+        c0,
+        n - 1,
+        lambda: TA.inverted_postings(_slice(None)),
+        lambda lo: TA.inverted_postings(_slice(lo)),
+        extra_part_cols=("bucket",),
+    )
+    docstats = _load_appended_index(
+        spark,
+        _index_dir(sf_dir, "bm25docs"),
+        fp,
+        c0,
+        n - 1,
+        lambda: TA.bm25_docstats(_slice(None)),
+        lambda lo: TA.bm25_docstats(_slice(lo)),
+    )
+    return postings, docstats
+
+
 def _bm25_indexed_oracle() -> str:
     match = " OR ".join(
         f"list_contains(tk, '{t}')" for t in _BM25_TERMS
@@ -913,47 +959,30 @@ def _bm25_indexed_oracle() -> str:
     tags=("L4", "O2", "X1", "A1", "S5"),
 )
 def text_bm25_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pyarrow.parquet as pq
-
-    from .similarity import (
-        _index_dir,
-        _load_appended_index,
-        _source_fingerprint,
-    )
-
-    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    c0 = n - _BM25_IDX_DELTA
-    docs = load_table(spark, sf_dir, "documents")
-    fp = _source_fingerprint(sf_dir, "documents")
-
-    def _slice(lo: int | None) -> DataFrame:
-        cond = (
-            F.col("doc_id") < c0 if lo is None else F.col("doc_id") >= lo
-        )
-        return docs.filter(cond)
-
-    postings = _load_appended_index(
-        spark,
-        _index_dir(sf_dir, f"bm25post_b{TA.BM25_BUCKETS}"),
-        fp,
-        c0,
-        n - 1,
-        lambda: TA.bm25_postings(_slice(None)),
-        lambda lo: TA.bm25_postings(_slice(lo)),
-        extra_part_cols=("bucket",),
-    )
-    docstats = _load_appended_index(
-        spark,
-        _index_dir(sf_dir, "bm25docs"),
-        fp,
-        c0,
-        n - 1,
-        lambda: TA.bm25_docstats(_slice(None)),
-        lambda lo: TA.bm25_docstats(_slice(lo)),
-    )
+    postings, docstats = _postings_appended(spark, sf_dir)
     return TA.bm25_topk_from_index(
         postings, docstats, terms=_BM25_TERMS, k=10
     )
+
+
+# --------------------------------------------------------------------------
+# Phrase search served from the SAME positional postings artifact the
+# BM25 path reads (one appendable index, two query classes — the real
+# search-engine shape): adjacency per document is one array_intersect of
+# the two words' sorted position arrays, after the bucket/term-pruned
+# postings scan. No token re-scan, no position explode; the only
+# exchange is the doc-keyed join of the two word lists, sized by the
+# words' document frequency. Oracle = the full-scan text_phrase_search
+# SQL verbatim — the index path must emit exactly the live-scan rows.
+# --------------------------------------------------------------------------
+@query(
+    "text_phrase_indexed",
+    oracle=_REG["text_phrase_search"].oracle,
+    tags=("L4", "J1", "A1", "X4", "S5"),
+)
+def text_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    postings, _ = _postings_appended(spark, sf_dir)
+    return TA.phrase_hits_from_index(postings, tuple(_PHRASES))
 
 
 # --------------------------------------------------------------------------

@@ -124,8 +124,8 @@ def test_bm25_index_matches_restricted_fullscan(spark, tmp_path):
         "fp0",
         CUT,
         n_max,
-        lambda: TA.bm25_postings(_slice(None)),
-        lambda lo: TA.bm25_postings(_slice(lo)),
+        lambda: TA.inverted_postings(_slice(None)),
+        lambda lo: TA.inverted_postings(_slice(lo)),
         extra_part_cols=("bucket",),
     )
     docstats = _load_appended_index(
@@ -165,7 +165,7 @@ def test_bm25_postings_scan_partition_pruned(spark, tmp_path):
     between reading ≤ q buckets and the whole postings relation."""
     docs = _docs(spark)
     path = os.path.join(str(tmp_path), "post")
-    TA.bm25_postings(docs).withColumn(
+    TA.inverted_postings(docs).withColumn(
         "seg", F.lit(0)
     ).write.partitionBy("seg", "bucket").parquet(path)
     postings = spark.read.parquet(path).drop("seg")
