@@ -1374,6 +1374,7 @@ def dedup_minhash_incremental_indexed(
     "dedup_minhash_index_append",
     oracle=_REG["dedup_minhash_relational"].oracle,
     tags=("O6", "J2", "A1", "X1", "S5"),
+    bench=True,
 )
 def dedup_minhash_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.parquet as pq

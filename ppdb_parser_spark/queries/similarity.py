@@ -610,6 +610,7 @@ def sim_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ivf_append_topk",
     oracle=_ivf_kmeans_oracle(probe_id=3),
     tags=("L1", "L2", "O2", "S5"),
+    bench=True,
 )
 def sim_ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.parquet as pq
@@ -949,6 +950,7 @@ def sim_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_pq_append_topk",
     oracle=_pq_kmeans_oracle(probe_id=3),
     tags=("L1", "L2", "O2", "S5", "U4"),
+    bench=True,
 )
 def sim_pq_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.parquet as pq

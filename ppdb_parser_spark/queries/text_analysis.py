@@ -957,6 +957,7 @@ def _bm25_indexed_oracle() -> str:
     "text_bm25_indexed_topk",
     oracle=_bm25_indexed_oracle(),
     tags=("L4", "O2", "X1", "A1", "S5"),
+    bench=True,
 )
 def text_bm25_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings, docstats = _postings_appended(spark, sf_dir)
