@@ -469,6 +469,31 @@ def jaccard_pairs_from_index(
     )
 
 
+def jaccard_pairs_full_from_index(
+    index_base: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Full-corpus prefix-Jaccard pairs served ENTIRELY from the
+    persisted packed base — the steady-state read path of an appendable
+    packed-base index (queries/similarity._load_appended_index): no
+    document text is scanned, no shingling runs. Document frequencies,
+    canonical order, prefixes and verification sets all derive from the
+    loaded relation, so results are byte-identical to
+    :func:`jaccard_pairs_prefix` over the live corpus (the
+    dedup_jaccard_prefix oracle applies verbatim)."""
+    nparts = min_partitions or shuffle_width(index_base.sparkSession)
+    base = (
+        index_base.repartition(nparts, F.col(id_col))
+        .localCheckpoint(eager=False)
+    )
+    return _jaccard_prefix_tail(
+        base, threshold, id_col,
+        delta_min_id=None, cross_min_id=None, stage_probe=None,
+    )
+
+
 def jaccard_pairs_prefix(
     df: DataFrame,
     threshold: float = 0.5,

@@ -1427,6 +1427,56 @@ def dedup_minhash_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# The same batch-accept commit for the EXACT tier: the prefix-Jaccard
+# packed base appends per-batch (pack only the delta's shingle sets),
+# and the full-corpus exact near-dup join is served from the index alone
+# — df counts, canonical order, prefixes and verification sets all
+# derive from the loaded relation, no text scanned, no shingling. Oracle
+# = the uncapped Jaccard join verbatim (append-then-serve must equal a
+# from-scratch rebuild on the EXACT tier too, not just the banded one).
+# --------------------------------------------------------------------------
+@query(
+    "dedup_jaccard_index_append",
+    oracle=_REG["dedup_jaccard_prefix"].oracle,
+    tags=("O6", "J2", "A1", "X4", "S5"),
+)
+def dedup_jaccard_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow.parquet as pq
+
+    from .similarity import (
+        _index_dir,
+        _load_appended_index,
+        _source_fingerprint,
+    )
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    c0 = n - _DELTA_DOCS
+    docs = load_table(spark, sf_dir, "documents")
+    fp = _source_fingerprint(sf_dir, "documents")
+
+    def _packed_of(lo: int | None):
+        cond = (
+            F.col("doc_id") < c0 if lo is None else F.col("doc_id") >= lo
+        )
+        return DD.jaccard_packed_base(
+            docs.filter(cond), n=2, min_partitions=_par(spark)
+        )
+
+    packed = _load_appended_index(
+        spark,
+        _index_dir(sf_dir, "jacbase_app_n2"),
+        fp,
+        c0,
+        n - 1,
+        lambda: _packed_of(None),
+        lambda lo: _packed_of(lo),
+    )
+    return DD.jaccard_pairs_full_from_index(
+        packed, threshold=0.5, min_partitions=_par(spark)
+    )
+
+
+# --------------------------------------------------------------------------
 # Embedding near-dup over the HASH-EXACT LSH tier: identical survivor
 # semantics as dedup_embedding, candidates from the grid-exact hyperplane
 # join — so the sub-quadratic scale path itself now carries a full
