@@ -408,6 +408,14 @@ def _load_appended_index(
     source table here (static fixtures); on a real append-only lake it
     would cover only the base snapshot's files, which appends leave
     untouched.
+
+    Multi-artifact queries (e.g. MinHash bands + sets) load each
+    artifact through this function in the same invocation, so BOTH are
+    advanced to the current mark before any serve plan is built — a
+    crash between two artifacts' appends leaves them at different marks
+    only until the next load, which brings each current independently
+    (per-artifact idempotency; no cross-artifact transaction needed
+    because serves never read a stamped artifact without loading it).
     """
     meta_path = path + "_meta"
     mark = None
