@@ -174,6 +174,11 @@ def test_bm25_postings_scan_partition_pruned(spark, tmp_path):
         postings, docstats, ("query", "stream", "merge"), k=10
     )
     assert_partition_pruned(df, "bucket", "text_bm25_indexed_topk")
+    ph = TA.phrase_hits_from_index(
+        postings, (("table", "hash"), ("order", "fast"))
+    )
+    assert_partition_pruned(ph, "bucket", "text_phrase_indexed")
+    assert ph.count() > 0
 
 
 def test_multi_batch_append_then_compact(spark, tmp_path):
