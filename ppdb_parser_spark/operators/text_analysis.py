@@ -596,6 +596,119 @@ def inverted_postings(
     )
 
 
+def bm25_batch_from_index(
+    postings: DataFrame,
+    docstats: DataFrame,
+    queries: dict,
+    k: int = 10,
+    n_buckets: int = BM25_BUCKETS,
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """BATCH BM25 from the postings index: all queries served by ONE
+    bucket/term-pruned postings scan (the `ivf_batch_topk` rule — never
+    m per-query plans). ``queries`` maps query_id → term tuple; all
+    tuples must share one arity so every query's score is the same
+    left-associated m-term IEEE sum shape (term VALUES come from the
+    joined per-position tf/df columns, so one expression serves every
+    query — and the oracle can mirror it per query verbatim).
+
+    Plan: pruned scan → broadcast join to the (query_id, term, pos)
+    relation (q·m literal rows) → ONE (query_id, doc) pivot aggregate →
+    broadcast per-query df row + 1-row corpus stats → per-query top-k in
+    one window. The scan and the shuffle are paid once for the whole
+    batch; each query adds only its candidate rows."""
+    import zlib
+
+    arities = {len(t) for t in queries.values()}
+    if len(arities) != 1:
+        raise ValueError(
+            f"all queries must share one arity, got {sorted(arities)}"
+        )
+    m = arities.pop()
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    buckets = sorted(
+        {zlib.crc32(t.encode()) % n_buckets for t in all_terms}
+    )
+    hits = postings.filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(all_terms)
+    ).select(id_col, "term", "tf")
+    qterms = (
+        hits.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(qid).alias("query_id"),
+                            F.lit(t).alias("term"),
+                            F.lit(i).alias("pos"),
+                        )
+                        for qid, ts in sorted(queries.items())
+                        for i, t in enumerate(ts)
+                    ]
+                )
+            ).alias("q")
+        )
+        .select("q.query_id", "q.term", "q.pos")
+    )
+    matched = hits.join(F.broadcast(qterms), "term")
+    tfs = matched.groupBy("query_id", id_col).agg(
+        *[
+            F.sum(F.when(F.col("pos") == i, F.col("tf"))).alias(f"tf_{i}")
+            for i in range(m)
+        ]
+    )
+    # per-(term) df once from the pruned scan, then per-(query, pos)
+    dfs = hits.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    qdf = (
+        qterms.join(dfs, "term", "left")
+        .groupBy("query_id")
+        .agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("pos") == i, F.col("df"))),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias(f"df_{i}")
+                for i in range(m)
+            ]
+        )
+    )
+    n_agg = docstats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tok"),
+    )
+    scored = (
+        tfs.join(F.broadcast(qdf), "query_id")
+        .join(docstats.select(id_col, "dl", *keep_cols), id_col)
+        .crossJoin(F.broadcast(n_agg))
+    )
+    score = _bm25_score_expr(
+        tuple(range(m)),
+        lambda i, t: F.coalesce(F.col(f"tf_{i}"), F.lit(0)).cast("double"),
+        F.col("dl"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25"), F.asc(id_col)
+    )
+    return (
+        scored.select(
+            "query_id",
+            F.col(id_col),
+            *keep_cols,
+            F.round(score, 6).alias("bm25"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def phrase_hits_from_index(
     postings: DataFrame,
     phrases: tuple[tuple[str, str], ...],

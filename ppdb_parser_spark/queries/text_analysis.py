@@ -987,6 +987,73 @@ def text_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# BATCH BM25 from the same postings index: all queries in one
+# bucket/term-pruned scan + ONE (query_id, doc) aggregate + one window —
+# the ivf_batch_topk rule (never m per-query plans) applied to text
+# retrieval. All queries share one arity so every score is the same
+# left-associated 3-term IEEE sum shape, mirrored per query in the
+# oracle's UNION ALL branches.
+# --------------------------------------------------------------------------
+_BM25_BATCH = {
+    "qA": ("query", "stream", "merge"),
+    "qB": ("table", "hash", "join"),
+    "qC": ("order", "fast", "window"),
+}
+
+
+def _bm25_batch_oracle() -> str:
+    branches = []
+    for qid, terms in sorted(_BM25_BATCH.items()):
+        match = " OR ".join(f"list_contains(tk, '{t}')" for t in terms)
+        stats_df = ",\n               ".join(
+            f"SUM(CASE WHEN list_contains(tk, '{t}') THEN 1 ELSE 0 END)"
+            f" AS df_{i}"
+            for i, t in enumerate(terms)
+        )
+        score = " + ".join(
+            f"""(round(ln(1.0 + ((n_docs - df_{i} + 0.5) / (df_{i} + 0.5))), 9)
+           * (CAST(len(list_filter(tk, x -> x = '{t}')) AS DOUBLE) * 2.2)
+           / (CAST(len(list_filter(tk, x -> x = '{t}')) AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * (CAST(len(tk) AS DOUBLE)
+                                      / (CAST(total_tok AS DOUBLE)
+                                         / n_docs)))))"""
+            for i, t in enumerate(terms)
+        )
+        branches.append(
+            f"""
+      SELECT '{qid}' AS query_id, doc_id, lang,
+             round({score}, 6) AS bm25
+      FROM (SELECT doc_id, lang, tk FROM toks WHERE {match}),
+           (SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(len(tk)) AS BIGINT) AS total_tok,
+                   {stats_df}
+            FROM toks)"""
+        )
+    union = "\n      UNION ALL".join(branches)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, str_split(text, ' ') AS tk FROM documents
+    ),
+    scored AS ({union})
+    SELECT query_id, doc_id, lang, bm25, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY bm25 DESC, doc_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """
+
+
+@query(
+    "text_bm25_batch_topk",
+    oracle=_bm25_batch_oracle(),
+    tags=("L4", "O2", "W1", "A1", "S5"),
+)
+def text_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    postings, docstats = _postings_appended(spark, sf_dir)
+    return TA.bm25_batch_from_index(postings, docstats, _BM25_BATCH, k=10)
+
+
+# --------------------------------------------------------------------------
 # Dyadic entropy bound — a repetitiveness signal from the token-frequency
 # DISTRIBUTION (complementary to text_repetition's positional n-gram
 # fractions; low token entropy ≈ CCNet/RefinedWeb-style boilerplate).
