@@ -181,6 +181,42 @@ def test_bm25_postings_scan_partition_pruned(spark, tmp_path):
     assert ph.count() > 0
 
 
+def test_bm25_batch_matches_single_query_path(spark, tmp_path):
+    """Each batch member's rows must equal the single-query serving path
+    for the same terms (same pruned-scan inputs, same score grid), and
+    mixed arities are rejected loudly."""
+    import pytest
+
+    docs = _docs(spark)
+    path = os.path.join(str(tmp_path), "post")
+    TA.inverted_postings(docs).withColumn(
+        "seg", F.lit(0)
+    ).write.partitionBy("seg", "bucket").parquet(path)
+    postings = spark.read.parquet(path).drop("seg")
+    docstats = TA.bm25_docstats(docs)
+    queries = {
+        "qA": ("query", "stream", "merge"),
+        "qB": ("table", "hash", "join"),
+    }
+    batch = TA.bm25_batch_from_index(postings, docstats, queries, k=10)
+    rows = {
+        qid: [
+            (r.doc_id, r.lang, r.bm25)
+            for r in batch.filter(F.col("query_id") == qid)
+            .orderBy("rk")
+            .collect()
+        ]
+        for qid in queries
+    }
+    for qid, terms in queries.items():
+        single = TA.bm25_topk_from_index(postings, docstats, terms, k=10)
+        assert rows[qid] == [tuple(r) for r in single.collect()], qid
+    with pytest.raises(ValueError, match="arity"):
+        TA.bm25_batch_from_index(
+            postings, docstats, {"a": ("x", "y"), "b": ("x", "y", "z")}
+        )
+
+
 def test_multi_batch_append_then_compact(spark, tmp_path):
     """Ten 10-doc batches accumulate ten segments on top of the base;
     compaction collapses them to one seg=0 partition with byte-identical
