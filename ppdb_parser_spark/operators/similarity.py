@@ -93,13 +93,17 @@ def fold_dot_cols(
     its ``sqrt`` stays in-plan, correctly rounded in both engines).
 
     Unlike :func:`gemm_assign_cells` there is NO seeds context and NO
-    block exchange: rows stream through ``mapInPandas`` in scan order, a
-    pure narrow map like the fold it replaces, minus the interpreter
-    (the nested ``aggregate``/``zip_with`` lambda is not whole-stage
+    block exchange: rows stream through the map in scan order, a pure
+    narrow map like the fold it replaces, minus the interpreter (the
+    nested ``aggregate``/``zip_with`` lambda is not whole-stage
     codegen'd). ``keep_cols`` must carry everything downstream needs —
-    array columns not kept are pruned at the scan."""
-    import pandas as pd
+    array columns not kept are pruned at the scan.
 
+    Round 15 (guide §4.2): raw Arrow batches — the operand list columns
+    reshape zero-copy (:func:`~..linalg.arrow_list_to_2d`) and the
+    ``keep_cols`` pass through as untouched Arrow arrays instead of a
+    pandas round-trip (which materialized every kept array column as
+    per-row ndarray objects on BOTH crossings)."""
     dtypes = dict(df.dtypes)
     in_cols = list(
         dict.fromkeys(
@@ -113,26 +117,30 @@ def fold_dot_cols(
 
     def fold_batches(batches):
         import numpy as np
+        import pyarrow as pa
 
-        for pdf in batches:
-            n = len(pdf)
-            out = {c: pdf[c] for c in keep_cols}
+        from .linalg import arrow_list_to_2d
+
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                continue
             arrs = {}
             for c in dict.fromkeys(c for t in terms for c in t[:2]):
-                arrs[c] = (
-                    np.array(list(pdf[c]), dtype=np.float64)
-                    if n
-                    else np.zeros((0, 1), dtype=np.float64)
-                )
-            for a_col, b_col, name in terms:
+                arrs[c] = arrow_list_to_2d(rb.column(c), np.float64)
+            outs = []
+            for a_col, b_col, _name in terms:
                 A, B = arrs[a_col], arrs[b_col]
                 acc = np.zeros(n, dtype=np.float64)
-                for t in range(A.shape[1] if n else 0):
+                for t in range(A.shape[1]):
                     acc += A[:, t] * B[:, t]
-                out[name] = acc
-            yield pd.DataFrame(out)
+                outs.append(pa.array(acc))
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(c) for c in keep_cols] + outs,
+                [*keep_cols, *(t[2] for t in terms)],
+            )
 
-    return df.select(*in_cols).mapInPandas(fold_batches, out_schema)
+    return df.select(*in_cols).mapInArrow(fold_batches, out_schema)
 
 
 def cosine_topk_by_id(
@@ -1302,6 +1310,22 @@ def _np_round_half_away(v):
     return np.copysign(fa + (a - fa >= 0.5), v).astype(np.int64)
 
 
+def _np_round_half_away_consume(v):
+    """:func:`_np_round_half_away` with fused in-place temporaries —
+    identical values (same abs/floor/half-compare/copysign sequence on
+    the same float64 inputs), ~2 fewer full-array allocations per call.
+    CONSUMES ``v``: the caller must own the (freshly allocated) array
+    and not reuse it afterwards."""
+    import numpy as np
+
+    a = np.abs(v)
+    fa = np.floor(a)
+    np.subtract(a, fa, out=a)
+    fa += a >= 0.5
+    np.copysign(fa, v, out=fa)
+    return fa.astype(np.int64)
+
+
 #: Target bytes of corpus rows collected into ONE kernel block (one
 #: ``collect_list`` array value inside one executor task) — the binding
 #: sizing constraint at scale; see :func:`kernel_block_count`.
@@ -1551,9 +1575,12 @@ def gemm_lsh_bits(
 
     Returns df's (id, *extra_cols, vec) columns plus ``bits array<int>``
     (one 0/1 per plane, plane order). Callers assemble band strings or
-    packed signatures in-plan — O(planes) per row, not O(planes·dim)."""
-    import pandas as pd
+    packed signatures in-plan — O(planes) per row, not O(planes·dim).
 
+    Round 15 (guide §4.2): raw Arrow batches — zero-copy list→(n, d)
+    reshape on the way in, offsets-built list column on the way out,
+    pass-through columns untouched (the pandas form materialized every
+    row's vector as an ndarray object on both crossings)."""
     dtypes = dict(df.dtypes)
     cols = [id_col, *extra_cols, vec_col]
     out_schema = ", ".join(
@@ -1562,27 +1589,36 @@ def gemm_lsh_bits(
 
     def sig_batches(batches):
         import numpy as np
+        import pyarrow as pa
+
+        from .linalg import arrow_list_to_2d
 
         Hm = np.array(planes, dtype=np.float64)
         n_pl, d = Hm.shape
-        for pdf in batches:
-            n = len(pdf)
-            if n:
-                Q = np.array(list(pdf[vec_col]), dtype=np.float64)
-                step = max(1, 4_000_000 // max(1, n_pl * d))
-                bits = np.empty((n, n_pl), dtype=np.int32)
-                for lo in range(0, n, step):
-                    v = (Q[lo : lo + step, None, :] * Hm[None, :, :]) * 1e9
-                    g = _np_round_half_away(v).sum(axis=2)
-                    bits[lo : lo + step] = (g >= 0).astype(np.int32)
-                out_bits = list(bits)
-            else:
-                out_bits = []
-            yield pd.DataFrame(
-                {**{c: pdf[c] for c in cols}, "bits": out_bits}
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                continue
+            Q = arrow_list_to_2d(rb.column(vec_col), np.float64)
+            step = max(1, 4_000_000 // max(1, n_pl * d))
+            bits = np.empty((n, n_pl), dtype=np.int32)
+            for lo in range(0, n, step):
+                v = np.multiply(Q[lo : lo + step, None, :], Hm[None, :, :])
+                v *= 1e9
+                g = _np_round_half_away_consume(v).sum(axis=2)
+                bits[lo : lo + step] = (g >= 0).astype(np.int32)
+            bits_col = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(0, (n + 1) * n_pl, n_pl, dtype=np.int32)
+                ),
+                pa.array(bits.ravel()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(c) for c in cols] + [bits_col],
+                [*cols, "bits"],
             )
 
-    return df.select(*cols).mapInPandas(sig_batches, out_schema)
+    return df.select(*cols).mapInArrow(sig_batches, out_schema)
 
 
 def pq_encode(
@@ -2802,6 +2838,18 @@ def gemm_pair_cosine_refine(
     the corpus, so the operator's 100 TB shape is unchanged from the hof
     form it replaces.
 
+    Round 15 (guide §4.2): the kernel consumes RAW ARROW BATCHES
+    (``mapInArrow``) instead of pandas frames — a fixed-width Arrow
+    list column is one contiguous values buffer plus offsets, so
+    :func:`~..linalg.arrow_list_to_2d` reshapes it into the (n, d)
+    operand in ~0.04 ms/batch where the pandas path materialized a
+    Python ndarray object per row (~20 ms per 10 k×64 batch, ×2
+    operands — the measured majority of the refine stage). The rounding
+    chain also fuses its temporaries with in-place ops (same
+    ``(A·B)·1e9`` parenthesization, floor/half-compare/copysign
+    sequence — bit-identity pinned by
+    test_pair_refine_gemm_equals_hof / the fused-vs-naive edge tests).
+
     ``dot="float"`` serves the float-signature LSH tier
     (:func:`lsh_similarity_join`): the in-plan :func:`_dot` is an
     order-dependent LEFT FOLD, so the kernel accumulates
@@ -2809,8 +2857,6 @@ def gemm_pair_cosine_refine(
     ``((0+t₀)+t₁)+…`` sequence per pair, vectorized over pairs; the
     :func:`gemm_assign_cells` float-flavor rule), then the same
     round-6 + threshold tail."""
-    import pandas as pd
-
     thr = float(threshold)
     if dot not in ("grid", "float"):
         raise ValueError(f"dot must be 'grid' or 'float', got {dot!r}")
@@ -2818,28 +2864,29 @@ def gemm_pair_cosine_refine(
 
     def refine_batches(batches):
         import numpy as np
+        import pyarrow as pa
 
-        for pdf in batches:
-            n = len(pdf)
+        from .linalg import arrow_list_to_2d
+
+        for rb in batches:
+            n = rb.num_rows
             if not n:
-                yield pd.DataFrame(
-                    {"id_a": [], "id_b": [], "cosine": []}
-                )
                 continue
-            A = np.array(list(pdf["va"]), dtype=np.float64)
-            B = np.array(list(pdf["vb"]), dtype=np.float64)
+            A = arrow_list_to_2d(rb.column("va"), np.float64)
+            B = arrow_list_to_2d(rb.column("vb"), np.float64)
             d = A.shape[1]
-            den = pdf["na"].to_numpy(dtype=np.float64) * pdf[
-                "nb"
-            ].to_numpy(dtype=np.float64)
+            den = rb.column("na").to_numpy(
+                zero_copy_only=False
+            ) * rb.column("nb").to_numpy(zero_copy_only=False)
             if use_grid:
                 dg = np.empty(n, dtype=np.int64)
                 step = max(1, 4_000_000 // max(1, d))
                 for lo in range(0, n, step):
-                    t = _np_round_half_away(
-                        (A[lo : lo + step] * B[lo : lo + step]) * 1e9
-                    )
-                    dg[lo : lo + step] = t.sum(axis=1)
+                    v = np.multiply(A[lo : lo + step], B[lo : lo + step])
+                    v *= 1e9
+                    dg[lo : lo + step] = _np_round_half_away_consume(
+                        v
+                    ).sum(axis=1)
                 num = dg.astype(np.float64) / 1e9
             else:
                 acc = np.zeros(n, dtype=np.float64)
@@ -2857,13 +2904,21 @@ def gemm_pair_cosine_refine(
             cos = num / den
             r6 = _np_round6(cos)
             keep = r6 >= thr
-            out = pdf.loc[keep, ["id_a", "id_b"]].reset_index(drop=True)
-            out["cosine"] = r6[keep]
-            yield out
+            if not keep.any():
+                continue
+            mask = pa.array(keep)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column("id_a").filter(mask),
+                    rb.column("id_b").filter(mask),
+                    pa.array(r6[keep]),
+                ],
+                ["id_a", "id_b", "cosine"],
+            )
 
     return pairs.select(
         "id_a", "id_b", "va", "na", "vb", "nb"
-    ).mapInPandas(
+    ).mapInArrow(
         refine_batches, f"id_a {id_type}, id_b {id_type}, cosine double"
     )
 
@@ -2889,24 +2944,29 @@ def gemm_jl_screen(
 
     Input: ``(id_a, id_b, jla, jlb)``; output: the surviving
     ``(id_a, id_b)`` — identical to the decimal filter, so the
-    jl-screened oracle is unchanged."""
-    import pandas as pd
+    jl-screened oracle is unchanged.
 
+    Round 15 (guide §4.2): raw Arrow batches + zero-copy list→(n, d)
+    reshape (:func:`~..linalg.arrow_list_to_2d`), same decision logic —
+    fast float compare outside the ±1e9 guard band, exact Python-int
+    arithmetic inside it."""
     bnd_i = int(bound)
     bnd_f = float(bnd_i)
     guard = 1e9
 
     def screen_batches(batches):
         import numpy as np
+        import pyarrow as pa
 
-        for pdf in batches:
-            n = len(pdf)
+        from .linalg import arrow_list_to_2d
+
+        for rb in batches:
+            n = rb.num_rows
             if not n:
-                yield pd.DataFrame({"id_a": [], "id_b": []})
                 continue
-            D = np.array(list(pdf["jla"]), dtype=np.int64) - np.array(
-                list(pdf["jlb"]), dtype=np.int64
-            )
+            D = arrow_list_to_2d(
+                rb.column("jla"), np.int64
+            ) - arrow_list_to_2d(rb.column("jlb"), np.int64)
             Df = D.astype(np.float64)
             s = (Df * Df).sum(axis=1)
             keep = s <= bnd_f - guard
@@ -2915,9 +2975,18 @@ def gemm_jl_screen(
                 keep[r] = (
                     sum(int(x) * int(x) for x in D[r]) <= bnd_i
                 )
-            yield pdf.loc[keep, ["id_a", "id_b"]].reset_index(drop=True)
+            if not keep.any():
+                continue
+            mask = pa.array(keep)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column("id_a").filter(mask),
+                    rb.column("id_b").filter(mask),
+                ],
+                ["id_a", "id_b"],
+            )
 
-    return pairs.select("id_a", "id_b", "jla", "jlb").mapInPandas(
+    return pairs.select("id_a", "id_b", "jla", "jlb").mapInArrow(
         screen_batches, f"id_a {id_type}, id_b {id_type}"
     )
 
@@ -3544,8 +3613,6 @@ def _sem_cell_dominance(
     pinned by tests/test_operators.py::test_sem_dominance_gemm_equals_hof.
     """
     if tier == "gemm":
-        import pandas as pd
-
         dtypes = dict(assigned.dtypes)
         out_schema = (
             f"`{id_col}` {dtypes[id_col]}, "
@@ -3555,31 +3622,42 @@ def _sem_cell_dominance(
 
         delta = delta_min_id
 
-        def dominate(pdf):
+        def dominate(tbl):
             import numpy as np
+            import pyarrow as pa
 
-            n = len(pdf)
-            ids = pdf[id_col].to_numpy()
-            cells = pdf["cell_id"].to_numpy()
+            from .linalg import arrow_list_to_2d
+
+            def emit(ids_v, cells_v, kept_v):
+                return pa.Table.from_arrays(
+                    [pa.array(ids_v), pa.array(cells_v),
+                     pa.array(np.asarray(kept_v, dtype=bool))],
+                    [id_col, "cell_id", "kept"],
+                )
+
+            t = tbl.combine_chunks()
+            n = t.num_rows
+            ids = t.column(id_col).to_numpy()
+            cells = t.column("cell_id").to_numpy()
             if delta is not None:
                 keep_rows = ids >= delta
                 if not keep_rows.any():
-                    return pd.DataFrame(
-                        {id_col: ids[:0], "cell_id": cells[:0],
-                         "kept": np.zeros(0, dtype=bool)}
+                    return emit(
+                        ids[:0], cells[:0], np.zeros(0, dtype=bool)
                     )
             if n <= 1:
                 if delta is not None:
-                    return pd.DataFrame(
-                        {id_col: ids[keep_rows], "cell_id": cells[keep_rows],
-                         "kept": [True] * int(keep_rows.sum())}
+                    return emit(
+                        ids[keep_rows],
+                        cells[keep_rows],
+                        np.ones(int(keep_rows.sum()), dtype=bool),
                     )
-                return pd.DataFrame(
-                    {id_col: ids, "cell_id": cells, "kept": [True] * n}
-                )
+                return emit(ids, cells, np.ones(n, dtype=bool))
             order = np.argsort(ids, kind="stable")
-            Q = np.array(list(pdf["__qv"]), dtype=np.int64)[order]
-            nrm = pdf["__nrm"].to_numpy(dtype=np.float64)[order]
+            Q = arrow_list_to_2d(t.column("__qv").chunk(0), np.int64)[
+                order
+            ]
+            nrm = t.column("__nrm").to_numpy()[order]
             if not nrm.all():
                 raise ValueError(
                     "_sem_cell_dominance: zero norm in cell — the hof "
@@ -3612,13 +3690,10 @@ def _sem_cell_dominance(
             kept = np.empty(n, dtype=bool)
             kept[order] = ~dom
             if delta is not None:
-                return pd.DataFrame(
-                    {id_col: ids[keep_rows], "cell_id": cells[keep_rows],
-                     "kept": kept[keep_rows]}
+                return emit(
+                    ids[keep_rows], cells[keep_rows], kept[keep_rows]
                 )
-            return pd.DataFrame(
-                {id_col: ids, "cell_id": cells, "kept": kept}
-            )
+            return emit(ids, cells, kept)
 
         return (
             assigned.select(id_col, "__qv", "__nrm", "cell_id")
@@ -3628,13 +3703,16 @@ def _sem_cell_dominance(
             # per-cell GEMMs (measured 7 tasks on 16 cores at the 16×
             # rung). A user-specified count is AQE-exempt, and a relation
             # already hash-partitioned by cell_id satisfies the
-            # applyInPandas clustering requirement — no second exchange.
+            # grouped-map clustering requirement — no second exchange.
             .repartition(
                 shuffle_width(assigned.sparkSession),
                 F.col("cell_id"),
             )
             .groupBy("cell_id")
-            .applyInPandas(dominate, out_schema)
+            # round 15: applyInArrow — the cell's __qv list column
+            # reshapes zero-copy instead of materializing per-row
+            # ndarray objects (guide §4.2); values identical
+            .applyInArrow(dominate, out_schema)
         )
     if tier != "hof":
         raise ValueError(f"tier must be 'gemm' or 'hof', got {tier!r}")
