@@ -245,7 +245,10 @@ def _word_ngrams(toks: Column, n_col: Column, n: int) -> Column:
 
 
 def repetition_stats(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tier: str = "kernel",
 ) -> DataFrame:
     """Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
     Models: ... Gopher", appendix A1.1 repetition filters — public paper):
@@ -257,14 +260,37 @@ def repetition_stats(
     - ``dup_trigram_frac`` — occurrences belonging to word 3-grams that
       appear more than once / total 3-grams.
 
-    Plan shape (the 100 TB read): uni/bi/tri-grams are all built in-row
-    (``_word_ngrams``), tagged with a 1-char kind, concatenated, and
-    exploded ONCE — so the whole operator is one gram-stream explode →
-    one (id, kind, gram)-keyed hash aggregate → one (id, kind) partial →
-    one (id) pivot aggregate. All keys are uniform (doc_id dominates),
-    map-side combine applies at every level, and nothing is ever joined —
-    a pure aggregation cascade that scales linearly with corpus tokens.
+    ``tier="agg"`` (the original form, kept as the A/B twin): uni/bi/
+    tri-grams are all built in-row (``_word_ngrams``), tagged with a
+    1-char kind, concatenated, and exploded ONCE — one gram-stream
+    explode → one (id, kind, gram)-keyed hash aggregate → one (id, kind)
+    partial → one (id) pivot aggregate; linear in corpus tokens but the
+    first exchange carries every gram STRING (~3× the text bytes).
+
+    ``tier="kernel"`` (default, round 15 — guide §2.4 "remove shuffles
+    outright" + §4.2 "hand whole batches to vectorized native code"):
+    the whole statistic is PER-DOCUMENT, so no cross-row exchange is
+    fundamentally needed — a ``mapInArrow`` narrow map computes it with
+    ZERO shuffles. Per batch: ``split_pattern`` tokenizes (byte-exact
+    with ``F.split(text, ' ')`` — literal-space pattern, empties kept,
+    pinned by test_repetition_kernel_equals_agg), tokens
+    dictionary-encode to int32 codes (vectorized C++ hashing — gram
+    strings never exist), bigrams/trigrams become packed int64 code
+    pairs (tokens cannot contain the separator, so code-pair equality
+    IS gram-string equality; trigrams pair-encode first — both factors
+    < 2³², the pack is collision-free, NOT a hash), and per-(doc, gram)
+    counts fall out of one lexsort + run-length pass with
+    ``maximum.reduceat``/``add.reduceat`` per-doc reductions. Counts are
+    exact integers and the output fractions divide the same int64
+    values the agg tier divides, so results are bit-identical and every
+    oracle is unchanged. Docs with NULL text vanish (the explode
+    semantics); kind-"2"/"3" fractions are NULL below 2/3 tokens (the
+    missing-kind semantics).
     """
+    if tier == "kernel":
+        return _repetition_stats_kernel(df, id_col, text_col)
+    if tier != "agg":
+        raise ValueError(f"tier must be 'kernel' or 'agg', got {tier!r}")
     toks = tokens(text_col)
     n = F.size(toks)
     grams = F.concat(
@@ -306,6 +332,112 @@ def repetition_stats(
     )
 
 
+def _repetition_stats_kernel(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """The zero-shuffle Arrow tier of :func:`repetition_stats` — see its
+    docstring for the contract; values are bit-identical to the agg
+    cascade (parity pinned by test_repetition_kernel_equals_agg)."""
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = (
+        f"`{id_col}` {id_type}, n_tokens long, top_token_frac double, "
+        "top_bigram_frac double, dup_trigram_frac double"
+    )
+
+    def rep_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def doc_top_dup(d, k, n_docs):
+            """Per-doc (top gram count, Σ counts of grams with count>1)
+            over a (doc, gram-key) stream; ``d`` is nondecreasing.
+            Returns dense (n_docs,) int64 arrays (0 where no grams)."""
+            top = np.zeros(n_docs, dtype=np.int64)
+            dup = np.zeros(n_docs, dtype=np.int64)
+            if not len(d):
+                return top, dup
+            order = np.lexsort((k, d))
+            ds, ks = d[order], k[order]
+            new = np.empty(len(ds), dtype=bool)
+            new[0] = True
+            new[1:] = (ds[1:] != ds[:-1]) | (ks[1:] != ks[:-1])
+            starts = np.nonzero(new)[0]
+            counts = np.diff(np.append(starts, len(ds)))
+            gdoc = ds[starts]  # doc per distinct gram, nondecreasing
+            dnew = np.empty(len(gdoc), dtype=bool)
+            dnew[0] = True
+            dnew[1:] = gdoc[1:] != gdoc[:-1]
+            dstarts = np.nonzero(dnew)[0]
+            docs_present = gdoc[dstarts]
+            top[docs_present] = np.maximum.reduceat(counts, dstarts)
+            dup[docs_present] = np.add.reduceat(
+                np.where(counts > 1, counts, 0), dstarts
+            )
+            return top, dup
+
+        for rb in batches:
+            ids = rb.column(0)
+            texts = rb.column(1)
+            if texts.null_count:
+                valid = pc.is_valid(texts)
+                ids = ids.filter(valid)
+                texts = texts.filter(valid)
+            n_docs = len(texts)
+            if not n_docs:
+                continue
+            toks = pc.split_pattern(texts, " ")
+            offs = toks.offsets.to_numpy()
+            codes = (
+                pc.dictionary_encode(toks.values)
+                .indices.to_numpy()
+                .astype(np.int64)
+            )
+            doc_len = np.diff(offs).astype(np.int64)
+            doc_idx = np.repeat(
+                np.arange(n_docs, dtype=np.int64), doc_len
+            )
+            # unigrams: doc-scoped token codes
+            top1, _ = doc_top_dup(doc_idx, codes, n_docs)
+            # bigrams: adjacent same-doc code pairs, packed collision-free
+            adj = doc_idx[1:] == doc_idx[:-1]
+            kb = (codes[:-1] << 32) | codes[1:]
+            top2, _ = doc_top_dup(doc_idx[:-1][adj], kb[adj], n_docs)
+            # trigrams: pair-encode the bigram keys (dense codes < 2^32),
+            # then pack with the third token's code
+            if len(kb):
+                _, pcode = np.unique(kb, return_inverse=True)
+            else:
+                pcode = np.zeros(0, dtype=np.int64)
+            adj3 = adj[:-1] & (doc_idx[2:] == doc_idx[:-2])
+            kt = (pcode[:-1].astype(np.int64) << 32) | codes[2:]
+            _, dup3 = doc_top_dup(doc_idx[:-2][adj3], kt[adj3], n_docs)
+
+            nt = doc_len.astype(np.float64)
+            f1 = top1 / nt
+            with np.errstate(divide="ignore", invalid="ignore"):
+                f2 = top2 / (nt - 1.0)
+                f3 = dup3 / (nt - 2.0)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(doc_len),
+                    pa.array(f1),
+                    pa.array(f2, mask=doc_len < 2),
+                    pa.array(f3, mask=doc_len < 3),
+                ],
+                [
+                    id_col,
+                    "n_tokens",
+                    "top_token_frac",
+                    "top_bigram_frac",
+                    "dup_trigram_frac",
+                ],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(rep_batches, out_schema)
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -326,7 +458,15 @@ def winnow_fingerprints(
     Cross-engine-exact hashing: the "hash" is the first 16 hex chars of
     md5(k-gram) — fixed-width lowercase hex, so lexicographic MIN equals
     numeric MIN and Spark/DuckDB agree byte-for-byte (no engine-specific
-    integer hash involved).
+    integer hash involved). Round 15 (guide §2.3 narrower types): inside
+    the plan the hex prefix rides as its order-preserving int64 image
+    (``_hex16_ord_long`` — exact bijection, so the window MIN selects
+    the identical fingerprint), which narrows the doc-keyed exchange +
+    window sort payload and turns the sliding-frame MIN and the distinct
+    into long comparisons; the string form is restored AFTER the
+    distinct (per selected fingerprint, not per gram), so the returned
+    relation — and every persisted posting built from it — is
+    byte-identical to before.
 
     Plan shape: k-grams are built IN-ROW (``_word_ngrams``: slice+zip_with,
     no shuffle), then one posexplode and ONE doc-keyed exchange feeds the
@@ -336,6 +476,8 @@ def winnow_fingerprints(
 
     Returns (id_col, fingerprint).
     """
+    from .dedup import _hex16_ord_long, _ord_long_hex16
+
     toks = tokens(text_col)
     n = F.size(toks)
     grams = _word_ngrams(toks, n, k)
@@ -345,7 +487,9 @@ def winnow_fingerprints(
     ).select(
         id_col,
         "pos",
-        F.substring(F.md5(F.col("gram")), 1, 16).alias("h"),
+        _hex16_ord_long(
+            F.substring(F.md5(F.col("gram")), 1, 16)
+        ).alias("h"),
     )
     from pyspark.sql import Window
 
@@ -368,9 +512,14 @@ def winnow_fingerprints(
         F.min("h").over(win).alias("wmin"),
         F.count(F.lit(1)).over(win).alias("wcnt"),
     ).where((F.col("wcnt") == w) | (F.col("pos") == 0))
-    return starts.select(
-        F.col(id_col), F.col("wmin").alias("fingerprint")
-    ).distinct()
+    return (
+        starts.select(F.col(id_col), "wmin")
+        .distinct()
+        .select(
+            F.col(id_col),
+            _ord_long_hex16(F.col("wmin")).alias("fingerprint"),
+        )
+    )
 
 
 def bigram_perplexity(

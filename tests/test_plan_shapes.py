@@ -286,12 +286,15 @@ def test_profile_is_single_scan(spark, sf_dir):
     assert plan.count("Location: InMemoryFileIndex") == 1, plan
 
 
-def test_repetition_is_pure_aggregation_cascade(spark, sf_dir):
-    """text_repetition must contain no joins at all — one explode feeding
-    stacked hash aggregates (the shape that survives 100 TB)."""
+def test_repetition_is_zero_shuffle_narrow_map(spark, sf_dir):
+    """text_repetition is per-document, so its plan must be a pure
+    narrow map (round 15): no joins, no exchanges, no explode — one
+    Arrow kernel over the scan (the shape that survives 100 TB)."""
     plan = _df(spark, sf_dir, "text_repetition")._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, f"text_repetition grew a join:\n{plan}"
-    assert plan.count("Generate") == 1
+    assert "Exchange" not in plan, f"text_repetition grew a shuffle:\n{plan}"
+    assert "Generate" not in plan, f"text_repetition grew an explode:\n{plan}"
+    assert plan.count("MapInArrow") == 1, plan
 
 
 def test_pq_topk_no_driver_jobs_no_cartesian(spark, sf_dir):
