@@ -1210,7 +1210,12 @@ def _winnow_tail(
     )
 
 
-def _mh_fp_and_dict(sh: DataFrame, n_hashes: int, id_col: str):
+def _mh_fp_and_dict(
+    sh: DataFrame,
+    n_hashes: int,
+    id_col: str,
+    vocab_src: DataFrame | None = None,
+):
     """(occurrence fp stream, distinct-shingle hash dictionary) shared by
     :func:`minhash_match` and the persistable index builders.
 
@@ -1224,13 +1229,29 @@ def _mh_fp_and_dict(sh: DataFrame, n_hashes: int, id_col: str):
     payload, same shape; both sides derive the key in-row. This shares
     `jaccard_pairs_prefix`'s documented collision exposure (two distinct
     shingles colliding would merge their hash rows — p ≈ vocab²/2⁶⁵,
-    negligible; string-path equality is regression-tested)."""
+    negligible; string-path equality is regression-tested).
+
+    ``vocab_src``: optionally a SEPARATE lineage of the same shingle
+    relation for the dictionary's distinct (round 15): when ``sh`` is a
+    materialized cut point (stats-less LogicalRDD), deriving the vocab
+    from it too makes the planner blind on BOTH dictionary-join sides —
+    measured picking BuildLeft and broadcasting the corpus-sized
+    OCCURRENCE stream. Passing the pre-checkpoint plan here keeps the
+    vocabulary side's size estimate (and therefore the broadcast-right
+    decision) intact, at the cost of one extra shingling pass for the
+    vocabulary-sized distinct."""
     fp = F.xxhash64(F.col("shingle")).alias("fp")
-    hashes = sh.select("shingle").distinct().select(
+    hashes = (vocab_src if vocab_src is not None else sh).select(
+        "shingle"
+    ).distinct().select(
         fp,
         *[
-            F.substring(
-                F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))), 1, 16
+            _hex16_ord_long(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))),
+                    1,
+                    16,
+                )
             ).alias(f"h{s}")
             for s in range(n_hashes)
         ],
@@ -1238,13 +1259,53 @@ def _mh_fp_and_dict(sh: DataFrame, n_hashes: int, id_col: str):
     return sh.select(F.col(id_col), fp), hashes
 
 
+def _hex16_ord_long(hex16: F.Column) -> F.Column:
+    """16-lowercase-hex-char string → ORDER-PRESERVING signed int64
+    (round 15): the two 32-bit halves parse separately (``conv`` +
+    bigint cast — each < 2³², so no ANSI overflow is reachable) and
+    recombine as ``(hi − 2³¹)·2³² + lo`` — a strictly monotone bijection
+    from the unsigned-64 value (= lexicographic order of fixed-width
+    lowercase hex) onto [−2⁶³, 2⁶³−1]. MIN over this column therefore
+    selects exactly the row whose hex string MIN(string) would, but the
+    aggregate buffer becomes a fixed-width long — whole-stage-codegen
+    HashAggregate instead of the SortAggregate that immutable string
+    buffers force (the measured majority of the signature stage)."""
+    hi = F.conv(F.substring(hex16, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hex16, 9, 8), 16, 10).cast("long")
+    return (hi - F.lit(2147483648)) * F.lit(4294967296) + lo
+
+
+def _ord_long_hex16(v: F.Column) -> F.Column:
+    """Exact inverse of :func:`_hex16_ord_long`: arithmetic shiftright
+    is floor-division by 2³² (lo ≥ 0 keeps it exact), bitwiseAND takes
+    v mod 2³² on the two's-complement representation; each half renders
+    back to its zero-padded lowercase hex, byte-identical to the
+    original md5 prefix."""
+    hi = F.shiftright(v, 32) + F.lit(2147483648)
+    lo = v.bitwiseAND(F.lit(4294967295))
+    return F.concat(
+        F.lpad(F.lower(F.hex(hi)), 8, "0"),
+        F.lpad(F.lower(F.hex(lo)), 8, "0"),
+    )
+
+
 def _mh_band_exprs(n_hashes: int, n_bands: int) -> list[F.Column]:
     """Band collapse: r = n_hashes/n_bands signature columns md5-fold to
-    one band value (the MMDS banding step, string-deterministic)."""
+    one band value (the MMDS banding step, string-deterministic). The
+    sig columns arrive as order-preserving int64 (round 15); each
+    renders back to its exact 16-hex-char md5 prefix before the fold,
+    so band_sig values — and every persisted band index — are
+    byte-identical to the string-signature form."""
     r = n_hashes // n_bands
     return [
         F.md5(
-            F.concat_ws("|", *[F.col(f"sig{b * r + j}") for j in range(r)])
+            F.concat_ws(
+                "|",
+                *[
+                    _ord_long_hex16(F.col(f"sig{b * r + j}"))
+                    for j in range(r)
+                ],
+            )
         )
         for b in range(n_bands)
     ]
@@ -1258,6 +1319,7 @@ def minhash_banded_sigs(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_partitions: int | None = None,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """The PERSISTABLE MinHash band index: (id, band, band_sig) rows —
     n·n_bands narrow rows per corpus (the MinHash counterpart of
@@ -1267,8 +1329,15 @@ def minhash_banded_sigs(
     re-shingles or re-signs the corpus — it signs only the delta and
     band-joins against the loaded index
     (:func:`minhash_pairs_from_index`). Every hash is an md5 hex prefix,
-    so the persisted bands equal freshly-computed ones byte-for-byte."""
-    sh = word_shingles(df, n, id_col, text_col, min_partitions=min_partitions)
+    so the persisted bands equal freshly-computed ones byte-for-byte.
+
+    ``sh``: optionally a pre-built (id, shingle) relation for ``df`` —
+    callers that also build the packed-set side pass one materialized
+    stream so the corpus is shingled once (round 15)."""
+    if sh is None:
+        sh = word_shingles(
+            df, n, id_col, text_col, min_partitions=min_partitions
+        )
     sh_fp, hashes = _mh_fp_and_dict(sh, n_hashes, id_col)
     sigs = (
         sh_fp.join(hashes, "fp")
@@ -1289,13 +1358,20 @@ def minhash_packed_sets(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_partitions: int | None = None,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """The PERSISTABLE exact-verification side of the MinHash index:
     per-doc sorted shingle-fp sets (id, fps array<bigint>) — what the
     candidate refine's ``array_intersect`` consumes. Persisted alongside
     :func:`minhash_banded_sigs` so the verification join also reads the
-    corpus side from the index instead of re-shingling it."""
-    sh = word_shingles(df, n, id_col, text_col, min_partitions=min_partitions)
+    corpus side from the index instead of re-shingling it.
+
+    ``sh``: optionally a pre-built (id, shingle) relation for ``df``
+    (the :func:`minhash_banded_sigs` sharing contract, round 15)."""
+    if sh is None:
+        sh = word_shingles(
+            df, n, id_col, text_col, min_partitions=min_partitions
+        )
     return (
         sh.select(F.col(id_col), F.xxhash64("shingle").alias("fp"))
         .groupBy(id_col)
@@ -1435,19 +1511,33 @@ def minhash_match(
 
     Returns (id_a, id_b, n_common, n_a, n_b, jaccard).
     """
+    # Round 15 (guide §1.2 "don't compute things you throw away"): the
+    # signature MINs and the packed verification sets now come out of
+    # ONE aggregate over ONE occurrence⋈dictionary pass — r14 ran two
+    # separately-checkpointed aggregates whose plans re-shingled the
+    # corpus three times per action (twice inside the sigs cut — the
+    # occurrence stream and the vocabulary distinct — plus once for the
+    # sets cut). collect_set(fp) rides the same partial/final aggregate
+    # the mins use, so the extra pass costs one array column in the
+    # n-docs-sized checkpoint, not a corpus scan. (An intermediate
+    # attempt checkpointed the 4.1M-row shingle STREAM instead:
+    # measured SLOWER than the pass it saved — corpus-sized cut points
+    # lose; n-docs-sized ones win — and it blinded the planner into
+    # broadcasting the occurrence side of the dictionary join, see
+    # _mh_fp_and_dict's vocab_src note.) Shingle passes per action:
+    # 3 → 2; every value is unchanged.
     sh = word_shingles(df, n, id_col, text_col, min_partitions=min_partitions)
     sh_fp, hashes = _mh_fp_and_dict(sh, n_hashes, id_col)
-    # lazy cut point (the winnow_match convention, round 12): the
-    # signature relation feeds BOTH sides of the band self-join and the
-    # executed plan shows zero exchange reuse, so without it the whole
-    # dictionary-join + 16-MIN aggregate runs twice per action. n-docs
-    # sized (16 hex prefixes per doc) — materialization is trivial.
-    sigs = (
+    per_doc = (
         sh_fp.join(hashes, "fp")
         .groupBy(id_col)
-        .agg(*[F.min(f"h{s}").alias(f"sig{s}") for s in range(n_hashes)])
+        .agg(
+            *[F.min(f"h{s}").alias(f"sig{s}") for s in range(n_hashes)],
+            F.sort_array(F.collect_set("fp")).alias("fps"),
+        )
         .localCheckpoint(eager=False)
     )
+    sigs = per_doc.drop("fps")
     if stage_probe is not None:
         # diagnostic hook (tools/stage_walls.py) — see jaccard_pairs_prefix
         stage_probe["sigs"] = sigs
@@ -1483,13 +1573,8 @@ def minhash_match(
     # exchanges for the identical counts. (Still candidates-FIRST — the
     # Σ df² shingle self-join the banding exists to avoid stays avoided;
     # that alternative measured 47 s vs 3 s at sf0.1.) The sets relation
-    # is n·avg|A|·8 B — AQE broadcasts it locally; at scale it joins by
-    # id like every other per-doc relation.
-    sets = (
-        sh_fp.groupBy(id_col)
-        .agg(F.sort_array(F.collect_set("fp")).alias("fps"))
-        # same cut rationale: attached to BOTH pair sides; without it the
-        # shingle stream re-shingles once per side
-        .localCheckpoint(eager=False)
-    )
+    # rides the per_doc checkpoint above (round 15) — n·avg|A|·8 B —
+    # AQE broadcasts it locally; at scale it joins by id like every
+    # other per-doc relation.
+    sets = per_doc.select(id_col, "fps")
     return _mh_verify_tail(cand, sets, threshold, id_col)

@@ -65,6 +65,44 @@ def test_lsh_precision_subset(spark, sf_dir):
     assert len(lsh) > 0          # and it actually finds pairs
 
 
+def test_minhash_int64_sig_mapping_roundtrip(spark):
+    """The round-15 order-preserving int64 signature mapping: for any
+    16-hex-char md5 prefix, _hex16_ord_long is a monotone bijection
+    (MIN over ints == MIN over strings) and _ord_long_hex16 inverts it
+    byte-exactly — including the extremes and sign-boundary values."""
+    from pyspark.sql import Row
+
+    from ppdb_parser_spark.operators.dedup import (
+        _hex16_ord_long,
+        _ord_long_hex16,
+    )
+
+    import hashlib
+    import random
+
+    rng = random.Random(7)
+    hexes = [
+        "0000000000000000",
+        "ffffffffffffffff",
+        "7fffffffffffffff",
+        "8000000000000000",
+        "00000000ffffffff",
+        "ffffffff00000000",
+    ] + [hashlib.md5(str(i).encode()).hexdigest()[:16] for i in range(200)]
+    rng.shuffle(hexes)
+    df = spark.createDataFrame([Row(h=h) for h in hexes])
+    rows = df.select(
+        "h",
+        _hex16_ord_long(F.col("h")).alias("v"),
+        _ord_long_hex16(_hex16_ord_long(F.col("h"))).alias("rt"),
+    ).collect()
+    for r in rows:
+        assert r["rt"] == r["h"], (r["h"], r["rt"])
+    by_str = sorted(rows, key=lambda r: r["h"])
+    by_int = sorted(rows, key=lambda r: r["v"])
+    assert [r["h"] for r in by_str] == [r["h"] for r in by_int]
+
+
 def test_minhash_matches_exact_jaccard(spark, sf_dir):
     exact = {
         (r["id_a"], r["id_b"])
@@ -620,6 +658,46 @@ def test_repetition_stats_known_values(spark):
     assert r2["top_token_frac"] == 3 / 6
     assert r2["top_bigram_frac"] == 3 / 5
     assert r2["dup_trigram_frac"] == 1.0
+
+
+def test_repetition_kernel_equals_agg(spark):
+    """The round-15 zero-shuffle Arrow tier of repetition_stats must be
+    row- and bit-identical to the aggregation-cascade twin — including
+    split-semantics edges (empty text → [''], doubled/trailing spaces
+    keep empty tokens), short docs (NULL bigram/trigram fractions below
+    2/3 tokens), NULL text (doc vanishes), and the
+    no-duplicate-trigram 0.0 case."""
+    from ppdb_parser_spark.operators.text_analysis import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),
+            (2, "x y x y x y"),
+            (3, ""),                    # split('') = [''] -> 1 token
+            (4, "a  b "),               # empties kept: ['a','','b','']
+            (5, "solo"),                # 1 token: bigram/trigram NULL
+            (6, "two toks"),            # 2 tokens: trigram NULL
+            (7, None),                  # NULL text: absent from output
+            (8, "p q r"),               # 3 tokens, no dup trigram -> 0.0
+        ],
+        ["doc_id", "text"],
+    )
+    kern = {
+        r["doc_id"]: r
+        for r in repetition_stats(df, tier="kernel").collect()
+    }
+    agg = {
+        r["doc_id"]: r for r in repetition_stats(df, tier="agg").collect()
+    }
+    assert set(kern) == set(agg) == {1, 2, 3, 4, 5, 6, 8}
+    for d in kern:
+        for c in (
+            "n_tokens",
+            "top_token_frac",
+            "top_bigram_frac",
+            "dup_trigram_frac",
+        ):
+            assert kern[d][c] == agg[d][c], (d, c, kern[d], agg[d])
 
 
 def test_winnowing_guarantee_and_match(spark):
