@@ -168,12 +168,35 @@ def decontaminate_bloom_report(
     docs: DataFrame, min_partitions: int | None = None
 ) -> DataFrame:
     """Frame-parameterized body of pipeline_decontaminate_bloom (so the
-    scale smoke can feed it grown corpora)."""
+    scale smoke can feed it grown corpora).
+
+    Round 15 (guide §1.2 — don't recompute what a dictionary can hold):
+    the Bloom probe and the exact-membership flag are pure functions of
+    the SHINGLE, so both are computed once per DISTINCT shingle and
+    joined back to the (doc, shingle) occurrence stream — the
+    minhash-dictionary pattern. The old plan probed per occurrence:
+    k=12 md5 positions per train (doc, shingle) row (~12·|occurrences|
+    md5 calls, then a |occurrences·k|-row join stream into a
+    (doc, shingle)-keyed count), all of which collapses to
+    12·|distinct train shingles| md5s and a vocab-sized aggregate.
+    Flag VALUES are identical — same bloom table, same positions, same
+    all-k-bits rule — so the oracle (false positives included) is
+    unchanged."""
     sh = DD.word_shingles(
         docs, n=_B_NGRAM, min_partitions=min_partitions
     ).withColumn("is_eval", _bucket("eval:") < _EVAL_MAX)
 
-    eval_sh = sh.filter("is_eval").select("shingle").distinct()
+    # one aggregate derives the whole vocabulary with per-corpus
+    # presence; feeds the bloom build, the probe, and the flag join
+    vocab = (
+        sh.groupBy("shingle")
+        .agg(
+            F.max(F.col("is_eval").cast("int")).alias("in_eval"),
+            F.max((~F.col("is_eval")).cast("int")).alias("in_train"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    eval_sh = vocab.filter(F.col("in_eval") == 1).select("shingle")
     # Fixed-size Bloom word table: ≤ ceil(m / 60) rows however large the
     # eval set — THE broadcastable decontamination structure at scale.
     bloom_words = (
@@ -192,39 +215,46 @@ def decontaminate_bloom_report(
         .agg(F.expr("bit_or(one_bit)").alias("bits"))
     )
 
-    train_sh = sh.filter(~F.col("is_eval")).select("doc_id", "shingle")
-    probe = train_sh.select(
-        "doc_id",
-        "shingle",
-        F.explode(
-            F.array(*[_bloom_pos(F.col("shingle"), s) for s in _B_SEEDS])
-        ).alias("p"),
-    ).select(
-        "doc_id",
-        "shingle",
-        F.expr(f"p div {_B_WORD}").alias("word"),
-        F.expr(f"cast(p % {_B_WORD} as int)").alias("bit"),
+    train_vocab = vocab.filter(F.col("in_train") == 1).select(
+        "shingle", "in_eval"
     )
-    bloom_docs = (
-        probe.join(F.broadcast(bloom_words), "word")
+    # per-SHINGLE Bloom probe: k positions, inner-join the word table
+    # (a missing word is a miss), flagged iff all k bits are set
+    bloom_flagged = (
+        train_vocab.select(
+            "shingle",
+            F.explode(
+                F.array(*[_bloom_pos(F.col("shingle"), s) for s in _B_SEEDS])
+            ).alias("p"),
+        )
+        .select(
+            "shingle",
+            F.expr(f"p div {_B_WORD}").alias("word"),
+            F.expr(f"cast(p % {_B_WORD} as int)").alias("bit"),
+        )
+        .join(F.broadcast(bloom_words), "word")
         .filter(F.expr("(shiftright(bits, bit) & 1) = 1"))
-        .groupBy("doc_id", "shingle")
+        .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("k"))
         .filter(F.col("k") == len(_B_SEEDS))
-        .select("doc_id")
-        .distinct()
-        .withColumn("bloom_hit", F.lit(1))
+        .select("shingle", F.lit(1).alias("bloom"))
     )
-    exact_docs = (
-        train_sh.join(F.broadcast(eval_sh), "shingle", "left_semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("exact_hit", F.lit(1))
+    flags = train_vocab.join(bloom_flagged, "shingle", "left")
+
+    # ONE pass over the train occurrence stream attaches both flags
+    doc_flags = (
+        sh.filter(~F.col("is_eval"))
+        .select("doc_id", "shingle")
+        .join(flags, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.max("bloom").alias("bloom_hit"),
+            F.when(F.max("in_eval") == 1, F.lit(1)).alias("exact_hit"),
+        )
     )
     train = docs.filter(_bucket("eval:") >= _EVAL_MAX).select("doc_id", "lang")
     return (
-        train.join(bloom_docs, "doc_id", "left")
-        .join(exact_docs, "doc_id", "left")
+        train.join(doc_flags, "doc_id", "left")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_train"),
