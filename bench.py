@@ -91,6 +91,18 @@ _ISOLATED_CROSSCHECK = (
     "pipeline_decontaminate_bloom",
     "dedup_minhash_relational",
     "dedup_jaccard_prefix",
+    # round 15 (VERDICT r14 #2): the sim_lsh family carried the round's
+    # worst baseline ratios (1.51-1.61x) with no isolated probe to
+    # separate host drift from regression, and sim_ivf_persisted_topk
+    # measured above its pin four consecutive runs. Plus the two
+    # operators whose internals changed this round (winnow int64
+    # fingerprints, minhash int64 signatures ride the relational probe
+    # above; winnow_match gets its own).
+    "sim_lsh_pairs_checked",
+    "sim_lsh_jl_screened_pairs",
+    "sim_lsh_multiprobe_topk",
+    "sim_ivf_persisted_topk",
+    "dedup_winnow_match",
 )
 
 

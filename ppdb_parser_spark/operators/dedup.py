@@ -1241,20 +1241,39 @@ def _mh_fp_and_dict(
     decision) intact, at the cost of one extra shingling pass for the
     vocabulary-sized distinct."""
     fp = F.xxhash64(F.col("shingle")).alias("fp")
-    hashes = (vocab_src if vocab_src is not None else sh).select(
-        "shingle"
-    ).distinct().select(
-        fp,
-        *[
-            _hex16_ord_long(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))),
-                    1,
-                    16,
-                )
-            ).alias(f"h{s}")
-            for s in range(n_hashes)
-        ],
+    hashes = (
+        (vocab_src if vocab_src is not None else sh)
+        .select("shingle")
+        .distinct()
+        .select(
+            fp,
+            *[
+                _hex16_ord_long(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))),
+                        1,
+                        16,
+                    )
+                ).alias(f"h{s}")
+                for s in range(n_hashes)
+            ],
+        )
+        # Round 15 (guide §2.5 — the single-task probe-side trap,
+        # root-caused via the SQL-metrics REST API): the planner
+        # broadcasts the OCCURRENCE side of the dictionary join
+        # (narrower byte estimate — Catalyst credits aggregates with no
+        # row reduction, so the 17-long dictionary always estimates
+        # wider), which leaves this post-aggregate relation as the
+        # PROBE side; AQE coalesces the distinct's few-KB exchange to
+        # ONE partition, and everything from the join to the next
+        # exchange — including the corpus-sized signature aggregate's
+        # partial pass — then runs on one task (measured 8-18 s
+        # single-task stages vs ~2 s parallel). An explicit fp-keyed
+        # repartition is AQE-exempt, restoring downstream parallelism
+        # whichever side gets broadcast; at cluster scale, where both
+        # sides shuffle-join on fp, this exchange is exactly the one
+        # the join needs (reused), so nothing is wasted.
+        .repartition(shuffle_width(sh.sparkSession), F.col("fp"))
     )
     return sh.select(F.col(id_col), fp), hashes
 

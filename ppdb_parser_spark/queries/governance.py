@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as DD
+from ..session import shuffle_width
 from ..sources.tables import load_table
 from .registry import query
 from .training_data import _bucket_sql, _EVAL_MAX, _GOPHER_PASS_SQL, _bucket, gopher_pass_all
@@ -187,13 +188,24 @@ def decontaminate_bloom_report(
     ).withColumn("is_eval", _bucket("eval:") < _EVAL_MAX)
 
     # one aggregate derives the whole vocabulary with per-corpus
-    # presence; feeds the bloom build, the probe, and the flag join
+    # presence; feeds the bloom build, the probe, and the flag join.
+    # Explicit shingle-keyed repartition before the cut (round 15,
+    # guide §2.5): without it AQE coalesces the vocabulary's few-MB
+    # exchange to one partition, and when the planner broadcasts the
+    # occurrence side of the flag join (narrower byte estimate), the
+    # whole per-doc flag aggregate's partial pass runs on that single
+    # probe task — the same single-task trap root-caused in
+    # operators/dedup._mh_fp_and_dict. A user partition count is
+    # AQE-exempt; at scale the shingle-keyed exchange is the flag
+    # join's own shuffle, reused.
+    nparts = min_partitions or shuffle_width(docs.sparkSession)
     vocab = (
         sh.groupBy("shingle")
         .agg(
             F.max(F.col("is_eval").cast("int")).alias("in_eval"),
             F.max((~F.col("is_eval")).cast("int")).alias("in_train"),
         )
+        .repartition(nparts, F.col("shingle"))
         .localCheckpoint(eager=False)
     )
     eval_sh = vocab.filter(F.col("in_eval") == 1).select("shingle")

@@ -452,3 +452,35 @@ def test_shuffle_shards_windows_are_per_shard(spark, sf_dir):
         "shard",
         name="pipeline_shuffle_shards",
     )
+
+
+def test_dictionary_sides_pin_aqe_exempt_repartition(spark, sf_dir):
+    """Round 15 (§2.5 single-task-probe trap): a post-aggregate dictionary
+    relation joined against the corpus occurrence stream must carry an
+    explicit user repartition (REPARTITION_BY_NUM — AQE-exempt). Catalyst
+    gives aggregates no row-reduction credit, so the planner can broadcast
+    the OCCURRENCE side, leaving the dictionary as the probe side that AQE
+    coalesces to ONE partition — serializing everything downstream to the
+    next exchange (measured 8-18 s single-task stages vs ~2 s parallel).
+    Pins both root-caused sites: the MinHash fp dictionary and the
+    decontaminate-bloom vocabulary."""
+    from pyspark.sql import functions as F
+    from ppdb_parser_spark.operators.dedup import _mh_fp_and_dict
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3}") for i in range(8)],
+        "id long, text string",
+    )
+    sh = docs.select(
+        "id", F.explode(F.split("text", " ")).alias("shingle")
+    )
+    _, hashes = _mh_fp_and_dict(sh, n_hashes=4, id_col="id")
+    plan = C.plan_string(hashes)
+    assert "REPARTITION_BY_NUM" in plan, (
+        "minhash dictionary lost its AQE-exempt repartition:\n" + plan
+    )
+
+    bloom_plan = C.plan_string(_df(spark, sf_dir, "pipeline_decontaminate_bloom"))
+    assert "REPARTITION_BY_NUM" in bloom_plan, (
+        "bloom vocabulary lost its AQE-exempt repartition:\n" + bloom_plan
+    )
