@@ -170,6 +170,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # The EFFECTIVE parallelism the session actually ran with, so the
+        # artifact itself proves the $SPARK_GRAFT_CPUS contract was honored
+        # (VERDICT r15 #2: the driver's scaling check fired
+        # `suspect_cpus_ignored` on a flat 8c/32c ratio because nothing in
+        # the output distinguished "honored but overhead-bound at sf0.1"
+        # from "ignored"). defaultParallelism = local[N]'s N here, total
+        # executor cores on a cluster. ~14 chars of budget (guard below).
+        "cpus": spark.sparkContext.defaultParallelism,
     }
     full = dict(
         payload,

@@ -326,8 +326,27 @@ def _source_fingerprint(sf_dir: str, table: str = "embeddings") -> str:
 _IVF_INDEX_NAME = "ivf_c8_lloyd1"
 
 
+def _read_meta(meta_path: str):
+    """The 1-row meta stamp, read DRIVER-SIDE via pyarrow — control-plane
+    work at plan-build time, exactly like the parquet-footer row counts
+    the call sites already use (round 16): a ``spark.read.parquet`` job
+    on a 1-row stamp measured ~0.15 s of pure job-scheduling overhead,
+    and the 37 loader call sites pay it on every declared-query build.
+    Returns the stamp row as a dict, or ``None`` when absent/unreadable
+    (both loaders treat that as stale, same as the old ``first() is
+    None``). pyarrow ignores ``_SUCCESS`` (default ``_``/``.`` prefix
+    exclusion), so the directory layout is read identically."""
+    import pyarrow.parquet as pq
+
+    try:
+        rows = pq.read_table(meta_path).to_pylist()
+    except Exception:
+        return None
+    return rows[0] if rows else None
+
+
 def _load_persisted_index(
-    spark, corpus, path, build, force=False, fingerprint=""
+    spark, corpus, path, build, force=False, fingerprint="", n_corpus=None
 ):
     """Load a persisted index relation, (re)building it when absent OR
     STALE. Freshness contract: the corpus row count AND a source-file
@@ -341,20 +360,25 @@ def _load_persisted_index(
     silently serve wrong centroids — it rebuilds. (Both guards are
     control-plane work at plan-BUILD time, deliberately outside the
     returned DataFrame's lineage; the data path stays zero-driver-side.)
+
+    ``n_corpus``: callers loading SEVERAL artifacts over the SAME corpus
+    (e.g. MinHash bands + sets) pass the count once instead of paying
+    the guard's count job per artifact (round 16).
     """
     meta_path = path + "_meta"
-    n_corpus = corpus.count()
+    if n_corpus is None:
+        n_corpus = corpus.count()
     stale = True
     if not force and os.path.exists(
         os.path.join(path, "_SUCCESS")
     ) and os.path.exists(os.path.join(meta_path, "_SUCCESS")):
-        meta = spark.read.parquet(meta_path).first()
+        meta = _read_meta(meta_path)
         stale = (
             meta is None
-            or meta.n_corpus != n_corpus
+            or meta.get("n_corpus") != n_corpus
             # older stamps lack the column; treat them as stale once
-            or ("fingerprint" not in meta.__fields__)
-            or meta.fingerprint != fingerprint
+            or ("fingerprint" not in meta)
+            or meta["fingerprint"] != fingerprint
         )
     if stale:
         build().write.mode("overwrite").parquet(path)
@@ -422,14 +446,14 @@ def _load_appended_index(
     if os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(
         os.path.join(meta_path, "_SUCCESS")
     ):
-        meta = spark.read.parquet(meta_path).first()
+        meta = _read_meta(meta_path)
         if (
             meta is not None
-            and "fingerprint" in meta.__fields__
-            and meta.fingerprint == fingerprint
-            and "max_id" in meta.__fields__
+            and "fingerprint" in meta
+            and meta["fingerprint"] == fingerprint
+            and "max_id" in meta
         ):
-            mark = meta.max_id
+            mark = meta["max_id"]
 
     def _stamp(new_mark: int) -> None:
         # range(1).select(lit...) not createDataFrame: writing a
