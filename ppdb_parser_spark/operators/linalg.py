@@ -34,7 +34,6 @@ logical plan, which for a 1-row context costs microseconds.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -64,22 +63,76 @@ def arrow_list_to_2d(arr, dtype):
     import numpy as np
     import pyarrow as pa
 
-    if (
-        isinstance(arr, (pa.ListArray, pa.LargeListArray))
-        and arr.null_count == 0
-        and len(arr) > 0
-    ):
-        offs = arr.offsets.to_numpy()
-        d = int(offs[1] - offs[0]) if len(offs) > 1 else 0
-        if d > 0 and (np.diff(offs) == d).all():
-            values = arr.values
-            if values.null_count == 0:
-                flat = values.to_numpy(zero_copy_only=True)
-                out = flat[offs[0] : offs[-1]].reshape(len(offs) - 1, d)
-                if out.dtype != dtype:
-                    out = out.astype(dtype)
-                return out
+    if isinstance(arr, (pa.ListArray, pa.LargeListArray)):
+        if len(arr) == 0:
+            # normalized (0, 0) 2-D shape, not the 1-D shape-(0,) array
+            # np.array([]) would give — a caller reading A.shape[1]
+            # without a skip-empty guard gets 0, not IndexError
+            # (ADVICE r15)
+            return np.zeros((0, 0), dtype=dtype)
+        if arr.null_count == 0:
+            offs = arr.offsets.to_numpy()
+            d = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+            if d > 0 and (np.diff(offs) == d).all():
+                values = arr.values
+                if values.null_count == 0:
+                    try:
+                        flat = values.to_numpy(zero_copy_only=True)
+                    except pa.ArrowInvalid:
+                        # non-primitive element type: fall through to
+                        # the exact object path (ADVICE r15)
+                        flat = None
+                    if flat is not None:
+                        out = flat[offs[0] : offs[-1]].reshape(
+                            len(offs) - 1, d
+                        )
+                        if out.dtype != dtype:
+                            out = out.astype(dtype)
+                        return out
     return np.array(arr.to_pylist(), dtype=dtype)
+
+
+def uniform_list_offsets(n: int, width: int):
+    """int32 Arrow offsets for a uniform-``width`` list column of ``n``
+    rows, LOUD on int32 overflow: ``np.arange(..., dtype=np.int32)``
+    silently wraps past 2³¹ and would produce a corrupt list column
+    (reachable only if ``arrow.maxRecordsPerBatch`` is raised to put
+    n·width ≥ 2³¹ elements in one batch — ADVICE r15)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if (n + 1) * width >= 2**31:
+        raise ValueError(
+            f"uniform_list_offsets: {n} rows x width {width} overflows "
+            "int32 list offsets; lower "
+            "spark.sql.execution.arrow.maxRecordsPerBatch"
+        )
+    return pa.array(np.arange(0, (n + 1) * width, width, dtype=np.int32))
+
+
+def block_layout(col):
+    """(entries, offs) decomposition of a ``list<struct>`` Arrow block
+    column — the shared input adapter of the round-16 ``mapInArrow``
+    kernel family (guide §4.2): ``entries`` is the FULL child
+    StructArray (index with the RAW child offsets in ``offs``; the
+    concatenation of all blocks is ``entries.slice(offs[0],
+    offs[-1]-offs[0])``, which is also the kernels' output row order).
+    Requires a null-free list column (collect_list output — always
+    null-free); raises loudly otherwise rather than mis-aligning."""
+    if col.null_count != 0:
+        raise ValueError(
+            "block_layout: null block in a collect_list column"
+        )
+    return col.values, col.offsets.to_numpy()
+
+
+def context_entries(col, row: int = 0):
+    """The ``row``-th element of a ``list<struct>`` column as a
+    StructArray — the broadcast-context adapter (every row of a
+    crossJoin'd 1-row context column carries the same value, so kernels
+    parse it once per batch)."""
+    offs = col.offsets.to_numpy()
+    return col.values.slice(offs[row], offs[row + 1] - offs[row])
 
 
 def jl_signs(
@@ -186,11 +239,7 @@ def jl_project(
                 Qm = _np_round_half_away_consume(X * float(JL_QSCALE))
                 P = Qm @ St
                 out = pa.ListArray.from_arrays(
-                    pa.array(
-                        np.arange(
-                            0, (n + 1) * d_out, d_out, dtype=np.int32
-                        )
-                    ),
+                    uniform_list_offsets(n, d_out),
                     pa.array(P.ravel()),
                 )
                 yield pa.RecordBatch.from_arrays(
@@ -260,7 +309,6 @@ def covariance_context(
     enforce |x| ≤ 2000, products ≤ 2^62/dim per row, ample for unit-norm
     embeddings)."""
     import numpy as np
-    import pandas as pd
 
     guard = F.assert_true(
         F.max(F.aggregate(
@@ -272,23 +320,40 @@ def covariance_context(
         "grid bound (|x| <= 2000 at grid 2^20)",
     )
 
-    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def partials(batches):
+        # round 16 (guide §4.2): raw Arrow batches — the pandas form
+        # materialized one ndarray object per row (np.stack over an
+        # object series) on the way in; the list column reshapes
+        # zero-copy here. Values identical: same floor-to-grid int64
+        # sums, one partial row per task.
+        import pyarrow as pa
+
         M = np.zeros((dim, dim), dtype=np.int64)
         S = np.zeros(dim, dtype=np.int64)
         n = 0
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            A = np.stack(pdf[vec_col].to_numpy())
+            A = arrow_list_to_2d(rb.column(vec_col), np.float64)
             Q = np.floor(A * GRID).astype(np.int64)
             M += Q.T @ Q
             S += Q.sum(axis=0)
             n += Q.shape[0]
-        yield pd.DataFrame(
-            {"m": [M.ravel().tolist()], "s": [S.tolist()], "n": [n]}
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.ListArray.from_arrays(
+                    uniform_list_offsets(1, dim * dim),
+                    pa.array(M.ravel()),
+                ),
+                pa.ListArray.from_arrays(
+                    uniform_list_offsets(1, dim), pa.array(S)
+                ),
+                pa.array([n], type=pa.int64()),
+            ],
+            ["m", "s", "n"],
         )
 
-    parts = df.select(F.col(vec_col).alias(vec_col)).mapInPandas(
+    parts = df.select(F.col(vec_col).alias(vec_col)).mapInArrow(
         partials, schema="m array<long>, s array<long>, n long"
     )
     # merge the |partitions| constant-size partials: posexplode -> keyed

@@ -602,7 +602,7 @@ def brute_cosine_pairs_blocked(
     on an independent hash stream. The shards broadcast-cross-join onto
     every row-block (the seeds_row pattern — NO driver-side collect, the
     plan stays lazy end to end), giving ``n_blocks × n_b_shards`` grid
-    cells, each a task-sized GEMM; ``mapInPandas`` emits the qualifying
+    cells, each a task-sized GEMM; ``mapInArrow`` emits the qualifying
     (id_a, id_b, cosine) triples per cell. Each (a, b) pair lands in
     EXACTLY one cell (a's row-block × b's shard), so no dedup pass is
     needed. The id column keeps its input type in the output, like the
@@ -670,21 +670,46 @@ def brute_cosine_pairs_blocked(
     ctx = blocks.crossJoin(F.broadcast(bside))
     thr = float(threshold)
 
-    def gemm_blocks(batches):
+    # round 16 (guide §4.2, VERDICT r15 #3): raw Arrow batches — vectors
+    # reshape zero-copy per grid cell instead of materializing one
+    # ndarray per row; only the few candidate ids near/above threshold
+    # ever become Python objects (for the exact a<b / Decimal round-6
+    # path, which is unchanged).
+    def gemm_batches(batches):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            for ablock, bfull in zip(pdf["ablock"], pdf["bfull"]):
-                ida = [r["id"] for r in ablock]
-                va = np.array([r["v"] for r in ablock], dtype=np.float64)
-                idb = [r["id"] for r in bfull]
-                vb = np.array([r["v"] for r in bfull], dtype=np.float64)
-                cos = (va @ vb.T) / np.outer(
-                    np.linalg.norm(va, axis=1), np.linalg.norm(vb, axis=1)
+        from .linalg import arrow_list_to_2d
+
+        id_at = None
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            ab, bf = rb.column("ablock"), rb.column("bfull")
+            aoffs = ab.offsets.to_numpy()
+            boffs = bf.offsets.to_numpy()
+            if id_at is None:
+                id_at = ab.values.field("id").type
+            out_a, out_b, out_c = [], [], []
+            for r in range(rb.num_rows):
+                a_ent = ab.values.slice(
+                    aoffs[r], aoffs[r + 1] - aoffs[r]
                 )
-                out_a, out_b, out_c = [], [], []
-                for i, j in zip(*np.nonzero(cos >= thr - 1e-6)):
+                b_ent = bf.values.slice(
+                    boffs[r], boffs[r + 1] - boffs[r]
+                )
+                va = arrow_list_to_2d(a_ent.field("v"), np.float64)
+                vb = arrow_list_to_2d(b_ent.field("v"), np.float64)
+                cos = (va @ vb.T) / np.outer(
+                    np.linalg.norm(va, axis=1),
+                    np.linalg.norm(vb, axis=1),
+                )
+                ii, jj = np.nonzero(cos >= thr - 1e-6)
+                if not ii.size:
+                    continue
+                ida = a_ent.field("id").to_pylist()
+                idb = b_ent.field("id").to_pylist()
+                for i, j in zip(ii, jj):
                     a, b = ida[i], idb[j]
                     if not a < b:
                         continue
@@ -693,12 +718,17 @@ def brute_cosine_pairs_blocked(
                         out_a.append(a)
                         out_b.append(b)
                         out_c.append(c)
-                yield pd.DataFrame(
-                    {"id_a": out_a, "id_b": out_b, "cosine": out_c}
-                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_a, type=id_at),
+                    pa.array(out_b, type=id_at),
+                    pa.array(out_c, type=pa.float64()),
+                ],
+                ["id_a", "id_b", "cosine"],
+            )
 
-    return ctx.mapInPandas(
-        gemm_blocks, f"id_a {id_type}, id_b {id_type}, cosine double"
+    return ctx.mapInArrow(
+        gemm_batches, f"id_a {id_type}, id_b {id_type}, cosine double"
     )
 
 
@@ -1442,8 +1472,6 @@ def gemm_assign_cells(
     reaches NaN ordering. The kernel mirrors that contract loudly: any
     zero denominator in a block raises ``ValueError`` before the argmax,
     so an uninitialized or NaN-ordered assignment can never be emitted."""
-    import pandas as pd
-
     dtypes = dict(df.dtypes)
     cols = [id_col, vec_col, nrm_col, *extra_cols]
     out_schema = ", ".join(
@@ -1464,36 +1492,49 @@ def gemm_assign_cells(
     if dot not in ("grid", "float"):
         raise ValueError(f"dot must be 'grid' or 'float', got {dot!r}")
 
-    def assign_blocks(batches):
+    # round 16 (guide §4.2, VERDICT r15 #3): raw Arrow record batches —
+    # the pandas form materialized every row of every block as Python
+    # struct/ndarray objects on BOTH crossings; here the block column
+    # decomposes zero-copy (offsets + one flat buffer per field) and the
+    # kernel's outputs are the pass-through child arrays plus one int32
+    # column. Per-block math (and therefore every emitted value) is
+    # unchanged.
+    def assign_batches(batches):
         import numpy as np
+        import pyarrow as pa
 
-        for pdf in batches:
-            for ablock, seeds in zip(pdf["ablock"], pdf["seeds"]):
-                srt = sorted(seeds, key=lambda s: s["cell_id"])
-                if not srt:
-                    raise ValueError(
-                        "gemm_assign_cells: empty seeds array — the "
-                        "seeds_row context must carry >= 1 cell"
-                    )
-                cells = np.array(
-                    [s["cell_id"] for s in srt], dtype=np.int32
+        from .linalg import (
+            arrow_list_to_2d,
+            block_layout,
+            context_entries,
+        )
+
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            entries, offs = block_layout(rb.column("ablock"))
+            seeds = context_entries(rb.column("seeds"))
+            if not len(seeds):
+                raise ValueError(
+                    "gemm_assign_cells: empty seeds array — the "
+                    "seeds_row context must carry >= 1 cell"
                 )
-                S = np.array([s["semb"] for s in srt], dtype=np.float64)
-                sn = np.array([s["snorm"] for s in srt], dtype=np.float64)
-                Q = np.array(
-                    [r[vec_col] for r in ablock], dtype=np.float64
-                )
-                na = np.array(
-                    [r[nrm_col] for r in ablock], dtype=np.float64
-                )
-                if Q.size:
-                    n, d = Q.shape
-                else:
-                    # collect_list groups are never empty today, but an
-                    # empty block must not feed a 1-D array to the
-                    # per-dimension float loop (ADVICE r10 dead-guard)
-                    n, d = 0, S.shape[1]
-                    Q = Q.reshape(0, d)
+            cells_raw = seeds.field("cell_id").to_numpy()
+            order = np.argsort(cells_raw, kind="stable")
+            cells = cells_raw[order].astype(np.int32)
+            S = arrow_list_to_2d(seeds.field("semb"), np.float64)[order]
+            sn = seeds.field("snorm").to_numpy()[order]
+            d = S.shape[1]
+            Qall = arrow_list_to_2d(entries.field(vec_col), np.float64)
+            na_all = entries.field(nrm_col).to_numpy()
+            base = int(offs[0])
+            total = int(offs[-1]) - base
+            pick_all = np.empty(total, dtype=np.int32)
+            for bi in range(len(offs) - 1):
+                lo_g, hi_g = int(offs[bi]), int(offs[bi + 1])
+                Q = Qall[lo_g:hi_g]
+                na = na_all[lo_g:hi_g]
+                n = hi_g - lo_g
                 if use_grid:
                     # chunk rows so the rows×cells×d term tensor stays
                     # ~32 MB regardless of cell count
@@ -1527,7 +1568,8 @@ def gemm_assign_cells(
                 # never np.empty: with den fully nonzero every row has
                 # ncand >= 1, but uninitialized garbage must stay
                 # impossible by construction (ADVICE r10 medium)
-                pick = np.full(n, cells[0], dtype=np.int32)
+                pick = np.full(n, cells[0] if len(cells) else 0,
+                               dtype=np.int32)
                 if n:
                     best = C.max(axis=1)
                     cand = C >= (best[:, None] - 2.1e-6)
@@ -1538,17 +1580,15 @@ def gemm_assign_cells(
                         r6 = [_round6_half_up(C[r, j]) for j in idx]
                         m6 = max(r6)
                         pick[r] = cells[idx[r6.index(m6)]]
-                yield pd.DataFrame(
-                    {
-                        **{
-                            c: [r[c] for r in ablock]
-                            for c in cols
-                        },
-                        "cell_id": pick,
-                    }
-                )
+                pick_all[lo_g - base : hi_g - base] = pick
+            out_rows = entries.slice(base, total)
+            yield pa.RecordBatch.from_arrays(
+                [out_rows.field(c) for c in cols]
+                + [pa.array(pick_all)],
+                [*cols, "cell_id"],
+            )
 
-    return ctx.mapInPandas(assign_blocks, out_schema)
+    return ctx.mapInArrow(assign_batches, out_schema)
 
 
 def gemm_lsh_bits(
@@ -1564,7 +1604,7 @@ def gemm_lsh_bits(
     :func:`pq_encode`'s gemm tier), and the CHEAPEST: the planes are
     compile-time literals (``lsh_planes`` output), so unlike the cell/
     code kernels no broadcast seeds context and NO SHUFFLE is needed —
-    rows stream through ``mapInPandas`` in scan order, a pure narrow map
+    rows stream through ``mapInArrow`` in scan order, a pure narrow map
     like the HOF form it replaces, minus the interpreter (plane count ×
     dim per-term ``F.round`` BigDecimals per row).
 
@@ -1591,7 +1631,7 @@ def gemm_lsh_bits(
         import numpy as np
         import pyarrow as pa
 
-        from .linalg import arrow_list_to_2d
+        from .linalg import arrow_list_to_2d, uniform_list_offsets
 
         Hm = np.array(planes, dtype=np.float64)
         n_pl, d = Hm.shape
@@ -1608,9 +1648,7 @@ def gemm_lsh_bits(
                 g = _np_round_half_away_consume(v).sum(axis=2)
                 bits[lo : lo + step] = (g >= 0).astype(np.int32)
             bits_col = pa.ListArray.from_arrays(
-                pa.array(
-                    np.arange(0, (n + 1) * n_pl, n_pl, dtype=np.int32)
-                ),
+                uniform_list_offsets(n, n_pl),
                 pa.array(bits.ravel()),
             )
             yield pa.RecordBatch.from_arrays(
@@ -1683,8 +1721,6 @@ def pq_encode(
     )
 
     if encode == "gemm":
-        import pandas as pd
-
         dtypes = dict(df.dtypes)
         cols = [id_col, *keep_cols, vec_col]
         out_schema = ", ".join(
@@ -1710,52 +1746,74 @@ def pq_encode(
         )
         ctx = blocks.crossJoin(F.broadcast(seeds_row))
 
-        def encode_blocks(batches):
+        # round 16 (guide §4.2, VERDICT r15 #3): raw Arrow batches —
+        # zero-copy block decomposition in, offsets-built codes column
+        # out; per-subspace int64 grid argmin unchanged.
+        def encode_batches(batches):
             import numpy as np
+            import pyarrow as pa
 
-            for pdf in batches:
-                for ablock, seeds in zip(pdf["ablock"], pdf["seeds"]):
-                    srt = sorted(seeds, key=lambda c: c["cell_id"])
-                    S = np.array(
-                        [c["semb"] for c in srt], dtype=np.float64
-                    )
-                    Q = np.array(
-                        [r[vec_col] for r in ablock], dtype=np.float64
-                    )
-                    n = len(ablock)
-                    codes_out = np.empty((n, m), dtype=np.int32)
-                    if n:
-                        nc = S.shape[0]
-                        step = max(1, 4_000_000 // max(1, nc * sub))
-                        for s in range(m):
-                            Qs = Q[:, s * sub : (s + 1) * sub]
-                            Ss = S[:, s * sub : (s + 1) * sub]
-                            for lo in range(0, n, step):
-                                diff = (
-                                    Qs[lo : lo + step, None, :]
-                                    - Ss[None, :, :]
-                                )
-                                t = _np_round_half_away(
-                                    (diff * diff) * 1e9
-                                )
-                                # exact int64 distances: argmin's
-                                # first-min = smallest centroid id
-                                # (seeds sorted, ids contiguous)
-                                codes_out[lo : lo + step, s] = np.argmin(
-                                    t.sum(axis=2), axis=1
-                                )
-                    yield pd.DataFrame(
-                        {
-                            **{
-                                c: [r[c] for r in ablock]
-                                for c in (id_col, *keep_cols)
-                            },
-                            "codes": list(codes_out),
-                            "vnorm": [r["__vnorm"] for r in ablock],
-                        }
-                    )
+            from .linalg import (
+                arrow_list_to_2d,
+                block_layout,
+                context_entries,
+                uniform_list_offsets,
+            )
 
-        return ctx.mapInPandas(encode_blocks, out_schema)
+            for rb in batches:
+                if not rb.num_rows:
+                    continue
+                entries, offs = block_layout(rb.column("ablock"))
+                seeds = context_entries(rb.column("seeds"))
+                order = np.argsort(
+                    seeds.field("cell_id").to_numpy(), kind="stable"
+                )
+                S = arrow_list_to_2d(seeds.field("semb"), np.float64)[
+                    order
+                ]
+                Qall = arrow_list_to_2d(
+                    entries.field(vec_col), np.float64
+                )
+                base = int(offs[0])
+                total = int(offs[-1]) - base
+                codes_all = np.empty((total, m), dtype=np.int32)
+                nc = S.shape[0]
+                step = max(1, 4_000_000 // max(1, nc * sub))
+                for bi in range(len(offs) - 1):
+                    lo_g, hi_g = int(offs[bi]), int(offs[bi + 1])
+                    Q = Qall[lo_g:hi_g]
+                    n = hi_g - lo_g
+                    out = codes_all[lo_g - base : hi_g - base]
+                    for s in range(m):
+                        Qs = Q[:, s * sub : (s + 1) * sub]
+                        Ss = S[:, s * sub : (s + 1) * sub]
+                        for lo in range(0, n, step):
+                            diff = (
+                                Qs[lo : lo + step, None, :]
+                                - Ss[None, :, :]
+                            )
+                            t = _np_round_half_away((diff * diff) * 1e9)
+                            # exact int64 distances: argmin's first-min
+                            # = smallest centroid id (seeds sorted, ids
+                            # contiguous)
+                            out[lo : lo + step, s] = np.argmin(
+                                t.sum(axis=2), axis=1
+                            )
+                out_rows = entries.slice(base, total)
+                codes_col = pa.ListArray.from_arrays(
+                    uniform_list_offsets(total, m),
+                    pa.array(codes_all.ravel()),
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        out_rows.field(c)
+                        for c in (id_col, *keep_cols)
+                    ]
+                    + [codes_col, out_rows.field("__vnorm")],
+                    [id_col, *keep_cols, "codes", "vnorm"],
+                )
+
+        return ctx.mapInArrow(encode_batches, out_schema)
     if encode != "hof":
         raise ValueError(f"encode must be 'gemm' or 'hof', got {encode!r}")
 
@@ -2050,8 +2108,6 @@ def pq_search_codebook(
         )
 
     if encode_tier == "gemm":
-        import pandas as pd
-
         base = df.withColumn("vnorm", _grid_norm6(F.col(vec_col)))
         dtypes = dict(base.dtypes)
         cols = [id_col, *keep_cols, vec_col, "vnorm"]
@@ -2073,53 +2129,76 @@ def pq_search_codebook(
         kctx = blocks.crossJoin(F.broadcast(ctx))
         sub_l, m_l, vc = sub, m, vec_col
 
-        def adc_blocks(batches):
+        # round 16 (guide §4.2, VERDICT r15 #3): raw Arrow batches; the
+        # codebook context also parses ONCE per batch (the pandas form
+        # rebuilt the by-subspace dict per block row). Same int64 grid
+        # distances, same tdots, same adc sums.
+        def adc_batches(batches):
             import numpy as np
+            import pyarrow as pa
 
-            for pdf in batches:
-                for ablock, cents, q in zip(
-                    pdf["ablock"], pdf["cents"], pdf["q"]
-                ):
-                    qv = np.asarray(q, dtype=np.float64)
-                    by_s: dict[int, list] = {}
-                    for c in cents:
-                        by_s.setdefault(int(c["cs"]), []).append(
-                            (int(c["cc"]), c["cvec"])
+            from .linalg import (
+                arrow_list_to_2d,
+                block_layout,
+                context_entries,
+            )
+
+            for rb in batches:
+                if not rb.num_rows:
+                    continue
+                entries, offs = block_layout(rb.column("ablock"))
+                cents = context_entries(rb.column("cents"))
+                qv = np.asarray(
+                    rb.column("q")[0].as_py(), dtype=np.float64
+                )
+                cs = cents.field("cs").to_numpy()
+                cc = cents.field("cc").to_numpy()
+                Cfull = arrow_list_to_2d(
+                    cents.field("cvec"), np.float64
+                )
+                # per-subspace cc-sorted centroid matrices + the probe's
+                # per-(subspace, centroid) dot table — pure context,
+                # hoisted out of the block loop
+                C_by_s, tdots_by_s = [], []
+                for s in range(m_l):
+                    rows = np.nonzero(cs == s)[0]
+                    rows = rows[np.argsort(cc[rows], kind="stable")]
+                    C = Cfull[rows]
+                    qs = qv[s * sub_l : (s + 1) * sub_l]
+                    C_by_s.append(C)
+                    tdots_by_s.append(
+                        _np_round_half_away((qs[None, :] * C) * 1e9).sum(
+                            axis=1
                         )
-                    Q = np.array(
-                        [r[vc] for r in ablock], dtype=np.float64
                     )
-                    n = len(ablock)
-                    adc = np.zeros(n, dtype=np.int64)
+                Qall = arrow_list_to_2d(entries.field(vc), np.float64)
+                base_o = int(offs[0])
+                total = int(offs[-1]) - base_o
+                adc_all = np.zeros(total, dtype=np.int64)
+                for bi in range(len(offs) - 1):
+                    lo_g, hi_g = int(offs[bi]), int(offs[bi + 1])
+                    Q = Qall[lo_g:hi_g]
+                    out = adc_all[lo_g - base_o : hi_g - base_o]
                     for s in range(m_l):
-                        ent = sorted(by_s[s], key=lambda e: e[0])
-                        C = np.array(
-                            [e[1] for e in ent], dtype=np.float64
-                        )
+                        C = C_by_s[s]
                         Qs = Q[:, s * sub_l : (s + 1) * sub_l]
                         diff = Qs[:, None, :] - C[None, :, :]
-                        D = _np_round_half_away((diff * diff) * 1e9).sum(
-                            axis=2
-                        )
-                        idx = np.argmin(D, axis=1)
-                        qs = qv[s * sub_l : (s + 1) * sub_l]
-                        tdots = _np_round_half_away(
-                            (qs[None, :] * C) * 1e9
-                        ).sum(axis=1)
-                        adc += tdots[idx]
-                    yield pd.DataFrame(
-                        {
-                            **{
-                                c: [r[c] for r in ablock]
-                                for c in (id_col, *keep_cols)
-                            },
-                            "vnorm": [r["vnorm"] for r in ablock],
-                            "adc_dot_grid": adc,
-                        }
-                    )
+                        D = _np_round_half_away(
+                            (diff * diff) * 1e9
+                        ).sum(axis=2)
+                        out += tdots_by_s[s][np.argmin(D, axis=1)]
+                out_rows = entries.slice(base_o, total)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        out_rows.field(c)
+                        for c in (id_col, *keep_cols, "vnorm")
+                    ]
+                    + [pa.array(adc_all)],
+                    [id_col, *keep_cols, "vnorm", "adc_dot_grid"],
+                )
 
         scored = (
-            kctx.mapInPandas(adc_blocks, out_schema)
+            kctx.mapInArrow(adc_batches, out_schema)
             .crossJoin(
                 F.broadcast(ctx.select("q", "qnorm"))
             )
@@ -2206,8 +2285,6 @@ def pq_codes_from_codebook(
     Exactness: exact int64 grid distances, argmin first-min = smallest
     ``cc`` over the cc-sorted codebook — byte-identical to the per-query
     encode, so serving from persisted codes equals re-encoding."""
-    import pandas as pd
-
     sub = dim // m
     cents_row = codebook.agg(
         F.collect_list(
@@ -2238,42 +2315,62 @@ def pq_codes_from_codebook(
     kctx = blocks.crossJoin(F.broadcast(cents_row))
     sub_l, m_l, vc = sub, m, vec_col
 
-    def code_blocks(batches):
+    # round 16 (guide §4.2, VERDICT r15 #3): raw Arrow batches; codebook
+    # parsed once per batch; identical argmin-over-cc-sorted codes.
+    def code_batches(batches):
         import numpy as np
+        import pyarrow as pa
 
-        for pdf in batches:
-            for ablock, cents in zip(pdf["ablock"], pdf["cents"]):
-                by_s: dict[int, list] = {}
-                for c in cents:
-                    by_s.setdefault(int(c["cs"]), []).append(
-                        (int(c["cc"]), c["cvec"])
-                    )
-                Q = np.array([r[vc] for r in ablock], dtype=np.float64)
-                n = len(ablock)
-                codes_out = np.empty((n, m_l), dtype=np.int32)
+        from .linalg import (
+            arrow_list_to_2d,
+            block_layout,
+            context_entries,
+            uniform_list_offsets,
+        )
+
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            entries, offs = block_layout(rb.column("ablock"))
+            cents = context_entries(rb.column("cents"))
+            cs = cents.field("cs").to_numpy()
+            cc = cents.field("cc").to_numpy()
+            Cfull = arrow_list_to_2d(cents.field("cvec"), np.float64)
+            C_by_s, cc_by_s = [], []
+            for s in range(m_l):
+                rows = np.nonzero(cs == s)[0]
+                rows = rows[np.argsort(cc[rows], kind="stable")]
+                C_by_s.append(Cfull[rows])
+                cc_by_s.append(cc[rows].astype(np.int32))
+            Qall = arrow_list_to_2d(entries.field(vc), np.float64)
+            base_o = int(offs[0])
+            total = int(offs[-1]) - base_o
+            codes_all = np.empty((total, m_l), dtype=np.int32)
+            for bi in range(len(offs) - 1):
+                lo_g, hi_g = int(offs[bi]), int(offs[bi + 1])
+                Q = Qall[lo_g:hi_g]
+                out = codes_all[lo_g - base_o : hi_g - base_o]
                 for s in range(m_l):
-                    ent = sorted(by_s[s], key=lambda e: e[0])
-                    cc_ids = np.array([e[0] for e in ent], dtype=np.int32)
-                    C = np.array([e[1] for e in ent], dtype=np.float64)
+                    C = C_by_s[s]
                     Qs = Q[:, s * sub_l : (s + 1) * sub_l]
                     diff = Qs[:, None, :] - C[None, :, :]
                     D = _np_round_half_away((diff * diff) * 1e9).sum(
                         axis=2
                     )
                     # first-min over cc-sorted entries = smallest cc
-                    codes_out[:, s] = cc_ids[np.argmin(D, axis=1)]
-                yield pd.DataFrame(
-                    {
-                        **{
-                            c: [r[c] for r in ablock]
-                            for c in (id_col, *keep_cols)
-                        },
-                        "codes": list(codes_out),
-                        "vnorm": [r["__vnorm"] for r in ablock],
-                    }
-                )
+                    out[:, s] = cc_by_s[s][np.argmin(D, axis=1)]
+            out_rows = entries.slice(base_o, total)
+            codes_col = pa.ListArray.from_arrays(
+                uniform_list_offsets(total, m_l),
+                pa.array(codes_all.ravel()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [out_rows.field(c) for c in (id_col, *keep_cols)]
+                + [codes_col, out_rows.field("__vnorm")],
+                [id_col, *keep_cols, "codes", "vnorm"],
+            )
 
-    return kctx.mapInPandas(code_blocks, out_schema)
+    return kctx.mapInArrow(code_batches, out_schema)
 
 
 def pq_topk_from_codes(
@@ -2301,8 +2398,6 @@ def pq_topk_from_codes(
     :func:`pq_search_codebook` over the live corpus (same tdots ints,
     same codes, same round-6 cosine), so the kmeans oracle applies
     unchanged."""
-    import pandas as pd
-
     sub = dim // m
     cents_row = codebook.agg(
         F.collect_list(
@@ -2339,47 +2434,58 @@ def pq_topk_from_codes(
     kctx = blocks.crossJoin(F.broadcast(ctx))
     sub_l, m_l = sub, m
 
-    def adc_gather_blocks(batches):
+    # round 16 (guide §4.2, VERDICT r15 #3): raw Arrow batches — the
+    # ~9-byte/row codes column reshapes zero-copy and the integer gather
+    # vectorizes over the WHOLE batch (blocks only delimited the pandas
+    # loop; the gather needs no per-block state). Same tdots ints.
+    def adc_gather_batches(batches):
         import numpy as np
+        import pyarrow as pa
 
-        for pdf in batches:
-            for ablock, cents, q in zip(
-                pdf["ablock"], pdf["cents"], pdf["q"]
-            ):
-                qv = np.asarray(q, dtype=np.float64)
-                by_s: dict[int, list] = {}
-                for c in cents:
-                    by_s.setdefault(int(c["cs"]), []).append(
-                        (int(c["cc"]), c["cvec"])
-                    )
-                n = len(ablock)
-                codes = np.array(
-                    [r["codes"] for r in ablock], dtype=np.int32
-                ).reshape(n, m_l)
-                adc = np.zeros(n, dtype=np.int64)
-                for s in range(m_l):
-                    ent = sorted(by_s[s], key=lambda e: e[0])
-                    cc_ids = np.array([e[0] for e in ent], dtype=np.int32)
-                    C = np.array([e[1] for e in ent], dtype=np.float64)
-                    qs = qv[s * sub_l : (s + 1) * sub_l]
-                    tdots = _np_round_half_away(
-                        (qs[None, :] * C) * 1e9
-                    ).sum(axis=1)
-                    pos = np.searchsorted(cc_ids, codes[:, s])
-                    adc += tdots[pos]
-                yield pd.DataFrame(
-                    {
-                        **{
-                            c: [r[c] for r in ablock]
-                            for c in (id_col, *keep_cols)
-                        },
-                        "vnorm": [r["vnorm"] for r in ablock],
-                        "adc_dot_grid": adc,
-                    }
-                )
+        from .linalg import (
+            arrow_list_to_2d,
+            block_layout,
+            context_entries,
+        )
+
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            entries, offs = block_layout(rb.column("ablock"))
+            cents = context_entries(rb.column("cents"))
+            qv = np.asarray(rb.column("q")[0].as_py(), dtype=np.float64)
+            cs = cents.field("cs").to_numpy()
+            cc = cents.field("cc").to_numpy()
+            Cfull = arrow_list_to_2d(cents.field("cvec"), np.float64)
+            base_o = int(offs[0])
+            total = int(offs[-1]) - base_o
+            codes = arrow_list_to_2d(entries.field("codes"), np.int32)[
+                base_o : base_o + total
+            ]
+            adc = np.zeros(total, dtype=np.int64)
+            for s in range(m_l):
+                rows = np.nonzero(cs == s)[0]
+                rows = rows[np.argsort(cc[rows], kind="stable")]
+                cc_ids = cc[rows].astype(np.int32)
+                C = Cfull[rows]
+                qs = qv[s * sub_l : (s + 1) * sub_l]
+                tdots = _np_round_half_away(
+                    (qs[None, :] * C) * 1e9
+                ).sum(axis=1)
+                pos = np.searchsorted(cc_ids, codes[:, s])
+                adc += tdots[pos]
+            out_rows = entries.slice(base_o, total)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    out_rows.field(c)
+                    for c in (id_col, *keep_cols, "vnorm")
+                ]
+                + [pa.array(adc)],
+                [id_col, *keep_cols, "vnorm", "adc_dot_grid"],
+            )
 
     scored = (
-        kctx.mapInPandas(adc_gather_blocks, out_schema)
+        kctx.mapInArrow(adc_gather_batches, out_schema)
         .crossJoin(F.broadcast(ctx.select("q", "qnorm")))
         .withColumn(
             "adc_cosine",
@@ -3595,7 +3701,7 @@ def _sem_cell_dominance(
     cross-engine in BOTH tiers.
 
     ``tier="gemm"`` (default, round 12 — the last interpreted per-PAIR
-    fold in the SemDeDup family): one ``applyInPandas`` over the cell
+    fold in the SemDeDup family): one grouped-map kernel over the cell
     key computes each cell's pairwise int64 GEMM (exact within
     ``_sem_quant``'s enforced |x| ≤ 37 bound: 64·(3.7e8)² < 2⁶³),
     divides with the in-plan parenthesization pinned, rounds via
@@ -3887,11 +3993,22 @@ def semantic_decontaminate(
             "quantize it to 6 decimal places"
         )
 
-    def flag_blocks(batches):
+    # round 16 (guide §4.2, VERDICT r15 #3): raw Arrow batches — the
+    # eval-suite context parses once per batch, the train block GEMMs
+    # over the whole batch (blocks only delimited the pandas loop; the
+    # flag needs no per-block state). Same int64 GEMM, same boundary
+    # Decimal path.
+    def flag_batches(batches):
         from decimal import ROUND_HALF_UP, Decimal
 
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
+
+        from .linalg import (
+            arrow_list_to_2d,
+            block_layout,
+            context_entries,
+        )
 
         tau = Decimal(str(thr))
         grid6 = Decimal("0.000001")
@@ -3899,50 +4016,56 @@ def semantic_decontaminate(
         # smallest real that rounds to >= tau is tau - 5e-7 — derived
         # in exact decimal, not float subtraction
         thr_b = float(tau - Decimal("0.0000005"))
-        for pdf in batches:
-            for ablock, evs in zip(pdf["ablock"], pdf["evs"]):
-                ids = [r[id_col] for r in ablock]
-                if not len(evs):
-                    # EXISTS over an empty eval suite is false — same
-                    # as the HOF tier
-                    yield pd.DataFrame(
-                        {id_col: ids, "contaminated": [False] * len(ids)}
-                    )
-                    continue
-                Q = np.array([r["__qv"] for r in ablock], dtype=np.int64)
-                na = np.array(
-                    [r["__nrm"] for r in ablock], dtype=np.float64
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            entries, offs = block_layout(rb.column("ablock"))
+            base_o = int(offs[0])
+            total = int(offs[-1]) - base_o
+            out_rows = entries.slice(base_o, total)
+            ids_col = out_rows.field(id_col)
+            evs = context_entries(rb.column("evs"))
+            if not len(evs):
+                # EXISTS over an empty eval suite is false — same as
+                # the HOF tier
+                yield pa.RecordBatch.from_arrays(
+                    [ids_col, pa.array(np.zeros(total, dtype=bool))],
+                    [id_col, "contaminated"],
                 )
-                E = np.array([e["qe"] for e in evs], dtype=np.int64)
-                ne = np.array([e["ne"] for e in evs], dtype=np.float64)
-                if Q.size == 0:
-                    Q = Q.reshape(0, E.shape[1])
-                if not (na.all() and ne.all()):
-                    raise ValueError(
-                        "semantic_decontaminate: zero norm in train or "
-                        "eval — a NaN cosine may not decide a flag"
-                    )
-                # exact int64 GEMM (in-range by _sem_quant's bound),
-                # then the in-plan parenthesization pinned:
-                # (dot as double / 1e14) / (nrm * ne)
-                D = (Q @ E.T).astype(np.float64)
-                C = (D / float(SEM_QSCALE) ** 2) / (
-                    na[:, None] * ne[None, :]
+                continue
+            Q = arrow_list_to_2d(out_rows.field("__qv"), np.int64)
+            na = out_rows.field("__nrm").to_numpy()
+            E = arrow_list_to_2d(evs.field("qe"), np.int64)
+            ne = evs.field("ne").to_numpy()
+            if Q.size == 0:
+                Q = Q.reshape(0, E.shape[1])
+            if not (na.all() and ne.all()):
+                raise ValueError(
+                    "semantic_decontaminate: zero norm in train or "
+                    "eval — a NaN cosine may not decide a flag"
                 )
-                m = C.max(axis=1) if len(ids) else C.reshape(0)
-                flags = m > thr_b + 1e-9
-                for r in np.nonzero(np.abs(m - thr_b) <= 1e-9)[0]:
-                    flags[r] = (
-                        Decimal(repr(float(m[r]))).quantize(
-                            grid6, rounding=ROUND_HALF_UP
-                        )
-                        >= tau
+            # exact int64 GEMM (in-range by _sem_quant's bound),
+            # then the in-plan parenthesization pinned:
+            # (dot as double / 1e14) / (nrm * ne)
+            D = (Q @ E.T).astype(np.float64)
+            C = (D / float(SEM_QSCALE) ** 2) / (
+                na[:, None] * ne[None, :]
+            )
+            m = C.max(axis=1) if total else C.reshape(0)
+            flags = m > thr_b + 1e-9
+            for r in np.nonzero(np.abs(m - thr_b) <= 1e-9)[0]:
+                flags[r] = (
+                    Decimal(repr(float(m[r]))).quantize(
+                        grid6, rounding=ROUND_HALF_UP
                     )
-                yield pd.DataFrame(
-                    {id_col: ids, "contaminated": flags}
+                    >= tau
                 )
+            yield pa.RecordBatch.from_arrays(
+                [ids_col, pa.array(flags)],
+                [id_col, "contaminated"],
+            )
 
-    return ctx.mapInPandas(flag_blocks, out_schema)
+    return ctx.mapInArrow(flag_batches, out_schema)
 
 
 def _sem_argmax_cell(qv: Column, nrm: Column, arr: Column) -> Column:
@@ -4160,8 +4283,6 @@ def semantic_dedup_gemm(
     Routing changes which cell near-boundary rows land in (hierarchical
     coarse quantization is an approximation — the h2 docstring's
     point), so it is again a separate query surface."""
-    import pandas as pd
-
     if two_level and not n_super:
         raise ValueError("two_level=True requires n_super")
 
@@ -4198,8 +4319,20 @@ def semantic_dedup_gemm(
     )
     ctx = blocks.crossJoin(F.broadcast(seeds_row))
 
-    def assign_blocks(batches):
+    # round 16 (guide §4.2, VERDICT r15 #3): raw Arrow batches — the
+    # pandas form materialized per-row struct objects (and re-built the
+    # quantized __qv list per row on the way OUT); here __qv/__nrm pass
+    # through as untouched child arrays and only cell_id is built. Same
+    # unrounded-cosine/smaller-id argmax at every level.
+    def assign_batches(batches):
         import numpy as np
+        import pyarrow as pa
+
+        from .linalg import (
+            arrow_list_to_2d,
+            block_layout,
+            context_entries,
+        )
 
         def _ucos(Qm, nq, Sm, ns):
             # exact int64 GEMM (bounded by the in-plan |x|<=37 guard),
@@ -4215,34 +4348,46 @@ def semantic_dedup_gemm(
                 )
             return (Qm @ Sm.T).astype(np.float64) / den
 
-        for pdf in batches:
-            for ablock, seeds in zip(pdf["ablock"], pdf["seeds"]):
-                srt = sorted(seeds, key=lambda s: s["cell_id"])
-                cells = np.array([s["cell_id"] for s in srt], dtype=np.int32)
-                S = np.array([s["sq"] for s in srt], dtype=np.int64)
-                sn = np.array([s["snorm"] for s in srt], dtype=np.float64)
-                ids = [r["id"] for r in ablock]
-                Q = np.array([r["__qv"] for r in ablock], dtype=np.int64)
-                na = np.array(
-                    [r["__nrm"] for r in ablock], dtype=np.float64
-                )
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            entries, offs = block_layout(rb.column("ablock"))
+            seeds = context_entries(rb.column("seeds"))
+            order = np.argsort(
+                seeds.field("cell_id").to_numpy(), kind="stable"
+            )
+            cells = (
+                seeds.field("cell_id").to_numpy()[order].astype(np.int32)
+            )
+            S = arrow_list_to_2d(seeds.field("sq"), np.int64)[order]
+            sn = seeds.field("snorm").to_numpy()[order]
+            Qall = arrow_list_to_2d(entries.field("__qv"), np.int64)
+            na_all = entries.field("__nrm").to_numpy()
+            base_o = int(offs[0])
+            total = int(offs[-1]) - base_o
+            pick_all = np.empty(total, dtype=np.int32)
+            if two_level:
+                msk = cells < n_super
+                supids = cells[msk]
+                Ssup, snsup = S[msk], sn[msk]
+                # child -> super parenting (identical rule)
+                parent = supids[
+                    np.argmax(_ucos(S, sn, Ssup, snsup), axis=1)
+                ]
+            for bi in range(len(offs) - 1):
+                lo_g, hi_g = int(offs[bi]), int(offs[bi + 1])
+                Q = Qall[lo_g:hi_g]
+                na = na_all[lo_g:hi_g]
                 # argmax with ties to the smaller cell id everywhere:
                 # seeds sorted by cell_id and np.argmax returns the
                 # FIRST maximum
                 if not two_level:
                     pick = cells[np.argmax(_ucos(Q, na, S, sn), axis=1)]
                 else:
-                    m = cells < n_super
-                    supids = cells[m]
-                    Ssup, snsup = S[m], sn[m]
-                    # child -> super parenting (identical rule)
-                    parent = supids[
-                        np.argmax(_ucos(S, sn, Ssup, snsup), axis=1)
-                    ]
                     rsup = supids[
                         np.argmax(_ucos(Q, na, Ssup, snsup), axis=1)
                     ]
-                    pick = np.empty(len(ids), dtype=np.int32)
+                    pick = np.empty(hi_g - lo_g, dtype=np.int32)
                     for s in supids:
                         rows = np.nonzero(rsup == s)[0]
                         if rows.size == 0:
@@ -4254,17 +4399,20 @@ def semantic_dedup_gemm(
                                 axis=1,
                             )
                         ]
-                yield pd.DataFrame(
-                    {
-                        "id": ids,
-                        "__qv": [r["__qv"] for r in ablock],
-                        "__nrm": na,
-                        "cell_id": pick,
-                    }
-                )
+                pick_all[lo_g - base_o : hi_g - base_o] = pick
+            out_rows = entries.slice(base_o, total)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    out_rows.field("id"),
+                    out_rows.field("__qv"),
+                    out_rows.field("__nrm"),
+                    pa.array(pick_all),
+                ],
+                ["id", "__qv", "__nrm", "cell_id"],
+            )
 
-    assigned = ctx.mapInPandas(
-        assign_blocks,
+    assigned = ctx.mapInArrow(
+        assign_batches,
         f"id {id_type}, __qv array<long>, __nrm double, cell_id int",
     ).withColumnRenamed("id", id_col)
     if checkpoint:
