@@ -56,7 +56,11 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy (round 16): round 1's convergence count materializes the
+        # adjacency — the RDD is shared by every reference inside that
+        # first action, so it still computes exactly once; one fewer
+        # driver action per CC invocation
+        .localCheckpoint(eager=False)
     )
     labels = (
         bidir.select(F.col("a").alias("node"))
@@ -91,7 +95,12 @@ def connected_components(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             new_labels = new_labels.checkpoint(eager=True)
         else:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            # round 16: lazy — the convergence count below materializes
+            # the checkpoint, halving the driver actions per round (the
+            # plan truncates at call time either way; the reliable-
+            # checkpoint branch stays eager, its durability is the
+            # point there)
+            new_labels = new_labels.localCheckpoint(eager=False)
         n_changed = new_labels.filter(F.col("changed")).count()
         # the checkpoint above materialized new_labels; the previous
         # iteration's blocks are no longer referenced — release them so
@@ -232,12 +241,25 @@ def connected_components_star(
             .unionByName(smins.select("a", F.col("m").alias("b")))
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # round 16: LAZY checkpoint — the convergence probe below is
+            # the materializing action, so each round pays ONE driver
+            # action instead of three (eager ckpt + two subtract
+            # probes); the plan still truncates immediately
+            # (localCheckpoint wraps the frame in a LogicalRDD at call
+            # time regardless of eagerness). At fixture scale the loop's
+            # wall was ~1 s/round of pure job-scheduling overhead on a
+            # tens-of-edges relation (measured: star-CC 2.0 s of
+            # curation_v3's 6.6 s at 2 rounds).
+            .localCheckpoint(eager=False)
         )
         rounds += 1
+        # both set-difference directions probed in ONE action (union of
+        # two limit-1 subtrees — same exact emptiness test, one job)
         changed = (
-            small.subtract(e).limit(1).count()
-            + e.subtract(small).limit(1).count()
+            small.subtract(e).limit(1)
+            .unionByName(e.subtract(small).limit(1))
+            .limit(1)
+            .count()
         )
         e = small
         if changed == 0:
