@@ -393,6 +393,15 @@ def _repetition_stats_kernel(
                 .indices.to_numpy()
                 .astype(np.int64)
             )
+            # alignment invariant made explicit (ADVICE r15): the
+            # positional indexing of `codes` against `offs` assumes
+            # offs[0] == 0 and len(values) == offs[-1] — true for fresh
+            # split_pattern output, but a sliced list array would make
+            # codes and doc_idx diverge and fail deep inside doc_top_dup
+            # with an opaque lexsort error. Rebase defensively.
+            if offs[0] != 0 or len(codes) != offs[-1]:
+                codes = codes[offs[0] : offs[-1]]
+                offs = offs - offs[0]
             doc_len = np.diff(offs).astype(np.int64)
             doc_idx = np.repeat(
                 np.arange(n_docs, dtype=np.int64), doc_len

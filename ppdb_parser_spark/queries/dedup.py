@@ -828,6 +828,7 @@ def pipeline_incremental_ingest_report(
     # leg 2 — near-dup pairs from the SAME persisted packed base the
     # indexed jaccard query maintains (artifact shared, not rebuilt);
     # lazy cut: the pair relation feeds the count AND the CC merge
+    n_base = base.count()  # one staleness-guard count for BOTH artifacts
     packed = _load_persisted_index(
         spark,
         base,
@@ -836,6 +837,7 @@ def pipeline_incremental_ingest_report(
             base, n=2, min_partitions=_par(spark)
         ),
         fingerprint=fp,
+        n_corpus=n_base,
     )
     pairs = (
         DD.jaccard_pairs_from_index(
@@ -861,6 +863,7 @@ def pipeline_incremental_ingest_report(
             ).select("id_a", "id_b")
         ),
         fingerprint=fp,
+        n_corpus=n_base,
     )
     labels = incremental_components(base_labels, pairs)
 
