@@ -447,12 +447,87 @@ def _repetition_stats_kernel(
     return df.select(id_col, text_col).mapInArrow(rep_batches, out_schema)
 
 
+def _winnow_fp_kernel(
+    df: DataFrame, id_col: str, text_col: str, k: int, w: int
+) -> DataFrame:
+    """Zero-shuffle winnowing: the whole fingerprint selection is
+    per-document, so — exactly like :func:`repetition_stats`'s kernel
+    tier (round 15) — no cross-row exchange is fundamentally needed,
+    yet the window form pays one doc-keyed exchange + sort over the
+    k-gram stream per call (guide §2.1). One ``mapInArrow`` narrow map
+    computes it instead: per doc, md5 each k-gram (identical bytes to
+    the in-plan ``md5(gram)`` — hashlib over the UTF-8 string), compare
+    on the big-endian uint64 of the digest's first 8 bytes (numeric
+    order == lexicographic order of the 16-hex-char prefix, the same
+    equivalence `_hex16_ord_long` uses), take sliding-window minima via
+    a stride view, and emit the distinct winners as their exact
+    16-hex-char strings. Boundary rule mirrored: docs with fewer than
+    ``w`` k-grams keep their single whole-doc window; docs with no
+    k-gram (< k tokens, empty or NULL text) emit no rows — byte-for-byte
+    the window tier's output (parity pinned in
+    tests/test_operators.py::test_winnow_kernel_equals_window)."""
+    dtypes = dict(df.dtypes)
+    out_schema = f"`{id_col}` {dtypes[id_col]}, fingerprint string"
+
+    def fp_batches(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        md5 = hashlib.md5
+        swv = np.lib.stride_tricks.sliding_window_view
+        for rb in batches:
+            ids = rb.column(0)
+            texts = rb.column(1)
+            if texts.null_count:
+                valid = pc.is_valid(texts)
+                ids = ids.filter(valid)
+                texts = texts.filter(valid)
+            n_docs = len(texts)
+            if not n_docs:
+                continue
+            toks = pc.split_pattern(texts, " ")
+            offs = toks.offsets.to_numpy()
+            flat = toks.values.to_pylist()
+            out_idx: list[int] = []
+            out_fp: list[str] = []
+            for di in range(n_docs):
+                t = flat[offs[di] : offs[di + 1]]
+                g = len(t) - k + 1
+                if g < 1:
+                    continue
+                dig = b"".join(
+                    md5(" ".join(t[i : i + k]).encode()).digest()[:8]
+                    for i in range(g)
+                )
+                hs = np.frombuffer(dig, dtype=">u8")
+                if g <= w:
+                    mins = hs.min(keepdims=True)
+                else:
+                    mins = swv(hs, w).min(axis=1)
+                for v in np.unique(mins):
+                    out_idx.append(di)
+                    out_fp.append(format(v, "016x"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(out_idx, type=pa.int32())),
+                    pa.array(out_fp, type=pa.string()),
+                ],
+                [id_col, "fingerprint"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(fp_batches, out_schema)
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 4,
     w: int = 5,
+    tier: str = "kernel",
 ) -> DataFrame:
     """Winnowed document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD'03 "Winnowing: Local Algorithms for Document Fingerprinting" —
@@ -483,8 +558,18 @@ def winnow_fingerprints(
     clustering. Short docs (< w k-grams) keep their single whole-doc
     window, matching the paper's boundary rule.
 
+    ``tier="kernel"`` (default, round 16): the per-document selection
+    runs as ONE zero-shuffle Arrow map — see :func:`_winnow_fp_kernel`
+    (fingerprint relation byte-identical; the doc-keyed exchange +
+    window sort disappear from every winnow plan). ``tier="window"``
+    keeps this in-plan form as the A/B twin.
+
     Returns (id_col, fingerprint).
     """
+    if tier == "kernel":
+        return _winnow_fp_kernel(df, id_col, text_col, k, w)
+    if tier != "window":
+        raise ValueError(f"tier must be 'kernel' or 'window', got {tier!r}")
     from .dedup import _hex16_ord_long, _ord_long_hex16
 
     toks = tokens(text_col)

@@ -700,6 +700,48 @@ def test_repetition_kernel_equals_agg(spark):
             assert kern[d][c] == agg[d][c], (d, c, kern[d], agg[d])
 
 
+def test_winnow_kernel_equals_window(spark):
+    """The round-16 zero-shuffle Arrow tier of winnow_fingerprints must
+    be row-identical (as a set) to the window-form twin — including
+    split-semantics edges (empty text, kept empty tokens from doubled
+    spaces), docs shorter than k (no rows), docs with fewer than w
+    k-grams (single whole-doc window), exact-w docs, and NULL text
+    (doc vanishes)."""
+    from ppdb_parser_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    long_a = " ".join(f"t{i % 7}" for i in range(40))
+    df = spark.createDataFrame(
+        [
+            (1, long_a),                   # many windows, repeats
+            (2, long_a + " tail words x"), # shared run with doc 1
+            (3, "a b c"),                  # < k tokens: no k-gram
+            (4, "a b c d"),                # exactly one k-gram (g < w)
+            (5, "a b c d e f g h"),        # g = 5 = w: one full window
+            (6, ""),                       # split('') = [''] -> no gram
+            (7, "p  q r  s t u"),          # doubled spaces keep empties
+            (8, None),                     # NULL text: absent
+        ],
+        ["doc_id", "text"],
+    )
+    for kk, ww in ((4, 5), (2, 3)):
+        kern = {
+            (r["doc_id"], r["fingerprint"])
+            for r in winnow_fingerprints(
+                df, k=kk, w=ww, tier="kernel"
+            ).collect()
+        }
+        win = {
+            (r["doc_id"], r["fingerprint"])
+            for r in winnow_fingerprints(
+                df, k=kk, w=ww, tier="window"
+            ).collect()
+        }
+        assert kern == win, (kk, ww, kern ^ win)
+        assert kern, "edge fixture produced no fingerprints at all"
+
+
 def test_winnowing_guarantee_and_match(spark):
     """Winnowing guarantee (SIGMOD'03): two docs sharing a run of
     w + k - 1 = 8 tokens share at least one fingerprint; an exact copy
