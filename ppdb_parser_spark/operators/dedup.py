@@ -466,6 +466,7 @@ def jaccard_pairs_from_index(
     return _jaccard_prefix_tail(
         base, threshold, id_col,
         delta_min_id=delta_min_id, cross_min_id=None, stage_probe=None,
+        nparts=nparts,
     )
 
 
@@ -491,6 +492,7 @@ def jaccard_pairs_full_from_index(
     return _jaccard_prefix_tail(
         base, threshold, id_col,
         delta_min_id=None, cross_min_id=None, stage_probe=None,
+        nparts=nparts,
     )
 
 
@@ -504,6 +506,7 @@ def jaccard_pairs_prefix(
     delta_min_id: int | None = None,
     cross_min_id: int | None = None,
     stage_probe: dict | None = None,
+    pair_tier: str | None = None,
 ) -> DataFrame:
     """Exact Jaccard-join via prefix filtering (AllPairs / PPJoin family —
     Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity Search",
@@ -599,7 +602,174 @@ def jaccard_pairs_prefix(
     return _jaccard_prefix_tail(
         base, threshold, id_col,
         delta_min_id=delta_min_id, cross_min_id=cross_min_id,
-        stage_probe=stage_probe,
+        stage_probe=stage_probe, nparts=nparts, pair_tier=pair_tier,
+    )
+
+
+def _prefix_pair_partials_kernel(
+    pref: DataFrame,
+    threshold: float,
+    id_col: str,
+    delta_min_id: int | None,
+    cross_min_id: int | None,
+    nparts: int,
+) -> DataFrame:
+    """Per-partition candidate-pair PARTIALS for the PPJoin tail — the
+    Arrow tier of the prefix candidate stage (round 16; guide §4.2).
+
+    The join tier materializes the fp-keyed self-join's full output
+    (Σ df_pref² rows — 12.76 M at sf0.1, measured ~3.6 s of the 3.6 s
+    full-cold `dedup_jaccard_prefix` wall) through JVM codegen before
+    its partial hash aggregate. The volume is irreducible for a sound
+    prefix filter (three A/B'd negative results, rounds 14-16), but the
+    per-row cost is not: ONE hash repartition by fp puts every
+    occurrence of a prefix fingerprint in one partition, and a
+    ``mapInArrow`` kernel generates the within-group pairs and
+    partially aggregates them vectorized — numpy pair-index arithmetic
+    + one sort + ``maximum.reduceat`` instead of an SMJ (two sorts of
+    the same exchanged relation) feeding a row-at-a-time codegen
+    aggregate.
+
+    Emits per-partition partials (id_a, id_b, c, ia, ib, na, nb) with
+    the join tier's conjuncts applied EXACTLY: rows are sorted by
+    (fp, id) so within-group pair generation yields id_a < id_b for
+    free (ids are distinct within an fp group — a document's prefix is
+    a set); the PPJoin length filter ``t·n_a ≤ n_b ∧ t·n_b ≤ n_a`` is
+    the same float64 comparison the JVM evaluates; the
+    delta/cross-corpus id conjuncts are plain integer compares. The
+    caller's final groupBy merges partials (SUM(c), MAX(ia/ib)) —
+    identical to what the join tier's partial+final hash aggregate
+    computes, so the candidate SET is bit-identical (parity pinned in
+    tests; the exchanged row volume is also identical — the join tier's
+    map-side partial aggregate sat on the same fp-clustered stream).
+
+    Scale notes: partition memory is O(pairs in partition) — bounded by
+    shuffle partition sizing exactly like the join tier's per-task
+    aggregate hash map; the prefix filter's df-ordering bounds
+    per-fingerprint fan-out on Zipfian corpora. One residual trade: AQE
+    skew-join splitting applied to the join tier but cannot split a
+    kernel partition — under extreme single-fingerprint skew prefer
+    ``pair_tier='join'`` (the A/B twin, kept verbatim)."""
+    dtypes = dict(pref.dtypes)
+    out_schema = (
+        f"id_a {dtypes[id_col]}, id_b {dtypes[id_col]}, c bigint, "
+        f"ia {dtypes['pos']}, ib {dtypes['pos']}, "
+        f"na {dtypes['n']}, nb {dtypes['n']}"
+    )
+    t = float(threshold)
+    dmin = delta_min_id
+    cmin = cross_min_id
+
+    def pair_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        chunks: list[list] = [[], [], [], []]
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            for i in range(4):
+                chunks[i].append(
+                    rb.column(i).to_numpy(zero_copy_only=False)
+                )
+        if not chunks[0]:
+            return
+        ids = np.concatenate(chunks[0])
+        n = np.concatenate(chunks[1])
+        pos = np.concatenate(chunks[2])
+        fp = np.concatenate(chunks[3])
+        N = len(ids)
+        # canonical (fp, id) sort: one fp's occurrences become one
+        # contiguous run with ids ascending, so every within-run (i < j)
+        # pair has id_a < id_b by construction
+        order = np.lexsort((ids, fp))
+        ids_s = ids[order]
+        n_s = n[order]
+        pos_s = pos[order]
+        fp_s = fp[order]
+        new = np.empty(N, dtype=bool)
+        new[0] = True
+        np.not_equal(fp_s[1:], fp_s[:-1], out=new[1:])
+        gstart = np.flatnonzero(new)[np.cumsum(new) - 1]
+        rank = np.arange(N, dtype=np.int64) - gstart
+        # delta/cross conjuncts prune BEFORE generation (the join tier's
+        # condition prunes as the join emits — generating Σ df² pairs to
+        # mask Σ df·df_delta would forfeit the incremental contract's
+        # cost shape). Ids ascend within a run, so a row's valid a-side
+        # partners are always a PREFIX of its run: delta mode zeroes the
+        # rank of non-delta b rows; cross mode additionally caps it at
+        # the run's count of sub-cutoff rows (= the earlier-rows-below-
+        # cmin count, a prefix because of the ascending order).
+        if dmin is not None:
+            rank = np.where(ids_s >= dmin, rank, 0)
+        if cmin is not None:
+            lt = ids_s < cmin
+            cum_excl = np.cumsum(lt) - lt
+            earlier_lt = cum_excl - cum_excl[gstart]
+            rank = np.where(
+                ids_s >= cmin, np.minimum(rank, earlier_lt), 0
+            )
+        P = int(rank.sum())
+        if P == 0:
+            return
+        # each row (effective rank q) closes q pairs against the FIRST q
+        # rows of its run: b-index repeats the row, a-indices are the
+        # contiguous range [gstart, gstart+q) — index arithmetic, no loop
+        idx_b = np.repeat(np.arange(N, dtype=np.int64), rank)
+        block = np.cumsum(rank) - rank
+        idx_a = (
+            np.arange(P, dtype=np.int64)
+            - np.repeat(block, rank)
+            + np.repeat(gstart, rank)
+        )
+        na = n_s[idx_a]
+        nb = n_s[idx_b]
+        keep = (t * na <= nb) & (t * nb <= na)
+        idx_a = idx_a[keep]
+        idx_b = idx_b[keep]
+        M = len(idx_a)
+        if M == 0:
+            return
+        ia_id = ids_s[idx_a]
+        ib_id = ids_s[idx_b]
+        pa_pos = pos_s[idx_a]
+        pb_pos = pos_s[idx_b]
+        # partial aggregate by (id_a, id_b): sort-based — packed int64
+        # key when both ids fit 31 bits (always true for the fixture id
+        # spaces; exact, order-preserving), lexsort otherwise
+        a64 = ia_id.astype(np.int64, copy=False)
+        b64 = ib_id.astype(np.int64, copy=False)
+        if (
+            a64.min() >= 0
+            and b64.min() >= 0
+            and max(int(a64.max()), int(b64.max())) < 2**31
+        ):
+            o2 = np.argsort(a64 << np.int64(32) | b64, kind="stable")
+        else:
+            o2 = np.lexsort((b64, a64))
+        a_s = ia_id[o2]
+        b_s = ib_id[o2]
+        nw = np.empty(M, dtype=bool)
+        nw[0] = True
+        nw[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+        bnd = np.flatnonzero(nw)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(a_s[bnd]),
+                pa.array(b_s[bnd]),
+                pa.array(np.diff(np.append(bnd, M)).astype(np.int64)),
+                pa.array(np.maximum.reduceat(pa_pos[o2], bnd)),
+                pa.array(np.maximum.reduceat(pb_pos[o2], bnd)),
+                pa.array(n_s[idx_a][o2][bnd]),
+                pa.array(n_s[idx_b][o2][bnd]),
+            ],
+            ["id_a", "id_b", "c", "ia", "ib", "na", "nb"],
+        )
+
+    return (
+        pref.select(id_col, "n", "pos", "fp")
+        .repartition(nparts, F.col("fp"))
+        .mapInArrow(pair_batches, out_schema)
     )
 
 
@@ -611,11 +781,41 @@ def _jaccard_prefix_tail(
     delta_min_id: int | None,
     cross_min_id: int | None,
     stage_probe: dict | None,
+    nparts: int | None = None,
+    pair_tier: str | None = None,
 ) -> DataFrame:
     """df count → canonical prefix slice → PPJoin candidate join with
     the positional c-bound → packed-set verification, shared by the
     self-join and persisted-index prefix-Jaccard forms. ``base`` arrives
-    doc-keyed behind a lazy cut point (four consumers read it)."""
+    doc-keyed behind a lazy cut point (four consumers read it).
+
+    ``pair_tier='kernel'`` computes the candidate pair stream + its
+    partial aggregate in :func:`_prefix_pair_partials_kernel`;
+    ``'join'`` keeps the original fp-keyed self-join + hash aggregate
+    as the A/B twin (parity pinned in
+    tests/test_operators.py::test_jaccard_prefix_kernel_equals_join).
+    Both tiers feed the identical positional c-bound filter and
+    verification joins, so emitted pairs are bit-identical.
+
+    Default (``None``) resolves by candidate VOLUME, the quantity that
+    decides which tier wins (round-16 A/B, isolate_bench min-of-4):
+    full self-joins (Σ df_pref² pairs — 12.76 M at sf0.1) take the
+    kernel (dedup_jaccard_prefix 4.99 → 3.47 s, index-append full serve
+    4.59 → 3.23 s); delta/cross-restricted calls emit only
+    Σ df·df_delta pairs, where the kernel's fixed Python-boundary cost
+    exceeds the per-pair win (dedup_jaccard_incremental_indexed
+    1.58 → 2.04 s under the kernel — the same delta-sized lesson as
+    round 16's ``dict_width=0``), so they keep the join tier."""
+    if pair_tier is None:
+        pair_tier = (
+            "join"
+            if (delta_min_id is not None or cross_min_id is not None)
+            else "kernel"
+        )
+    if pair_tier not in ("kernel", "join"):
+        raise ValueError(
+            f"pair_tier must be 'kernel' or 'join', got {pair_tier!r}"
+        )
     if stage_probe is not None:
         # diagnostic hook (tools/stage_walls.py): expose the plan's stage
         # boundaries for forced per-stage walls — pure plan objects, zero
@@ -692,6 +892,42 @@ def _jaccard_prefix_tail(
     if stage_probe is not None:
         stage_probe["freq"] = freq
         stage_probe["pref"] = pref
+    if pair_tier == "kernel":
+        # Arrow tier (round 16): pair generation + per-partition partial
+        # aggregation inside _prefix_pair_partials_kernel; this final
+        # aggregate merges the partials with the SAME operators the join
+        # tier's hash aggregate applies (SUM of partial counts = COUNT of
+        # join rows; MAX of partial maxes = MAX; na/nb are functionally
+        # dependent on the pair), then the identical positional c-bound.
+        partials = _prefix_pair_partials_kernel(
+            pref,
+            t,
+            id_col,
+            delta_min_id,
+            cross_min_id,
+            nparts or shuffle_width(base.sparkSession),
+        )
+        cand = (
+            partials.groupBy("id_a", "id_b")
+            .agg(
+                F.sum("c").alias("c"),
+                F.first("na").alias("na"),
+                F.first("nb").alias("nb"),
+                F.max("ia").alias("ia"),
+                F.max("ib").alias("ib"),
+            )
+            .filter(
+                F.col("c")
+                + F.least(
+                    F.col("na") - F.col("ia"), F.col("nb") - F.col("ib")
+                )
+                >= F.ceil(F.lit(t / (1.0 + t)) * (F.col("na") + F.col("nb")))
+            )
+            .select("id_a", "id_b")
+        )
+        return _prefix_verify_tail(
+            cand, base, threshold, id_col, stage_probe
+        )
     a, b = pref.alias("a"), pref.alias("b")
     tc = F.lit(t)
 
@@ -742,6 +978,18 @@ def _jaccard_prefix_tail(
         )
         .select("id_a", "id_b")
     )
+    return _prefix_verify_tail(cand, base, threshold, id_col, stage_probe)
+
+
+def _prefix_verify_tail(
+    cand: DataFrame,
+    base: DataFrame,
+    threshold: float,
+    id_col: str,
+    stage_probe: dict | None,
+) -> DataFrame:
+    """Exact packed-set verification of the c-bound survivors — shared
+    verbatim by both candidate tiers of :func:`_jaccard_prefix_tail`."""
     if stage_probe is not None:
         stage_probe["cand"] = cand
     # verification sets come straight off the scan (base is a narrow map —

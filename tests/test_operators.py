@@ -456,6 +456,50 @@ def test_jaccard_prefix_positional_bound_sound(spark):
     assert key(jaccard_pairs_prefix(docs, threshold=0.5, n=2)) == base
 
 
+def test_jaccard_prefix_kernel_equals_join(spark):
+    """Candidate-tier parity (round 16): the Arrow pair-partials kernel
+    and the fp-keyed self-join A/B twin emit IDENTICAL result sets —
+    full rows, not just pair ids — across plain, delta-restricted
+    (``delta_min_id``) and two-corpus (``cross_min_id``) modes, on a
+    fixture with repeated shared shingles, containment pairs, sub-n
+    docs and int32 ids (the kernel must emit the INPUT id dtype)."""
+    from ppdb_parser_spark.operators.dedup import jaccard_pairs_prefix
+
+    rows = []
+    words = ["w%d" % i for i in range(12)]
+    for d in range(24):
+        # overlapping sliding vocabularies force shared prefixes at
+        # several set sizes; every third doc is a near-copy of d-1
+        if d % 3 == 2:
+            rows.append((d, rows[-1][1] + " z%d" % d))
+        else:
+            toks = [words[(d + j) % 12] for j in range(4 + d % 5)]
+            rows.append((d, " ".join(toks)))
+    rows.append((24, "solo"))  # < n tokens: no shingles
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    def key(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for kw in (
+        {},
+        {"delta_min_id": 12},
+        {"cross_min_id": 12},
+    ):
+        j = key(
+            jaccard_pairs_prefix(
+                docs, threshold=0.5, n=2, pair_tier="join", **kw
+            )
+        )
+        k = key(
+            jaccard_pairs_prefix(
+                docs, threshold=0.5, n=2, pair_tier="kernel", **kw
+            )
+        )
+        assert k == j, f"tier mismatch for {kw}: {k} vs {j}"
+        assert j, f"degenerate fixture: no pairs for {kw}"
+
+
 def test_media_headers_roundtrip():
     """BMP/WAV generators and hand parsers agree for every fixture index,
     including odd-length WAV data chunks (RIFF word alignment)."""
