@@ -160,12 +160,27 @@ def span_scrub(
     key becomes xxhash64-int64 and ubiquitous spans get the same
     document-frequency cap the prefix-Jaccard tier documents; the raw
     string key here is the md5-friendly form the DuckDB oracle shares.
-    """
-    from pyspark.sql import Window
+    (An int64 window key was A/B'd round 16 at sf0.1 and is a wash
+    locally — 0.77 vs 0.73-0.82 s on the covered subtree — so the
+    oracle-shared string stays until a measured corpus needs it.)
 
+    Token rebuild is restricted to COVERED documents (round 16, guide
+    §8 "move heavy bytes only for rows that need it"): only docs that
+    lose ≥1 position need the explode → anti-join → re-join pass;
+    every other document's scrubbed text IS its input text (splitting
+    on single spaces and re-joining is the identity, empties included)
+    with n_removed = 0. Measured at sf0.1: 236 of 5,000 docs covered —
+    the rebuild explode/collect shrank from corpus-sized to
+    duplicated-mass-sized. Isolated min-of-4 A/B: 1.77 → 1.65 s here,
+    1.67 → 1.45 s on the intra variant — modest locally because the
+    final report join and the base scan dominate at 5k docs, but the
+    explode/collect mass removed is corpus-sized at scale (guide §8).
+    """
     occ = word_shingles_pos(
         df, n, id_col, text_col, min_partitions=min_partitions
     )
+    from pyspark.sql import Window
+
     owner = F.min(id_col).over(Window.partitionBy("shingle"))
     covered = (
         occ.withColumn("owner", owner)
@@ -178,10 +193,39 @@ def span_scrub(
         )
         .distinct()
     )
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos0", "token"),
-    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "token")
+    return _scrub_rebuild(df, covered, id_col, text_col)
+
+
+def _scrub_rebuild(
+    df: DataFrame, covered: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Rebuild scrubbed text for the covered-document MINORITY and pass
+    every other document through untouched — shared by
+    :func:`span_scrub` and :func:`span_scrub_intra`.
+
+    Exact equivalence with the rebuild-everything form (pinned in
+    tests/test_operators.py::test_span_scrub_minority_rebuild_identity):
+    for an uncovered document the old pipeline re-joined its own split
+    tokens — ``concat_ws(' ', split(text, ' '))`` is the identity for
+    every string including empty-token runs — and counted
+    n_kept = size(split(text)), giving n_removed = n_tok − n_tok = 0
+    (NULL-text docs produced no token rows in BOTH forms: n_removed
+    n_tok − 0 with n_tok NULL, scrub_text ''). Covered docs run the
+    identical explode → anti-join → ordered re-join, including the
+    scrubbed-to-empty case (no kept rows → '' and n_removed = n_tok).
+    """
+    covered = covered.localCheckpoint(eager=False)  # two consumers below
+    cd = covered.select(id_col).distinct()
+    toks = (
+        df.join(cd, id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), " ")).alias(
+                "pos0", "token"
+            ),
+        )
+        .select(id_col, (F.col("pos0") + 1).alias("pos"), "token")
+    )
     kept = toks.join(covered, [id_col, "pos"], "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(
@@ -193,17 +237,25 @@ def span_scrub(
         ).alias("scrub_text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
     base = df.select(
-        F.col(id_col),
-        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tok"),
+        F.col(id_col), n_tok.alias("n_tok"), F.col(text_col).alias("__text")
     )
-    return base.join(rebuilt, id_col, "left").select(
+    hit = base.join(
+        cd.withColumn("__cov", F.lit(True)), id_col, "left"
+    ).join(rebuilt, id_col, "left")
+    return hit.select(
         id_col,
         "n_tok",
-        (F.col("n_tok") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
-            "n_removed"
-        ),
-        F.coalesce(F.col("scrub_text"), F.lit("")).alias("scrub_text"),
+        F.when(
+            F.col("__cov"),
+            F.col("n_tok") - F.coalesce(F.col("n_kept"), F.lit(0)),
+        )
+        .otherwise(F.col("n_tok") - F.coalesce(F.col("n_tok"), F.lit(0)))
+        .alias("n_removed"),
+        F.when(F.col("__cov"), F.coalesce(F.col("scrub_text"), F.lit("")))
+        .otherwise(F.coalesce(F.col("__text"), F.lit("")))
+        .alias("scrub_text"),
     )
 
 
@@ -231,7 +283,8 @@ def span_scrub_intra(
     Plan shape: one exchange keyed by (id, shingle) for the min-start
     window, one (id, pos) anti join — both corpus-sized, the same cost
     class as :func:`span_scrub`; at 100 TB the shingle key becomes
-    xxhash64-int64 exactly as documented there.
+    xxhash64-int64 exactly as documented there. The token rebuild runs
+    only over covered documents (:func:`_scrub_rebuild`, round 16).
     """
     from pyspark.sql import Window
 
@@ -252,33 +305,7 @@ def span_scrub_intra(
         )
         .distinct()
     )
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos0", "token"),
-    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "token")
-    kept = toks.join(covered, [id_col, "pos"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "token"))),
-                lambda s: s["token"],
-            ),
-        ).alias("scrub_text"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    base = df.select(
-        F.col(id_col),
-        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tok"),
-    )
-    return base.join(rebuilt, id_col, "left").select(
-        id_col,
-        "n_tok",
-        (F.col("n_tok") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
-            "n_removed"
-        ),
-        F.coalesce(F.col("scrub_text"), F.lit("")).alias("scrub_text"),
-    )
+    return _scrub_rebuild(df, covered, id_col, text_col)
 
 
 def jaccard_pairs(

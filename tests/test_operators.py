@@ -500,6 +500,105 @@ def test_jaccard_prefix_kernel_equals_join(spark):
         assert j, f"degenerate fixture: no pairs for {kw}"
 
 
+def test_span_scrub_minority_rebuild_identity(spark):
+    """The covered-docs-only rebuild (round 16) equals the
+    rebuild-everything form on every edge the equivalence argument
+    leans on: uncovered docs (split+rejoin identity, incl. doubled
+    spaces), a doc scrubbed to empty, NULL and empty texts, and
+    same-doc repeats left alone by the cross-doc rule."""
+    from pyspark.sql import functions as F
+
+    from ppdb_parser_spark.operators.dedup import span_scrub, span_scrub_intra
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),          # owner of the shared span
+            (2, "a b c d e f g h"),          # scrubbed to EMPTY (full copy)
+            (3, "x y  z"),                   # uncovered, doubled space
+            (4, None),                       # NULL text
+            (5, ""),                         # empty text
+            (6, "p q r s t u v w a b c d e f g h"),  # suffix copy, partial scrub
+            (7, "m m m m m m m m m m"),      # intra-doc repeats only
+        ],
+        "doc_id int, text string",
+    )
+
+    def old_form(df, covered, id_col="doc_id", text_col="text"):
+        toks = df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("pos0", "token"),
+        ).select(id_col, (F.col("pos0") + 1).alias("pos"), "token")
+        kept = toks.join(covered, [id_col, "pos"], "left_anti")
+        rebuilt = kept.groupBy(id_col).agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s["token"],
+                ),
+            ).alias("scrub_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        base = df.select(
+            F.col(id_col),
+            F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tok"),
+        )
+        return base.join(rebuilt, id_col, "left").select(
+            id_col,
+            "n_tok",
+            (F.col("n_tok") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce(F.col("scrub_text"), F.lit("")).alias("scrub_text"),
+        )
+
+    from pyspark.sql import Window
+
+    from ppdb_parser_spark.operators.dedup import word_shingles_pos
+
+    def key(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # cross-doc rule at n=8
+    occ = word_shingles_pos(docs, 8)
+    owner = F.min("doc_id").over(Window.partitionBy("shingle"))
+    covered = (
+        occ.withColumn("owner", owner)
+        .filter(F.col("doc_id") != F.col("owner"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(7))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    new = key(span_scrub(docs, n=8))
+    assert new == key(old_form(docs, covered))
+    by_id = {r[0]: r for r in new}
+    assert by_id[2][2] == 8 and by_id[2][3] == ""  # scrubbed to empty
+    assert by_id[3][3] == "x y  z" and by_id[3][2] == 0
+    assert by_id[7][2] == 0  # intra repeats untouched by the cross rule
+
+    # intra-doc rule at n=3
+    first = F.min("start").over(Window.partitionBy("doc_id", "shingle"))
+    occ3 = word_shingles_pos(docs, 3)
+    covered3 = (
+        occ3.withColumn("first_start", first)
+        .filter(F.col("start") != F.col("first_start"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(2))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    new3 = key(span_scrub_intra(docs, n=3))
+    assert new3 == key(old_form(docs, covered3))
+    assert {r[0]: r for r in new3}[7][2] > 0  # intra repeats now scrubbed
+
+
 def test_media_headers_roundtrip():
     """BMP/WAV generators and hand parsers agree for every fixture index,
     including odd-length WAV data chunks (RIFF word alignment)."""
