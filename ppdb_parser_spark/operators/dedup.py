@@ -1528,24 +1528,27 @@ def _mh_fp_and_dict(
     corpus-sized aggregate work sits downstream of the coalesced probe,
     which is never true of a delta-sized signature aggregate), measured
     0.79× round-over-round on dedup_minhash_incremental_indexed."""
-    fp = F.xxhash64(F.col("shingle")).alias("fp")
+    # The 16 seed-hash projections are ONE selectExpr string (round 16):
+    # building them as Column objects cost ~240 py4j round trips — 0.48 s
+    # of the bench's timed plan-construction phase per minhash query
+    # (profiled; guide §7.3's driver-side work, here on the Python side
+    # of the driver). The SQL text parses to the same expressions as
+    # _hex16_ord_long(substring(md5(concat('s:', shingle)), 1, 16)):
+    # hi/lo conv halves of the md5's first 16 hex chars, recombined
+    # order-preserving — values byte-identical (string-path equality
+    # regression-tested; oracle hash-exact).
+    h_exprs = [
+        f"(cast(conv(substring(md5(concat('{s}:', shingle)), 1, 8), 16, 10)"
+        f" as bigint) - 2147483648) * 4294967296"
+        f" + cast(conv(substring(md5(concat('{s}:', shingle)), 9, 8), 16, 10)"
+        f" as bigint) as h{s}"
+        for s in range(n_hashes)
+    ]
     hashes = (
         (vocab_src if vocab_src is not None else sh)
         .select("shingle")
         .distinct()
-        .select(
-            fp,
-            *[
-                _hex16_ord_long(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))),
-                        1,
-                        16,
-                    )
-                ).alias(f"h{s}")
-                for s in range(n_hashes)
-            ],
-        )
+        .selectExpr("xxhash64(shingle) as fp", *h_exprs)
         # Round 15 (guide §2.5 — the single-task probe-side trap,
         # root-caused via the SQL-metrics REST API): the planner
         # broadcasts the OCCURRENCE side of the dictionary join
@@ -1567,7 +1570,10 @@ def _mh_fp_and_dict(
         hashes = hashes.repartition(
             dict_width or shuffle_width(sh.sparkSession), F.col("fp")
         )
-    return sh.select(F.col(id_col), fp), hashes
+    return (
+        sh.select(F.col(id_col), F.xxhash64(F.col("shingle")).alias("fp")),
+        hashes,
+    )
 
 
 def _hex16_ord_long(hex16: F.Column) -> F.Column:
@@ -1622,6 +1628,30 @@ def _mh_band_exprs(n_hashes: int, n_bands: int) -> list[F.Column]:
     ]
 
 
+def _mh_band_posexplode_sql(n_hashes: int, n_bands: int) -> str:
+    """The :func:`_mh_band_exprs` band collapse as ONE selectExpr string
+    (round 16): the Column form cost ~160 py4j round trips per call —
+    0.23 s of plan-construction wall per minhash query (profiled). The
+    text parses to the same md5-fold over each signature's exact
+    16-hex-char rendering (`_ord_long_hex16`'s shiftright/AND halves),
+    so band values — and every persisted band index — are unchanged."""
+    r = n_hashes // n_bands
+
+    def hex16(col: str) -> str:
+        return (
+            f"concat(lpad(lower(hex(shiftright({col}, 32) + 2147483648)), 8, '0'),"
+            f" lpad(lower(hex({col} & 4294967295)), 8, '0'))"
+        )
+
+    bands = ", ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(hex16(f"sig{b * r + j}") for j in range(r))
+        + "))"
+        for b in range(n_bands)
+    )
+    return f"posexplode(array({bands})) as (band, band_sig)"
+
+
 def minhash_banded_sigs(
     df: DataFrame,
     n_hashes: int = 16,
@@ -1661,11 +1691,8 @@ def minhash_banded_sigs(
         .groupBy(id_col)
         .agg(*[F.min(f"h{s}").alias(f"sig{s}") for s in range(n_hashes)])
     )
-    return sigs.select(
-        F.col(id_col),
-        F.posexplode(F.array(*_mh_band_exprs(n_hashes, n_bands))).alias(
-            "band", "band_sig"
-        ),
+    return sigs.selectExpr(
+        f"`{id_col}`", _mh_band_posexplode_sql(n_hashes, n_bands)
     )
 
 
@@ -1872,11 +1899,8 @@ def minhash_match(
     if stage_probe is not None:
         # diagnostic hook (tools/stage_walls.py) — see jaccard_pairs_prefix
         stage_probe["sigs"] = sigs
-    bands = sigs.select(
-        F.col(id_col),
-        F.posexplode(F.array(*_mh_band_exprs(n_hashes, n_bands))).alias(
-            "band", "band_sig"
-        ),
+    bands = sigs.selectExpr(
+        f"`{id_col}`", _mh_band_posexplode_sql(n_hashes, n_bands)
     )
     a = bands.select(F.col(id_col).alias("id_a"), "band", "band_sig")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "band_sig")

@@ -207,6 +207,9 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # |e| for the count-gated convergence probe below — a plain scan of
+    # the just-materialized checkpoint, no exchange
+    n_e = e.count()
     # node universe from the RAW edges, not the self-loop-filtered set: a
     # node whose only edge is a self loop is still a (singleton)
     # component and must receive a label (property-test regression)
@@ -253,15 +256,23 @@ def connected_components_star(
             .localCheckpoint(eager=False)
         )
         rounds += 1
-        # both set-difference directions probed in ONE action (union of
-        # two limit-1 subtrees — same exact emptiness test, one job)
-        changed = (
-            small.subtract(e).limit(1)
-            .unionByName(e.subtract(small).limit(1))
-            .limit(1)
-            .count()
-        )
+        # Count-gated convergence probe (round 16): both edge sets are
+        # DISTINCT relations, so small == e REQUIRES |small| == |e| —
+        # and when the counts do match, equal cardinality plus one
+        # containment (small \ e = ∅) already proves equality, so one
+        # subtract direction suffices. The count is the checkpoint's
+        # materializing action (a scan, no exchange); the subtract — a
+        # two-sided distinct anti-join, the expensive probe — now runs
+        # only on count-equal rounds (in practice: the final round)
+        # instead of every round. Mid-run rounds previously paid the
+        # full two-directional set comparison just to learn "changed".
+        n_small = small.count()
+        if n_small == n_e:
+            changed = small.subtract(e).limit(1).count()
+        else:
+            changed = 1
         e = small
+        n_e = n_small
         if changed == 0:
             break
     else:

@@ -500,6 +500,76 @@ def test_jaccard_prefix_kernel_equals_join(spark):
         assert j, f"degenerate fixture: no pairs for {kw}"
 
 
+def test_selectexpr_twins_equal_column_forms(spark):
+    """The round-16 selectExpr strings (one py4j round trip instead of
+    hundreds — see the call-site comments) parse to the same values as
+    the Column reference forms they replaced: the 16 minhash seed-hash
+    projections, the band posexplode, and the k-seed Bloom positions."""
+    from pyspark.sql import functions as F
+
+    from ppdb_parser_spark.operators.dedup import (
+        _hex16_ord_long,
+        _mh_band_exprs,
+        _mh_band_posexplode_sql,
+    )
+    from ppdb_parser_spark.queries.governance import (
+        _B_SEEDS,
+        _bloom_pos,
+        _bloom_pos_explode_sql,
+    )
+
+    sh = spark.createDataFrame(
+        [("alpha beta",), ("gamma delta",), ("",)], "shingle string"
+    )
+
+    def key(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # 16 seed-hash projections
+    col_form = sh.select(
+        "shingle",
+        *[
+            _hex16_ord_long(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))), 1, 16
+                )
+            ).alias(f"h{s}")
+            for s in range(16)
+        ],
+    )
+    h_exprs = [
+        f"(cast(conv(substring(md5(concat('{s}:', shingle)), 1, 8), 16, 10)"
+        f" as bigint) - 2147483648) * 4294967296"
+        f" + cast(conv(substring(md5(concat('{s}:', shingle)), 9, 8), 16, 10)"
+        f" as bigint) as h{s}"
+        for s in range(16)
+    ]
+    assert key(sh.selectExpr("shingle", *h_exprs)) == key(col_form)
+
+    # band posexplode over known signatures
+    sigs = col_form.selectExpr(
+        "shingle", *[f"h{s} as sig{s}" for s in range(16)]
+    )
+    bands_col = sigs.select(
+        F.col("shingle"),
+        F.posexplode(F.array(*_mh_band_exprs(16, 8))).alias(
+            "band", "band_sig"
+        ),
+    )
+    bands_sql = sigs.selectExpr("shingle", _mh_band_posexplode_sql(16, 8))
+    assert key(bands_sql) == key(bands_col)
+
+    # bloom positions
+    pos_col = sh.select(
+        "shingle",
+        F.explode(
+            F.array(*[_bloom_pos(F.col("shingle"), s) for s in _B_SEEDS])
+        ).alias("p"),
+    )
+    pos_sql = sh.selectExpr("shingle", _bloom_pos_explode_sql())
+    assert key(pos_sql) == key(pos_col)
+
+
 def test_span_scrub_minority_rebuild_identity(spark):
     """The covered-docs-only rebuild (round 16) equals the
     rebuild-everything form on every edge the equivalence argument
