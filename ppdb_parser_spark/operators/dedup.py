@@ -653,8 +653,9 @@ def _prefix_pair_partials_kernel(
     occurrence of a prefix fingerprint in one partition, and a
     ``mapInArrow`` kernel generates the within-group pairs and
     partially aggregates them vectorized — numpy pair-index arithmetic
-    + one sort + ``maximum.reduceat`` instead of an SMJ (two sorts of
-    the same exchanged relation) feeding a row-at-a-time codegen
+    + one sort + ``maximum.reduceat`` instead of the pair join (a
+    BroadcastHashJoin of pref against itself in the committed
+    before-plan; an SMJ at scale) feeding a row-at-a-time codegen
     aggregate.
 
     Emits per-partition partials (id_a, id_b, c, ia, ib, na, nb) with
