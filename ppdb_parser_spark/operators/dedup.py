@@ -697,9 +697,17 @@ def _prefix_pair_partials_kernel(
             if rb.num_rows == 0:
                 continue
             for i in range(4):
-                chunks[i].append(
-                    rb.column(i).to_numpy(zero_copy_only=False)
-                )
+                col = rb.column(i)
+                if col.null_count:
+                    # structurally unreachable (pref derives every column
+                    # from non-null expressions), but a null would make
+                    # to_numpy silently widen to float64/NaN and corrupt
+                    # the pair keys — fail loudly instead
+                    raise ValueError(
+                        "prefix pair kernel: null in input column "
+                        f"{rb.schema.names[i]!r}"
+                    )
+                chunks[i].append(col.to_numpy(zero_copy_only=False))
         if not chunks[0]:
             return
         ids = np.concatenate(chunks[0])
@@ -781,18 +789,24 @@ def _prefix_pair_partials_kernel(
         nw[0] = True
         nw[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
         bnd = np.flatnonzero(nw)
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(a_s[bnd]),
-                pa.array(b_s[bnd]),
-                pa.array(np.diff(np.append(bnd, M)).astype(np.int64)),
-                pa.array(np.maximum.reduceat(pa_pos[o2], bnd)),
-                pa.array(np.maximum.reduceat(pb_pos[o2], bnd)),
-                pa.array(n_s[idx_a][o2][bnd]),
-                pa.array(n_s[idx_b][o2][bnd]),
-            ],
-            ["id_a", "id_b", "c", "ia", "ib", "na", "nb"],
-        )
+        cols = [
+            a_s[bnd],
+            b_s[bnd],
+            np.diff(np.append(bnd, M)).astype(np.int64),
+            np.maximum.reduceat(pa_pos[o2], bnd),
+            np.maximum.reduceat(pb_pos[o2], bnd),
+            n_s[idx_a][o2][bnd],
+            n_s[idx_b][o2][bnd],
+        ]
+        names = ["id_a", "id_b", "c", "ia", "ib", "na", "nb"]
+        # emit in bounded slices: one giant partition (a skewed prefix
+        # fingerprint at corpus scale) must not become one multi-GB
+        # record batch held whole on the JVM side
+        step = 1 << 22
+        for lo in range(0, len(bnd), step):
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c[lo : lo + step]) for c in cols], names
+            )
 
     return (
         pref.select(id_col, "n", "pos", "fp")
